@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {key: sec}, "sf": ...}.
+
+Each query executes fully via a noop sink (no driver-side collect cost);
+one uncounted warmup amortizes JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sdp_spark.plans.registry import load_all
+from sdp_spark.session import get_spark
+
+# Headline set: the flagship agg, the heaviest joins, window/top-k, the
+# LLM-pipeline ops (dedup + ANN + tfidf), a subquery, and streaming ingest.
+HEADLINE = [
+    "agg_groupby",
+    "join_multiway",
+    "join_broadcast",
+    "join_theta_range",
+    "win_running",
+    "win_topk_group",
+    "topk",
+    "subq_in_exists",
+    "llm_dedup_exact",
+    "llm_dedup_near",
+    "llm_sim_search",
+    "llm_tfidf_topterms",
+    "stream_tumbling",
+]
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    registry = load_all()
+    spark = get_spark("sdp_spark_bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup (uncounted): flagship query once
+    run_query(registry["agg_groupby"].fn(spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.perf_counter()
+        run_query(registry[key].fn(spark, sf_dir))
+        times[key] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

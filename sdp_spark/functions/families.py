@@ -1,0 +1,277 @@
+"""Scalar function families — SURVEY.md §2.8.
+
+Reference semantics: the MySQL 5.6 scalar function surface
+(string/date/math/conditional), JSON extraction (5.7+ engine gap, mandated
+by the `events.props` fixture), and array/map lambdas (Spark-native superset
+— no nested types exist in MySQL at all).
+
+One wide SELECT per family; the DuckDB oracle hash pins every function's
+semantics (rounding mode, date arithmetic, regex dialect — the three places
+engines disagree most, SURVEY.md §7 M4). All functions here are JVM
+whole-stage-codegen expressions — zero Python on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import table
+
+_SEC = "2.8 scalar functions"
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           c_name || '#' || c_mktsegment                    AS cat,
+           concat_ws('-', c_name, c_mktsegment)             AS catws,
+           substring(c_name, 1, 8)                          AS sub8,
+           left(c_name, 4)                                  AS l4,
+           right(c_name, 4)                                 AS r4,
+           upper(c_mktsegment)                              AS up,
+           lower(c_mktsegment)                              AS lo,
+           trim('  ' || c_name || ' ')                      AS trimmed,
+           ltrim('  ' || c_name)                            AS ltrimmed,
+           rtrim(c_name || '  ')                            AS rtrimmed,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0')         AS padded,
+           rpad(c_mktsegment, 12, '.')                      AS rpadded,
+           replace(c_name, 'Customer', 'Cust')              AS repl,
+           reverse(c_mktsegment)                            AS rev,
+           CAST(length(c_name) AS INTEGER)                  AS len,
+           CAST(instr(c_name, '#') AS INTEGER)              AS pos_hash,
+           repeat('ab', 3)                                  AS rep
+    FROM customer
+    """,
+    section=_SEC,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("cat"),
+        F.concat_ws("-", "c_name", "c_mktsegment").alias("catws"),
+        F.substring("c_name", 1, 8).alias("sub8"),
+        F.expr("left(c_name, 4)").alias("l4"),
+        F.expr("right(c_name, 4)").alias("r4"),
+        F.upper("c_mktsegment").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("  "), F.col("c_name"))).alias("ltrimmed"),
+        F.rtrim(F.concat(F.col("c_name"), F.lit("  "))).alias("rtrimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.rpad("c_mktsegment", 12, ".").alias("rpadded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("repl"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.length("c_name").alias("len"),
+        F.instr("c_name", "#").alias("pos_hash"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+    )
+
+
+@register(
+    "fn_string_regex",
+    oracle="""
+    SELECT p_partkey, p_type,
+           regexp_matches(p_type, 'BRASS|COPPER')                    AS has_metal,
+           regexp_extract(p_type, '^([A-Z]+)', 1)                    AS first_word,
+           regexp_replace(p_type, '[AEIOU]', '_', 'g')               AS devoweled,
+           split_part(p_type, ' ', 1)                                AS part1,
+           split_part(p_type, ' ', 2)                                AS part2
+    FROM part
+    """,
+    section=_SEC,
+)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_type",
+        F.col("p_type").rlike("BRASS|COPPER").alias("has_metal"),
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", "[AEIOU]", "_").alias("devoweled"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("part1"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("part2"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR  AS plus30,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 90 DAY AS DATE)::VARCHAR  AS minus90,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+           CAST(year(o_orderdate) AS INTEGER)       AS yr,
+           CAST(month(o_orderdate) AS INTEGER)      AS mo,
+           CAST(day(o_orderdate) AS INTEGER)        AS dy,
+           CAST(quarter(o_orderdate) AS INTEGER)    AS qtr,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_mysql,
+           strftime(o_orderdate, '%Y-%m')           AS ym,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 1000 AS BIGINT) AS epoch_s,
+           CAST(date_trunc('month', o_orderdate) AS DATE)::VARCHAR AS mstart
+    FROM orders
+    """,
+    section=_SEC,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal family. DOW pinned to MySQL semantics (1=Sunday..7=Saturday):
+    Spark dayofweek already matches; DuckDB dayofweek is 0=Sunday → +1 in the
+    oracle. All date outputs stringified (FIXTURES.md ms-precision caveat)."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("string").alias("plus30"),
+        F.date_sub(d, 90).cast("string").alias("minus90"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("wk"),
+        F.dayofweek("o_orderdate").alias("dow_mysql"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("mstart"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05)                       AS abs_d,
+           ROUND(l_extendedprice, 1)                    AS r1,
+           ROUND(l_extendedprice / 1000, 0)             AS rk,
+           CAST(CEIL(l_quantity / 7) AS BIGINT)         AS ceil7,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT)        AS floor7,
+           CAST(CAST(l_orderkey AS BIGINT) % 97 AS BIGINT) AS mod97,
+           ROUND(POW(l_quantity, 2), 2)                 AS qty_sq,
+           ROUND(SQRT(l_extendedprice), 4)              AS sqrt_p,
+           ROUND(EXP(l_discount), 6)                    AS exp_d,
+           ROUND(LN(l_extendedprice), 6)                AS ln_p,
+           ROUND(LOG10(l_extendedprice), 6)             AS log10_p,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE)      AS sgn,
+           GREATEST(l_quantity, 25.0)                   AS gq,
+           LEAST(l_quantity, 25.0)                      AS lq
+    FROM lineitem
+    """,
+    section=_SEC,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("rk"),
+        F.ceil(F.col("l_quantity") / 7).alias("ceil7"),
+        F.floor(F.col("l_quantity") / 7).alias("floor7"),
+        (F.col("l_orderkey").cast("bigint") % 97).cast("bigint").alias("mod97"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_p"),
+        F.round(F.exp("l_discount"), 6).alias("exp_d"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_p"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_p"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("gq"),
+        F.least("l_quantity", F.lit(25.0)).alias("lq"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT e.event_id,
+           CASE e.event_type WHEN 'purchase' THEN 'buy'
+                             WHEN 'view' THEN 'look'
+                             ELSE 'other' END            AS kind,
+           CASE WHEN e.value > 50 THEN 'high' ELSE 'low' END AS band,
+           COALESCE(NULLIF(e.event_type, 'error'), 'ERR')   AS type_or_err,
+           IFNULL(NULLIF(e.user_id, 1), -1)                 AS user_or_neg1
+    FROM events e
+    """,
+    section=_SEC,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "buy")
+        .when(F.col("event_type") == "view", "look")
+        .otherwise("other")
+        .alias("kind"),
+        F.when(F.col("value") > 50, "high").otherwise("low").alias("band"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("ERR")).alias(
+            "type_or_err"
+        ),
+        F.ifnull(F.nullif(F.col("user_id"), F.lit(1)), F.lit(-1)).alias("user_or_neg1"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')              AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           json_extract_string(props, '$.missing')        AS missing
+    FROM events
+    """,
+    section=_SEC,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from `events.props` (MySQL 5.7+ JSON_EXTRACT analogue;
+    get_json_object is codegen'd JsonPath — no Python)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        (k.cast("int") % 10).alias("k_mod"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@register(
+    "fn_array_map",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)                        AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6)                 AS first_elem,
+           ROUND(list_sum(CAST(embedding AS DOUBLE[])), 4)        AS vec_sum,
+           ROUND(list_max(CAST(embedding AS DOUBLE[])), 6)        AS vec_max,
+           ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 4) AS sq_norm,
+           list_contains(CAST(label_arr AS INTEGER[]), 3)         AS has3
+    FROM (SELECT vec_id, embedding, [label, label % 5] AS label_arr FROM embeddings) t
+    """,
+    section=_SEC,
+)
+def fn_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array lambdas over the 64-dim embedding column (MySQL has no nested
+    types at all — pure Spark-native superset). aggregate/transform run as
+    codegen higher-order functions, not UDFs."""
+    emb = table(spark, sf_dir, "embeddings")
+    dvec = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(dvec, 1), 6).alias("first_elem"),
+        F.round(F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+        F.round(F.array_max(dvec), 6).alias("vec_max"),
+        F.round(
+            F.aggregate(F.transform(dvec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("sq_norm"),
+        F.array_contains(
+            F.array(F.col("label"), F.col("label") % 5).cast("array<int>"), 3
+        ).alias("has3"),
+    )

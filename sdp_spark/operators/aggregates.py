@@ -1,0 +1,281 @@
+"""Aggregation — SURVEY.md §2.4 (+ the flagship pricing-summary query).
+
+Reference semantics: GROUP BY / HAVING / aggregate functions of the deployed
+MySQL 5.6 engine (mysql-persistent-template.json:68), incl. GROUP_CONCAT and
+WITH ROLLUP; CUBE/GROUPING SETS are the Spark-native superset (MySQL gap).
+
+Scale notes: all groupBys here run as partial (map-side) + final hash
+aggregate — shuffle carries only group keys × partial states, not rows.
+Low-cardinality keys (returnflag×linestatus = 6 groups) make the shuffle
+negligible at any scale; approx_count_distinct replaces exact distinct
+count where a 100 TB exact count would need a full shuffle of the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdp_spark.functions.num import davg, dsum, sql_davg, sql_dsum
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import table
+
+_SEC = "2.4 aggregation"
+
+
+@register(
+    "agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity', 2)} AS avg_qty,
+           {sql_davg('l_extendedprice', 2)} AS avg_price,
+           {sql_davg('l_discount', 4)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    section=_SEC,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query (TPC-H Q1 shape): scan→filter→hash-agg→(sort at caller).
+
+    This is also the ``entry()`` smoke query. The shipdate predicate pushes
+    to parquet row groups; 6 output groups mean the final shuffle is bytes.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity", 2).alias("avg_qty"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            davg("l_discount", 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS n_qty,
+           {sql_dsum('l_extendedprice')} AS sum_price,
+           {sql_davg('l_discount', 6)} AS avg_disc,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    """,
+    section=_SEC,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        davg("l_discount", 6).alias("avg_disc"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+    SELECT c_nationkey, COUNT(*) AS n_cust, {sql_davg('c_acctbal', 2)} AS avg_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) > 3 AND AVG(c_acctbal) > 0
+    """,
+    section=_SEC,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"), davg("c_acctbal", 2).alias("avg_bal"))
+        .filter((F.col("n_cust") > 3) & (F.col("avg_bal") > 0))
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderpriority) AS n_prios
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    section=_SEC,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None, section=_SEC)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path where exact
+    COUNT(DISTINCT) would shuffle every key. rsd=0.01 keeps the sketch small
+    enough to merge map-side. Accuracy asserted in tests vs exact count."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs")
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_POP(l_quantity), 4) AS std_pop_qty,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS std_samp_qty,
+           ROUND(VAR_POP(l_extendedprice), 2) AS var_pop_price,
+           ROUND(VAR_SAMP(l_extendedprice), 2) AS var_samp_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    section=_SEC,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_pop("l_quantity"), 4).alias("std_pop_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_samp_qty"),
+        F.round(F.var_pop("l_extendedprice"), 2).alias("var_pop_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_samp_price"),
+    )
+
+
+@register(
+    "agg_group_concat",
+    oracle="""
+    SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    section=_SEC,
+)
+def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_CONCAT(x ORDER BY x SEPARATOR ',') — MySQL idiom; Spark-side the
+    deterministic form is collect_list → array_sort → array_join (collect
+    order is partition-dependent, sorting restores determinism)."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+    )
+
+
+@register(
+    "agg_bool_bit",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(BIT_AND(o_orderkey % 256) AS BIGINT) AS band,
+           CAST(BIT_OR(o_orderkey % 256) AS BIGINT) AS bor,
+           CAST(MAX(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS any_big,
+           CAST(MIN(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS all_pos
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    section=_SEC,
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and(F.col("o_orderkey") % 256).cast("bigint").alias("band"),
+        F.bit_or(F.col("o_orderkey") % 256).cast("bigint").alias("bor"),
+        F.max(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)).cast("bigint").alias("any_big"),
+        F.min(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)).cast("bigint").alias("all_pos"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(GROUPING(r.r_name) AS INTEGER) AS g_region,
+           CAST(GROUPING(n.n_name) AS INTEGER) AS g_nation,
+           COUNT(*) AS n_rows
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    section=_SEC,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... WITH ROLLUP (MySQL 5.6 native; grand-total + per-level
+    subtotals)."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+           CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nat,
+           COUNT(*) AS n_cust,
+           {sql_dsum('c_acctbal')} AS sum_bal
+    FROM customer
+    GROUP BY CUBE (c_mktsegment, c_nationkey)
+    """,
+    section=_SEC,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — MySQL 5.6 gap (no CUBE/GROUPING SETS); Spark-native superset."""
+    c = table(spark, sf_dir, "customer")
+    return c.cube("c_mktsegment", "c_nationkey").agg(
+        F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+        F.grouping("c_nationkey").cast("int").alias("g_nat"),
+        F.count("*").alias("n_cust"),
+        dsum("c_acctbal").alias("sum_bal"),
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    section=_SEC,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — MySQL idiom is manual CASE aggregation; Spark has first-class
+    pivot. Explicit value list avoids the extra distinct-values job."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )

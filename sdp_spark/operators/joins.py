@@ -1,0 +1,347 @@
+"""Joins — SURVEY.md §2.3.
+
+Reference semantics: MySQL 5.6 executes every join as (block) nested-loop
+over index lookups; the *semantics* (inner/outer/cross/semi/anti/theta) are
+the contract here, and Spark's planner picks broadcast-hash / shuffle-hash /
+sort-merge / broadcast-nested-loop physically. FULL OUTER is a MySQL gap
+(emulated there via UNION); Spark provides it natively.
+
+Scale notes:
+- Dimension joins (region/nation/supplier/part) are explicitly
+  `F.broadcast(...)` — at 100 TB the fact table never shuffles for these.
+- Fact-fact joins (lineitem⋈orders) shuffle on the join key; AQE handles
+  skew splitting. On a real cluster, bucketing both tables on orderkey
+  removes this shuffle entirely.
+- The theta/range join keeps an equi conjunct (user_id) so it plans as a
+  hash join with a residual range filter — NOT a cartesian product.
+- join_asof is the scalable union+window formulation: O(n log n) per key,
+  no pairwise blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sdp_spark.functions.num import dsum, sql_dsum
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import table
+
+_SEC = "2.3 joins"
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate IS NOT NULL AS has_date, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    section=_SEC,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .filter(c.c_mktsegment == "BUILDING")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").isNotNull().alias("has_date"),
+            "c_name",
+            "c_mktsegment",
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           COALESCE(ROUND(o.o_totalprice, 2), -1.0) AS price_or_neg1
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+    """,
+    section=_SEC,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with a join-side predicate (kept in the ON clause — moving
+    it to WHERE would change semantics, the classic outer-join trap)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "P"), "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.coalesce(F.round("o_totalprice", 2), F.lit(-1.0)).alias("price_or_neg1"),
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name
+    FROM orders o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    """,
+    section=_SEC,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(
+        c, (o.o_custkey == c.c_custkey) & (o.o_totalprice > 300000), "right"
+    ).select("o_orderkey", "c_custkey", "c_name")
+
+
+@register(
+    "join_full",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+           COALESCE(cn.n_cust, 0) AS n_cust,
+           COALESCE(sn.n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    """,
+    section=_SEC,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER — absent in MySQL 5.6 (UNION emulation); native in Spark."""
+    cn = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cn.join(sn, "nationkey", "full").select(
+        F.col("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r1.r_name AS region_a, r2.r_name AS region_b
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey < r2.r_regionkey
+    """,
+    section=_SEC,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r1 = table(spark, sf_dir, "region").alias("r1")
+    r2 = table(spark, sf_dir, "region").alias("r2")
+    return (
+        r1.crossJoin(r2)
+        .filter(F.col("r1.r_regionkey") < F.col("r2.r_regionkey"))
+        .select(F.col("r1.r_name").alias("region_a"), F.col("r2.r_name").alias("region_b"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    """,
+    section=_SEC,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE EXISTS → left-semi join (MariaDB's semijoin strategies are the
+    reference analogue; Spark plans a semi hash join, probe side streams)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    section=_SEC,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate > o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    """,
+    section=_SEC,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """θ-join with a range conjunct. The equi conjunct (orderkey) lets Spark
+    plan a hash join with the range as residual — never a cartesian."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return l.join(
+        o,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > o.o_orderdate)
+        & (l.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+    ).select("l_orderkey", "l_linenumber", "o_orderkey")
+
+
+@register(
+    "join_broadcast",
+    oracle=f"""
+    SELECT n.n_name, r.r_name, COUNT(*) AS n_cust, {sql_dsum('c.c_acctbal')} AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    section=_SEC,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the two fixed-size dims — zero fact shuffle for
+    the join at any scale; only the 25-group aggregate shuffles."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("sum_bal"))
+    )
+
+
+@register(
+    "join_multiway",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    section=_SEC,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. Dims broadcast; lineitem⋈orders is
+    the only real shuffle (on orderkey); CBO+AQE order the rest."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (c.c_nationkey == F.col("s_nationkey")))
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "join_self",
+    oracle="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'signup' AND b.event_type = 'purchase'
+     AND b.ts > a.ts
+    """,
+    section=_SEC,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: signup→later-purchase pairs per user (funnel idiom)."""
+    e = table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "signup").alias("a")
+    b = e.filter(F.col("event_type") == "purchase").alias("b")
+    return a.join(
+        b, (F.col("a.user_id") == F.col("b.user_id")) & (F.col("b.ts") > F.col("a.ts"))
+    ).select(
+        F.col("a.event_id").alias("event_a"),
+        F.col("b.event_id").alias("event_b"),
+        F.col("a.user_id").alias("user_id"),
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'view' THEN ts END AS view_ts,
+             CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+             event_type
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAST_VALUE(view_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_id
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, asof_view_id
+    FROM filled WHERE event_type = 'purchase'
+    """,
+    section=_SEC,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest prior 'view' for each 'purchase', per user).
+
+    Scalable union+window formulation: tag both sides, one sort per user by
+    (ts, event_id), carry the last non-null view id forward — O(n log n),
+    no pairwise join blow-up. This is the 100 TB formulation; a range-join +
+    row_number would explode on hot users.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "purchase"))
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn("asof_view_id", F.last("view_id", ignorenulls=True).over(w))
+    return filled.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "asof_view_id"
+    )

@@ -1,0 +1,601 @@
+"""LLM-data-pipeline operators — SURVEY.md §2.12 + training-data extras.
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (brute-force + LSH-bucketed), text analysis (stats,
+TF-IDF, language-ID heuristic, quality scoring, fingerprinting) over the
+`documents` / `embeddings` fixtures.
+
+Scale notes (the whole point of these ops):
+- Exact dedup: hash-groupBy — shuffle carries (hash, doc_id), never text.
+- MinHash-LSH: shingle→minhash→band→bucket-join. Candidate generation is a
+  self-join on band buckets (tiny keys), never an all-pairs product; the
+  exact-Jaccard verify only touches candidate pairs. This is the 100 TB
+  near-dedup path (all-pairs is O(n²) and dead on arrival).
+- Brute-force cosine is the correctness baseline (O(Q×N), broadcast the Q
+  queries); the LSH-bucketed variant is the scale path (candidates only
+  within matching hyperplane-sign buckets).
+- Everything below is built-in functions / higher-order lambdas — no Python
+  in any hot path except where explicitly noted.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import table
+
+_SEC = "2.12 llm ops"
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT sha256(lower(trim(text))) AS text_hash,
+           MIN(doc_id) AS keeper_doc,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    section=_SEC,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash; keep the lowest doc_id.
+    Shuffle key is the 256-bit hash — text never moves after the map side."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc"), F.count("*").alias("n_copies"))
+    )
+
+
+_NUM_PERM = 16  # minhash permutations
+_BAND_R = 2  # rows per band -> 8 bands; P(candidate | j=0.5) ~ 0.90
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id -> exploded distinct n-word shingles (docs with >= n tokens)."""
+    return (
+        df.filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+@register("llm_dedup_near", oracle=None, section=_SEC)
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection: 3-word shingles → 16-permutation MinHash →
+    8 bands of 2 → bucket self-join for candidates → exact-Jaccard verify
+    (>= 0.5) on candidates only.
+
+    rows-only oracle: LSH is probabilistic (banding may miss a true pair);
+    tests assert precision=1 (every emitted pair really has j >= 0.5) and
+    high recall vs the brute-force pairs at sf0.001.
+    """
+    sh = _shingles(_docs_tokens(spark, sf_dir)).cache()
+
+    # signature: min over xxhash64(perm, shingle) per permutation
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(p), F.col("shingle"))).alias(f"h{p}")
+            for p in range(_NUM_PERM)
+        ]
+    )
+    # bands: hash r consecutive signature slots together
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * _BAND_R + i}") for i in range(_BAND_R)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(_NUM_PERM // _BAND_R)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact-Jaccard verification restricted to candidates
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
+    "llm_dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s.shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= 3) t,
+           UNNEST(list_transform(generate_series(1, len(toks) - 2),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s(shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.3
+    """,
+    section=_SEC,
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard over all pairs sharing >= 1 shingle.
+    The shingle equi-join IS the candidate pruning — disjoint docs never
+    pair. Deterministic → full SQL oracle (unlike the MinHash variant)."""
+    sh = _shingles(_docs_tokens(spark, sf_dir)).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sh_a.join(sh_b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a"
+        )
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .filter(jac >= 0.3)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register("llm_dedup_simhash", oracle=None, section=_SEC)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup: 64-bit signature from token-hash bit votes, then
+    4×16-bit band blocking and Hamming-distance (<= 8) verification via
+    bit_count(xor). Pure DataFrame ops; signature build explodes
+    token×64-bit rows — at 100 TB swap the vote stage for a pandas_udf
+    (same signature, one pass per doc). rows-only oracle (tests pin
+    signature determinism + hamming symmetry)."""
+    toks = _docs_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    votes = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("th", F.xxhash64("token"))
+        .select(
+            "doc_id",
+            "cnt",
+            F.explode(F.expr("sequence(0, 63)")).alias("bit"),
+            F.col("th"),
+        )
+        .withColumn(
+            "vote",
+            F.when(F.expr("(th >> bit) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt")),
+        )
+    )
+    sig = (
+        votes.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bitval", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("CAST(bitval AS BIGINT) << bit")).alias("simhash"))
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr("sequence(0, 3)")).alias("band"),
+    ).withColumn("chunk", F.expr("(simhash >> (band * 16)) & 65535"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "chunk"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "chunk"
+    )
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 8)
+    )
+
+
+@register(
+    "llm_dedup_embed",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))
+                    * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)))),
+                 4) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, 64),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))
+             * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)))) >= 0.9
+    """,
+    section=_SEC,
+)
+def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs within the same cluster label with
+    cosine >= 0.9. The label equi-join is the blocking key (at 100 TB the
+    blocking key comes from LSH buckets instead — see llm_sim_search_lsh)."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "dvec", F.col("embedding").cast("array<double>")
+    )
+    emb = emb.withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("dvec").alias("va"), F.col("norm").alias("na"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("dvec").alias("vb"), F.col("norm").alias("nb"), "label"
+    )
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= 0.9)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_sim_search",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             ROUND(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x)))
+                      * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)))),
+                   4) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id <= 10
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored) t
+    WHERE rn <= 5
+    """,
+    section=_SEC,
+)
+def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k=5) for 10 query vectors — the correctness
+    baseline for ANN. Queries broadcast; candidates never shuffle; per-query
+    top-k via row_number on (rounded sim, id) for determinism."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "dvec", F.col("embedding").cast("array<double>")
+    )
+    emb = emb.withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") <= 10).select(
+            F.col("vec_id").alias("query_id"), F.col("dvec").alias("qv"), F.col("norm").alias("qn")
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("dvec").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(dot / (F.col("qn") * F.col("cn")), 4))
+        .select("query_id", "neighbor_id", "neighbor_label", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+    )
+
+
+def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (md5-seeded, no RNG state)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"sdp:{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+@register("llm_sim_search_lsh", oracle=None, section=_SEC)
+def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH. 8 sign-bits bucket each
+    vector; top-k search only scans the query's bucket — at 100 TB this
+    turns O(Q×N) into O(Q×N/256) with recall traded via plane count.
+    rows-only oracle; tests measure recall vs llm_sim_search."""
+    planes = _hyperplanes()
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "dvec", F.col("embedding").cast("array<double>")
+    )
+    emb = emb.withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+    bucket = None
+    for i, plane in enumerate(planes):
+        pl = F.array(*[F.lit(w) for w in plane])
+        dot_p = F.aggregate(
+            F.zip_with("dvec", pl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bit = F.when(dot_p > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i)
+        bucket = bit if bucket is None else bucket + bit
+    emb = emb.withColumn("bucket", bucket)
+
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") <= 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("dvec").alias("qv"),
+            F.col("norm").alias("qn"),
+            "bucket",
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("dvec").alias("cv"), F.col("norm").alias("cn"), "bucket"
+    )
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(dot / (F.col("qn") * F.col("cn")), 4))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_text_stats",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+           ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_token
+    FROM documents
+    """,
+    section=_SEC,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/char statistics (whitespace tokenizer)."""
+    d = _docs_tokens(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.round(F.col("n_chars").cast("double") / F.size("toks"), 4).alias("chars_per_token"),
+    )
+
+
+@register(
+    "llm_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+      SELECT source, t.token FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+    ), tf AS (
+      SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT token, COUNT(DISTINCT source) AS df FROM tok GROUP BY 1
+    ), scored AS (
+      SELECT tf.source, tf.token, tf.tf, df.df,
+             ROUND(tf.tf * ln(20.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token)
+    )
+    SELECT source, token, tf, df, tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY tfidf DESC, token) AS rn FROM scored) t
+    WHERE rn <= 5
+    """,
+    section=_SEC,
+)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per source (20 sources = the corpus)."""
+    tok = _docs_tokens(spark, sf_dir).select("source", F.explode("toks").alias("token"))
+    tf = tok.groupBy("source", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("source").alias("df"))
+    scored = tf.join(df, "token").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(20.0) / F.col("df")), 6)
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "token", "tf", "df", "tfidf")
+    )
+
+
+_STOPWORDS = "('the', 'a', 'of', 'and', 'is', 'in', 'to', 'it')"
+
+
+@register(
+    "llm_lang_filter",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE lang IN ('en', 'es')
+      AND n_chars BETWEEN 100 AND 500
+      AND len(string_split(text, ' ')) >= 15
+      AND len(list_filter(string_split(text, ' '), t -> t IN {_STOPWORDS}))
+          * 1.0 / len(string_split(text, ' ')) < 0.5
+    """,
+    section=_SEC,
+)
+def llm_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality/language filter pipeline: lang allowlist + length band +
+    token-count floor + stopword-ratio cap (one Catalyst Filter, fully
+    pushed down past the tokenize projections)."""
+    d = _docs_tokens(spark, sf_dir)
+    stop_ratio = F.size(F.expr(f"filter(toks, t -> t IN {_STOPWORDS})")) / F.size("toks")
+    return (
+        d.filter(
+            F.col("lang").isin("en", "es")
+            & F.col("n_chars").between(100, 500)
+            & (F.size("toks") >= 15)
+            & (stop_ratio < 0.5)
+        ).select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "llm_langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           len(list_filter(string_split(text, ' '), t -> t IN {_STOPWORDS}))::INTEGER AS en_hits,
+           len(list_filter(string_split(text, ' '),
+               t -> t IN ('el', 'la', 'de', 'los', 'y', 'que')))::INTEGER AS es_hits,
+           CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN {_STOPWORDS}))
+                     >= len(list_filter(string_split(text, ' '),
+                            t -> t IN ('el', 'la', 'de', 'los', 'y', 'que'))) + 1
+                THEN 'en' ELSE 'unknown' END AS predicted_lang
+    FROM documents
+    """,
+    section=_SEC,
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-list voting (an n-gram/function-word
+    scorer — the classic pre-fastText heuristic). Codegen lambdas only."""
+    d = _docs_tokens(spark, sf_dir)
+    en_hits = F.size(F.expr(f"filter(toks, t -> t IN {_STOPWORDS})"))
+    es_hits = F.size(F.expr("filter(toks, t -> t IN ('el', 'la', 'de', 'los', 'y', 'que'))"))
+    return d.select(
+        "doc_id",
+        "lang",
+        en_hits.alias("en_hits"),
+        es_hits.alias("es_hits"),
+        F.when(en_hits >= es_hits + 1, "en").otherwise("unknown").alias("predicted_lang"),
+    )
+
+
+@register(
+    "llm_quality_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             LEAST(CAST(n_chars AS DOUBLE) / 400, 1.0) AS len_score,
+             len(list_filter(string_split(text, ' '), t -> t IN {_STOPWORDS}))
+               * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
+             len(list_distinct(string_split(text, ' ')))
+               * 1.0 / len(string_split(text, ' ')) AS diversity
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(0.4 * len_score + 0.3 * (1 - ABS(stop_ratio - 0.4)) + 0.3 * diversity, 4)
+             AS quality
+    FROM feat
+    """,
+    section=_SEC,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + stopword-ratio centering + lexical
+    diversity, one weighted score per doc."""
+    d = _docs_tokens(spark, sf_dir)
+    n_tokens = F.size("toks")
+    len_score = F.least(F.col("n_chars").cast("double") / 400, F.lit(1.0))
+    stop_ratio = F.size(F.expr(f"filter(toks, t -> t IN {_STOPWORDS})")) / n_tokens
+    diversity = F.size(F.array_distinct("toks")) / n_tokens
+    return d.select(
+        "doc_id",
+        F.round(
+            0.4 * len_score + 0.3 * (1 - F.abs(stop_ratio - 0.4)) + 0.3 * diversity, 4
+        ).alias("quality"),
+    )
+
+
+@register("llm_fingerprint", oracle=None, section=_SEC)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash over the token
+    stream (Karp-Rabin style), folded with a higher-order aggregate —
+    order-sensitive, unlike the bag-of-shingles MinHash. rows-only (DuckDB
+    lacks an ordered-fold equivalent); tests pin determinism and
+    fingerprint-equality ⇔ token-stream-equality on the fixture."""
+    d = _docs_tokens(spark, sf_dir)
+    fp = F.aggregate(
+        "toks",
+        F.lit(0).cast("bigint"),
+        lambda acc, t: F.pmod(acc * 1000003 + F.pmod(F.xxhash64(t), 1 << 31), 1 << 61),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

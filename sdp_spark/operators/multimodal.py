@@ -1,0 +1,110 @@
+"""Multimodal columns — SURVEY.md §2.12 `llm_multimodal_cols` + decode stub.
+
+Images/audio/video are opaque `binary` columns with typed struct metadata.
+The decode/feature-extract step is STUBBED with a deterministic fake
+(image/audio libraries are not in this container) — the Spark-side plumbing
+(schema, Arrow batch shape, mapInPandas signature, partitioning) is real
+and tested; swapping the fake for PIL/ffmpeg changes one function body.
+
+Scale notes: binary payloads ride Arrow batches into Python once
+(mapInPandas), are processed batch-at-a-time, and only the small typed
+feature columns come back — the pattern that keeps a 100 TB image corpus
+from ever materializing decoded frames in JVM memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import table
+
+_SEC = "2.12 multimodal"
+
+
+@register(
+    "llm_multimodal_cols",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
+           lang AS meta_lang,
+           n_chars AS meta_chars,
+           n_chars > 300 AS is_long
+    FROM documents
+    """,
+    section=_SEC,
+)
+def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack text as a binary payload + typed struct metadata (the multimodal
+    column shape), then project typed fields back out — pins that binary
+    round-trips losslessly next to relational columns."""
+    d = table(spark, sf_dir, "documents")
+    packed = d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("n_chars").alias("n_chars"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+    return packed.select(
+        "doc_id",
+        F.length("payload").alias("payload_bytes"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.n_chars").alias("meta_chars"),
+        (F.col("meta.n_chars") > 300).alias("is_long"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """STUB decoder. A real build calls PIL/ffmpeg here (NotImplemented in
+    this container); the fake derives deterministic pseudo-metadata and an
+    8-dim feature vector from the bytes so the pipeline stays testable."""
+    n = len(payload)
+    width, height = 64 + n % 64, 64 + (n // 2) % 64
+    n_frames = 1 + n % 4
+    feats = [round(float(payload[i % n]) / 255.0, 4) if n else 0.0 for i in range(8)]
+    return width, height, n_frames, feats
+
+
+@register("mm_decode_pipeline", oracle=None, section=_SEC)
+def mm_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode / feature-extract over binary payloads via mapInPandas:
+    Arrow batches in, typed feature rows out. rows-only oracle (the decode
+    is a stub); tests pin schema, batch shape, and determinism."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [x[0] for x in decoded],
+                    "height": [x[1] for x in decoded],
+                    "n_frames": [x[2] for x in decoded],
+                    "features": [x[3] for x in decoded],
+                }
+            )
+
+    return d.mapInPandas(decode_batches, _DECODE_SCHEMA)

@@ -1,0 +1,237 @@
+"""Projection, filter, predicates — SURVEY.md §2.2.
+
+Reference semantics: SELECT expressions and WHERE predicate forms of the
+deployed MySQL 5.6 engine (mysql-persistent-template.json:68), including
+3-valued NULL logic.
+
+Scale notes: every predicate here is a Catalyst `Filter` that pushes down to
+the parquet scan (row-group + page skipping); projections prune columns at
+the reader. Verified via .explain(): PushedFilters / ReadSchema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdp_spark.functions.num import dround, sql_dround
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import table
+
+_SEC = "2.2 project/filter"
+
+
+@register(
+    "project_select",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {sql_dround('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {sql_dround('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS charged,
+           l_returnflag || '/' || l_linestatus AS flag_status
+    FROM lineitem
+    """,
+    section=_SEC,
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        dround(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charged"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+    )
+
+
+@register(
+    "filter_basic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_discount < 0.05 AND l_returnflag <> 'A'
+    """,
+    section=_SEC,
+)
+def filter_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_quantity") >= 30) & (F.col("l_discount") < 0.05) & (F.col("l_returnflag") != "A")
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "filter_compound",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus = 'F' OR o_totalprice > 200000)
+      AND NOT (o_orderpriority = '5-LOW' AND o_orderstatus = 'O')
+    """,
+    section=_SEC,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 200000))
+        & ~((F.col("o_orderpriority") == "5-LOW") & (F.col("o_orderstatus") == "O"))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "filter_between",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_extendedprice BETWEEN 20000 AND 30000
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+    """,
+    section=_SEC,
+)
+def filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.filter(
+        F.col("l_extendedprice").between(20000, 30000)
+        & F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@register(
+    "filter_in",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_nationkey
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      AND c_nationkey NOT IN (1, 2, 3)
+    """,
+    section=_SEC,
+)
+def filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") & ~F.col("c_nationkey").isin(1, 2, 3)
+    ).select("c_custkey", "c_mktsegment", "c_nationkey")
+
+
+@register(
+    "filter_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name LIKE '%a%' AND p_brand LIKE 'Brand#1_'
+    """,
+    section=_SEC,
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%a%") & F.col("p_brand").like("Brand#1_")).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+@register(
+    "filter_regexp",
+    oracle="""
+    SELECT p_partkey, p_type
+    FROM part
+    WHERE regexp_matches(p_type, '^(STANDARD|SMALL).*BRASS$')
+    """,
+    section=_SEC,
+)
+def filter_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").rlike("^(STANDARD|SMALL).*BRASS$")).select(
+        "p_partkey", "p_type"
+    )
+
+
+@register(
+    "filter_null",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'P') AS status_np,
+           CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 'null' ELSE 'set' END AS nullness
+    FROM orders
+    WHERE NULLIF(o_orderstatus, 'P') IS NULL
+       OR (NULLIF(o_orderstatus, 'P') IS NOT NULL AND o_orderkey % 100 = 0)
+    """,
+    section=_SEC,
+)
+def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IS NOT NULL — fixtures carry no physical NULLs, so NULLIF
+    manufactures them; the predicate exercises both branches of 3VL."""
+    o = table(spark, sf_dir, "orders")
+    status_np = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        status_np.alias("status_np"),
+        F.when(status_np.isNull(), "null").otherwise("set").alias("nullness"),
+    ).filter(status_np.isNull() | (status_np.isNotNull() & (F.col("o_orderkey") % 100 == 0)))
+
+
+@register(
+    "project_case",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS size_bucket,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_coalesced,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    """,
+    section=_SEC,
+)
+def project_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+        .alias("size_bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_coalesced"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+@register(
+    "project_cast",
+    oracle="""
+    SELECT CAST(l_orderkey AS VARCHAR) AS okey_str,
+           CAST(l_linenumber AS BIGINT) AS lineno_big,
+           CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
+           CAST('42' AS INTEGER) + l_linenumber AS parsed_plus
+    FROM lineitem
+    """,
+    section=_SEC,
+)
+def project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST/CONVERT across string/number/date. Double→int goes through
+    FLOOR because MySQL/DuckDB round while Spark truncates — FLOOR pins one
+    semantics on both sides."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        F.col("l_orderkey").cast("string").alias("okey_str"),
+        F.col("l_linenumber").cast("bigint").alias("lineno_big"),
+        F.floor("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
+        (F.lit("42").cast("int") + F.col("l_linenumber")).alias("parsed_plus"),
+    )
+
+
+@register(
+    "dedup_distinct",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+    section=_SEC,
+)
+def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT — partial hash-aggregate per partition, then shuffle
+    on the distinct keys (map-side combine keeps the shuffle tiny)."""
+    return table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()

@@ -1,0 +1,191 @@
+"""Sources & sinks — SURVEY.md §2.1.
+
+Reference semantics: table scans / LOAD DATA INFILE / INSERT..SELECT /
+TRUNCATE+reload of the deployed MySQL 5.6 engine
+(mysql-persistent-template.json:68), plus the SQL service endpoint on port
+3306 (mysql-persistent-template.json:20-25) which maps to the JDBC source.
+
+Scale notes: every reader here is a lazy, splittable scan — parquet gets the
+vectorized reader + row-group pushdown; CSV/JSON split by file/line blocks.
+Sinks write partitioned parquet; at 100 TB `partitionBy` + AQE coalescing
+control file sizes. No collect() anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import table
+
+_SEC = "2.1 sources/sinks"
+
+# Cache converted csv/json copies of fixture tables per (sf_dir, fmt) so
+# repeated query runs don't rewrite them.
+_CONVERTED: dict[tuple[str, str], str] = {}
+
+
+def _converted_dir(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> str:
+    key = (sf_dir, f"{name}.{fmt}")
+    if key not in _CONVERTED:
+        out = os.path.join(
+            tempfile.gettempdir(), "sdp_spark_cache", os.path.basename(sf_dir.rstrip("/")), f"{name}_{fmt}"
+        )
+        df = table(spark, sf_dir, name)
+        if fmt == "csv":
+            df.write.mode("overwrite").option("header", "true").csv(out)
+        else:
+            df.write.mode("overwrite").json(out)
+        _CONVERTED[key] = out
+    return _CONVERTED[key]
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    section=_SEC,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table scan over parquet (vectorized reader, column pruning)."""
+    return table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    section=_SEC,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited load (LOAD DATA INFILE analogue) with an explicit schema."""
+    path = _converted_dir(spark, sf_dir, "nation", "csv")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.csv(path, schema=schema, header=True)
+
+
+@register(
+    "scan_json",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 6) AS value_r
+    FROM events
+    """,
+    section=_SEC,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest with explicit schema (no inference pass at scale)."""
+    path = _converted_dir(spark, sf_dir, "events", "json")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.json(path, schema=schema)
+        .select("event_id", "user_id", "event_type", F.round("value", 6).alias("value_r"))
+    )
+
+
+@register("scan_jdbc", oracle=None, section=_SEC)
+def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL service endpoint scan (reference exposes MySQL over TCP 3306,
+    mysql-persistent-template.json:20-25).
+
+    Reads via JDBC when ``SDP_JDBC_URL`` is set (e.g.
+    ``jdbc:mysql://host:3306/sampledb``); in CI (no DB service) falls back to
+    the parquet copy so the operator path stays exercised. At scale, use
+    ``partitionColumn``/``numPartitions`` for parallel range reads.
+    """
+    url = os.environ.get("SDP_JDBC_URL")
+    if url:
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "nation")
+            .option("partitionColumn", "n_nationkey")
+            .option("lowerBound", "0")
+            .option("upperBound", "25")
+            .option("numPartitions", "4")
+            .load()
+        )
+    return table(spark, sf_dir, "nation")
+
+
+def _tmp_sink(name: str) -> str:
+    return tempfile.mkdtemp(prefix=f"sdp_sink_{name}_")
+
+
+@register(
+    "sink_append",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    """,
+    section=_SEC,
+)
+def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO ... SELECT: append write, then read back (round-trip check)."""
+    out = _tmp_sink("append")
+    src = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    src.write.mode("append").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register(
+    "sink_overwrite",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+    """,
+    section=_SEC,
+)
+def sink_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE + reload semantics: second write replaces the first."""
+    out = _tmp_sink("overwrite")
+    orders = table(spark, sf_dir, "orders")
+    orders.select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(out)
+    (
+        orders.filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)
+
+
+@register(
+    "sink_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    """,
+    section=_SEC,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned storage (MySQL range/hash partition analogue).
+
+    At 100 TB this is the layout primitive: partition pruning turns
+    point/range queries on the partition key into O(selected partitions).
+    """
+    out = _tmp_sink("partitioned")
+    orders = table(spark, sf_dir, "orders")
+    (
+        orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    # partition column round-trips as string; restore column order/types
+    return back.select("o_orderkey", "o_totalprice", F.col("o_orderstatus").cast("string"))

@@ -1,0 +1,90 @@
+"""Subqueries & CTEs — SURVEY.md §2.9.
+
+Reference semantics: MySQL 5.6 scalar/IN/EXISTS subqueries and derived
+tables (5.6 materializes; MariaDB 10.1 adds semijoin strategies). CTEs are
+an engine gap (MariaDB 10.2+/MySQL 8+) provided natively by Spark.
+
+These run through ``spark.sql`` over the registered fixture views — the
+surface that mirrors the reference's port-3306 SQL sessions. Catalyst's
+RewritePredicateSubquery / DecorrelateInnerQuery turn the correlated forms
+into semi/anti/left joins (SURVEY.md §4) — no manual decorrelation needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import load_tables
+
+_SEC = "2.9 subqueries"
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(query)
+
+
+_SCALAR = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+"""
+
+
+@register("subq_scalar", oracle=_SCALAR, section=_SEC)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in WHERE (planned as a broadcast of the
+    single-row aggregate — no per-row re-execution)."""
+    return _sql(spark, sf_dir, _SCALAR)
+
+
+_IN_EXISTS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+"""
+
+
+@register("subq_in_exists", oracle=_IN_EXISTS, section=_SEC)
+def subq_in_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (uncorrelated) + EXISTS (correlated) → two stacked semi joins."""
+    return _sql(spark, sf_dir, _IN_EXISTS)
+
+
+_DERIVED = """
+SELECT t.c_nationkey, t.n_cust,
+       FLOOR(CAST(t.total_bal AS DOUBLE) / t.n_cust * 100 + 0.5) / 100 AS avg_bal
+FROM (SELECT c_nationkey, COUNT(*) AS n_cust,
+             SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS total_bal
+      FROM customer GROUP BY c_nationkey) t
+WHERE t.n_cust >= 2
+"""
+
+
+@register("subq_derived", oracle=_DERIVED, section=_SEC)
+def subq_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _DERIVED)
+
+
+_CTE = """
+WITH big_orders AS (
+  SELECT o_custkey, COUNT(*) AS n_big
+  FROM orders WHERE o_totalprice > 200000
+  GROUP BY o_custkey
+),
+segments AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+)
+SELECT s.c_mktsegment, CAST(SUM(b.n_big) AS BIGINT) AS total_big_orders
+FROM big_orders b JOIN segments s ON b.o_custkey = s.c_custkey
+GROUP BY s.c_mktsegment
+"""
+
+
+@register("cte_with", oracle=_CTE, section=_SEC)
+def cte_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH ... AS — engine gap (MySQL 8+/MariaDB 10.2+); native in Spark."""
+    return _sql(spark, sf_dir, _CTE)

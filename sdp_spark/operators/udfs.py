@@ -1,0 +1,169 @@
+"""UDF / UDAF / UDTF surface — SURVEY.md §2.11.
+
+Patterns follow the public pandas_udf / applyInPandas API (SNIPPETS.md
+[1]-[3]). Design rule: UDFs are the slow path — each key here exists to
+prove the extension surface, and each docstring says what the built-in
+alternative is. All pandas variants cross Python↔JVM via Arrow batches.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import table
+
+_SEC = "2.11 udf"
+
+
+@register(
+    "udf_python",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'S'
+                WHEN o_totalprice < 150000 THEN 'M'
+                WHEN o_totalprice < 250000 THEN 'L'
+                ELSE 'XL' END AS size_code
+    FROM orders
+    """,
+    section=_SEC,
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF. Production rule: this exact logic should be
+    F.when chains (codegen); the key exists to pin the UDF execution path."""
+
+    def size_code(price: float) -> str:
+        if price < 50000:
+            return "S"
+        if price < 150000:
+            return "M"
+        if price < 250000:
+            return "L"
+        return "XL"
+
+    size_udf = F.udf(size_code, T.StringType())
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", size_udf("o_totalprice").alias("size_code"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(l_extendedprice * (1 - l_discount) * 1.0825 * 100 + 0.5) / 100
+             AS taxed_revenue
+    FROM lineitem
+    """,
+    section=_SEC,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Series→Series pandas UDF (Arrow batches; ~10-100× the
+    row-at-a-time path). Rounding uses the same floor(x*100+0.5)/100 IEEE
+    formula as the oracle (numpy half-even .round would diverge)."""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def taxed_revenue(price: pd.Series, discount: pd.Series) -> pd.Series:
+        x = price.to_numpy() * (1 - discount.to_numpy()) * 1.0825
+        return pd.Series(np.floor(x * 100 + 0.5) / 100)
+
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        taxed_revenue("l_extendedprice", "l_discount").alias("taxed_revenue"),
+    )
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))
+                          * CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    section=_SEC,
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (Series→scalar UDAF). NOTE: unlike built-in
+    aggs there is no partial/map-side combine — every group's rows move to
+    one task, so at 100 TB keep group counts high / rows-per-group modest,
+    or re-express as a ratio of two built-in SUMs (as the oracle does).
+    Exactness: prices are cents, quantities integers — accumulate in int64
+    cents (order-independent, matches the oracle's DECIMAL sums)."""
+    import math
+
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        cents = np.rint(price.to_numpy() * 100).astype(np.int64)
+        q = np.rint(qty.to_numpy()).astype(np.int64)
+        x = (cents * q).sum() / 100.0 / q.sum()
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        weighted_avg("l_extendedprice", "l_quantity").alias("weighted_avg_price")
+    )
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 4) AS value_z
+    FROM events
+    """,
+    section=_SEC,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group transform via applyInPandas (z-normalize each user's
+    values). The window-function formulation (= the oracle) is the built-in
+    alternative; applyInPandas is for logic windows can't express."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value_z", T.DoubleType()),
+        ]
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "value_z": z.round(4)}
+        )
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return e.groupBy("user_id").applyInPandas(normalize, out_schema)
+
+
+@register(
+    "udtf_explode",
+    oracle="""
+    SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id <= 50) t,
+         UNNEST(generate_series(1, len(toks))) AS u(i)
+    """,
+    section=_SEC,
+)
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row→many (UDTF equivalent): posexplode over tokenized text.
+    Generator runs inside codegen — no Python."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")

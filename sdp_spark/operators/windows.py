@@ -1,0 +1,229 @@
+"""Window functions — SURVEY.md §2.5.
+
+Reference note: MySQL 5.6 / MariaDB 10.1 have NO window functions (they
+arrive in 8.0 / 10.2) — platform users emulate them with self-joins and
+session variables. The engine provides them natively (pyspark.sql.Window)
+as the idiomatic superset; they also back join_asof and top-k-per-group.
+
+Scale notes: each window = one shuffle on partitionBy keys + per-partition
+sort. user_id / orderkey partitions are small and numerous → good balance;
+never use a global (unpartitioned) orderBy window on big data — every
+windowed query here carries a partitionBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sdp_spark.functions.num import DEC, dround, sql_dround
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import table
+
+_SEC = "2.5 window"
+
+
+@register(
+    "win_row_number",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+    FROM orders
+    """,
+    section=_SEC,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY ROUND(c_acctbal, 2) DESC, c_custkey)
+    """,
+    section=_SEC,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.round("c_acctbal", 2).desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(event_id)     OVER w AS prev_event,
+           LEAD(event_id)    OVER w AS next_event,
+           LAG(event_id, 2, -1) OVER w AS prev2_or_neg1
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    section=_SEC,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.lag("event_id", 2, -1).over(w).alias("prev2_or_neg1"),
+    )
+
+
+@register(
+    "win_running",
+    oracle=f"""
+    SELECT user_id, event_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))) OVER w, 2) AS DOUBLE) AS running_sum,
+           {sql_dround(
+               'CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)'
+               ' / COUNT(*) OVER w', 4)} AS running_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    section=_SEC,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec_sum = F.sum(F.col("value").cast(DEC)).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(dec_sum, 2).cast("double").alias("running_sum"),
+        dround(dec_sum.cast("double") / F.count(F.lit(1)).over(w), 4).alias("running_avg"),
+    )
+
+
+@register(
+    "win_sliding_rows",
+    oracle=f"""
+    SELECT user_id, event_id,
+           {sql_dround(
+               'CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)'
+               ' / COUNT(*) OVER w', 4)} AS moving_avg4,
+           COUNT(*) OVER w AS win_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    section=_SEC,
+)
+def win_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    dec_sum = F.sum(F.col("value").cast(DEC)).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        dround(dec_sum.cast("double") / F.count(F.lit(1)).over(w), 4).alias("moving_avg4"),
+        F.count("*").over(w).alias("win_n"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))) OVER (
+                 PARTITION BY user_id ORDER BY epoch_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum_last_hour
+    FROM (SELECT user_id, event_id, value,
+                 CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_sec
+          FROM events) t
+    """,
+    section=_SEC,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time seconds: all events of the trailing hour
+    (value-based frame, not row-count-based)."""
+    e = table(spark, sf_dir, "events")
+    e = e.withColumn("epoch_sec", F.unix_timestamp(F.col("ts").cast("timestamp")))
+    w = Window.partitionBy("user_id").orderBy("epoch_sec").rangeBetween(-3600, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(F.col("value").cast(DEC)).over(w), 2).cast("double").alias("sum_last_hour"),
+    )
+
+
+@register(
+    "win_topk_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, bal
+    FROM (SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 2) AS bal,
+                 ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                    ORDER BY ROUND(c_acctbal, 2) DESC, c_custkey) AS rn
+          FROM customer) t
+    WHERE rn <= 3
+    """,
+    section=_SEC,
+)
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — the building block reused by llm_sim_search and
+    tfidf top terms. row_number (not rank) + unique tiebreaker → exactly k."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.round("c_acctbal", 2).desc(), F.col("c_custkey"))
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("bal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT user_id, event_id,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           LAST_VALUE(event_id)  OVER w AS last_event_so_far
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    section=_SEC,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event_so_far"),
+    )

@@ -1,0 +1,67 @@
+"""Fixture table loaders (SURVEY.md §2.1 `scan_parquet`).
+
+The platform's unit of deployment is a named database of typed relational
+tables (reference: MYSQL_DATABASE param,
+openshift_resources/db-templates/mysql-persistent-template.json:207-212).
+Here a "database" is a directory of parquet tables; loading registers each
+as a temp view so both the DataFrame API and spark.sql see the same names —
+the analogue of the reference's SQL session over port 3306
+(mysql-persistent-template.json:20-25).
+
+Scale notes: `spark.read.parquet` gives the vectorized reader, column
+pruning, row-group predicate pushdown and partition splitting for free; at
+100 TB the same call reads a partitioned directory tree and Catalyst prunes
+partitions statically + dynamically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to always broadcast at any scale factor (the TPC-H
+# region/nation tables are fixed-size; supplier/part grow slowly). Used by
+# operators to hint broadcast joins.
+SMALL_DIMS = ("region", "nation")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy parquet scan).
+
+    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects; we read nanos as long (legacy conf, runtime-settable) and
+    convert to a microsecond TimestampType — Spark's native precision.
+    Sub-microsecond ordering ties are broken by event_id in every consumer.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all fixture tables and register them as temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,379 @@
+"""Structured Streaming operators — SURVEY.md §2.10 (+ §2.1 stream source/sink).
+
+Platform role: the reference exists to continuously ingest surveillance data
+into a SQL store (README.md:2,4; the deployed MySQL service *is* the sink,
+mysql-persistent-template.json:20-25). Here that is `readStream` file
+sources → windowed/stateful transforms → sinks, per the Structured
+Streaming model (SIGMOD'18, PAPERS.md).
+
+Determinism: every op runs with `trigger(availableNow=True)` and a memory
+sink, so the incremental result is comparable to the equivalent batch query
+(batch-equivalence testing, SURVEY.md §5.2). Ops whose availableNow result
+is bit-deterministic carry a full SQL oracle; watermark-eviction behavior is
+rows-only (checked by pytest batch-equivalence instead).
+
+Scale notes: state stores (dedup keys, session windows, running state) are
+bounded by watermarks — at 100 TB/day the watermark is what keeps state
+finite. foreachBatch sinks write idempotently by batchId (the exactly-once
+discipline replacing the reference's fsync-per-commit durability,
+mysql-persistent-template.json:227-231).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sdp_spark.functions.num import DEC
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import table
+
+_SEC = "2.10 streaming"
+
+_counter_lock = threading.Lock()
+_counter = [0]
+
+
+def _next_name(prefix: str) -> str:
+    with _counter_lock:
+        _counter[0] += 1
+        return f"{prefix}_{_counter[0]}"
+
+
+_LANDING: dict[str, str] = {}
+
+
+def _events_landing_dir(sf_dir: str) -> str:
+    """File-stream sources need a *directory* to watch; stage the events
+    parquet into a per-sf landing dir once (the 'continuously arriving
+    files' shape the platform ingests)."""
+    if sf_dir not in _LANDING:
+        out = os.path.join(
+            tempfile.gettempdir(), "sdp_spark_cache", os.path.basename(sf_dir.rstrip("/")), "events_landing"
+        )
+        os.makedirs(out, exist_ok=True)
+        dst = os.path.join(out, "events.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+        _LANDING[sf_dir] = out
+    return _LANDING[sf_dir]
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (explicit schema — no
+    inference job), ts read as nano-long (see sources.fixtures.table) and
+    normalized to a microsecond TimestampType."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    sdf = spark.readStream.schema(schema).parquet(_events_landing_dir(sf_dir))
+    return sdf.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+
+
+def _run_to_memory(sdf: DataFrame, mode: str, prefix: str) -> DataFrame:
+    name = _next_name(prefix)
+    spark = sdf.sparkSession
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_ingest",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 6) AS value_r,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    """,
+    section=_SEC,
+)
+def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only ingest: file stream → memory table, no transform loss."""
+    sdf = _events_stream(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value_r"),
+        F.date_format(F.date_trunc("second", "ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+    return _run_to_memory(sdf, "append", "ingest")
+
+
+@register(
+    "source_stream_files",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+    section=_SEC,
+)
+def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous file-directory ingest (the platform's surveillance-feed
+    role): stream over a JSON landing dir, running counts per type."""
+    from sdp_spark.operators.scans import _converted_dir
+
+    path = _converted_dir(spark, sf_dir, "events", "json")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    sdf = spark.readStream.schema(schema).json(path)
+    agg = sdf.groupBy("event_type").agg(F.count("*").alias("n"))
+    return _run_to_memory(agg, "complete", "src_files")
+
+
+@register(
+    "sink_stream_foreachBatch",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    section=_SEC,
+)
+def sink_stream_foreachBatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream → relational store via foreachBatch (the DB-as-sink role the
+    reference deploys). Idempotence discipline: overwrite by batchId
+    partition so redelivered batches replace, not duplicate."""
+    out = tempfile.mkdtemp(prefix="sdp_stream_sink_")
+    sdf = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    q = sdf.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n, CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    section=_SEC,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete", "tumbling")
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    WITH expanded AS (
+      SELECT e.event_id, e.value,
+             to_timestamp(CAST(floor(epoch(CAST(e.ts AS TIMESTAMP)) / 900) * 900 - i.i * 900 AS BIGINT)) AS win_start
+      FROM events e, UNNEST([0, 1, 2, 3]) AS i(i)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start_s,
+           COUNT(*) AS n, CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_value
+    FROM expanded
+    GROUP BY 1
+    """,
+    section=_SEC,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h window, 15min slide — each event lands in 4 windows. The
+    oracle expands event×offset, pinning Spark's window-assignment math."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start_s"),
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete", "sliding")
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - epoch(CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+                       >= 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events, CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    section=_SEC,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user. Oracle emulates via
+    lag + gap-cumsum sessionization — same session boundaries."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete", "session")
+
+
+@register("stream_watermark", oracle=None, section=_SEC)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows with a 2h watermark in append mode — only windows
+    the watermark has sealed are emitted; state for sealed windows is
+    evicted (the 100 TB state-bound). rows-only: emission set depends on
+    micro-batch boundaries; pytest asserts it's a prefix-subset of batch."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+        )
+    )
+    return _run_to_memory(agg, "append", "watermark")
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    section=_SEC,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once event dedup by event_id with watermark-bounded state.
+    event_id is unique in the fixture, so the deduped stream equals the
+    input — the oracle pins that no row is lost or duplicated."""
+    sdf = _events_stream(spark, sf_dir)
+    deduped = (
+        sdf.withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_memory(deduped, "append", "dedup")
+
+
+@register(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    section=_SEC,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-user running state via applyInPandasWithState — the escape
+    hatch for logic windowed aggs can't express. Emits each user's state
+    once per batch; single availableNow batch → one final row per user."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sdf = _events_stream(spark, sf_dir).select("user_id", "value")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        # accumulate in integer cents: order-independent + exact (values are
+        # 2dp; matches the oracle's DECIMAL sum)
+        n, total_cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total_cents += int(np.rint(pdf["value"].to_numpy() * 100).astype(np.int64).sum())
+        state.update((n, total_cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total_cents / 100.0]}
+        )
+
+    result = sdf.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return _run_to_memory(result, "update", "stateful")
+
+
+@register(
+    "stream_join_dim",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, c.c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    section=_SEC,
+)
+def stream_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events stream ⋈ broadcast customer dim —
+    the per-batch dim lookup never shuffles the stream."""
+    sdf = _events_stream(spark, sf_dir)
+    dim = F.broadcast(table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_name"))
+    joined = sdf.join(dim, sdf.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "c_mktsegment", "c_name"
+    )
+    return _run_to_memory(joined, "append", "join_dim")
