@@ -96,13 +96,15 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingles(_docs_tokens(spark, sf_dir)).cache()
 
-    # signature: min over xxhash64(perm, shingle) per permutation
+    # signature: min over xxhash64(perm, shingle) per permutation; shingle
+    # count piggybacks on the same groupBy (one shuffle, not two)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(p), F.col("shingle"))).alias(f"h{p}")
             for p in range(_NUM_PERM)
-        ]
-    )
+        ],
+        F.count("*").alias("n_sh"),
+    ).cache()
     # bands: hash r consecutive signature slots together
     bands = sig.select(
         "doc_id",
@@ -134,7 +136,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # exact-Jaccard verification restricted to candidates
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes = sig.select("doc_id", "n_sh")
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -375,13 +377,20 @@ def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     return planes
 
 
+_LSH_TABLES = 4  # OR-amplification: candidate if ANY table's bucket matches
+_LSH_PLANES = 4  # per-table sign bits -> 16 buckets per table
+
+
 @register("llm_sim_search_lsh", oracle=None, section=_SEC)
 def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: random-hyperplane LSH. 8 sign-bits bucket each
-    vector; top-k search only scans the query's bucket — at 100 TB this
-    turns O(Q×N) into O(Q×N/256) with recall traded via plane count.
-    rows-only oracle; tests measure recall vs llm_sim_search."""
-    planes = _hyperplanes()
+    """ANN scale path: multi-table random-hyperplane LSH (4 tables × 4
+    sign-bits). A pair is a candidate if any table agrees — OR-amplification
+    keeps recall high (P(match | cos=0.8) ≈ 0.87) while each probe scans
+    ~N/16 of the corpus per table instead of all N. At 100 TB the
+    (table, bucket) key is the shuffle/partition key and the brute-force
+    rescoring touches only candidates. rows-only oracle; tests assert
+    returned sims are exact and measure recall vs llm_sim_search."""
+    planes = _hyperplanes(_LSH_TABLES * _LSH_PLANES)
     emb = table(spark, sf_dir, "embeddings").withColumn(
         "dvec", F.col("embedding").cast("array<double>")
     )
@@ -389,33 +398,41 @@ def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm",
         F.sqrt(F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
     )
-    bucket = None
-    for i, plane in enumerate(planes):
-        pl = F.array(*[F.lit(w) for w in plane])
-        dot_p = F.aggregate(
-            F.zip_with("dvec", pl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-        bit = F.when(dot_p > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i)
-        bucket = bit if bucket is None else bucket + bit
-    emb = emb.withColumn("bucket", bucket)
+    buckets = []
+    for t in range(_LSH_TABLES):
+        bucket = F.lit(0)
+        for i in range(_LSH_PLANES):
+            pl = F.array(*[F.lit(w) for w in planes[t * _LSH_PLANES + i]])
+            dot_p = F.aggregate(
+                F.zip_with("dvec", pl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            )
+            bucket = bucket + F.when(dot_p > 0, F.lit(2**i)).otherwise(F.lit(0))
+        buckets.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bkt")))
+    hashed = emb.select(
+        "vec_id", "dvec", "norm", F.explode(F.array(*buckets)).alias("tb")
+    ).select("vec_id", "dvec", "norm", "tb.tbl", "tb.bkt")
 
     q = F.broadcast(
-        emb.filter(F.col("vec_id") <= 10).select(
+        hashed.filter(F.col("vec_id") <= 10).select(
             F.col("vec_id").alias("query_id"),
             F.col("dvec").alias("qv"),
             F.col("norm").alias("qn"),
-            "bucket",
+            "tbl",
+            "bkt",
         )
     )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("dvec").alias("cv"), F.col("norm").alias("cn"), "bucket"
+    c = hashed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("dvec").alias("cv"), F.col("norm").alias("cn"), "tbl", "bkt"
     )
     dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    scored = (
-        q.join(c, "bucket")
+    cands = (
+        q.join(c, ["tbl", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(dot / (F.col("qn") * F.col("cn")), 4))
-        .select("query_id", "neighbor_id", "cos_sim")
+        .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn("cos_sim", F.round(dot / (F.col("qn") * F.col("cn")), 4)).select(
+        "query_id", "neighbor_id", "cos_sim"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
@@ -589,13 +606,22 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: polynomial rolling hash over the token
     stream (Karp-Rabin style), folded with a higher-order aggregate —
-    order-sensitive, unlike the bag-of-shingles MinHash. rows-only (DuckDB
-    lacks an ordered-fold equivalent); tests pin determinism and
-    fingerprint-equality ⇔ token-stream-equality on the fixture."""
+    order-sensitive, unlike the bag-of-shingles MinHash.
+
+    Two independent (multiplier, Mersenne-prime) folds are combined so the
+    fingerprint space is ~2^62 (a single 2^31 residue would birthday-collide
+    at corpus scale) while every intermediate stays well under int64
+    (ANSI-mode overflow-safe). rows-only (DuckDB lacks an ordered fold);
+    tests pin determinism and fingerprint-equality ⇔ text-equality."""
     d = _docs_tokens(spark, sf_dir)
-    fp = F.aggregate(
-        "toks",
-        F.lit(0).cast("bigint"),
-        lambda acc, t: F.pmod(acc * 1000003 + F.pmod(F.xxhash64(t), 1 << 31), 1 << 61),
-    )
+    p = (1 << 31) - 1  # Mersenne prime M31
+
+    def fold(mult: int):
+        return F.aggregate(
+            "toks",
+            F.lit(0).cast("bigint"),
+            lambda acc, t: F.pmod(acc * mult + F.pmod(F.xxhash64(t), p), p),
+        )
+
+    fp = fold(131) * F.lit(p) + fold(1031)
     return d.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,60 @@
+"""Batch-equivalence tests for streaming ops whose availableNow emission set
+isn't fully pinned by a SQL oracle (SURVEY.md §5.2 item 3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sdp_spark.plans.registry import load_all
+from sdp_spark.sources.fixtures import table
+
+REGISTRY = load_all()
+
+
+def test_watermark_emits_sealed_prefix_of_batch(spark, sf_dir):
+    """Append-mode watermarked windows: every emitted window must match the
+    batch tumbling count exactly, and the emitted set must be the sealed
+    windows (window_end <= max_ts - 2h watermark)."""
+    streamed = {
+        r["win_start"]: r["n"]
+        for r in REGISTRY["stream_watermark"].fn(spark, sf_dir).collect()
+    }
+    events = table(spark, sf_dir, "events")
+    batch = {
+        r["win_start"]: r["n"]
+        for r in (
+            events.groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "win_start"
+                ),
+                "n",
+            )
+        ).collect()
+    }
+    assert streamed, "watermarked stream emitted nothing"
+    for k, v in streamed.items():
+        assert batch.get(k) == v, f"window {k}: streamed {v} != batch {batch.get(k)}"
+    # all but the last ~3 unsealed windows must have been emitted
+    assert len(streamed) >= len(batch) - 3
+
+
+def test_stream_ingest_equals_batch(spark, sf_dir):
+    n_stream = REGISTRY["stream_ingest"].fn(spark, sf_dir).count()
+    n_batch = table(spark, sf_dir, "events").count()
+    assert n_stream == n_batch
+
+
+def test_stream_session_gap_semantics(spark, sf_dir):
+    """No two sessions of the same user may be closer than the 30-min gap."""
+    rows = REGISTRY["stream_session"].fn(spark, sf_dir).collect()
+    by_user: dict[int, list[str]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["session_start"])
+    import datetime as dt
+
+    for starts in by_user.values():
+        starts = sorted(dt.datetime.fromisoformat(s) for s in starts)
+        for a, b in zip(starts, starts[1:]):
+            assert (b - a).total_seconds() > 1800
