@@ -1,0 +1,116 @@
+"""Cross-operator semantic properties (SURVEY.md §5.2 item 4): invariants
+that must hold between operators regardless of data, checked on fixtures
+and small literal frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sdp_spark.plans.registry import load_all
+from sdp_spark.sources.fixtures import table
+
+REGISTRY = load_all()
+
+
+def test_topk_is_prefix_of_full_sort(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    full = (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .collect()
+    )
+    topk = REGISTRY["topk"].fn(spark, sf_dir).collect()
+    assert topk == full
+
+
+def test_union_all_count_additivity(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").count()
+    s = table(spark, sf_dir, "supplier").count()
+    assert REGISTRY["set_union_all"].fn(spark, sf_dir).count() == c + s
+
+
+def test_distinct_idempotent(spark, sf_dir):
+    d1 = REGISTRY["dedup_distinct"].fn(spark, sf_dir)
+    assert d1.count() == d1.distinct().count()
+
+
+def test_semi_anti_partition_customers(spark, sf_dir):
+    """left_semi(anything) + left_anti(same) partitions the left side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = REGISTRY["join_anti"].fn(spark, sf_dir).count()
+    assert semi + anti == c.count()
+
+
+def test_intersect_except_partition_union(spark, sf_dir):
+    """distinct(A) = (A ∩ B) ∪ (A \\ B) for nationkey projections."""
+    inter = {r["nationkey"] for r in REGISTRY["set_intersect"].fn(spark, sf_dir).collect()}
+    exc = {r["nationkey"] for r in REGISTRY["set_except"].fn(spark, sf_dir).collect()}
+    a = {
+        r["c_nationkey"]
+        for r in table(spark, sf_dir, "customer").select("c_nationkey").distinct().collect()
+    }
+    assert inter | exc == a and not (inter & exc)
+
+
+def test_rollup_row_counts(spark, sf_dir):
+    """ROLLUP(r, n) = leaf groups + per-region subtotals + grand total."""
+    rows = REGISTRY["agg_rollup"].fn(spark, sf_dir).collect()
+    leaves = [r for r in rows if r["g_region"] == 0 and r["g_nation"] == 0]
+    region_subs = [r for r in rows if r["g_region"] == 0 and r["g_nation"] == 1]
+    grand = [r for r in rows if r["g_region"] == 1 and r["g_nation"] == 1]
+    assert len(grand) == 1
+    assert len(region_subs) == 5
+    assert len(leaves) == 25
+    assert grand[0]["n_rows"] == sum(r["n_rows"] for r in region_subs) == 25
+
+
+def test_not_in_with_null_is_empty(spark):
+    """MySQL/ANSI 3VL: x NOT IN (subquery containing NULL) is never true."""
+    spark.createDataFrame([(1,), (2,)], ["x"]).createOrReplaceTempView("t_a")
+    spark.createDataFrame([(1,), (None,)], "y int").createOrReplaceTempView("t_b")
+    n = spark.sql("SELECT x FROM t_a WHERE x NOT IN (SELECT y FROM t_b)").count()
+    assert n == 0
+
+
+def test_full_outer_covers_both_sides(spark, sf_dir):
+    rows = REGISTRY["join_full"].fn(spark, sf_dir).collect()
+    cust_nations = {
+        r["c_nationkey"]
+        for r in table(spark, sf_dir, "customer").select("c_nationkey").distinct().collect()
+    }
+    supp_nations = {
+        r["s_nationkey"]
+        for r in table(spark, sf_dir, "supplier").select("s_nationkey").distinct().collect()
+    }
+    assert {r["nationkey"] for r in rows} == cust_nations | supp_nations
+
+
+def test_window_topk_matches_per_group_sort(spark, sf_dir):
+    """win_topk_group rows per group == min(3, group size), ranked correctly."""
+    rows = REGISTRY["win_topk_group"].fn(spark, sf_dir).collect()
+    c = table(spark, sf_dir, "customer")
+    sizes = {r["c_nationkey"]: r["n"] for r in c.groupBy("c_nationkey").agg(F.count("*").alias("n")).collect()}
+    per_group: dict[int, int] = {}
+    for r in rows:
+        per_group[r["c_nationkey"]] = per_group.get(r["c_nationkey"], 0) + 1
+    for k, n in per_group.items():
+        assert n == min(3, sizes[k])
+
+
+def test_asof_join_view_precedes_purchase(spark, sf_dir):
+    """Every matched as-of view event must belong to the same user and not
+    follow its purchase."""
+    asof = REGISTRY["join_asof"].fn(spark, sf_dir)
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    p = e.withColumnRenamed("event_id", "purchase_id").withColumnRenamed("ts", "p_ts")
+    v = e.select(
+        F.col("event_id").alias("asof_view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = asof.dropna().join(p, ["purchase_id", "user_id"]).join(v, "asof_view_id")
+    bad = joined.filter((F.col("v_user") != F.col("user_id")) | (F.col("v_ts") > F.col("p_ts")))
+    assert bad.count() == 0
