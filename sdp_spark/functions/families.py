@@ -275,3 +275,57 @@ def fn_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("label"), F.col("label") % 5).cast("array<int>"), 3
         ).alias("has3"),
     )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)                                   AS h_md5,
+           sha256(c_name)                                AS h_sha256,
+           CAST(length(md5(c_name)) AS INTEGER)          AS md5_len
+    FROM customer
+    """,
+    section=_SEC,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash functions (MySQL MD5/SHA2) — the primitives under
+    llm_dedup_exact and content addressing."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2(F.col("c_name"), 256).alias("h_sha256"),
+        F.length(F.md5("c_name")).alias("md5_len"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           value AS v_lookup,
+           CAST(user_id AS DOUBLE) AS u_lookup,
+           2 AS n_keys,
+           TRUE AS has_value_key
+    FROM events
+    """,
+    section=_SEC,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip (no nested types exist in MySQL — pure Spark
+    superset): build a map from arrays, then extract typed scalars back out.
+    The oracle pins the *extracted values*, proving the map ops are
+    lossless."""
+    e = table(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("value"), F.lit("user")),
+        F.array(F.col("value"), F.col("user_id").cast("double")),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "value").alias("v_lookup"),
+        F.element_at(m, "user").alias("u_lookup"),
+        F.size(m).alias("n_keys"),
+        F.map_contains_key(m, "value").alias("has_value_key"),
+    )

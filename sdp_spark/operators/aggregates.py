@@ -279,3 +279,30 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["F", "O", "P"])
     )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           ROUND(median(l_quantity), 4)              AS med,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    section=_SEC,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (MySQL idiom: self-join/variables; a
+    Spark-native superset). Interpolations of 2dp inputs are <= 3dp-exact,
+    so ROUND(.,4) is an identity on both engines — no boundary risk. At
+    100 TB swap for approx_percentile (t-digest sketch, map-side merge)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25"),
+        F.round(F.median("l_quantity"), 4).alias("med"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )

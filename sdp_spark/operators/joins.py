@@ -20,6 +20,9 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -344,4 +347,52 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = tagged.withColumn("asof_view_id", F.last("view_id", ignorenulls=True).over(w))
     return filled.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", "asof_view_id"
+    )
+
+
+_BUCKETED_READY: set[str] = set()
+
+
+@register(
+    "join_bucketed",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_mktsegment, COUNT(o.o_orderkey) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS total_spent
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+    section=_SEC,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join: both tables bucketed+sorted on the join
+    key → the join runs with ZERO exchange on either side (SortMergeJoin
+    over pre-bucketed scans). This is the 100 TB answer to repeated
+    fact⋈fact joins: pay the shuffle once at write time, never again.
+    External-path tables keep the warehouse out of the repo."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tc, to = f"sdp_bucketed_customer_{tag}", f"sdp_bucketed_orders_{tag}"
+    if tag not in _BUCKETED_READY:
+        base = os.path.join(tempfile.gettempdir(), "sdp_spark_cache", tag)
+        for name, src, key in (
+            (tc, table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"), "c_custkey"),
+            (to, table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"), "o_custkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                src.write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(base, name))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        _BUCKETED_READY.add(tag)
+    c = spark.table(tc)
+    o = spark.table(to)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice").alias("total_spent"),
+        )
     )

@@ -189,3 +189,34 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     # partition column round-trips as string; restore column order/types
     return back.select("o_orderkey", "o_totalprice", F.col("o_orderstatus").cast("string"))
+
+
+_PRUNED_CACHE: dict[str, str] = {}
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    """,
+    section=_SEC,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning: hive-style partitioned layout + a partition-key
+    predicate → only the matching directory is listed/read (PartitionFilters
+    in the plan, zero IO for other statuses). At 100 TB this is the
+    difference between scanning one partition and the whole table."""
+    if sf_dir not in _PRUNED_CACHE:
+        out = os.path.join(
+            tempfile.gettempdir(), "sdp_spark_cache", os.path.basename(sf_dir.rstrip("/")), "orders_parted"
+        )
+        (
+            table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(out)
+        )
+        _PRUNED_CACHE[sf_dir] = out
+    back = spark.read.parquet(_PRUNED_CACHE[sf_dir]).filter(F.col("o_orderstatus") == "F")
+    return back.select("o_orderkey", "o_totalprice", F.col("o_orderstatus").cast("string"))

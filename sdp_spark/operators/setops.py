@@ -77,3 +77,31 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    section=_SEC,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics, min multiplicity per value)."""
+    return _cust_nations(spark, sf_dir).intersectAll(_supp_nations(spark, sf_dir))
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    section=_SEC,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics, multiplicity subtraction)."""
+    return _cust_nations(spark, sf_dir).exceptAll(_supp_nations(spark, sf_dir))

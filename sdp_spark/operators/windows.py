@@ -227,3 +227,26 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("first_event"),
         F.last("event_id").over(w).alias("last_event_so_far"),
     )
+
+
+@register(
+    "win_cume_dist",
+    oracle=f"""
+    SELECT c_nationkey, c_custkey,
+           {sql_dround('CUME_DIST() OVER w', 6)} AS cd,
+           {sql_dround('PERCENT_RANK() OVER w', 6)} AS pr
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY ROUND(c_acctbal, 2), c_custkey)
+    """,
+    section=_SEC,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist / percent_rank — distribution functions over a window."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.round("c_acctbal", 2), F.col("c_custkey"))
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        dround(F.cume_dist().over(w), 6).alias("cd"),
+        dround(F.percent_rank().over(w), 6).alias("pr"),
+    )

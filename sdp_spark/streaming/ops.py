@@ -377,3 +377,50 @@ def stream_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "c_mktsegment", "c_name"
     )
     return _run_to_memory(joined, "append", "join_dim")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    """,
+    section=_SEC,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases ⋈ views of the same user
+    within the prior hour. Watermarks on both sides + the time-range
+    conjunct bound the join state (the buffered window per side is exactly
+    watermark + interval — without it, stream-stream state grows forever).
+    availableNow processes all data in one batch, so the result equals the
+    batch interval join (SQL oracle)."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"
+        ),
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+    return _run_to_memory(joined, "append", "ss_join")

@@ -1,0 +1,84 @@
+"""Physical-plan assertions: the scale properties the engine claims
+(pushdown, pruning, broadcast, zero-exchange bucketed joins, top-k) must be
+visible in the plans, not just asserted in docstrings."""
+
+from __future__ import annotations
+
+import pytest
+
+from sdp_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _plan(spark, df, mode: str = "formatted") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_flagship_pushdown_and_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, REGISTRY["agg_groupby"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns reach the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    simple = _plan(spark, REGISTRY["agg_groupby"].fn(spark, sf_dir), "simple")
+    assert simple.count("Exchange") == 1, "flagship should shuffle exactly once"
+
+
+def test_partition_pruning_visible(spark, sf_dir):
+    plan = _plan(spark, REGISTRY["scan_partition_pruned"].fn(spark, sf_dir))
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    # partition column must not be read from data files
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "o_orderstatus" not in read_schema
+
+
+def test_broadcast_join_no_fact_shuffle(spark, sf_dir):
+    plan = _plan(spark, REGISTRY["join_broadcast"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    # the only hash-partition exchange allowed is the final 25-group aggregate
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_join_zero_exchange_without_broadcast(spark, sf_dir):
+    """With auto-broadcast off, the bucketed join must plan as SortMergeJoin
+    over pre-bucketed scans with NO shuffle on either side — the pay-once
+    layout property that makes repeated fact⋈fact joins cheap at scale."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, REGISTRY["join_bucketed"].fn(spark, sf_dir), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin")[1]
+    assert "Exchange hashpartitioning(c_custkey" not in join_part
+    assert "Exchange hashpartitioning(o_custkey" not in join_part
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = _plan(spark, REGISTRY["topk"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_for_exists(spark, sf_dir):
+    plan = _plan(spark, REGISTRY["join_semi"].fn(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan
+
+
+def test_theta_range_join_not_cartesian(spark, sf_dir):
+    plan = _plan(spark, REGISTRY["join_theta_range"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("key", ["project_select", "filter_basic", "fn_math"])
+def test_no_python_udf_in_relational_paths(spark, sf_dir, key):
+    """Relational/scalar-family operators must stay JVM-side (codegen), with
+    no BatchEvalPython / ArrowEvalPython stages."""
+    plan = _plan(spark, REGISTRY[key].fn(spark, sf_dir), "simple")
+    assert "EvalPython" not in plan
+
+
+def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
+    plan = _plan(spark, REGISTRY["agg_groupby"].fn(spark, sf_dir), "codegen")
+    assert "WholeStageCodegen" in plan
