@@ -396,3 +396,39 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_spent"),
         )
     )
+
+
+_SALT_BUCKETS = 8
+
+
+@register(
+    "join_salted",
+    oracle=f"""
+    SELECT o.o_orderstatus, COUNT(*) AS n_lines,
+           {sql_dsum('l.l_extendedprice')} AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    section=_SEC,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via salting: the (potentially hot-keyed) fact side
+    gets a deterministic salt in [0, B); the dimension side is replicated B
+    ways; the join key becomes (key, salt) so one hot key spreads over B
+    reducers instead of melting one. This is the manual fallback where AQE
+    skew-join can't help (e.g. skewed aggregation keys). Salt is derived
+    from other columns (xxhash64 % B) — deterministic, no rand().
+
+    Result is identical to the plain join (oracle = unsalted SQL)."""
+    l = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(_SALT_BUCKETS)).cast("int")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o_rep = o.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)]))
+    )
+    return (
+        l.join(o_rep, (l.l_orderkey == o_rep.o_orderkey) & (l.salt == o_rep.salt))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_lines"), dsum("l_extendedprice").alias("sum_price"))
+    )

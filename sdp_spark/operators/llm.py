@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sdp_spark.functions.num import DEC, dround
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table
 
@@ -625,3 +626,50 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = fold(131) * F.lit(p) + fold(1031)
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "llm_pipeline_e2e",
+    oracle=f"""
+    WITH filtered AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents
+      WHERE lang IN ('en', 'es', 'de') AND n_chars >= 80
+    ), deduped AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang, MIN(text) AS text
+      FROM filtered
+      GROUP BY sha256(lower(trim(text)))
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           {{avg_tokens}} AS avg_tokens
+    FROM deduped
+    GROUP BY lang
+    """.replace("{avg_tokens}",
+                "FLOOR(CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(30,8))) AS DOUBLE)"
+                " / COUNT(*) * 100 + 0.5) / 100"),
+    section=_SEC,
+)
+def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline slice: quality/language filter →
+    exact dedup (keep lowest doc_id per normalized-text hash) → per-language
+    token accounting. One declarative plan: Catalyst fuses filter into the
+    scan, dedup is a hash-groupBy, accounting is a second tiny aggregate —
+    the composability argument for building each stage as a DataFrame op."""
+    d = table(spark, sf_dir, "documents")
+    filtered = d.filter(F.col("lang").isin("en", "es", "de") & (F.col("n_chars") >= 80))
+    deduped = (
+        filtered.groupBy(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("lang").alias("lang"),
+            F.min("text").alias("text"),
+        )
+    )
+    toks = F.size(F.split("text", " ")).cast(DEC)
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        dround(F.sum(toks).cast("double") / F.count(F.lit(1)), 2).alias("avg_tokens"),
+    )
