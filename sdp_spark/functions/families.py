@@ -74,26 +74,29 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_string_regex",
     oracle="""
-    SELECT p_partkey, p_type,
-           regexp_matches(p_type, 'BRASS|COPPER')                    AS has_metal,
-           regexp_extract(p_type, '^([A-Z]+)', 1)                    AS first_word,
-           regexp_replace(p_type, '[AEIOU]', '_', 'g')               AS devoweled,
-           split_part(p_type, ' ', 1)                                AS part1,
-           split_part(p_type, ' ', 2)                                AS part2
+    SELECT p_partkey, p_type || ' ' || p_brand || ' ' || p_name AS s,
+           regexp_matches(p_type || ' ' || p_brand || ' ' || p_name, 'STANDARD|PROMO') AS has_kind,
+           regexp_extract(p_type || ' ' || p_brand || ' ' || p_name, '^([A-Z]+)', 1)   AS first_word,
+           regexp_extract(p_type || ' ' || p_brand || ' ' || p_name, '#([0-9]+)', 1)   AS brand_num,
+           regexp_replace(p_type || ' ' || p_brand || ' ' || p_name, '[AEIOU]', '_', 'g') AS devoweled,
+           split_part(p_type || ' ' || p_brand || ' ' || p_name, ' ', 1)               AS part1,
+           split_part(p_type || ' ' || p_brand || ' ' || p_name, ' ', 2)               AS part2
     FROM part
     """,
     section=_SEC,
 )
 def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
+    s = F.concat_ws(" ", "p_type", "p_brand", "p_name")
     return p.select(
         "p_partkey",
-        "p_type",
-        F.col("p_type").rlike("BRASS|COPPER").alias("has_metal"),
-        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("first_word"),
-        F.regexp_replace("p_type", "[AEIOU]", "_").alias("devoweled"),
-        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("part1"),
-        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("part2"),
+        s.alias("s"),
+        s.rlike("STANDARD|PROMO").alias("has_kind"),
+        F.regexp_extract(s, "^([A-Z]+)", 1).alias("first_word"),
+        F.regexp_extract(s, "#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace(s, "[AEIOU]", "_").alias("devoweled"),
+        F.split_part(s, F.lit(" "), F.lit(1)).alias("part1"),
+        F.split_part(s, F.lit(" "), F.lit(2)).alias("part2"),
     )
 
 
@@ -328,4 +331,65 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "user").alias("u_lookup"),
         F.size(m).alias("n_keys"),
         F.map_contains_key(m, "value").alias("has_value_key"),
+    )
+
+
+@register(
+    "fn_substring_index",
+    oracle="""
+    WITH t AS (SELECT p_partkey, p_type || ' ' || p_brand || ' ' || p_name AS s FROM part)
+    SELECT p_partkey, s,
+           array_to_string(string_split(s, ' ')[1:1], ' ')  AS idx1,
+           array_to_string(string_split(s, ' ')[1:2], ' ')  AS idx2,
+           array_to_string(string_split(s, ' ')[-1:], ' ')  AS idx_last
+    FROM t
+    """,
+    section=_SEC,
+)
+def fn_substring_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL SUBSTRING_INDEX(s, delim, n): everything before the nth
+    delimiter (negative n counts from the right). DuckDB lacks it — the
+    oracle emulates via list slicing, pinning MySQL's exact semantics."""
+    p = table(spark, sf_dir, "part")
+    s = F.concat_ws(" ", "p_type", "p_brand", "p_name")
+    return p.select(
+        "p_partkey",
+        s.alias("s"),
+        F.substring_index(s, " ", 1).alias("idx1"),
+        F.substring_index(s, " ", 2).alias("idx2"),
+        F.substring_index(s, " ", -1).alias("idx_last"),
+    )
+
+
+@register(
+    "fn_datetime_arith",
+    oracle="""
+    SELECT event_id,
+           strftime(CAST(ts AS TIMESTAMP) + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus90m,
+           strftime(CAST(ts AS TIMESTAMP) - INTERVAL 36 HOUR, '%Y-%m-%d %H:%M:%S')   AS minus36h,
+           CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', CAST(ts AS TIMESTAMP)) AS BIGINT)
+             AS hours_since_jan1,
+           strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')   AS day_start
+    FROM events
+    """,
+    section=_SEC,
+)
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp interval arithmetic (MySQL DATE_ADD/SUB with
+    MINUTE/HOUR units, TIMESTAMPDIFF) — sub-day precision, truncated to
+    seconds on output (fixture is ns, FIXTURES.md)."""
+    e = table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return e.select(
+        "event_id",
+        F.date_format(ts + F.expr("INTERVAL 90 MINUTES"), fmt).alias("plus90m"),
+        F.date_format(ts - F.expr("INTERVAL 36 HOURS"), fmt).alias("minus36h"),
+        (
+            F.floor(
+                (F.unix_timestamp(ts) - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp")))
+                / 3600
+            )
+        ).alias("hours_since_jan1"),
+        F.date_format(F.date_trunc("day", ts), fmt).alias("day_start"),
     )

@@ -306,3 +306,33 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+           CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nat,
+           COUNT(*) AS n_cust
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    section=_SEC,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-segment,
+    per-nation, and grand total in one pass — MySQL gap, Spark SQL native."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+               CAST(GROUPING(c_nationkey) AS INT) AS g_nat,
+               COUNT(*) AS n_cust
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )

@@ -275,13 +275,14 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_sum(list_transform(generate_series(1, 64),
             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
           / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))
-             * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)))) >= 0.9
+             * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)))) >= 0.35
     """,
     section=_SEC,
 )
 def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs within the same cluster label with
-    cosine >= 0.9. The label equi-join is the blocking key (at 100 TB the
+    cosine >= 0.35 (above the within-label p99 of the loose synthetic
+    clusters). The label equi-join is the blocking key (at 100 TB the
     blocking key comes from LSH buckets instead — see llm_sim_search_lsh)."""
     emb = table(spark, sf_dir, "embeddings").withColumn(
         "dvec", F.col("embedding").cast("array<double>")
@@ -301,7 +302,7 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos", dot / (F.col("na") * F.col("nb")))
-        .filter(F.col("cos") >= 0.9)
+        .filter(F.col("cos") >= 0.35)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
     )
 

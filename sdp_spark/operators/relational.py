@@ -133,17 +133,19 @@ def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "filter_regexp",
     oracle="""
-    SELECT p_partkey, p_type
+    SELECT p_partkey, p_type, p_brand
     FROM part
-    WHERE regexp_matches(p_type, '^(STANDARD|SMALL).*BRASS$')
+    WHERE regexp_matches(p_type, '^(STANDARD|SM.LL)$') AND regexp_matches(p_brand, '#[0-9]*[13579]$')
     """,
     section=_SEC,
 )
 def filter_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEXP filter: anchors, alternation, wildcard dot, char class —
+    constrained to the regex subset where Java and RE2-ish dialects agree."""
     p = table(spark, sf_dir, "part")
-    return p.filter(F.col("p_type").rlike("^(STANDARD|SMALL).*BRASS$")).select(
-        "p_partkey", "p_type"
-    )
+    return p.filter(
+        F.col("p_type").rlike("^(STANDARD|SM.LL)$") & F.col("p_brand").rlike("#[0-9]*[13579]$")
+    ).select("p_partkey", "p_type", "p_brand")
 
 
 @register(

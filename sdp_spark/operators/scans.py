@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sdp_spark.functions.num import dround
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table
 
@@ -220,3 +221,88 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PRUNED_CACHE[sf_dir] = out
     back = spark.read.parquet(_PRUNED_CACHE[sf_dir]).filter(F.col("o_orderstatus") == "F")
     return back.select("o_orderkey", "o_totalprice", F.col("o_orderstatus").cast("string"))
+
+
+@register(
+    "sink_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, 'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey,
+           FLOOR(o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 10 <> 0
+    UNION ALL
+    SELECT o_orderkey,
+           FLOOR(o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+           o_orderstatus
+    FROM updates
+    """,
+    section=_SEC,
+)
+def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert (MySQL INSERT ... ON DUPLICATE KEY UPDATE) without a
+    transactional table format: anti-join the target against the update
+    keys, union the updates, rewrite. At scale this is the
+    partition-overwrite merge pattern (rewrite only partitions containing
+    matched keys); a lakehouse format (Delta/Iceberg MERGE) replaces it
+    when available."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    merged = orders.join(
+        updates.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(updates)
+    out = _tmp_sink("upsert")
+    merged.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "o_orderkey",
+        dround(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+@register(
+    "dml_update_delete",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN FLOOR(o_totalprice * 0.95 * 100 + 0.5) / 100
+                ELSE FLOOR(o_totalprice * 100 + 0.5) / 100 END AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    WHERE NOT (o_orderstatus = 'P' AND o_totalprice < 50000)
+    """,
+    section=_SEC,
+)
+def dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE + DELETE semantics as declarative transforms: DELETE is a
+    negated filter, UPDATE is a conditional projection — then rewrite the
+    table (copy-on-write). This is how an immutable-storage engine provides
+    the reference's OLTP verbs (SURVEY.md §7 hard part 5: no MVCC
+    pretense — idempotent rewrite instead)."""
+    orders = table(spark, sf_dir, "orders")
+    deleted = orders.filter(
+        ~((F.col("o_orderstatus") == "P") & (F.col("o_totalprice") < 50000))
+    )
+    updated = deleted.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            dround(F.col("o_totalprice") * 0.95),
+        )
+        .otherwise(dround(F.col("o_totalprice")))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    out = _tmp_sink("dml")
+    updated.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

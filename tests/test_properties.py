@@ -38,7 +38,7 @@ def test_distinct_idempotent(spark, sf_dir):
 def test_semi_anti_partition_customers(spark, sf_dir):
     """left_semi(anything) + left_anti(same) partitions the left side."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
     semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
     anti = REGISTRY["join_anti"].fn(spark, sf_dir).count()
     assert semi + anti == c.count()
