@@ -237,3 +237,47 @@ def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT — partial hash-aggregate per partition, then shuffle
     on the distinct keys (map-side combine keeps the shuffle tiny)."""
     return table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register(
+    "filter_collation_ci",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE lower(c_mktsegment) = lower('Building')
+       OR lower(c_name) LIKE lower('%CUSTOMER#00000001%')
+    """,
+    section=_SEC,
+)
+def filter_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive comparison — the reference server default is
+    utf8_general_ci (mysql-persistent-template.json:239-243) while Spark
+    and DuckDB compare binary. The engine's CI idiom: normalize both sides
+    with lower() (SURVEY.md §7 hard part 1); Catalyst still pushes the
+    equality through as a filter."""
+    c = table(spark, sf_dir, "customer")
+    return c.filter(
+        (F.lower("c_mktsegment") == F.lower(F.lit("Building")))
+        | F.lower("c_name").like("%customer#00000001%")
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "sort_nulls",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS st
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY st ASC NULLS FIRST, o_orderkey DESC
+    """,
+    section=_SEC,
+)
+def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in ORDER BY (MySQL: NULLs first on ASC) over
+    manufactured NULLs — pins SURVEY.md §7 hard part 3 (engines default
+    differently, so placement is always explicit in this engine)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    st = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select("o_orderkey", st.alias("st")).orderBy(
+        F.col("st").asc_nulls_first(), F.col("o_orderkey").desc()
+    )

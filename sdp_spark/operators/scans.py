@@ -306,3 +306,21 @@ def dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _tmp_sink("dml")
     updated.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+@register(
+    "scan_orc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    section=_SEC,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source (second columnar format; vectorized reader + predicate
+    pushdown like parquet). Converted copy cached per sf."""
+    key = (sf_dir, "nation.orc")
+    if key not in _CONVERTED:
+        out = os.path.join(
+            tempfile.gettempdir(), "sdp_spark_cache", os.path.basename(sf_dir.rstrip("/")), "nation_orc"
+        )
+        table(spark, sf_dir, "nation").write.mode("overwrite").orc(out)
+        _CONVERTED[key] = out
+    return spark.read.orc(_CONVERTED[key]).select("n_nationkey", "n_name", "n_regionkey")

@@ -1,0 +1,76 @@
+"""Differential fuzzing: Hypothesis generates small random tables (with
+NULLs and adversarial values); the SAME SQL runs on Spark and DuckDB and
+must agree. This is the sqllogictest-style randomized layer on top of the
+fixture-based oracle suite (SURVEY.md §5.2 item 4) — it probes 3VL,
+grouping with NULL keys, and set-op multiplicity semantics off the happy
+path of the fixtures."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        st.one_of(st.none(), st.sampled_from(["a", "b", "B", "", " x", "ü"])),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+# Each template runs verbatim on both engines over view/table `t(k, s, g)`.
+TEMPLATES = [
+    "SELECT k, s, g FROM t WHERE k > 0 AND s IS NOT NULL",
+    "SELECT k, s, g FROM t WHERE k IS NULL OR NOT (g = 1)",
+    "SELECT g, COUNT(*) AS n, COUNT(k) AS nk, CAST(SUM(k) AS BIGINT) AS sk"
+    " FROM t GROUP BY g",
+    "SELECT DISTINCT s, g FROM t",
+    "SELECT k FROM t WHERE k IN (1, 2, 3)",
+    "SELECT s FROM t WHERE s LIKE '%x%' OR s = 'a'",
+    "SELECT g, CAST(MIN(k) AS BIGINT) AS mn, CAST(MAX(k) AS BIGINT) AS mx"
+    " FROM t WHERE s IS NOT NULL GROUP BY g HAVING COUNT(*) >= 1",
+    "SELECT COALESCE(s, 'NULL!') AS s2, COUNT(*) AS n FROM t GROUP BY 1",
+    "SELECT k, s, g FROM t WHERE g BETWEEN 1 AND 2",
+    "SELECT CASE WHEN k > 0 THEN 'pos' WHEN k < 0 THEN 'neg' ELSE 'zero?' END AS b,"
+    " COUNT(*) AS n FROM t GROUP BY 1",
+]
+
+
+def _norm(df: pd.DataFrame) -> list[tuple]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    vals = [tuple("∅" if pd.isna(v) else str(v) for v in row) for row in df.itertuples(index=False)]
+    return sorted(vals)
+
+
+@pytest.mark.parametrize("sql", TEMPLATES)
+@given(rows=rows_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_random_tables(spark, sql, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "s", "g"]).astype(
+        {"k": "object", "s": "object", "g": "object"}
+    )
+    sdf = spark.createDataFrame(
+        [tuple(r) for r in rows] or [(None, None, None)], "k int, s string, g int"
+    )
+    if not rows:
+        sdf = sdf.limit(0)
+    sdf.createOrReplaceTempView("t")
+    sp = spark.sql(sql).toPandas()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INTEGER, s VARCHAR, g INTEGER)")
+    if rows:
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    du = con.execute(sql).df()
+    con.close()
+
+    assert _norm(sp) == _norm(du), f"engines disagree on: {sql}\nrows={rows}"
