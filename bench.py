@@ -35,6 +35,8 @@ HEADLINE = [
     "llm_dedup_near",
     "llm_sim_search",
     "llm_tfidf_topterms",
+    "llm_pipeline_e2e",
+    "join_bucketed",
     "stream_tumbling",
 ]
 
