@@ -65,7 +65,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[key] = round(best, 3)
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = sf_dir
     print(
         json.dumps(
             {
@@ -73,7 +76,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf) if sf else sf_dir,
+                "sf": sf,
             }
         )
     )

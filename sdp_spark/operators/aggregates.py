@@ -102,11 +102,18 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     section=_SEC,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING filters on the RAW aggregate (like the oracle), not the
+    rounded projection — a group averaging 0.004 must pass AVG > 0."""
     c = table(spark, sf_dir, "customer")
     return (
         c.groupBy("c_nationkey")
-        .agg(F.count("*").alias("n_cust"), davg("c_acctbal", 2).alias("avg_bal"))
-        .filter((F.col("n_cust") > 3) & (F.col("avg_bal") > 0))
+        .agg(
+            F.count("*").alias("n_cust"),
+            davg("c_acctbal", 2).alias("avg_bal"),
+            F.avg("c_acctbal").alias("_raw_avg"),
+        )
+        .filter((F.col("n_cust") > 3) & (F.col("_raw_avg") > 0))
+        .drop("_raw_avg")
     )
 
 

@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 
 from sdp_spark.functions.num import dsum, sql_dsum
 from sdp_spark.plans.registry import register
-from sdp_spark.sources.fixtures import table
+from sdp_spark.sources.fixtures import cache_dir, table
 
 _SEC = "2.3 joins"
 
@@ -372,10 +372,16 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     over pre-bucketed scans). This is the 100 TB answer to repeated
     fact⋈fact joins: pay the shuffle once at write time, never again.
     External-path tables keep the warehouse out of the repo."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    import hashlib
+
+    tag = (
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        + "_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
     tc, to = f"sdp_bucketed_customer_{tag}", f"sdp_bucketed_orders_{tag}"
     if tag not in _BUCKETED_READY:
-        base = os.path.join(tempfile.gettempdir(), "sdp_spark_cache", tag)
+        base = cache_dir(sf_dir, "bucketed")
         for name, src, key in (
             (tc, table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"), "c_custkey"),
             (to, table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"), "o_custkey"),

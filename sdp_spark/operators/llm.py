@@ -37,6 +37,19 @@ def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
 
 
+# Memoized cached DataFrames keyed by (spark app, sf_dir): repeated operator
+# invocations in one session reuse ONE cached lineage instead of stacking a
+# fresh cache per call (storage-memory leak otherwise).
+_SH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SH_CACHE:
+        _SH_CACHE[key] = _shingles(_docs_tokens(spark, sf_dir)).cache()
+    return _SH_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -70,14 +83,15 @@ _BAND_R = 2  # rows per band -> 8 bands; P(candidate | j=0.5) ~ 0.90
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """doc_id -> exploded distinct n-word shingles (docs with >= n tokens)."""
+    slots = ", ".join(f"toks[i+{j}]" for j in range(n))
     return (
         df.filter(F.size("toks") >= n)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(toks) - 3),"
-                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                    f"transform(sequence(0, size(toks) - {n}),"
+                    f" i -> concat_ws(' ', {slots}))"
                 )
             ).alias("shingle"),
         )
@@ -95,7 +109,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests assert precision=1 (every emitted pair really has j >= 0.5) and
     high recall vs the brute-force pairs at sf0.001.
     """
-    sh = _shingles(_docs_tokens(spark, sf_dir)).cache()
+    sh = _cached_shingles(spark, sf_dir)
 
     # signature: min over xxhash64(perm, shingle) per permutation; shingle
     # count piggybacks on the same groupBy (one shuffle, not two)
@@ -105,7 +119,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in range(_NUM_PERM)
         ],
         F.count("*").alias("n_sh"),
-    ).cache()
+    )
     # bands: hash r consecutive signature slots together
     bands = sig.select(
         "doc_id",
@@ -187,7 +201,7 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-shingle) Jaccard over all pairs sharing >= 1 shingle.
     The shingle equi-join IS the candidate pruning — disjoint docs never
     pair. Deterministic → full SQL oracle (unlike the MinHash variant)."""
-    sh = _shingles(_docs_tokens(spark, sf_dir)).cache()
+    sh = _cached_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

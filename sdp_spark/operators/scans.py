@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 
 from sdp_spark.functions.num import dround
 from sdp_spark.plans.registry import register
-from sdp_spark.sources.fixtures import table
+from sdp_spark.sources.fixtures import cache_dir, table
 
 _SEC = "2.1 sources/sinks"
 
@@ -34,9 +34,7 @@ _CONVERTED: dict[tuple[str, str], str] = {}
 def _converted_dir(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> str:
     key = (sf_dir, f"{name}.{fmt}")
     if key not in _CONVERTED:
-        out = os.path.join(
-            tempfile.gettempdir(), "sdp_spark_cache", os.path.basename(sf_dir.rstrip("/")), f"{name}_{fmt}"
-        )
+        out = cache_dir(sf_dir, f"{name}_{fmt}")
         df = table(spark, sf_dir, name)
         if fmt == "csv":
             df.write.mode("overwrite").option("header", "true").csv(out)
@@ -208,9 +206,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the plan, zero IO for other statuses). At 100 TB this is the
     difference between scanning one partition and the whole table."""
     if sf_dir not in _PRUNED_CACHE:
-        out = os.path.join(
-            tempfile.gettempdir(), "sdp_spark_cache", os.path.basename(sf_dir.rstrip("/")), "orders_parted"
-        )
+        out = cache_dir(sf_dir, "orders_parted")
         (
             table(spark, sf_dir, "orders")
             .select("o_orderkey", "o_totalprice", "o_orderstatus")
@@ -318,9 +314,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown like parquet). Converted copy cached per sf."""
     key = (sf_dir, "nation.orc")
     if key not in _CONVERTED:
-        out = os.path.join(
-            tempfile.gettempdir(), "sdp_spark_cache", os.path.basename(sf_dir.rstrip("/")), "nation_orc"
-        )
+        out = cache_dir(sf_dir, "nation_orc")
         table(spark, sf_dir, "nation").write.mode("overwrite").orc(out)
         _CONVERTED[key] = out
     return spark.read.orc(_CONVERTED[key]).select("n_nationkey", "n_name", "n_regionkey")

@@ -16,6 +16,10 @@ partitions statically + dynamically.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -65,3 +69,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def cache_dir(sf_dir: str, *parts: str) -> str:
+    """Collision-proof /tmp cache path for per-sf derived artifacts: keyed
+    by basename AND a hash of the full path (two sf_dirs sharing a basename
+    must never share a cache)."""
+    tag = (
+        os.path.basename(sf_dir.rstrip("/"))
+        + "-"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    return os.path.join(tempfile.gettempdir(), "sdp_spark_cache", tag, *parts)

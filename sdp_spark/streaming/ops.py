@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 
 from sdp_spark.functions.num import DEC
 from sdp_spark.plans.registry import register
-from sdp_spark.sources.fixtures import table
+from sdp_spark.sources.fixtures import cache_dir, table
 
 _SEC = "2.10 streaming"
 
@@ -54,13 +54,15 @@ def _events_landing_dir(sf_dir: str) -> str:
     parquet into a per-sf landing dir once (the 'continuously arriving
     files' shape the platform ingests)."""
     if sf_dir not in _LANDING:
-        out = os.path.join(
-            tempfile.gettempdir(), "sdp_spark_cache", os.path.basename(sf_dir.rstrip("/")), "events_landing"
-        )
+        out = cache_dir(sf_dir, "events_landing")
         os.makedirs(out, exist_ok=True)
         dst = os.path.join(out, "events.parquet")
         if not os.path.exists(dst):
-            shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+            # copy via temp + atomic rename so a concurrent process never
+            # observes (or streams) a half-written file
+            tmp = f"{dst}.tmp.{os.getpid()}"
+            shutil.copyfile(f"{sf_dir}/events.parquet", tmp)
+            os.replace(tmp, dst)
         _LANDING[sf_dir] = out
     return _LANDING[sf_dir]
 
@@ -204,7 +206,9 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH expanded AS (
       SELECT e.event_id, e.value,
-             to_timestamp(CAST(floor(epoch(CAST(e.ts AS TIMESTAMP)) / 900) * 900 - i.i * 900 AS BIGINT)) AS win_start
+             TIMESTAMP '1970-01-01 00:00:00'
+               + INTERVAL (CAST(floor(epoch(CAST(e.ts AS TIMESTAMP)) / 900) * 900 - i.i * 900 AS BIGINT)) SECOND
+               AS win_start
       FROM events e, UNNEST([0, 1, 2, 3]) AS i(i)
     )
     SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start_s,
@@ -300,13 +304,15 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     section=_SEC,
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-once event dedup by event_id with watermark-bounded state.
-    event_id is unique in the fixture, so the deduped stream equals the
-    input — the oracle pins that no row is lost or duplicated."""
+    """Exactly-once event dedup with watermark-bounded state. The event-time
+    column is part of the dedup key — that is what lets the watermark evict
+    state (dedup on event_id alone would keep one state row per id
+    forever); event_id is unique per ts in the fixture, so the deduped
+    stream equals the input and the oracle pins no row lost/duplicated."""
     sdf = _events_stream(spark, sf_dir)
     deduped = (
         sdf.withWatermark("ts", "2 hours")
-        .dropDuplicates(["event_id"])
+        .dropDuplicates(["event_id", "ts"])
         .select("event_id", "user_id", "event_type")
     )
     return _run_to_memory(deduped, "append", "dedup")

@@ -55,9 +55,6 @@ def _norm(df: pd.DataFrame) -> list[tuple]:
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_differential_random_tables(spark, sql, rows):
-    pdf = pd.DataFrame(rows, columns=["k", "s", "g"]).astype(
-        {"k": "object", "s": "object", "g": "object"}
-    )
     sdf = spark.createDataFrame(
         [tuple(r) for r in rows] or [(None, None, None)], "k int, s string, g int"
     )
