@@ -71,3 +71,71 @@ def test_differential_random_tables(spark, sql, rows):
     con.close()
 
     assert _norm(sp) == _norm(du), f"engines disagree on: {sql}\nrows={rows}"
+
+
+two_tables_strategy = st.tuples(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+            st.integers(min_value=-10, max_value=10),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+            st.sampled_from(["p", "q", "r"]),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+
+JOIN_TEMPLATES = [
+    "SELECT a.k, a.v, b.w FROM t1 a JOIN t2 b ON a.k = b.k",
+    "SELECT a.k, a.v, b.w FROM t1 a LEFT JOIN t2 b ON a.k = b.k",
+    "SELECT a.k FROM t1 a WHERE EXISTS (SELECT 1 FROM t2 b WHERE b.k = a.k)",
+    "SELECT a.k FROM t1 a WHERE NOT EXISTS (SELECT 1 FROM t2 b WHERE b.k = a.k)",
+    "SELECT b.w, COUNT(*) AS n, CAST(SUM(a.v) AS BIGINT) AS sv"
+    " FROM t1 a JOIN t2 b ON a.k = b.k GROUP BY b.w",
+    "SELECT k, v, CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, k) AS INTEGER) AS rn"
+    " FROM t1 WHERE k IS NOT NULL",
+    "SELECT k, v, CAST(SUM(v) OVER (PARTITION BY k ORDER BY v"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs"
+    " FROM t1 WHERE k IS NOT NULL",
+    "SELECT k FROM t1 INTERSECT SELECT k FROM t2",
+    "SELECT k FROM t1 EXCEPT SELECT k FROM t2",
+]
+
+
+@pytest.mark.parametrize("sql", JOIN_TEMPLATES)
+@given(data=two_tables_strategy)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_joins_windows(spark, sql, data):
+    rows1, rows2 = data
+    sdf1 = spark.createDataFrame(rows1 or [(None, None)], "k int, v int")
+    sdf2 = spark.createDataFrame(rows2 or [(None, None)], "k int, w string")
+    if not rows1:
+        sdf1 = sdf1.limit(0)
+    if not rows2:
+        sdf2 = sdf2.limit(0)
+    sdf1.createOrReplaceTempView("t1")
+    sdf2.createOrReplaceTempView("t2")
+    sp = spark.sql(sql).toPandas()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t1 (k INTEGER, v INTEGER)")
+    con.execute("CREATE TABLE t2 (k INTEGER, w VARCHAR)")
+    if rows1:
+        con.executemany("INSERT INTO t1 VALUES (?, ?)", rows1)
+    if rows2:
+        con.executemany("INSERT INTO t2 VALUES (?, ?)", rows2)
+    du = con.execute(sql).df()
+    con.close()
+
+    assert _norm(sp) == _norm(du), f"engines disagree on: {sql}\nt1={rows1}\nt2={rows2}"
