@@ -165,7 +165,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+            dround(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
         )
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
@@ -189,7 +189,8 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b,
-           ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+           FLOOR(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+                 * 10000 + 0.5) / 10000 AS jaccard
     FROM inter i
     JOIN sizes sa ON i.doc_a = sa.doc_id
     JOIN sizes sb ON i.doc_b = sb.doc_id
@@ -218,7 +219,7 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
         .filter(jac >= 0.3)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
     )
 
 
@@ -596,8 +597,8 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           ROUND(0.4 * len_score + 0.3 * (1 - ABS(stop_ratio - 0.4)) + 0.3 * diversity, 4)
-             AS quality
+           FLOOR((0.4 * len_score + 0.3 * (1 - ABS(stop_ratio - 0.4)) + 0.3 * diversity)
+                 * 10000 + 0.5) / 10000 AS quality
     FROM feat
     """,
     section=_SEC,
@@ -612,7 +613,7 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity = F.size(F.array_distinct("toks")) / n_tokens
     return d.select(
         "doc_id",
-        F.round(
+        dround(
             0.4 * len_score + 0.3 * (1 - F.abs(stop_ratio - 0.4)) + 0.3 * diversity, 4
         ).alias("quality"),
     )
