@@ -466,7 +466,8 @@ def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, source, n_chars,
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
-           ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_token
+           FLOOR(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) * 10000 + 0.5) / 10000
+             AS chars_per_token
     FROM documents
     """,
     section=_SEC,
@@ -481,7 +482,7 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
-        F.round(F.col("n_chars").cast("double") / F.size("toks"), 4).alias("chars_per_token"),
+        dround(F.col("n_chars").cast("double") / F.size("toks"), 4).alias("chars_per_token"),
     )
 
 
