@@ -97,23 +97,27 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey, COUNT(*) AS n_cust, {sql_davg('c_acctbal', 2)} AS avg_bal
     FROM customer
     GROUP BY c_nationkey
-    HAVING COUNT(*) > 3 AND AVG(c_acctbal) > 0
+    HAVING COUNT(*) > 3 AND SUM(CAST(c_acctbal AS DECIMAL(30,8))) > 0
     """,
     section=_SEC,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HAVING filters on the RAW aggregate (like the oracle), not the
-    rounded projection — a group averaging 0.004 must pass AVG > 0."""
+    """HAVING filters on the exact DECIMAL sum (order-independent and
+    boundary-safe), not the rounded projection — a group averaging 0.004
+    must still pass AVG > 0, and a group summing to ±1 ulp of zero must not
+    flip between engines."""
     c = table(spark, sf_dir, "customer")
+    from sdp_spark.functions.num import DEC
+
     return (
         c.groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_cust"),
             davg("c_acctbal", 2).alias("avg_bal"),
-            F.avg("c_acctbal").alias("_raw_avg"),
+            F.sum(F.col("c_acctbal").cast(DEC)).alias("_dec_sum"),
         )
-        .filter((F.col("n_cust") > 3) & (F.col("_raw_avg") > 0))
-        .drop("_raw_avg")
+        .filter((F.col("n_cust") > 3) & (F.col("_dec_sum") > 0))
+        .drop("_dec_sum")
     )
 
 
@@ -330,9 +334,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither rollup nor cube): per-segment,
     per-nation, and grand total in one pass — MySQL gap, Spark SQL native."""
-    from sdp_spark.sources.fixtures import load_tables
-
-    load_tables(spark, sf_dir)
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
         """
         SELECT c_mktsegment, c_nationkey,

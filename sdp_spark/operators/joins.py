@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 
 from sdp_spark.functions.num import dsum, sql_dsum
 from sdp_spark.plans.registry import register
-from sdp_spark.sources.fixtures import cache_dir, table
+from sdp_spark.sources.fixtures import cache_dir, cache_tag, table
 
 _SEC = "2.3 joins"
 
@@ -372,13 +372,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     over pre-bucketed scans). This is the 100 TB answer to repeated
     fact⋈fact joins: pay the shuffle once at write time, never again.
     External-path tables keep the warehouse out of the repo."""
-    import hashlib
-
-    tag = (
-        os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-        + "_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    )
+    tag = cache_tag(sf_dir).replace(".", "_").replace("-", "_")
     tc, to = f"sdp_bucketed_customer_{tag}", f"sdp_bucketed_orders_{tag}"
     if tag not in _BUCKETED_READY:
         base = cache_dir(sf_dir, "bucketed")

@@ -41,6 +41,7 @@ def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # invocations in one session reuse ONE cached lineage instead of stacking a
 # fresh cache per call (storage-memory leak otherwise).
 _SH_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,6 +49,24 @@ def _cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _SH_CACHE:
         _SH_CACHE[key] = _shingles(_docs_tokens(spark, sf_dir)).cache()
     return _SH_CACHE[key]
+
+
+def _cached_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + shingle counts, cached once per (app, sf_dir):
+    the final plan consumes this from four subtrees (band self-join sides +
+    two size joins) — uncached, the 16-permutation aggregation recomputes
+    per subtree."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIG_CACHE:
+        sh = _cached_shingles(spark, sf_dir)
+        _SIG_CACHE[key] = sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(p), F.col("shingle"))).alias(f"h{p}")
+                for p in range(_NUM_PERM)
+            ],
+            F.count("*").alias("n_sh"),
+        ).cache()
+    return _SIG_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -110,16 +129,9 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     high recall vs the brute-force pairs at sf0.001.
     """
     sh = _cached_shingles(spark, sf_dir)
-
     # signature: min over xxhash64(perm, shingle) per permutation; shingle
     # count piggybacks on the same groupBy (one shuffle, not two)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(p), F.col("shingle"))).alias(f"h{p}")
-            for p in range(_NUM_PERM)
-        ],
-        F.count("*").alias("n_sh"),
-    )
+    sig = _cached_signatures(spark, sf_dir)
     # bands: hash r consecutive signature slots together
     bands = sig.select(
         "doc_id",
@@ -280,11 +292,11 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_dedup_embed",
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_sum(list_transform(generate_series(1, 64),
+           FLOOR(list_sum(list_transform(generate_series(1, 64),
                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
                  / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))
-                    * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)))),
-                 4) AS cos_sim
+                    * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))))
+                 * 10000 + 0.5) / 10000 AS cos_sim
     FROM embeddings a
     JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_sum(list_transform(generate_series(1, 64),
@@ -318,7 +330,7 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= 0.35)
-        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
+        .select("vec_a", "vec_b", dround(F.col("cos"), 4).alias("cos_sim"))
     )
 
 

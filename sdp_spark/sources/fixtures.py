@@ -71,13 +71,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def cache_tag(sf_dir: str) -> str:
+    """Stable identifier for an sf_dir: basename + hash of the NORMALIZED
+    absolute path (trailing slashes / relative spellings map to one tag;
+    distinct dirs sharing a basename never collide)."""
+    norm = os.path.abspath(sf_dir.rstrip("/") or "/")
+    return os.path.basename(norm) + "-" + hashlib.md5(norm.encode()).hexdigest()[:8]
+
+
 def cache_dir(sf_dir: str, *parts: str) -> str:
-    """Collision-proof /tmp cache path for per-sf derived artifacts: keyed
-    by basename AND a hash of the full path (two sf_dirs sharing a basename
-    must never share a cache)."""
-    tag = (
-        os.path.basename(sf_dir.rstrip("/"))
-        + "-"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    )
-    return os.path.join(tempfile.gettempdir(), "sdp_spark_cache", tag, *parts)
+    """Collision-proof /tmp cache path for per-sf derived artifacts."""
+    return os.path.join(tempfile.gettempdir(), "sdp_spark_cache", cache_tag(sf_dir), *parts)

@@ -60,7 +60,9 @@ def _events_landing_dir(sf_dir: str) -> str:
         if not os.path.exists(dst):
             # copy via temp + atomic rename so a concurrent process never
             # observes (or streams) a half-written file
-            tmp = f"{dst}.tmp.{os.getpid()}"
+            # dot-prefixed so Spark's file-stream lister never picks up the
+            # in-flight copy (only '.'/'_' prefixes are ignored)
+            tmp = os.path.join(out, f".events.parquet.tmp.{os.getpid()}")
             shutil.copyfile(f"{sf_dir}/events.parquet", tmp)
             os.replace(tmp, dst)
         _LANDING[sf_dir] = out

@@ -114,3 +114,17 @@ def test_asof_join_view_precedes_purchase(spark, sf_dir):
     joined = asof.dropna().join(p, ["purchase_id", "user_id"]).join(v, "asof_view_id")
     bad = joined.filter((F.col("v_user") != F.col("user_id")) | (F.col("v_ts") > F.col("p_ts")))
     assert bad.count() == 0
+
+
+def test_sort_nulls_order_is_real(spark, sf_dir):
+    """The oracle harness compares order-insensitively, so NULLS FIRST must
+    be pinned by an order-sensitive check: collected rows start with the
+    NULL block, and keys descend within each block."""
+    rows = REGISTRY["sort_nulls"].fn(spark, sf_dir).collect()
+    null_block = [r for r in rows if r["st"] is None]
+    assert rows[: len(null_block)] == null_block, "NULLs are not a prefix"
+    keys = [r["o_orderkey"] for r in null_block]
+    assert keys == sorted(keys, reverse=True), "tiebreaker not DESC in NULL block"
+    rest = [r for r in rows[len(null_block):]]
+    assert all(r["st"] is not None for r in rest)
+    assert [r["st"] for r in rest] == sorted(r["st"] for r in rest)
