@@ -393,3 +393,33 @@ def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hours_since_jan1"),
         F.date_format(F.date_trunc("day", ts), fmt).alias("day_start"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255                 AS b_and,
+           o_orderkey | 4096                AS b_or,
+           xor(o_orderkey, 1365)            AS b_xor,
+           (o_orderkey & 15) << 2           AS b_shl,
+           o_orderkey >> 3                  AS b_shr,
+           ~o_orderkey                      AS b_not
+    FROM orders
+    """,
+    section=_SEC,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar operators (MySQL & | ^ << >> ~). DuckDB spells xor as
+    a function; the semantics are pinned identical."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(255).alias("b_and"),
+        k.bitwiseOR(4096).alias("b_or"),
+        k.bitwiseXOR(1365).alias("b_xor"),
+        F.expr("shiftleft(o_orderkey & 15, 2)").cast("bigint").alias("b_shl"),
+        F.expr("shiftright(o_orderkey, 3)").cast("bigint").alias("b_shr"),
+        F.expr("~o_orderkey").alias("b_not"),
+    )

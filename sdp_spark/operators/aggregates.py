@@ -345,3 +345,16 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """
     )
+
+
+@register("agg_approx_percentile", oracle=None, section=_SEC)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile, accuracy 1/10000) — the
+    100 TB twin of agg_percentile: mergeable per-partition sketches instead
+    of a global sort. rows-only oracle; tests bound the error vs the exact
+    quantiles."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("approx_q"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), 10000).alias("approx_p90"),
+    )

@@ -119,3 +119,22 @@ def test_scan_jdbc_fallback(spark, sf_dir):
     """Without SDP_JDBC_URL the jdbc scan falls back to parquet (CI path)."""
     df = REGISTRY["scan_jdbc"].fn(spark, sf_dir)
     assert df.count() == 25
+
+
+def test_approx_percentile_accuracy(spark, sf_dir, ddb):
+    approx = {
+        r["l_returnflag"]: (list(r["approx_q"]), r["approx_p90"])
+        for r in REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r[0]: (list(r[1]), r[2])
+        for r in ddb.execute(
+            "SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]),"
+            " quantile_cont(l_extendedprice, 0.9) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    for flag, (eq, ep90) in exact.items():
+        aq, ap90 = approx[flag]
+        for a, b in zip(aq, eq):
+            assert abs(a - b) <= max(1.0, 0.02 * b), f"{flag} quantile {a} vs {b}"
+        assert abs(ap90 - ep90) <= 0.02 * ep90
