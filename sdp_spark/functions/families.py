@@ -423,3 +423,32 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(o_orderkey, 3)").cast("bigint").alias("b_shr"),
         F.expr("~o_orderkey").alias("b_not"),
     )
+
+
+@register(
+    "fn_mysql_misc",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN list_position(string_split('1-URGENT,2-HIGH,3-MEDIUM,4-NOT SPECIFIED,5-LOW', ','),
+                                        o_orderpriority) IS NULL THEN 0
+                ELSE list_position(string_split('1-URGENT,2-HIGH,3-MEDIUM,4-NOT SPECIFIED,5-LOW', ','),
+                                   o_orderpriority) END AS INTEGER) AS prio_pos,
+           string_split('low,mid,high', ',')[CAST(o_orderkey % 3 + 1 AS INTEGER)] AS tier,
+           hex(CAST(o_orderkey % 4096 AS BIGINT)) AS key_hex
+    FROM orders
+    """,
+    section=_SEC,
+)
+def fn_mysql_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL-specific idioms: FIND_IN_SET (position in a CSV set), ELT
+    (1-indexed value pick), HEX. DuckDB lacks all three — the oracle
+    emulates with list functions, pinning MySQL's exact semantics."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "find_in_set(o_orderpriority, '1-URGENT,2-HIGH,3-MEDIUM,4-NOT SPECIFIED,5-LOW')"
+        ).alias("prio_pos"),
+        F.expr("elt(CAST(o_orderkey % 3 + 1 AS INT), 'low', 'mid', 'high')").alias("tier"),
+        F.hex(F.col("o_orderkey") % 4096).alias("key_hex"),
+    )

@@ -358,3 +358,26 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("approx_q"),
         F.percentile_approx("l_extendedprice", F.lit(0.9), 10000).alias("approx_p90"),
     )
+
+
+@register(
+    "agg_corr",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(corr(o_totalprice, o_custkey), 6)      AS price_cust_corr,
+           ROUND(covar_pop(o_totalprice, o_custkey), 2) AS cov_pop,
+           ROUND(covar_samp(o_totalprice, o_custkey), 2) AS cov_samp
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    section=_SEC,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (CORR / COVAR) — generic irrational values, so
+    plain ROUND is boundary-safe (unlike money sums, functions/num.py)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+        F.round(F.covar_pop("o_totalprice", "o_custkey"), 2).alias("cov_pop"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("cov_samp"),
+    )

@@ -88,3 +88,22 @@ GROUP BY s.c_mktsegment
 def cte_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH ... AS — engine gap (MySQL 8+/MariaDB 10.2+); native in Spark."""
     return _sql(spark, sf_dir, _CTE)
+
+
+_LATERAL = """
+SELECT c.c_custkey, t.okey, ROUND(t.price, 2) AS price
+FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 20) c,
+LATERAL (SELECT o_orderkey AS okey, o_totalprice AS price
+         FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 2) t
+"""
+
+
+@register("subq_lateral", oracle=_LATERAL, section=_SEC)
+def subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    orders per customer) — MariaDB 10.1 lacks LATERAL; Spark decorrelates
+    it into a ranked window join."""
+    return _sql(spark, sf_dir, _LATERAL)

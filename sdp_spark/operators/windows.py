@@ -250,3 +250,31 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.cume_dist().over(w), 6).alias("cd"),
         dround(F.percent_rank().over(w), 6).alias("pr"),
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+           FIRST_VALUE(o_orderkey) OVER w  AS first_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    section=_SEC,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value within a running frame (NULL until the frame holds n rows)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
