@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sdp_spark.functions.num import dround, sql_dround
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table
 
@@ -147,11 +148,14 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_math",
-    oracle="""
+    # r1/rk use the repo's floor-form rounding (sql_dround), not bare ROUND:
+    # ROUND on a 2dp money double is the Spark-shortest-decimal vs
+    # DuckDB-binary boundary class (functions/num.py, the 4201.315 case).
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
            ABS(l_discount - 0.05)                       AS abs_d,
-           ROUND(l_extendedprice, 1)                    AS r1,
-           ROUND(l_extendedprice / 1000, 0)             AS rk,
+           {sql_dround('l_extendedprice', 1)}           AS r1,
+           {sql_dround('l_extendedprice / 1000', 0)}    AS rk,
            CAST(CEIL(l_quantity / 7) AS BIGINT)         AS ceil7,
            CAST(FLOOR(l_quantity / 7) AS BIGINT)        AS floor7,
            CAST(CAST(l_orderkey AS BIGINT) % 97 AS BIGINT) AS mod97,
@@ -173,8 +177,8 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
-        F.round("l_extendedprice", 1).alias("r1"),
-        F.round(F.col("l_extendedprice") / 1000, 0).alias("rk"),
+        dround("l_extendedprice", 1).alias("r1"),
+        dround(F.col("l_extendedprice") / 1000, 0).alias("rk"),
         F.ceil(F.col("l_quantity") / 7).alias("ceil7"),
         F.floor(F.col("l_quantity") / 7).alias("floor7"),
         (F.col("l_orderkey").cast("bigint") % 97).cast("bigint").alias("mod97"),

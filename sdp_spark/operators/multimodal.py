@@ -74,15 +74,25 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """STUB decoder. A real build calls PIL/ffmpeg here (NotImplemented in
-    this container); the fake derives deterministic pseudo-metadata and an
-    8-dim feature vector from the bytes so the pipeline stays testable."""
-    n = len(payload)
-    width, height = 64 + n % 64, 64 + (n // 2) % 64
-    n_frames = 1 + n % 4
-    feats = [round(float(payload[i % n]) / 255.0, 4) if n else 0.0 for i in range(8)]
-    return width, height, n_frames, feats
+def _make_fake_decode():
+    """Build the STUB decoder as a standalone function (no module globals) so
+    cloudpickle ships it BY VALUE inside the mapInPandas closure — workers
+    never need `import sdp_spark` (the driver may run from any cwd). A real
+    build calls PIL/ffmpeg here (not in this container); the fake derives
+    deterministic pseudo-metadata + an 8-dim feature vector from the bytes
+    so the pipeline stays testable."""
+
+    def fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+        n = len(payload)
+        width, height = 64 + n % 64, 64 + (n // 2) % 64
+        n_frames = 1 + n % 4
+        feats = [round(float(payload[i % n]) / 255.0, 4) if n else 0.0 for i in range(8)]
+        return width, height, n_frames, feats
+
+    return fake_decode
+
+
+_fake_decode = _make_fake_decode()
 
 
 @register("mm_decode_pipeline", oracle=None, section=_SEC)
@@ -94,9 +104,14 @@ def mm_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
 
+    # bind the module-level stub to a local so cloudpickle serializes it BY
+    # VALUE into the closure — a by-reference global would make every worker
+    # import sdp_spark, which fails when the driver runs from another cwd
+    fake_decode = _fake_decode
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            decoded = [fake_decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,

@@ -118,11 +118,19 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udf_grouped_map",
+    # Degenerate groups (n<2 or zero variance) are NULL on both sides —
+    # pandas std(ddof=1)=NaN would otherwise ride Arrow as NaN while
+    # STDDEV_SAMP yields NULL, and the driver's exact value-hash separates
+    # the two. Rounding is the repo floor form (half-even .round diverges).
     oracle="""
     SELECT user_id, event_id,
-           ROUND((value - AVG(value) OVER (PARTITION BY user_id))
-                 / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 4) AS value_z
-    FROM events
+           CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                ELSE FLOOR((value - m) / sd * 10000 + 0.5) / 10000
+           END AS value_z
+    FROM (SELECT user_id, event_id, value,
+                 AVG(value) OVER (PARTITION BY user_id) AS m,
+                 STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sd
+          FROM events)
     """,
     section=_SEC,
 )
@@ -130,6 +138,7 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group transform via applyInPandas (z-normalize each user's
     values). The window-function formulation (= the oracle) is the built-in
     alternative; applyInPandas is for logic windows can't express."""
+    import numpy as np
 
     out_schema = T.StructType(
         [
@@ -140,10 +149,16 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"]
-        z = (v - v.mean()) / v.std(ddof=1)
+        v = pdf["value"].to_numpy()
+        sd = v.std(ddof=1) if len(v) >= 2 else float("nan")
+        if not np.isfinite(sd) or sd == 0.0:
+            # nullable Float64 so pd.NA crosses Arrow as NULL, not NaN
+            z_out = pd.array([None] * len(v), dtype="Float64")
+        else:
+            z = (v - v.mean()) / sd
+            z_out = pd.array(np.floor(z * 10000 + 0.5) / 10000, dtype="Float64")
         return pd.DataFrame(
-            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "value_z": z.round(4)}
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "value_z": z_out}
         )
 
     e = table(spark, sf_dir, "events").select("user_id", "event_id", "value")

@@ -18,6 +18,7 @@ Conventions (keep Spark and oracle hash-identical, SURVEY.md §7 hard parts):
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -59,14 +60,88 @@ def register(key: str, oracle: str | None = None, section: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if key in REGISTRY:
             raise ValueError(f"duplicate operator key: {key}")
-        REGISTRY[key] = QuerySpec(key=key, fn=fn, oracle=oracle, section=section)
+
+        @functools.wraps(fn)
+        def pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver invokes operators under its own vanilla session;
+            # pin the runtime confs the oracle contract depends on (UTC
+            # session timezone) on EVERY dispatch, not just fixture loads —
+            # disk-cached derived inputs can bypass fixtures.table().
+            from sdp_spark.sources.fixtures import _pin_session_confs
+
+            _pin_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[key] = QuerySpec(key=key, fn=pinned, oracle=oracle, section=section)
         return fn
 
     return deco
 
 
+# Driver-sweep priority (round 2): the r1 correctness sweep ran the first 50
+# keys of queries() in insertion order and stopped (CORRECTNESS_r01.json) —
+# everything after had no verdict. Keys never driver-verified go FIRST, cheap
+# families before expensive ones, streaming (≈1 s query-startup per key) last
+# among the unverified; the 50 already-green keys trail. Keys absent from
+# this list keep registration order at the end (safety for new operators —
+# new keys are by definition unverified, so they are prepended instead).
+_SWEEP_PRIORITY = (
+    # windows — cheap, 0 driver rows in r1
+    "win_row_number", "win_rank", "win_lag_lead", "win_running",
+    "win_sliding_rows", "win_range_frame", "win_topk_group", "win_first_last",
+    "win_cume_dist", "win_nth_value",
+    # sort/limit
+    "sort_multikey", "limit_offset", "topk",
+    # set ops
+    "set_union_all", "set_union", "set_intersect", "set_except",
+    "set_intersect_all", "set_except_all",
+    # scalar families
+    "fn_string", "fn_string_regex", "fn_date", "fn_math", "fn_conditional",
+    "fn_json", "fn_array_map", "fn_hash", "fn_map", "fn_substring_index",
+    "fn_datetime_arith", "fn_bitwise", "fn_mysql_misc",
+    # subqueries
+    "subq_scalar", "subq_in_exists", "subq_derived", "cte_with", "subq_lateral",
+    # aggregates the r1 sweep did not reach
+    "agg_grouping_sets", "agg_approx_percentile", "agg_corr",
+    # UDF surface
+    "udf_python", "udf_pandas_scalar", "udf_pandas_grouped_agg",
+    "udf_grouped_map", "udtf_explode",
+    # LLM ops — cheap one-pass first, candidate-generation joins after
+    "llm_text_stats", "llm_langid", "llm_quality_score", "llm_lang_filter",
+    "llm_fingerprint", "llm_tfidf_topterms", "llm_dedup_exact",
+    "llm_dedup_embed", "llm_dedup_ngram_jaccard", "llm_dedup_simhash",
+    "llm_dedup_near", "llm_sim_search", "llm_sim_search_lsh",
+    "llm_pipeline_e2e",
+    # multimodal
+    "llm_multimodal_cols", "mm_decode_pipeline",
+    # streaming — fixed ~1 s startup each; last of the unverified block
+    "stream_ingest", "source_stream_files", "sink_stream_foreachBatch",
+    "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark",
+    "stream_dedup", "stream_stateful", "stream_join_dim", "stream_stream_join",
+    # --- r1-green keys below (driver already has verdicts) ---
+    "scan_parquet", "scan_csv", "scan_json", "scan_jdbc", "sink_append",
+    "sink_overwrite", "sink_partitioned", "scan_partition_pruned",
+    "sink_upsert", "dml_update_delete", "scan_orc",
+    "project_select", "filter_basic", "filter_compound", "filter_between",
+    "filter_in", "filter_like", "filter_regexp", "filter_null",
+    "project_case", "project_cast", "dedup_distinct", "filter_collation_ci",
+    "sort_nulls",
+    "join_inner", "join_left", "join_right", "join_full", "join_cross",
+    "join_semi", "join_anti", "join_theta_range", "join_broadcast",
+    "join_multiway", "join_self", "join_asof", "join_bucketed", "join_salted",
+    "agg_groupby", "agg_global", "agg_having", "agg_count_distinct",
+    "agg_approx_distinct", "agg_stats", "agg_group_concat", "agg_bool_bit",
+    "agg_rollup", "agg_cube", "agg_pivot", "agg_percentile",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every operator module (idempotent) and return the registry."""
+    """Import every operator module (idempotent) and return the registry,
+    ordered so the driver's budget-bounded sweep hits never-verified keys
+    first (see _SWEEP_PRIORITY)."""
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
-    return REGISTRY
+    rank = {k: i for i, k in enumerate(_SWEEP_PRIORITY)}
+    # unknown (newly added) keys sort before everything: they have no verdict
+    ordered = sorted(REGISTRY, key=lambda k: rank.get(k, -1))
+    return {k: REGISTRY[k] for k in ordered}

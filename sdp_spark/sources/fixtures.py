@@ -41,6 +41,20 @@ TABLES = (
 SMALL_DIMS = ("region", "nation")
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Pin runtime-settable confs the cross-engine contract depends on.
+
+    The driver runs queries() under its own vanilla SparkSession, so nothing
+    set in sdp_spark.session.get_spark is guaranteed here. Everything the
+    DuckDB oracle comparison assumes must be (re-)pinned at load time:
+
+    - session timeZone=UTC: DuckDB timestamps are naive; on a non-UTC host
+      Spark's date_format/year/unix_timestamp and literal->timestamp casts
+      would shift relative to the oracle.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
@@ -49,6 +63,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert to a microsecond TimestampType — Spark's native precision.
     Sub-microsecond ordering ties are broken by event_id in every consumer.
     """
+    _pin_session_confs(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -240,7 +240,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle="""
     WITH gaps AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN epoch(CAST(ts AS TIMESTAMP))
                        - epoch(CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
                        >= 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -248,7 +248,10 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sess AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             -- same total order (ts, event_id) as the LAG window: with tied
+             -- timestamps at a boundary an ORDER BY ts cumsum could assign
+             -- the tied rows to the previous session arbitrarily
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM gaps
     )

@@ -42,32 +42,35 @@ def ddb(sf_dir):
     con.close()
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name and rows by stringified values (order-insensitive
-    compare, like the driver's hash)."""
-    df = df.reindex(sorted(df.columns), axis=1)
-    if len(df) == 0:
-        return df.reset_index(drop=True)
-    key = df.astype(str).agg("|".join, axis=1)
-    return df.iloc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
+def _is_nan(x) -> bool:
+    return isinstance(x, float) and math.isnan(x)
 
 
 def _values_close(a, b) -> bool:
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
-    try:
-        if pd.isna(a) and pd.isna(b):
-            return True
-    except (TypeError, ValueError):
-        pass
+    """Exact compare, mirroring the driver's stringified value hash:
+    NaN == NaN, NULL == NULL, but NaN != NULL, and floats are exact —
+    the dsum/dround discipline is supposed to make them bit-identical."""
+    if _is_nan(a) or _is_nan(b):
+        return _is_nan(a) and _is_nan(b)
+    if a is None or b is None:
+        return a is None and b is None
     return a == b
 
 
+def _sorted_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
+    """Project to name-sorted columns; sort rows by stringified tuple
+    (order-insensitive, like the driver's hash)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    proj = [tuple(r[i] for i in order) for r in rows]
+    proj.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], proj
+
+
 def assert_df_matches_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str, key: str = "?"):
+    # dtype check rides pandas (dtype alignment is part of the contract) —
+    # but VALUES are compared from collect()/fetchall(), because toPandas()
+    # and .df() both collapse NULL doubles to NaN and would mask exactly the
+    # NaN-vs-NULL divergences the driver's exact hash catches.
     sp = spark_df.toPandas()
     du = con.execute(sql).df()
     assert len(sp) == len(du), f"[{key}] row count: spark={len(sp)} duckdb={len(du)}"
@@ -80,10 +83,14 @@ def assert_df_matches_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
         if str(sp[c].dtype) != str(du[c].dtype)
     ]
     assert not dt_mism, f"[{key}] dtype mismatches (spark vs duckdb): {dt_mism}"
-    sp_n, du_n = _normalize(sp), _normalize(du)
-    for col in sp_n.columns:
-        sv, dv = sp_n[col].tolist(), du_n[col].tolist()
+    sp_rows = [tuple(r) for r in spark_df.collect()]
+    du_rows = con.execute(sql).fetchall()
+    cols, sp_n = _sorted_rows(list(spark_df.columns), sp_rows)
+    _, du_n = _sorted_rows([d[0] for d in con.execute(sql).description], du_rows)
+    for ci, col in enumerate(cols):
         mism = [
-            (i, a, b) for i, (a, b) in enumerate(zip(sv, dv)) if not _values_close(a, b)
+            (i, a[ci], b[ci])
+            for i, (a, b) in enumerate(zip(sp_n, du_n))
+            if not _values_close(a[ci], b[ci])
         ]
         assert not mism, f"[{key}] column {col!r}: first mismatches {mism[:5]}"

@@ -30,3 +30,19 @@ def test_queries_and_oracles_consistent():
     assert set(osql) <= set(qs)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
+
+
+def test_sweep_priority_matches_registry():
+    """_SWEEP_PRIORITY must reference only real keys; unlisted (new) keys
+    are allowed and sort FIRST (they are unverified by definition)."""
+    from sdp_spark.plans.registry import _SWEEP_PRIORITY, load_all
+
+    specs = load_all()
+    assert set(_SWEEP_PRIORITY) <= set(specs), (
+        set(_SWEEP_PRIORITY) - set(specs)
+    )
+    ordered = list(specs)
+    # never-driver-verified families come before the r1-green block
+    assert ordered.index("win_row_number") < ordered.index("scan_parquet")
+    assert ordered.index("stream_ingest") < ordered.index("scan_parquet")
+    assert ordered.index("fn_math") < ordered.index("join_inner")
