@@ -184,20 +184,47 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Posting-list cap for the shingle self-join: a shingle shared by k docs
+# emits k(k-1)/2 candidate pairs, so ONE boilerplate 3-gram with df in the
+# millions melts the join at 100 TB. Shingles with df > cap carry ~zero
+# near-dup signal (they are corpus-wide boilerplate) and are dropped BEFORE
+# the self-join — candidate count per shingle is bounded by cap². Fixture max
+# df is 25 (sf0.1), so at tested scales nothing is dropped; the oracle
+# mirrors the cap so the contract stays exact at any df.
+_NGRAM_DF_CAP = 100
+
+
+def _capped_postings(sh: DataFrame, cap: int) -> DataFrame:
+    """Drop shingles with document frequency > cap. The hot set is tiny
+    (heavy-hitters), so it is excluded with a broadcast anti-join — the full
+    posting list is never re-shuffled."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > cap)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 @register(
     "llm_dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH sh AS (
       SELECT DISTINCT doc_id, s.shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
             WHERE len(string_split(text, ' ')) >= 3) t,
            UNNEST(list_transform(generate_series(1, len(toks) - 2),
                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s(shingle)
+    ), capped AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                        HAVING COUNT(*) <= {_NGRAM_DF_CAP})
     ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id
     ), inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b,
@@ -211,10 +238,12 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     section=_SEC,
 )
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (3-shingle) Jaccard over all pairs sharing >= 1 shingle.
-    The shingle equi-join IS the candidate pruning — disjoint docs never
-    pair. Deterministic → full SQL oracle (unlike the MinHash variant)."""
-    sh = _cached_shingles(spark, sf_dir)
+    """Exact n-gram (3-shingle) Jaccard over all pairs sharing >= 1
+    non-boilerplate shingle (df <= _NGRAM_DF_CAP; the Jaccard universe is the
+    capped shingle set on both sides). The shingle equi-join IS the candidate
+    pruning — disjoint docs never pair; the df cap bounds per-shingle fan-out
+    at cap². Deterministic → full SQL oracle (unlike the MinHash variant)."""
+    sh = _capped_postings(_cached_shingles(spark, sf_dir), _NGRAM_DF_CAP)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -239,35 +268,39 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dedup: 64-bit signature from token-hash bit votes, then
     4×16-bit band blocking and Hamming-distance (<= 8) verification via
-    bit_count(xor). Pure DataFrame ops; signature build explodes
-    token×64-bit rows — at 100 TB swap the vote stage for a pandas_udf
-    (same signature, one pass per doc). rows-only oracle (tests pin
+    bit_count(xor). The 64 per-bit vote sums are 64 conditional-sum
+    aggregate expressions over the token rows — ONE groupBy(doc_id) with no
+    row blow-up (an earlier shape exploded tokens×64; same signatures,
+    pinned by the determinism test). rows-only oracle (banding is exact but
+    DuckDB lacks a 64-wide conditional-sum twin worth maintaining; tests pin
     signature determinism + hamming symmetry)."""
     toks = _docs_tokens(spark, sf_dir).select(
         "doc_id", F.explode("toks").alias("token")
     )
-    votes = (
+    tok_w = (
         toks.groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
         .withColumn("th", F.xxhash64("token"))
-        .select(
-            "doc_id",
-            "cnt",
-            F.explode(F.expr("sequence(0, 63)")).alias("bit"),
-            F.col("th"),
-        )
-        .withColumn(
-            "vote",
-            F.when(F.expr("(th >> bit) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt")),
-        )
     )
-    sig = (
-        votes.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .withColumn("bitval", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("CAST(bitval AS BIGINT) << bit")).alias("simhash"))
+    bit_sums = tok_w.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(th >> {b}) & 1") == 1, F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
     )
+    # assemble the signature: bit b set iff vote sum positive; CAST(1) << 63
+    # is Long.MIN_VALUE, summing distinct powers of two never overflows
+    sig_expr = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"b{b}") > 0, F.expr(f"CAST(1 AS BIGINT) << {b}")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = bit_sums.select("doc_id", sig_expr.alias("simhash"))
     bands = sig.select(
         "doc_id",
         "simhash",

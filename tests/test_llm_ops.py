@@ -138,3 +138,27 @@ def test_approx_percentile_accuracy(spark, sf_dir, ddb):
         for a, b in zip(aq, eq):
             assert abs(a - b) <= max(1.0, 0.02 * b), f"{flag} quantile {a} vs {b}"
         assert abs(ap90 - ep90) <= 0.02 * ep90
+
+
+def test_ngram_df_cap_drops_hot_shingles(spark):
+    """A shingle shared by k docs emits k(k-1)/2 candidate pairs; postings
+    with df > cap must be dropped BEFORE the self-join."""
+    from sdp_spark.operators.llm import _capped_postings
+
+    rows = [(d, "the quick brown") for d in range(30)] + [
+        (1, "rare trigram one"),
+        (2, "rare trigram one"),
+    ]
+    sh = spark.createDataFrame(rows, "doc_id INT, shingle STRING")
+    capped = _capped_postings(sh, 10)
+    assert {r["shingle"] for r in capped.collect()} == {"rare trigram one"}
+    # nothing dropped when every df is under the cap
+    assert _capped_postings(sh, 50).count() == len(rows)
+
+
+def test_simhash_no_bit_explode(spark, sf_dir):
+    """Signature build must not explode tokens x 64 bit rows (64x blow-up);
+    the 64 vote sums are aggregate expressions in one groupBy(doc_id)."""
+    df = REGISTRY["llm_dedup_simhash"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    assert "sequence(0, 63" not in plan
