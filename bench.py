@@ -69,17 +69,50 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = sf_dir
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    # cross-round regression check: compare per-query vs the newest prior
+    # BENCH_r{N}.json (same headline keys across rounds); >1.5x is flagged
+    prior = _latest_prior_bench()
+    if prior:
+        ref, regressions = prior.get("queries", {}), {}
+        for k, t in times.items():
+            if k in ref and ref[k] > 0.05 and t > 1.5 * ref[k]:
+                regressions[k] = {"now": t, "prior": ref[k]}
+        out["vs_prior"] = {
+            "prior_total_sec": prior.get("value"),
+            "total_ratio": round(out["value"] / prior["value"], 3)
+            if prior.get("value")
+            else None,
+            "regressions_gt_1_5x": regressions,
+        }
+    print(json.dumps(out))
+
+
+def _latest_prior_bench() -> dict | None:
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return None
+    try:
+        with open(max(rounds)[1]) as f:
+            data = json.load(f)
+        # the driver wraps our JSON line under "parsed"
+        return data.get("parsed", data)
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 if __name__ == "__main__":

@@ -1,0 +1,120 @@
+"""Persistent catalog / DDL surface — the reference's named database.
+
+The platform's unit of deployment is a named MySQL database (`sampledb`,
+MYSQL_DATABASE param, mysql-persistent-template.json:207-212); SURVEY §1.3
+maps it to a Spark catalog namespace. This module owns that namespace:
+CREATE DATABASE / CREATE TABLE / introspection / DROP, with managed tables
+living under an explicit warehouse LOCATION (no cwd writes — the driver may
+run from a read-only directory).
+
+Metadata durability note: with the default in-memory catalog the namespace
+lives for the session; in production the same calls run against a Hive
+metastore / Unity-style catalog and persist. The DATA is at a stable
+location either way — a new session re-attaches by re-running the DDL
+(CREATE DATABASE IF NOT EXISTS + CREATE TABLE ... LOCATION).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import cache_dir, cache_tag, table
+
+_SEC = "1.3 catalog/ddl"
+
+DB = "sampledb"
+
+
+def ensure_sampledb(spark: SparkSession, sf_dir: str) -> str:
+    """CREATE DATABASE IF NOT EXISTS sampledb at a stable /tmp location.
+    Idempotent; every operator that persists catalog tables goes through
+    this (the analogue of connecting to the deployed MYSQL_DATABASE)."""
+    loc = cache_dir(sf_dir, "sampledb_warehouse")
+    os.makedirs(loc, exist_ok=True)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB} LOCATION '{loc}'")
+    return DB
+
+
+def _safe_tag(sf_dir: str) -> str:
+    return cache_tag(sf_dir).replace(".", "_").replace("-", "_")
+
+
+def _drop_table(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """DROP TABLE IF EXISTS + clear any orphaned managed location. With the
+    in-memory catalog a NEW session forgets the table while its data dir
+    survives on disk — saveAsTable would then die with
+    LOCATION_ALREADY_EXISTS. (A persistent metastore never orphans.)"""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {DB}.{name}")
+    loc = os.path.join(cache_dir(sf_dir, "sampledb_warehouse"), name)
+    if os.path.exists(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+@register(
+    "catalog_ddl",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    section=_SEC,
+)
+def catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog round-trip: CREATE DATABASE -> CREATE (managed) TABLE ->
+    introspect via spark.catalog (database, table, columns all visible) ->
+    read back through the catalog name. DROP + recreate proves the DDL pair.
+    """
+    db = ensure_sampledb(spark, sf_dir)
+    name = f"nation_{_safe_tag(sf_dir)}"
+    tbl = f"{db}.{name}"
+    src = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+    _drop_table(spark, sf_dir, name)
+    src.write.format("parquet").saveAsTable(tbl)
+
+    # introspection round-trip — these are genuine invariants, not test-only
+    # asserts: a catalog that cannot see its own DDL is broken
+    assert db in [d.name for d in spark.catalog.listDatabases()], "db missing"
+    assert any(t.name == name for t in spark.catalog.listTables(db)), "table missing"
+    cols = [c.name for c in spark.catalog.listColumns(tbl)]
+    assert cols == ["n_nationkey", "n_name", "n_regionkey"], cols
+
+    # DROP + recreate (TRUNCATE-equivalent DDL cycle), then read via catalog
+    _drop_table(spark, sf_dir, name)
+    src.write.format("parquet").saveAsTable(tbl)
+    return spark.table(tbl)
+
+
+@register(
+    "catalog_views",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_custs
+    FROM customer GROUP BY c_mktsegment
+    """,
+    section=_SEC,
+)
+def catalog_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE OR REPLACE VIEW inside the namespace (MySQL views, 5.6
+    surface): the view's plan re-resolves against the catalog at query time.
+    Temp view + catalog table both participate."""
+    db = ensure_sampledb(spark, sf_dir)
+    name = f"customer_{_safe_tag(sf_dir)}"
+    tbl = f"{db}.{name}"
+    if not spark.catalog.tableExists(tbl):
+        _drop_table(spark, sf_dir, name)  # clear any orphaned location
+        (
+            table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .write.format("parquet")
+            .saveAsTable(tbl)
+        )
+    vname = f"{db}.v_seg_counts_{_safe_tag(sf_dir)}"
+    spark.sql(
+        f"CREATE OR REPLACE VIEW {vname} AS "
+        f"SELECT c_mktsegment, COUNT(*) AS n_custs FROM {tbl} GROUP BY c_mktsegment"
+    )
+    return spark.table(vname).select("c_mktsegment", F.col("n_custs"))

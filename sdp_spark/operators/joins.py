@@ -371,9 +371,14 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key → the join runs with ZERO exchange on either side (SortMergeJoin
     over pre-bucketed scans). This is the 100 TB answer to repeated
     fact⋈fact joins: pay the shuffle once at write time, never again.
-    External-path tables keep the warehouse out of the repo."""
+    The bucketed tables live in the persistent `sampledb` catalog namespace
+    (operators/catalog.py — the reference's named-database deployment unit),
+    not as ad-hoc default-db registrations."""
+    from sdp_spark.operators.catalog import ensure_sampledb
+
+    db = ensure_sampledb(spark, sf_dir)
     tag = cache_tag(sf_dir).replace(".", "_").replace("-", "_")
-    tc, to = f"sdp_bucketed_customer_{tag}", f"sdp_bucketed_orders_{tag}"
+    tc, to = f"{db}.bucketed_customer_{tag}", f"{db}.bucketed_orders_{tag}"
     if tag not in _BUCKETED_READY:
         base = cache_dir(sf_dir, "bucketed")
         for name, src, key in (
@@ -384,7 +389,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 src.write.bucketBy(8, key)
                 .sortBy(key)
-                .option("path", os.path.join(base, name))
+                .option("path", os.path.join(base, name.split(".", 1)[1]))
                 .mode("overwrite")
                 .saveAsTable(name)
             )

@@ -126,6 +126,49 @@ def _tmp_sink(name: str) -> str:
     return tempfile.mkdtemp(prefix=f"sdp_sink_{name}_")
 
 
+@register("sink_jdbc", oracle=None, section=_SEC)
+def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational sink over JDBC — the reference's actual platform role: the
+    deployed MySQL service IS the sink (mysql-persistent-template.json:20-25,
+    README.md:2,4 'surveillance data ... services').
+
+    With ``SDP_JDBC_URL`` set, writes `nation` to table ``sdp_sink_nation``
+    (overwrite + truncate keeps the target table's DDL/grants) and reads it
+    back over JDBC; in CI (no DB service) the same round-trip runs against
+    parquet so the operator path stays exercised. rows-only oracle: with a
+    live DB the read-back reflects the external store, not the fixtures.
+
+    Scale notes: ``numPartitions`` bounds concurrent connections (each task
+    opens one), ``batchsize`` sets rows per INSERT batch, and
+    ``isolationLevel=NONE`` avoids long write transactions; repartition(N)
+    upstream to match the DB's ingest headroom — 1000 executors hammering
+    one MySQL is a DDoS, not a sink.
+    """
+    src = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    url = os.environ.get("SDP_JDBC_URL")
+    if url:
+        (
+            src.coalesce(4)
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "sdp_sink_nation")
+            .option("truncate", "true")
+            .option("batchsize", "1000")
+            .option("isolationLevel", "NONE")
+            .mode("overwrite")
+            .save()
+        )
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "sdp_sink_nation")
+            .load()
+        )
+    out = _tmp_sink("jdbc_fallback")
+    src.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
 @register(
     "sink_append",
     oracle="""

@@ -51,6 +51,8 @@ _OPERATOR_MODULES = (
     "sdp_spark.operators.udfs",
     "sdp_spark.operators.llm",
     "sdp_spark.operators.multimodal",
+    "sdp_spark.operators.fulltext",
+    "sdp_spark.operators.catalog",
 )
 
 

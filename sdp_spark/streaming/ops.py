@@ -177,6 +177,55 @@ def sink_stream_foreachBatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("event_id", "user_id", "event_type")
 
 
+@register("sink_stream_jdbc", oracle=None, section=_SEC)
+def sink_stream_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream → relational DB via foreachBatch JDBC writes (the reference's
+    continuous-ingest-into-MySQL role). Env-gated like sink_jdbc: with
+    ``SDP_JDBC_URL`` each micro-batch appends to ``sdp_stream_events`` with
+    bounded connections/batch size; without it the identical foreachBatch
+    body targets parquet. Exactly-once discipline: the `_batch_id` column +
+    the target's primary key make redelivered batches detectable — Spark's
+    JDBC writer has no upsert, so production pairs this with an
+    INSERT-dedup constraint DB-side (MySQL PK or unique index).
+    rows-only oracle: a live DB read-back reflects the external store."""
+    url = os.environ.get("SDP_JDBC_URL")
+    out = tempfile.mkdtemp(prefix="sdp_stream_jdbc_")
+    sdf = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        staged = df.withColumn("_batch_id", F.lit(batch_id))
+        if url:
+            (
+                staged.coalesce(4)
+                .write.format("jdbc")
+                .option("url", url)
+                .option("dbtable", "sdp_stream_events")
+                .option("batchsize", "1000")
+                .option("isolationLevel", "NONE")
+                .mode("append")
+                .save()
+            )
+        else:
+            (
+                staged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(out)
+            )
+
+    q = sdf.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    if url:
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "sdp_stream_events")
+            .load()
+            .select("event_id", "user_id", "event_type")
+        )
+    return spark.read.parquet(out).select("event_id", "user_id", "event_type")
+
+
 @register(
     "stream_tumbling",
     oracle="""
@@ -280,6 +329,80 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete", "session")
+
+
+@register("stream_tumbling_wm", oracle=None, section=_SEC)
+def stream_tumbling_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape twin of stream_tumbling: 2h watermark + APPEND mode.
+    State for sealed windows is evicted and each window is emitted exactly
+    once — bounded state and bounded re-emission at 100 TB/day, unlike the
+    complete-mode demo twin (unbounded state, full re-emit per trigger).
+    rows-only: the emission set depends on the final watermark; pytest pins
+    emitted ⊆ batch and exact per-window values."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "append", "tumbling_wm")
+
+
+@register("stream_sliding_wm", oracle=None, section=_SEC)
+def stream_sliding_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape twin of stream_sliding: 1h/15min windows, 2h
+    watermark, APPEND mode (bounded state; each of the 4 overlapping windows
+    emits once when sealed)."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start_s"),
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "append", "sliding_wm")
+
+
+@register("stream_session_wm", oracle=None, section=_SEC)
+def stream_session_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape twin of stream_session: session windows with a 2h
+    watermark in APPEND mode — sessions emit once, when the watermark passes
+    session end + gap (the state bound that keeps per-user session state
+    finite)."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "append", "session_wm")
 
 
 @register("stream_watermark", oracle=None, section=_SEC)

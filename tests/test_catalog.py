@@ -1,0 +1,27 @@
+"""Catalog/DDL surface tests: sampledb namespace round-trip and the
+bucketed join reading from the catalog."""
+
+from __future__ import annotations
+
+from sdp_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_catalog_roundtrip(spark, sf_dir):
+    df = REGISTRY["catalog_ddl"].fn(spark, sf_dir)
+    assert df.count() == 25
+    assert "sampledb" in [d.name for d in spark.catalog.listDatabases()]
+
+
+def test_catalog_view_reresolves(spark, sf_dir):
+    df = REGISTRY["catalog_views"].fn(spark, sf_dir)
+    segs = {r["c_mktsegment"] for r in df.collect()}
+    assert len(segs) == 5
+
+
+def test_bucketed_join_reads_catalog_tables(spark, sf_dir):
+    REGISTRY["join_bucketed"].fn(spark, sf_dir).count()
+    tables = {t.name for t in spark.catalog.listTables("sampledb")}
+    assert any(t.startswith("bucketed_customer_") for t in tables)
+    assert any(t.startswith("bucketed_orders_") for t in tables)

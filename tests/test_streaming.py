@@ -58,3 +58,42 @@ def test_stream_session_gap_semantics(spark, sf_dir):
         starts = sorted(dt.datetime.fromisoformat(s) for s in starts)
         for a, b in zip(starts, starts[1:]):
             assert (b - a).total_seconds() > 1800
+
+
+def _batch_equiv(spark, sf_dir, streamed_rows, batch_df, keycols, valcols):
+    """Every emitted (append-mode) row must equal the batch row for its key;
+    emission must be nonempty (the watermark seals most fixture windows)."""
+    streamed = {tuple(r[k] for k in keycols): tuple(r[v] for v in valcols) for r in streamed_rows}
+    batch = {tuple(r[k] for k in keycols): tuple(r[v] for v in valcols) for r in batch_df.collect()}
+    assert streamed, "append-mode watermarked stream emitted nothing"
+    for k, v in streamed.items():
+        assert batch.get(k) == v, f"{k}: streamed {v} != batch {batch.get(k)}"
+    return len(streamed), len(batch)
+
+
+def test_tumbling_wm_equals_batch(spark, sf_dir):
+    rows = REGISTRY["stream_tumbling_wm"].fn(spark, sf_dir).collect()
+    n_s, n_b = _batch_equiv(
+        spark, sf_dir, rows,
+        REGISTRY["stream_tumbling"].fn(spark, sf_dir),
+        ["win_start", "event_type"], ["n", "sum_value"],
+    )
+    assert n_s >= n_b * 0.5  # only the unsealed tail may be withheld
+
+
+def test_sliding_wm_equals_batch(spark, sf_dir):
+    rows = REGISTRY["stream_sliding_wm"].fn(spark, sf_dir).collect()
+    _batch_equiv(
+        spark, sf_dir, rows,
+        REGISTRY["stream_sliding"].fn(spark, sf_dir),
+        ["win_start_s"], ["n", "sum_value"],
+    )
+
+
+def test_session_wm_equals_batch(spark, sf_dir):
+    rows = REGISTRY["stream_session_wm"].fn(spark, sf_dir).collect()
+    _batch_equiv(
+        spark, sf_dir, rows,
+        REGISTRY["stream_session"].fn(spark, sf_dir),
+        ["user_id", "session_start"], ["n_events", "sum_value"],
+    )
