@@ -500,9 +500,149 @@ def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
 
 
+_IVF_K = 8  # coarse cells; production: k-means centroids, here: seeded picks
+_IVF_NPROBE = 2  # cells probed per query
+
+
+@register(
+    "llm_sim_search_ivf",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cent_id, dvec AS cvec, norm AS cnorm FROM emb WHERE vec_id <= {_IVF_K}
+    ), scored_cells AS (
+      SELECT e.vec_id, c.cent_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_sum(list_transform(generate_series(1, 64),
+                         i -> e.dvec[i] * c.cvec[i])) / (e.norm * c.cnorm) DESC,
+                        c.cent_id
+             ) AS rn
+      FROM emb e CROSS JOIN cent c
+    ), assign AS (
+      SELECT vec_id, cent_id AS cell FROM scored_cells WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM scored_cells
+      WHERE vec_id <= 10 AND rn <= {_IVF_NPROBE}
+    ), cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON p.cell = a.cell
+      WHERE p.query_id <> a.vec_id
+    ), rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             FLOOR(list_sum(list_transform(generate_series(1, 64),
+                     i -> q.dvec[i] * n.dvec[i])) / (q.norm * n.norm)
+                   * 10000 + 0.5) / 10000 AS cos_sim
+      FROM cands c
+      JOIN emb q ON c.query_id = q.vec_id
+      JOIN emb n ON c.neighbor_id = n.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM rescored) t
+    WHERE rn <= 5
+    """,
+    section=_SEC,
+)
+def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: coarse-quantize every vector to its nearest of K
+    centroid cells, probe the query's nprobe nearest cells, exact-rescore
+    only vectors in probed cells. Deterministic seed centroids (first K
+    vec_ids) stand in for k-means — the Spark plumbing (broadcast centroids,
+    argmin assignment via window, cell-key equi-join, candidate-only
+    rescoring) is exactly the production IVF shape. At 100 TB: cell id is
+    the partition key; each query touches nprobe/K of the corpus. Unlike the
+    LSH variant this one is deterministic end-to-end → full SQL oracle
+    (fold order of the 64-dim dot product matches DuckDB's list_sum)."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "dvec", F.col("embedding").cast("array<double>")
+    )
+    emb = emb.withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    ).select("vec_id", "dvec", "norm")
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") <= _IVF_K).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("dvec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+    cdot = F.aggregate(F.zip_with("dvec", "cvec", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        (cdot / (F.col("norm") * F.col("cnorm"))).desc(), F.col("cent_id")
+    )
+    scored_cells = emb.crossJoin(cent).withColumn("rn", F.row_number().over(w_cell))
+    assign = scored_cells.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell"), "dvec", "norm"
+    )
+    probes = (
+        scored_cells.filter((F.col("vec_id") <= 10) & (F.col("rn") <= _IVF_NPROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("cell"),
+            F.col("dvec").alias("qv"),
+            F.col("norm").alias("qn"),
+        )
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qv",
+            "qn",
+            F.col("dvec").alias("cv"),
+            F.col("norm").alias("cn"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    rescored = cands.withColumn("cos_sim", dround(dot / (F.col("qn") * F.col("cn")), 4)).select(
+        "query_id", "neighbor_id", "cos_sim"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return rescored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs — the
+# classic GPT-2-style split without lookaheads (portable to RE2/Java regex).
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@register(
+    "llm_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS n_bpe_tokens,
+           FLOOR(CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS bpe_per_word
+    FROM documents
+    """,
+    section=_SEC,
+)
+def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace vs BPE-ish regex pre-tokenizer (letter /
+    digit / punctuation runs): the cost model for LLM training data ("how
+    many tokens is this corpus?"). Pure codegen regexp — no Python."""
+    d = _docs_tokens(spark, sf_dir)
+    n_bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)"))
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        dround(n_bpe.cast("double") / F.size("toks"), 4).alias("bpe_per_word"),
+    )
 
 
 @register(

@@ -162,3 +162,25 @@ def test_simhash_no_bit_explode(spark, sf_dir):
     df = REGISTRY["llm_dedup_simhash"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().toString()
     assert "sequence(0, 63" not in plan
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF returned sims must be exact (match brute force per pair) and the
+    probed-cell candidates must recover a fair share of the true top-5."""
+    brute = REGISTRY["llm_sim_search"].fn(spark, sf_dir).collect()
+    ivf = REGISTRY["llm_sim_search_ivf"].fn(spark, sf_dir).collect()
+    brute_sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute}
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_sims:
+            assert abs(brute_sims[key] - r["cos_sim"]) < 1e-9
+    brute_top: dict[int, set] = {}
+    for r in brute:
+        brute_top.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for q, top in brute_top.items():
+        got = {r["neighbor_id"] for r in ivf if r["query_id"] == q}
+        hits += len(got & top)
+        total += len(top)
+    assert total > 0
+    assert hits / total >= 0.2, f"IVF recall {hits/total:.2f} too low"
