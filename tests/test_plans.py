@@ -82,3 +82,36 @@ def test_no_python_udf_in_relational_paths(spark, sf_dir, key):
 def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
     plan = _plan(spark, REGISTRY["agg_groupby"].fn(spark, sf_dir), "codegen")
     assert "WholeStageCodegen" in plan
+
+
+def test_fulltext_bool_zero_exchange(spark, sf_dir):
+    """Boolean-mode fulltext is a row-level codegen predicate: no shuffle,
+    no inverted index, filter reaches the scan."""
+    plan = _plan(spark, REGISTRY["filter_fulltext_bool"].fn(spark, sf_dir), "simple")
+    assert "Exchange" not in plan
+    assert "array_contains" in plan
+    # `*`-prefixed operators + codegen ids == whole-stage codegen spans
+    assert "codegen id" in _plan(
+        spark, REGISTRY["filter_fulltext_bool"].fn(spark, sf_dir), "formatted"
+    )
+
+
+def test_fulltext_natural_single_doc_shuffle(spark, sf_dir):
+    """Natural-mode fulltext: exactly one single-key doc_id shuffle (the
+    final relevance agg); every other exchange carries only query-term
+    postings or rides broadcast (df/N sides)."""
+    import re
+
+    plan = _plan(spark, REGISTRY["filter_fulltext"].fn(spark, sf_dir), "simple")
+    # single-key doc_id exchange appears once ((doc_id, token) pre-agg is a
+    # different, matched-rows-only shuffle)
+    assert len(re.findall(r"hashpartitioning\(doc_id#\d+L?, \d", plan)) == 1
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_ivf_broadcast_and_topk_pushdown(spark, sf_dir):
+    """IVF: centroids and probes broadcast (candidates never shuffle for the
+    join); per-query top-5 uses the WindowGroupLimit pushdown."""
+    plan = _plan(spark, REGISTRY["llm_sim_search_ivf"].fn(spark, sf_dir), "simple")
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
