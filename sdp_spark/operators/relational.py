@@ -262,6 +262,41 @@ def filter_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_mktsegment")
 
 
+# utf8_general_ci folds case AND (for many mappings) accents: é=e, Ï=I.
+# Per-codepoint translate covers the Latin-1 block the reference's charset
+# actually folds; lower() handles case. (True ICU collation differs on
+# multi-char folds like ß→ss — documented divergence, SURVEY §7.1.)
+_ACCENTS_FROM = "ÀÁÂÃÄÅàáâãäåÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÕÖòóôõöÙÚÛÜùúûüÇçÑñÝýÿ"
+_ACCENTS_TO = "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOoooooUUUUuuuuCcNnYyy"
+
+
+@register(
+    "filter_collation_accent",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment,
+           lower(translate(c_name, '{_ACCENTS_FROM}', '{_ACCENTS_TO}')) AS folded_name
+    FROM customer
+    WHERE lower(translate(c_mktsegment, '{_ACCENTS_FROM}', '{_ACCENTS_TO}'))
+          = lower(translate('BUÏLDÏNG', '{_ACCENTS_FROM}', '{_ACCENTS_TO}'))
+    """,
+    section=_SEC,
+)
+def filter_collation_accent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent+case-insensitive comparison (utf8_general_ci semantics,
+    mysql-persistent-template.json:233-243): both sides normalized with
+    translate(accents→base) + lower(). 'BUÏLDÏNG' matches 'BUILDING' — the
+    fold happens on the literal too, so the predicate is still a constant
+    equality Catalyst pushes to the scan."""
+
+    def fold(col):
+        return F.lower(F.translate(col, _ACCENTS_FROM, _ACCENTS_TO))
+
+    c = table(spark, sf_dir, "customer")
+    return c.filter(fold(F.col("c_mktsegment")) == fold(F.lit("BUÏLDÏNG"))).select(
+        "c_custkey", "c_mktsegment", fold(F.col("c_name")).alias("folded_name")
+    )
+
+
 @register(
     "sort_nulls",
     oracle="""

@@ -253,6 +253,34 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER (ORDER BY ROUND(c_acctbal, 2) DESC, c_custkey) AS INTEGER) AS quartile,
+           CAST(NTILE(10) OVER (PARTITION BY c_nationkey
+                ORDER BY ROUND(c_acctbal, 2) DESC, c_custkey) AS INTEGER) AS decile_in_nation
+    FROM customer
+    """,
+    section=_SEC,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing (global quartiles + per-nation deciles). Scale note:
+    an unpartitioned ntile forces a single-partition sort — fine for dim
+    tables, wrong for facts (use percent_rank + floor there); the
+    partitioned form parallelizes per key."""
+    c = table(spark, sf_dir, "customer")
+    w_global = Window.orderBy(F.round("c_acctbal", 2).desc(), F.col("c_custkey"))
+    w_nation = Window.partitionBy("c_nationkey").orderBy(
+        F.round("c_acctbal", 2).desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w_global).alias("quartile"),
+        F.ntile(10).over(w_nation).alias("decile_in_nation"),
+    )
+
+
+@register(
     "win_nth_value",
     oracle="""
     SELECT o_custkey, o_orderkey,

@@ -94,7 +94,7 @@ _SWEEP_PRIORITY = (
     # §2.5 windows — cheap, 0 driver rows in r1
     "win_row_number", "win_rank", "win_lag_lead", "win_running",
     "win_sliding_rows", "win_range_frame", "win_topk_group", "win_first_last",
-    "win_cume_dist", "win_nth_value",
+    "win_cume_dist", "win_nth_value", "win_ntile",
     # §2.6 sort/limit
     "sort_multikey", "limit_offset", "topk",
     # §2.7 set ops
@@ -120,9 +120,9 @@ _SWEEP_PRIORITY = (
     "llm_sim_search_ivf", "llm_token_count_bpe", "llm_pipeline_e2e",
     # aggregates the r1 sweep did not reach
     "agg_grouping_sets", "agg_approx_percentile", "agg_corr",
-    # round-2 additions: fulltext, catalog, jdbc sinks
+    # round-2 additions: fulltext, catalog, jdbc sinks, accent collation
     "filter_fulltext", "filter_fulltext_bool", "catalog_ddl", "catalog_views",
-    "sink_jdbc", "sink_stream_jdbc",
+    "sink_jdbc", "sink_stream_jdbc", "filter_collation_accent",
     # §2.10 streaming + production twins — fixed ~1 s startup each
     "stream_ingest", "source_stream_files", "sink_stream_foreachBatch",
     "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark",
