@@ -51,8 +51,16 @@ def _pin_session_confs(spark: SparkSession) -> None:
     - session timeZone=UTC: DuckDB timestamps are naive; on a non-UTC host
       Spark's date_format/year/unix_timestamp and literal->timestamp casts
       would shift relative to the oracle.
+    - shuffle partitions: the driver's vanilla session ships Spark's default
+      200 — at sf<=0.1 that is ~170 empty tasks per exchange and slows the
+      budget-bounded correctness sweep. Only the untouched default is
+      replaced (an explicit operator/user choice is respected). Purely a
+      latency knob: results are partitioning-independent by construction
+      (DECIMAL sums, floor-form rounding).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
