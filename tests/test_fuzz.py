@@ -38,6 +38,12 @@ TEMPLATES = [
     "SELECT k, s, g FROM t WHERE g BETWEEN 1 AND 2",
     "SELECT CASE WHEN k > 0 THEN 'pos' WHEN k < 0 THEN 'neg' ELSE 'zero?' END AS b,"
     " COUNT(*) AS n FROM t GROUP BY 1",
+    # NOT IN over a subquery that may contain NULL: the classic 3VL trap —
+    # one NULL in the list empties the result on BOTH ANSI engines
+    "SELECT k FROM t WHERE k NOT IN (SELECT g FROM t)",
+    "SELECT k FROM t WHERE k NOT IN (SELECT g FROM t WHERE g IS NOT NULL)",
+    "SELECT g, CAST(COUNT(DISTINCT s) AS BIGINT) AS nds FROM t GROUP BY g",
+    "SELECT s, upper(s) AS u, CAST(length(s) AS BIGINT) AS ln FROM t",
 ]
 
 
@@ -106,6 +112,11 @@ JOIN_TEMPLATES = [
     " FROM t1 WHERE k IS NOT NULL",
     "SELECT k FROM t1 INTERSECT SELECT k FROM t2",
     "SELECT k FROM t1 EXCEPT SELECT k FROM t2",
+    "SELECT k FROM t1 UNION ALL SELECT k FROM t2",
+    "SELECT k, v, CAST(LAG(v) OVER (PARTITION BY k ORDER BY v, k) AS BIGINT) AS pv"
+    " FROM t1 WHERE k IS NOT NULL",
+    "SELECT a.k, CAST(COUNT(b.k) AS BIGINT) AS nb FROM t1 a"
+    " LEFT JOIN t2 b ON a.k = b.k GROUP BY a.k",
 ]
 
 
