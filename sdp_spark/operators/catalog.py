@@ -47,11 +47,18 @@ def _drop_table(spark: SparkSession, sf_dir: str, name: str) -> None:
     """DROP TABLE IF EXISTS + clear any orphaned managed location. With the
     in-memory catalog a NEW session forgets the table while its data dir
     survives on disk — saveAsTable would then die with
-    LOCATION_ALREADY_EXISTS. (A persistent metastore never orphans.)"""
+    LOCATION_ALREADY_EXISTS. (A persistent metastore never orphans.)
+
+    The orphan path derives from the DATABASE's actual location, not from
+    cache_dir(sf_dir): CREATE DATABASE IF NOT EXISTS ignores a new LOCATION,
+    so when several sf_dirs share one session the db stays pinned to the
+    first caller's warehouse and managed tables land THERE."""
     import shutil
+    from urllib.parse import urlparse
 
     spark.sql(f"DROP TABLE IF EXISTS {DB}.{name}")
-    loc = os.path.join(cache_dir(sf_dir, "sampledb_warehouse"), name)
+    db_loc = urlparse(spark.catalog.getDatabase(DB).locationUri).path
+    loc = os.path.join(db_loc, name)
     if os.path.exists(loc):
         shutil.rmtree(loc, ignore_errors=True)
 

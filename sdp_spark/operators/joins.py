@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 
 from sdp_spark.functions.num import dsum, sql_dsum
 from sdp_spark.plans.registry import register
-from sdp_spark.sources.fixtures import cache_dir, cache_tag, table
+from sdp_spark.sources.fixtures import cache_dir, table
 
 _SEC = "2.3 joins"
 
@@ -374,10 +374,10 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bucketed tables live in the persistent `sampledb` catalog namespace
     (operators/catalog.py — the reference's named-database deployment unit),
     not as ad-hoc default-db registrations."""
-    from sdp_spark.operators.catalog import ensure_sampledb
+    from sdp_spark.operators.catalog import _safe_tag, ensure_sampledb
 
     db = ensure_sampledb(spark, sf_dir)
-    tag = cache_tag(sf_dir).replace(".", "_").replace("-", "_")
+    tag = _safe_tag(sf_dir)
     tc, to = f"{db}.bucketed_customer_{tag}", f"{db}.bucketed_orders_{tag}"
     if tag not in _BUCKETED_READY:
         base = cache_dir(sf_dir, "bucketed")

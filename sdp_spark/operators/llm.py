@@ -512,7 +512,7 @@ _IVF_NPROBE = 2  # cells probed per query
              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
       FROM embeddings
     ), cent AS (
-      SELECT vec_id AS cent_id, dvec AS cvec, norm AS cnorm FROM emb WHERE vec_id <= {_IVF_K}
+      SELECT vec_id AS cent_id, dvec AS cvec, norm AS cnorm FROM emb WHERE vec_id < {_IVF_K}
     ), scored_cells AS (
       SELECT e.vec_id, c.cent_id,
              ROW_NUMBER() OVER (
@@ -564,8 +564,10 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm",
         F.sqrt(F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
     ).select("vec_id", "dvec", "norm")
+    # vec_id is 0-based: strict < picks exactly K centroids (0..K-1); the
+    # query set keeps vec_id <= 10 to match llm_sim_search's query universe
     cent = F.broadcast(
-        emb.filter(F.col("vec_id") <= _IVF_K).select(
+        emb.filter(F.col("vec_id") < _IVF_K).select(
             F.col("vec_id").alias("cent_id"),
             F.col("dvec").alias("cvec"),
             F.col("norm").alias("cnorm"),

@@ -149,14 +149,18 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        # mean/std over the NON-NULL values only (AVG/STDDEV_SAMP skip
+        # NULLs); a NULL input row yields a NULL z, not a poisoned group
         v = pdf["value"].to_numpy()
-        sd = v.std(ddof=1) if len(v) >= 2 else float("nan")
+        valid = v[~np.isnan(v)]
+        sd = valid.std(ddof=1) if len(valid) >= 2 else float("nan")
         if not np.isfinite(sd) or sd == 0.0:
             # nullable Float64 so pd.NA crosses Arrow as NULL, not NaN
             z_out = pd.array([None] * len(v), dtype="Float64")
         else:
-            z = (v - v.mean()) / sd
-            z_out = pd.array(np.floor(z * 10000 + 0.5) / 10000, dtype="Float64")
+            z = np.floor((v - valid.mean()) / sd * 10000 + 0.5) / 10000
+            z_out = pd.array(z, dtype="Float64")
+            z_out[np.isnan(z)] = pd.NA
         return pd.DataFrame(
             {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "value_z": z_out}
         )

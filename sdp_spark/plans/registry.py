@@ -87,9 +87,10 @@ def register(key: str, oracle: str | None = None, section: str = ""):
 # FIRST; within them, the first ~50 slots are ALL SURVEY §2 keys (cheap
 # SQL-oracled families, then the §2.11/§2.12 headline blocks) so a 50-key
 # cap certifies maximal §2 coverage; extras/streaming (≈1 s query startup
-# each) follow; the 50 r1-green keys trail. Keys absent from this list keep
-# registration order at the end — EXCEPT truly unknown (newer) keys, which
-# sort first (unverified by definition).
+# each) follow; the 50 r1-green keys trail. Any key ABSENT from this list
+# sorts FIRST (before everything listed): a new key is unverified by
+# definition, so its default placement is maximum sweep priority. There is
+# no way to park an unlisted key at the end — to deprioritize, list it.
 _SWEEP_PRIORITY = (
     # §2.5 windows — cheap, 0 driver rows in r1
     "win_row_number", "win_rank", "win_lag_lead", "win_running",

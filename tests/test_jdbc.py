@@ -18,7 +18,8 @@ needs_jdbc = pytest.mark.skipif(
 )
 
 
-def test_sink_jdbc_fallback_roundtrip(spark, sf_dir):
+def test_sink_jdbc_fallback_roundtrip(spark, sf_dir, monkeypatch):
+    monkeypatch.delenv("SDP_JDBC_URL", raising=False)  # force the fallback branch
     df = REGISTRY["sink_jdbc"].fn(spark, sf_dir)
     rows = {r["n_nationkey"]: r["n_name"] for r in df.collect()}
     assert len(rows) == 25
@@ -29,7 +30,8 @@ def test_sink_jdbc_fallback_roundtrip(spark, sf_dir):
     assert rows == src
 
 
-def test_sink_stream_jdbc_fallback_roundtrip(spark, sf_dir):
+def test_sink_stream_jdbc_fallback_roundtrip(spark, sf_dir, monkeypatch):
+    monkeypatch.delenv("SDP_JDBC_URL", raising=False)  # force the fallback branch
     df = REGISTRY["sink_stream_jdbc"].fn(spark, sf_dir)
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert df.count() == n_events
