@@ -381,3 +381,28 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_pop("o_totalprice", "o_custkey"), 2).alias("cov_pop"),
         F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("cov_samp"),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, value
+    FROM (SELECT p_partkey,
+                 CAST(p_retailprice AS DOUBLE) AS retailprice,
+                 CAST(p_size AS DOUBLE)        AS size
+          FROM part)
+    UNPIVOT (value FOR metric IN (retailprice, size))
+    """,
+    section=_SEC,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — wide→long reshaping (the inverse of agg_pivot; the
+    feature-table→(entity, metric, value) triple shape ML pipelines feed
+    from). Codegen Expand node: rows×metrics emitted in one pass, no
+    shuffle, no Python."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return p.unpivot("p_partkey", ["retailprice", "size"], "metric", "value")

@@ -262,6 +262,54 @@ def filter_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_mktsegment")
 
 
+# Knuth multiplicative hash on the primary key: portable exact integer
+# arithmetic (same result on any engine), spreads sequential keys uniformly.
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+@register(
+    "sample_systematic",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN (o_orderkey * {_KNUTH}) % {_MOD} < {_MOD} * 0.8 THEN 'train'
+                WHEN (o_orderkey * {_KNUTH}) % {_MOD} < {_MOD} * 0.9 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM orders
+    WHERE (o_orderkey * {_KNUTH}) % {_MOD} < {_MOD} * 0.1
+       OR (o_orderkey * {_KNUTH}) % {_MOD} >= {_MOD} * 0.8
+    """,
+    section=_SEC,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling + train/valid/test split labels — the
+    training-data primitive rand()-based sampling can't give you: the same
+    row lands in the same split on every run, every engine, any
+    partitioning (a reproducibility requirement at 100 TB, where re-runs
+    and backfills must not migrate rows between splits). Knuth
+    multiplicative hash in exact bigint arithmetic; the filter keeps a 10%
+    sample plus the 20% eval tail. Pure codegen — one Filter evaluated
+    directly over the scan, zero exchanges.
+
+    Scale caveat: key*KNUTH stays in int64 for keys < ~3.5e9; for wider id
+    spaces use pmod(xxhash64(key), 2^32) — equally deterministic across
+    runs/partitionings, just not expressible in the DuckDB oracle."""
+    o = table(spark, sf_dir, "orders")
+    bucket = (F.col("o_orderkey") * F.lit(_KNUTH)) % F.lit(_MOD)
+    return (
+        o.filter((bucket < _MOD * 0.1) | (bucket >= _MOD * 0.8))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.when(bucket < _MOD * 0.8, "train")
+            .when(bucket < _MOD * 0.9, "valid")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
 # utf8_general_ci folds case AND (for many mappings) accents: é=e, Ï=I.
 # Per-codepoint translate covers the Latin-1 block the reference's charset
 # actually folds; lower() handles case. (True ICU collation differs on
