@@ -877,3 +877,59 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
         dround(F.sum(toks).cast("double") / F.count(F.lit(1)), 2).alias("avg_tokens"),
     )
+
+
+@register(
+    "llm_pipeline_train_corpus",
+    oracle=f"""
+    WITH filtered AS (
+      SELECT doc_id, text, lang
+      FROM documents
+      WHERE lang IN ('en', 'es') AND n_chars BETWEEN 100 AND 500
+    ), keepers AS (
+      SELECT doc_id, text, lang
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text)))
+                      ORDER BY doc_id) AS rn
+            FROM filtered) t
+      WHERE rn = 1
+    ), labeled AS (
+      SELECT doc_id, lang,
+             CASE WHEN (doc_id * 2654435761) % 4294967296 < 4294967296 * 0.9 THEN 'train'
+                  ELSE 'heldout' END AS split,
+             len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe
+      FROM keepers
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS token_budget
+    FROM labeled
+    GROUP BY lang, split
+    """,
+    section=_SEC,
+)
+def llm_pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full training-corpus build as ONE declarative plan: language+length
+    filter → exact dedup keeping the LOWEST doc_id (row_number over the
+    normalized-text hash, not MIN-of-everything — keeps row integrity) →
+    deterministic hash split → per-(lang, split) BPE token budget. The
+    composability flagship: filter fuses into the scan, dedup is one
+    hash-shuffle on the 32-byte text hash, the split label is pure codegen
+    arithmetic (same Knuth hash as sample_systematic), and the final
+    accounting shuffles only (lang, split) group states."""
+    d = table(spark, sf_dir, "documents")
+    filtered = d.filter(
+        F.col("lang").isin("en", "es") & F.col("n_chars").between(100, 500)
+    ).select("doc_id", "text", "lang")
+    w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy("doc_id")
+    keepers = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    labeled = keepers.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 4294967296 * 0.9, "train").otherwise("heldout").alias("split"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")).alias("n_bpe"),
+    )
+    return labeled.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_bpe").cast("bigint")).alias("token_budget"),
+    )

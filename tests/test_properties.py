@@ -128,3 +128,48 @@ def test_sort_nulls_order_is_real(spark, sf_dir):
     rest = [r for r in rows[len(null_block):]]
     assert all(r["st"] is not None for r in rest)
     assert [r["st"] for r in rest] == sorted(r["st"] for r in rest)
+
+
+def test_sample_splits_are_stable_and_disjoint(spark, sf_dir):
+    """Same row -> same split on every run; labels partition the sample."""
+    a = {r["o_orderkey"]: r["split"] for r in REGISTRY["sample_systematic"].fn(spark, sf_dir).collect()}
+    b = {r["o_orderkey"]: r["split"] for r in REGISTRY["sample_systematic"].fn(spark, sf_dir).collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "valid", "test"}
+    n = table(spark, sf_dir, "orders").count()
+    # ~30% kept (10% train sample + 20% eval tail)
+    assert 0.15 * n < len(a) < 0.45 * n
+
+
+def test_fulltext_matches_contain_query_terms(spark, sf_dir):
+    """Natural mode: every returned doc contains >= 1 query term with
+    positive relevance; boolean mode: +term present, -term absent."""
+    from sdp_spark.operators.fulltext import _FT_TERMS
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    nat = REGISTRY["filter_fulltext"].fn(spark, sf_dir).collect()
+    assert nat
+    for r in nat:
+        assert r["relevance"] > 0
+        assert any(t in docs[r["doc_id"]].split(" ") for t in _FT_TERMS)
+    boolean = REGISTRY["filter_fulltext_bool"].fn(spark, sf_dir).collect()
+    assert boolean
+    for r in boolean[:50]:
+        toks = docs[r["doc_id"]].split(" ")
+        assert "stream" in toks and "window" not in toks
+
+
+def test_train_corpus_counts_reconcile(spark, sf_dir):
+    """Pipeline accounting must reconcile with its own stages: total docs ==
+    deduped keepers of the filtered set; budgets positive."""
+    rows = REGISTRY["llm_pipeline_train_corpus"].fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_docs"] for r in rows)
+    d = table(spark, sf_dir, "documents")
+    filtered = d.filter(F.col("lang").isin("en", "es") & F.col("n_chars").between(100, 500))
+    keepers = filtered.groupBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).count().count()
+    assert total == keepers
+    assert all(r["token_budget"] > 0 for r in rows)
