@@ -97,3 +97,71 @@ def test_session_wm_equals_batch(spark, sf_dir):
         REGISTRY["stream_session"].fn(spark, sf_dir),
         ["user_id", "session_start"], ["n_events", "sum_value"],
     )
+
+
+def test_multi_batch_watermark_progression(spark, sf_dir, tmp_path):
+    """Real watermark semantics only show up across micro-batch boundaries
+    (single-batch availableNow never advances the watermark mid-run). Force
+    3 time-ordered batches with maxFilesPerTrigger=1: windows sealed by the
+    advancing watermark emit mid-stream in append mode, and every emitted
+    row must equal the batch result exactly.
+
+    The files MUST be time-range splits written oldest-first (the file
+    source processes by mtime): a round-robin split makes most of batches
+    2..n LATE relative to the watermark batch 1 advanced, and the sealed
+    windows then (correctly!) carry partial counts."""
+    import time as _time
+
+    events = table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    landing = str(tmp_path / "landing")
+    t0, t1 = events.agg(F.min("ts"), F.max("ts")).first()
+    cut1 = t0 + (t1 - t0) / 3
+    cut2 = t0 + 2 * (t1 - t0) / 3
+    ranges = [
+        F.col("ts") < F.lit(cut1),
+        (F.col("ts") >= F.lit(cut1)) & (F.col("ts") < F.lit(cut2)),
+        F.col("ts") >= F.lit(cut2),
+    ]
+    for pred in ranges:
+        events.filter(pred).coalesce(1).write.mode("append").parquet(landing)
+        _time.sleep(1.1)  # distinct mtimes -> oldest-first processing order
+
+    sdf = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    agg = (
+        sdf.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mb_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    streamed = {r["win_start"]: r["n"] for r in spark.table("mb_wm").collect()}
+
+    batch = {
+        r["win_start"]: r["n"]
+        for r in events.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+        )
+        .collect()
+    }
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+    assert streamed, "no windows sealed across batches"
+    for k, v in streamed.items():
+        assert batch.get(k) == v, f"window {k}: streamed {v} != batch {batch.get(k)}"
