@@ -262,6 +262,38 @@ def filter_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_mktsegment")
 
 
+@register(
+    "project_cast_lenient",
+    oracle="""
+    SELECT c_custkey,
+           TRY_CAST(c_name AS BIGINT) IS NULL                    AS name_not_numeric,
+           TRY_CAST(string_split(c_name, '#')[2] AS BIGINT)      AS id_num,
+           COALESCE(CAST(TRY_CAST('2024-02-30' AS DATE) AS VARCHAR), 'invalid') AS feb30,
+           COALESCE(CAST(TRY_CAST('2024-02-29' AS DATE) AS VARCHAR), 'invalid') AS feb29
+    FROM customer
+    """,
+    section=_SEC,
+)
+def project_cast_lenient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lenient casts (TRY_CAST): malformed input becomes NULL instead of a
+    runtime error — the closest ANSI-mode analogue of MySQL's permissive
+    CAST-with-warning (MySQL coerces 'abc'→0; divergence documented here:
+    this engine yields NULL, the safer contract under ANSI). Includes an
+    impossible calendar date ('2024-02-30') folding to NULL at plan time."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("try_cast(c_name AS BIGINT)").isNull().alias("name_not_numeric"),
+        F.expr("try_cast(split(c_name, '#')[1] AS BIGINT)").alias("id_num"),
+        F.coalesce(
+            F.expr("try_cast('2024-02-30' AS DATE)").cast("string"), F.lit("invalid")
+        ).alias("feb30"),
+        F.coalesce(
+            F.expr("try_cast('2024-02-29' AS DATE)").cast("string"), F.lit("invalid")
+        ).alias("feb29"),
+    )
+
+
 # Knuth multiplicative hash on the primary key: portable exact integer
 # arithmetic (same result on any engine), spreads sequential keys uniformly.
 _KNUTH = 2654435761
