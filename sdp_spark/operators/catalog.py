@@ -93,6 +93,12 @@ def catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DROP + recreate (TRUNCATE-equivalent DDL cycle), then read via catalog
     _drop_table(spark, sf_dir, name)
     src.write.format("parquet").saveAsTable(tbl)
+
+    # ANALYZE TABLE (MySQL's statistics maintenance) — feeds Spark CBO the
+    # rowCount/column stats that drive join reordering at scale
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+    detail = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+    assert any("Statistics" in (r.col_name or "") for r in detail), "stats missing"
     return spark.table(tbl)
 
 
@@ -125,3 +131,50 @@ def catalog_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT c_mktsegment, COUNT(*) AS n_custs FROM {tbl} GROUP BY c_mktsegment"
     )
     return spark.table(vname).select("c_mktsegment", F.col("n_custs"))
+
+
+_STATS_COLS = ("o_custkey", "o_totalprice", "o_orderstatus")
+
+
+@register(
+    "catalog_analyze_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col, COUNT(*) AS n_rows, COUNT(o_custkey) AS n_non_null,
+           COUNT(DISTINCT o_custkey) AS ndv,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_s, CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    """,
+    section=_SEC,
+)
+def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics profile (the queryable face of ANALYZE TABLE /
+    information_schema.statistics): per-column row count, non-null count,
+    NDV, min/max — the inputs a cost-based optimizer consumes and the first
+    data-quality report any pipeline runs. One pass per column family over
+    the table; exact NDV here (the sketch twin is agg_approx_distinct).
+    min/max stringified so heterogeneous column types share one schema."""
+    o = table(spark, sf_dir, "orders")
+    parts = []
+    for col in _STATS_COLS:
+        parts.append(
+            o.agg(
+                F.lit(col).alias("col"),
+                F.count("*").alias("n_rows"),
+                F.count(col).alias("n_non_null"),
+                F.countDistinct(col).alias("ndv"),
+                F.min(col).cast("string").alias("min_s"),
+                F.max(col).cast("string").alias("max_s"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
