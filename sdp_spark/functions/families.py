@@ -456,3 +456,24 @@ def fn_mysql_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("elt(CAST(o_orderkey % 3 + 1 AS INT), 'low', 'mid', 'high')").alias("tier"),
         F.hex(F.col("o_orderkey") % 4096).alias("key_hex"),
     )
+
+
+@register(
+    "fn_fuzzy",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(levenshtein(c_name, 'Customer#000000010') AS INTEGER) AS edit_dist
+    FROM customer
+    WHERE levenshtein(c_name, 'Customer#000000010') <= 2
+    """,
+    section=_SEC,
+)
+def fn_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching via edit distance (levenshtein): the
+    typo-tolerant lookup MySQL users emulate with SOUNDEX/LIKE chains, and
+    a building block for record-linkage dedup. JVM codegen; at scale pair
+    generation must still come from blocking (LSH/shingles) — edit distance
+    is the VERIFY stage, never the candidate generator."""
+    c = table(spark, sf_dir, "customer")
+    dist = F.levenshtein(F.col("c_name"), F.lit("Customer#000000010"))
+    return c.filter(dist <= 2).select("c_custkey", "c_name", dist.alias("edit_dist"))

@@ -125,7 +125,7 @@ _SWEEP_PRIORITY = (
     "filter_fulltext", "filter_fulltext_bool", "catalog_ddl", "catalog_views",
     "sink_jdbc", "sink_stream_jdbc", "filter_collation_accent",
     "sample_systematic", "agg_unpivot", "llm_pipeline_train_corpus",
-    "project_cast_lenient", "catalog_analyze_stats",
+    "project_cast_lenient", "catalog_analyze_stats", "fn_fuzzy",
     # §2.10 streaming + production twins — fixed ~1 s startup each
     "stream_ingest", "source_stream_files", "sink_stream_foreachBatch",
     "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark",
