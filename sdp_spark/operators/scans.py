@@ -361,3 +361,31 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "nation").write.mode("overwrite").orc(out)
         _CONVERTED[key] = out
     return spark.read.orc(_CONVERTED[key]).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS BIGINT), o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    section=_SEC,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two writer generations land files with
+    DIFFERENT column sets in one dataset dir; mergeSchema=true unions the
+    schemas and fills missing columns with NULL. The 100 TB reality — a
+    table written over years never has one schema; evolving readers beat
+    rewriting petabytes. (Spark merges parquet footers at planning time;
+    pin spark.sql.parquet.mergeSchema or pass the option per read.)"""
+    out = _tmp_sink("schema_evo")
+    o = table(spark, sf_dir, "orders")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey")
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey", "o_totalprice")
+    gen1.write.mode("append").parquet(out)
+    gen2.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.select("o_orderkey", "o_custkey", "o_totalprice")
