@@ -29,13 +29,21 @@ _SEC = "1.3 catalog/ddl"
 DB = "sampledb"
 
 
+_DB_READY: set[str] = set()
+
+
 def ensure_sampledb(spark: SparkSession, sf_dir: str) -> str:
     """CREATE DATABASE IF NOT EXISTS sampledb at a stable /tmp location.
     Idempotent; every operator that persists catalog tables goes through
-    this (the analogue of connecting to the deployed MYSQL_DATABASE)."""
-    loc = cache_dir(sf_dir, "sampledb_warehouse")
-    os.makedirs(loc, exist_ok=True)
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB} LOCATION '{loc}'")
+    this (the analogue of connecting to the deployed MYSQL_DATABASE).
+    Memoized per SparkContext — repeat operator calls (bench reps) skip the
+    DDL round-trip."""
+    app = spark.sparkContext.applicationId
+    if app not in _DB_READY:
+        loc = cache_dir(sf_dir, "sampledb_warehouse")
+        os.makedirs(loc, exist_ok=True)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB} LOCATION '{loc}'")
+        _DB_READY.add(app)
     return DB
 
 
