@@ -186,3 +186,34 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@register("catalog_show_describe", oracle=None, section=_SEC)
+def catalog_show_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Introspection statements (MySQL SHOW TABLES / DESCRIBE / EXPLAIN
+    surface): SHOW TABLES over the namespace, DESCRIBE of a catalog table,
+    and EXPLAIN of a query against it, unioned as (stmt, line) rows.
+    rows-only oracle — plan text and table listings are engine-specific by
+    nature; pytest pins the structural invariants."""
+    db = ensure_sampledb(spark, sf_dir)
+    name = f"nation_{_safe_tag(sf_dir)}"
+    tbl = f"{db}.{name}"
+    if not spark.catalog.tableExists(tbl):
+        _drop_table(spark, sf_dir, name)
+        (
+            table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .write.format("parquet")
+            .saveAsTable(tbl)
+        )
+    show = spark.sql(f"SHOW TABLES IN {db}").select(
+        F.lit("show_tables").alias("stmt"), F.col("tableName").alias("line")
+    )
+    desc = spark.sql(f"DESCRIBE TABLE {tbl}").select(
+        F.lit("describe").alias("stmt"),
+        F.concat_ws(" ", "col_name", "data_type").alias("line"),
+    )
+    expl = spark.sql(
+        f"EXPLAIN SELECT n_regionkey, COUNT(*) FROM {tbl} GROUP BY n_regionkey"
+    ).select(F.lit("explain").alias("stmt"), F.col("plan").alias("line"))
+    return show.unionAll(desc).unionAll(expl)

@@ -25,3 +25,14 @@ def test_bucketed_join_reads_catalog_tables(spark, sf_dir):
     tables = {t.name for t in spark.catalog.listTables("sampledb")}
     assert any(t.startswith("bucketed_customer_") for t in tables)
     assert any(t.startswith("bucketed_orders_") for t in tables)
+
+
+def test_show_describe_explain_surface(spark, sf_dir):
+    rows = REGISTRY["catalog_show_describe"].fn(spark, sf_dir).collect()
+    by_stmt: dict[str, list[str]] = {}
+    for r in rows:
+        by_stmt.setdefault(r["stmt"], []).append(r["line"])
+    assert any(t.startswith("nation_") for t in by_stmt["show_tables"])
+    assert any(line.startswith("n_nationkey") for line in by_stmt["describe"])
+    assert any("HashAggregate" in line or "AdaptiveSparkPlan" in line
+               for line in by_stmt["explain"])
