@@ -29,6 +29,13 @@ from pyspark.sql import functions as F
 
 DEC = "decimal(30,8)"
 
+# Knuth multiplicative hash constants — shared by every operator that does
+# deterministic sampling / split assignment (sample_systematic,
+# llm_pipeline_train_corpus). Exact bigint arithmetic, portable to any
+# engine; keys must stay < ~3.5e9 (else pmod(xxhash64) — see docstrings).
+KNUTH = 2654435761
+KNUTH_MOD = 4294967296  # 2^32
+
 
 def dround(col: Column | str, n: int = 2) -> Column:
     """Deterministic double rounding: floor(x*10^n + 0.5)/10^n."""

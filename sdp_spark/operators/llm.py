@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sdp_spark.functions.num import DEC, dround
+from sdp_spark.functions.num import DEC, KNUTH, KNUTH_MOD, dround
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table
 
@@ -894,7 +894,7 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE rn = 1
     ), labeled AS (
       SELECT doc_id, lang,
-             CASE WHEN (doc_id * 2654435761) % 4294967296 < 4294967296 * 0.9 THEN 'train'
+             CASE WHEN (doc_id * {KNUTH}) % {KNUTH_MOD} < {KNUTH_MOD} * 0.9 THEN 'train'
                   ELSE 'heldout' END AS split,
              len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe
       FROM keepers
@@ -922,11 +922,11 @@ def llm_pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text", "lang")
     w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy("doc_id")
     keepers = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    bucket = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(KNUTH_MOD)
     labeled = keepers.select(
         "doc_id",
         "lang",
-        F.when(bucket < 4294967296 * 0.9, "train").otherwise("heldout").alias("split"),
+        F.when(bucket < KNUTH_MOD * 0.9, "train").otherwise("heldout").alias("split"),
         F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")).alias("n_bpe"),
     )
     return labeled.groupBy("lang", "split").agg(

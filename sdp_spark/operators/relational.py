@@ -296,8 +296,8 @@ def project_cast_lenient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Knuth multiplicative hash on the primary key: portable exact integer
 # arithmetic (same result on any engine), spreads sequential keys uniformly.
-_KNUTH = 2654435761
-_MOD = 4294967296  # 2^32
+from sdp_spark.functions.num import KNUTH as _KNUTH  # noqa: E402
+from sdp_spark.functions.num import KNUTH_MOD as _MOD  # noqa: E402
 
 
 @register(

