@@ -440,3 +440,32 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_lines"), dsum("l_extendedprice").alias("sum_price"))
     )
+
+
+@register(
+    "join_hinted",
+    oracle=f"""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders, {sql_dsum('o.o_totalprice')} AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    section=_SEC,
+)
+def join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hints: force SHUFFLE_HASH on a join Catalyst would
+    otherwise plan as broadcast or sort-merge. The manual override for when
+    statistics mislead the planner at scale (e.g. a post-filter side whose
+    estimated size is stale): hash-join avoids the sort, at the cost of
+    building a hash map per partition — the right call when one side is
+    moderately small per partition but too big to broadcast. Result is
+    hint-independent (same oracle as the unhinted join); the plan property
+    is asserted in tests/test_plans.py."""
+    c = table(spark, sf_dir, "customer").hint("shuffle_hash").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )

@@ -115,3 +115,10 @@ def test_ivf_broadcast_and_topk_pushdown(spark, sf_dir):
     plan = _plan(spark, REGISTRY["llm_sim_search_ivf"].fn(spark, sf_dir), "simple")
     assert "BroadcastExchange" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_join_hint_forces_shuffled_hash(spark, sf_dir):
+    """The SHUFFLE_HASH hint must override Catalyst's default choice."""
+    plan = _plan(spark, REGISTRY["join_hinted"].fn(spark, sf_dir), "simple")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
