@@ -123,3 +123,30 @@ def mm_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(decode_batches, _DECODE_SCHEMA)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(u.i AS INTEGER) AS frame_idx
+    FROM (SELECT doc_id, 1 + octet_length(encode(text)) % 4 AS n_frames
+          FROM documents) t,
+         UNNEST(generate_series(0, n_frames - 1)) AS u(i)
+    """,
+    section=_SEC,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like payloads: expand each doc into one row
+    per sampled frame index, derived from the payload's frame count (same
+    1 + len % 4 rule as the stub decoder — a real build reads the container
+    header instead). Pure codegen explode — the binary itself never moves;
+    downstream per-frame decode then receives (doc_id, frame_idx) work
+    units, the shape that parallelizes frame extraction across executors.
+    At scale: sample with a stride (sequence(0, n-1, k)) instead of all
+    frames — same plan, k× less Python decode work."""
+    d = table(spark, sf_dir, "documents")
+    n_frames = 1 + F.length(F.encode("text", "UTF-8")) % 4
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    )

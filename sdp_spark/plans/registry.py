@@ -127,6 +127,7 @@ _SWEEP_PRIORITY = (
     "sample_systematic", "agg_unpivot", "llm_pipeline_train_corpus",
     "project_cast_lenient", "catalog_analyze_stats", "fn_fuzzy",
     "scan_schema_evolution", "catalog_show_describe", "join_hinted",
+    "mm_frame_sample",
     # §2.10 streaming + production twins — fixed ~1 s startup each
     "stream_ingest", "source_stream_files", "sink_stream_foreachBatch",
     "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark",
