@@ -477,3 +477,41 @@ def fn_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     dist = F.levenshtein(F.col("c_name"), F.lit("Customer#000000010"))
     return c.filter(dist <= 2).select("c_custkey", "c_name", dist.alias("edit_dist"))
+
+
+@register(
+    "fn_time_year",
+    oracle="""
+    SELECT event_id,
+           CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) * 3600
+              + EXTRACT(MINUTE FROM CAST(ts AS TIMESTAMP)) * 60
+              + EXTRACT(SECOND FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS tod_sec,
+           CAST((EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) * 3600
+               + EXTRACT(MINUTE FROM CAST(ts AS TIMESTAMP)) * 60
+               + EXTRACT(SECOND FROM CAST(ts AS TIMESTAMP)) + 5400) % 86400 AS BIGINT)
+             AS tod_plus90m,
+           strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS tod_s,
+           CAST(EXTRACT(YEAR FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS yr,
+           CAST(make_date(CAST(EXTRACT(YEAR FROM CAST(ts AS TIMESTAMP)) AS INTEGER), 1, 1)
+                AS VARCHAR) AS year_start
+    FROM events
+    """,
+    section=_SEC,
+)
+def fn_time_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL TIME / YEAR type mapping (SURVEY §1.2): TIME → seconds since
+    midnight as LongType (arithmetic stays integer: +90min wraps mod 86400,
+    exactly MySQL's TIME addition on a day-clock), the canonical 'HH:MM:SS'
+    TIME rendering, and YEAR → IntegerType with a YEAR(ts) → DATE round-trip
+    (make_date(yr,1,1)). All codegen expressions — no UDFs."""
+    e = table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    tod = (F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)).cast("bigint")
+    return e.select(
+        "event_id",
+        tod.alias("tod_sec"),
+        ((tod + 5400) % 86400).alias("tod_plus90m"),
+        F.date_format(ts, "HH:mm:ss").alias("tod_s"),
+        F.year(ts).alias("yr"),
+        F.make_date(F.year(ts), F.lit(1), F.lit(1)).cast("string").alias("year_start"),
+    )

@@ -92,12 +92,16 @@ def catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     _drop_table(spark, sf_dir, name)
     src.write.format("parquet").saveAsTable(tbl)
 
-    # introspection round-trip — these are genuine invariants, not test-only
-    # asserts: a catalog that cannot see its own DDL is broken
-    assert db in [d.name for d in spark.catalog.listDatabases()], "db missing"
-    assert any(t.name == name for t in spark.catalog.listTables(db)), "table missing"
+    # introspection round-trip — genuine runtime invariants (a catalog that
+    # cannot see its own DDL is broken), raised as exceptions so they also
+    # hold under `python -O` (bare assert would vanish)
+    if db not in [d.name for d in spark.catalog.listDatabases()]:
+        raise RuntimeError(f"catalog_ddl: database {db!r} missing after CREATE")
+    if not any(t.name == name for t in spark.catalog.listTables(db)):
+        raise RuntimeError(f"catalog_ddl: table {name!r} missing after saveAsTable")
     cols = [c.name for c in spark.catalog.listColumns(tbl)]
-    assert cols == ["n_nationkey", "n_name", "n_regionkey"], cols
+    if cols != ["n_nationkey", "n_name", "n_regionkey"]:
+        raise RuntimeError(f"catalog_ddl: unexpected column set {cols}")
 
     # DROP + recreate (TRUNCATE-equivalent DDL cycle), then read via catalog
     _drop_table(spark, sf_dir, name)
@@ -111,7 +115,8 @@ def catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _ANALYZED:
         spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
         detail = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
-        assert any("Statistics" in (r.col_name or "") for r in detail), "stats missing"
+        if not any("Statistics" in (r.col_name or "") for r in detail):
+            raise RuntimeError(f"catalog_ddl: ANALYZE left no statistics on {tbl}")
         _ANALYZED.add(key)
     return spark.table(tbl)
 
@@ -159,7 +164,8 @@ _STATS_COLS = ("o_custkey", "o_totalprice", "o_orderstatus")
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
-           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
@@ -174,18 +180,28 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     NDV, min/max — the inputs a cost-based optimizer consumes and the first
     data-quality report any pipeline runs. One pass per column family over
     the table; exact NDV here (the sketch twin is agg_approx_distinct).
-    min/max stringified so heterogeneous column types share one schema."""
+    min/max stringified so heterogeneous column types share one schema;
+    floating columns route through DECIMAL(18,2) first — engines disagree on
+    double→string rendering (Spark flips to scientific notation at 1e7,
+    DuckDB doesn't), DECIMAL renders plain digits in both at any scale."""
     o = table(spark, sf_dir, "orders")
+    dtypes = dict(o.dtypes)
     parts = []
     for col in _STATS_COLS:
+        if dtypes[col] in ("double", "float"):
+            min_s = F.min(col).cast("decimal(18,2)").cast("string")
+            max_s = F.max(col).cast("decimal(18,2)").cast("string")
+        else:
+            min_s = F.min(col).cast("string")
+            max_s = F.max(col).cast("string")
         parts.append(
             o.agg(
                 F.lit(col).alias("col"),
                 F.count("*").alias("n_rows"),
                 F.count(col).alias("n_non_null"),
                 F.countDistinct(col).alias("ndv"),
-                F.min(col).cast("string").alias("min_s"),
-                F.max(col).cast("string").alias("max_s"),
+                min_s.alias("min_s"),
+                max_s.alias("max_s"),
             )
         )
     out = parts[0]

@@ -353,7 +353,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKETED_READY: set[str] = set()
+_BUCKETED_READY: set[tuple[str, str]] = set()
 
 
 @register(
@@ -379,7 +379,11 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = ensure_sampledb(spark, sf_dir)
     tag = _safe_tag(sf_dir)
     tc, to = f"{db}.bucketed_customer_{tag}", f"{db}.bucketed_orders_{tag}"
-    if tag not in _BUCKETED_READY:
+    # memo key includes applicationId: the tables live in the session's
+    # in-memory catalog, so a SECOND SparkSession in this process (fresh
+    # catalog) must re-run saveAsTable or spark.table(tc) would fail
+    ready_key = (spark.sparkContext.applicationId, tag)
+    if ready_key not in _BUCKETED_READY:
         base = cache_dir(sf_dir, "bucketed")
         for name, src, key in (
             (tc, table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"), "c_custkey"),
@@ -393,7 +397,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .mode("overwrite")
                 .saveAsTable(name)
             )
-        _BUCKETED_READY.add(tag)
+        _BUCKETED_READY.add(ready_key)
     c = spark.table(tc)
     o = spark.table(to)
     return (

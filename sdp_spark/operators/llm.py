@@ -207,9 +207,10 @@ def _capped_postings(sh: DataFrame, cap: int) -> DataFrame:
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
-@register(
-    "llm_dedup_ngram_jaccard",
-    oracle=f"""
+# The deterministic candidate-pair query, shared verbatim by the
+# llm_dedup_ngram_jaccard oracle and (as a CTE) by the keeper-resolution /
+# near-deduped-corpus oracles downstream.
+_NGRAM_PAIRS_SQL = f"""
     WITH sh AS (
       SELECT DISTINCT doc_id, s.shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -234,7 +235,12 @@ def _capped_postings(sh: DataFrame, cap: int) -> DataFrame:
     JOIN sizes sa ON i.doc_a = sa.doc_id
     JOIN sizes sb ON i.doc_b = sb.doc_id
     WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.3
-    """,
+    """
+
+
+@register(
+    "llm_dedup_ngram_jaccard",
+    oracle=_NGRAM_PAIRS_SQL,
     section=_SEC,
 )
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,6 +267,107 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
         .filter(jac >= 0.3)
         .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
+    )
+
+
+# DuckDB twin of the connected-components resolution: symmetrize the pair
+# list into edges, take the transitive closure with a recursive CTE, then
+# keeper = min(doc in component).
+_NEAR_RESOLVE_SQL = f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    resolved AS (
+      SELECT node AS doc_id, LEAST(node, MIN(r)) AS keeper_doc
+      FROM reach GROUP BY node
+    )
+    SELECT doc_id, keeper_doc,
+           COUNT(*) OVER (PARTITION BY keeper_doc) AS cluster_size,
+           doc_id = keeper_doc AS is_keeper
+    FROM resolved
+    """
+
+_MAX_CC_ITERS = 25
+
+
+@register("llm_dedup_near_resolve", oracle=_NEAR_RESOLVE_SQL, section=_SEC)
+def llm_dedup_near_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup KEEPER RESOLUTION: candidate pairs (deterministic n-gram
+    Jaccard, llm_dedup_ngram_jaccard) → connected components → one keeper
+    (min doc_id) per duplicate cluster. This is the stage every production
+    dedup pipeline needs after pair generation — a pair list alone leaves
+    the transitive closure to the user (doc A~B, B~C must drop 2 docs, not
+    un-pair them).
+
+    Distributed algorithm: iterative min-label propagation over the
+    symmetrized edge list — per iteration ONE shuffle keyed on node id
+    (join edges⋈labels + min-aggregate), converging in O(component
+    diameter) rounds; dup clusters are short-diameter in practice (near-dup
+    similarity is near-transitive). Each round localCheckpoints (truncates
+    lineage — iterative plans otherwise grow exponentially) and the
+    convergence check is a metadata-only count; row data never reaches the
+    driver. At 1000-executor scale the same loop runs with the edge list
+    hash-partitioned; for adversarial long-chain graphs swap the iteration
+    body for large-star/small-star (O(log n) rounds) — the surrounding
+    contract (pairs in, doc_id→keeper_doc out) is unchanged."""
+    pairs = llm_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionAll(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(_MAX_CC_ITERS):
+        nbr = (
+            edges.join(labels, F.col("dst") == F.col("node"))
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        merged = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(nbr, "node", "left")
+            .select(
+                "node",
+                "old_label",
+                F.least(
+                    F.col("old_label"),
+                    F.coalesce(F.col("nbr_label"), F.col("old_label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = merged.filter(F.col("label") != F.col("old_label")).count()
+        labels = merged.select("node", "label")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"near-dup label propagation did not converge in {_MAX_CC_ITERS} rounds"
+        )
+    w = Window.partitionBy("keeper_doc")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("keeper_doc")
+    ).select(
+        "doc_id",
+        "keeper_doc",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("keeper_doc")).alias("is_keeper"),
     )
 
 
@@ -446,12 +553,15 @@ _LSH_PLANES = 4  # per-table sign bits -> 16 buckets per table
 @register("llm_sim_search_lsh", oracle=None, section=_SEC)
 def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: multi-table random-hyperplane LSH (4 tables × 4
-    sign-bits). A pair is a candidate if any table agrees — OR-amplification
-    keeps recall high (P(match | cos=0.8) ≈ 0.87) while each probe scans
-    ~N/16 of the corpus per table instead of all N. At 100 TB the
-    (table, bucket) key is the shuffle/partition key and the brute-force
-    rescoring touches only candidates. rows-only oracle; tests assert
-    returned sims are exact and measure recall vs llm_sim_search."""
+    sign-bits) with query-side MULTI-PROBE (Lv et al., VLDB'07): each query
+    probes its exact bucket plus every 1-bit-flip bucket, so a near
+    neighbor is found if at most one plane disagrees in any table —
+    P(candidate | cos=0.5) ≈ 0.97 vs ≈ 0.59 exact-probe, with ZERO extra
+    corpus rows (the probe fan-out is on the tiny broadcast query side
+    only; the corpus keeps one row per table). At 100 TB the (table,
+    bucket) key is the shuffle/partition key and the brute-force rescoring
+    touches only candidates. rows-only oracle; tests assert returned sims
+    are exact and pin recall ≥ 0.8 vs llm_sim_search at sf0.01."""
     planes = _hyperplanes(_LSH_TABLES * _LSH_PLANES)
     emb = table(spark, sf_dir, "embeddings").withColumn(
         "dvec", F.col("embedding").cast("array<double>")
@@ -474,13 +584,18 @@ def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "dvec", "norm", F.explode(F.array(*buckets)).alias("tb")
     ).select("vec_id", "dvec", "norm", "tb.tbl", "tb.bkt")
 
+    probes = F.array(
+        F.col("bkt"),
+        *[F.col("bkt").bitwiseXOR(F.lit(2**i)) for i in range(_LSH_PLANES)],
+    )
     q = F.broadcast(
-        hashed.filter(F.col("vec_id") <= 10).select(
+        hashed.filter(F.col("vec_id") <= 10)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("dvec").alias("qv"),
             F.col("norm").alias("qn"),
             "tbl",
-            "bkt",
+            F.explode(probes).alias("bkt"),
         )
     )
     c = hashed.select(
@@ -915,11 +1030,65 @@ def llm_pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     composability flagship: filter fuses into the scan, dedup is one
     hash-shuffle on the 32-byte text hash, the split label is pure codegen
     arithmetic (same Knuth hash as sample_systematic), and the final
-    accounting shuffles only (lang, split) group states."""
+    accounting shuffles only (lang, split) group states. The near-dup
+    resolution stage is OFF here (pure single-plan path); the _nd twin
+    turns it on."""
+    return _train_corpus_plan(spark, sf_dir, near_dedup=False)
+
+
+@register(
+    "llm_pipeline_train_corpus_nd",
+    oracle=f"""
+    WITH near_dups AS (
+      SELECT doc_id FROM ({_NEAR_RESOLVE_SQL}) r WHERE NOT is_keeper
+    ), filtered AS (
+      SELECT doc_id, text, lang
+      FROM documents
+      WHERE lang IN ('en', 'es') AND n_chars BETWEEN 100 AND 500
+        AND doc_id NOT IN (SELECT doc_id FROM near_dups)
+    ), keepers AS (
+      SELECT doc_id, text, lang
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text)))
+                      ORDER BY doc_id) AS rn
+            FROM filtered) t
+      WHERE rn = 1
+    ), labeled AS (
+      SELECT doc_id, lang,
+             CASE WHEN (doc_id * {KNUTH}) % {KNUTH_MOD} < {KNUTH_MOD} * 0.9 THEN 'train'
+                  ELSE 'heldout' END AS split,
+             len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe
+      FROM keepers
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS token_budget
+    FROM labeled
+    GROUP BY lang, split
+    """,
+    section=_SEC,
+)
+def llm_pipeline_train_corpus_nd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-corpus build with the near-dup resolution stage ON: corpus-wide
+    keeper resolution (llm_dedup_near_resolve) feeds an anti-join that drops
+    every non-keeper near-duplicate BEFORE the exact-dedup/split/accounting
+    plan. The anti-join side is the (small) non-keeper id set — broadcast in
+    practice — so the extra stage costs one map-side filter on the corpus,
+    plus the bounded label-propagation rounds over the pair graph."""
+    return _train_corpus_plan(spark, sf_dir, near_dedup=True)
+
+
+def _train_corpus_plan(spark: SparkSession, sf_dir: str, near_dedup: bool) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     filtered = d.filter(
         F.col("lang").isin("en", "es") & F.col("n_chars").between(100, 500)
     ).select("doc_id", "text", "lang")
+    if near_dedup:
+        non_keepers = (
+            llm_dedup_near_resolve(spark, sf_dir)
+            .filter(~F.col("is_keeper"))
+            .select("doc_id")
+        )
+        filtered = filtered.join(F.broadcast(non_keepers), "doc_id", "left_anti")
     w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy("doc_id")
     keepers = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     bucket = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(KNUTH_MOD)

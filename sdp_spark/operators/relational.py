@@ -396,3 +396,47 @@ def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", st.alias("st")).orderBy(
         F.col("st").asc_nulls_first(), F.col("o_orderkey").desc()
     )
+
+
+_EVENT_ENUM = ("click", "view", "purchase", "signup")
+
+
+@register(
+    "project_enum_check",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN event_type IN ('click', 'view', 'purchase', 'signup')
+                THEN event_type ELSE '' END AS enum_val,
+           CAST(CASE WHEN list_position(['click', 'view', 'purchase', 'signup'], event_type) IS NULL
+                     THEN 0
+                     ELSE list_position(['click', 'view', 'purchase', 'signup'], event_type)
+                END AS INTEGER) AS enum_idx,
+           event_type IN ('click', 'view', 'purchase', 'signup') AS is_valid
+    FROM events
+    """,
+    section=_SEC,
+)
+def project_enum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENUM column semantics (SURVEY §1.2: ENUM → StringType + domain
+    check). MySQL 5.6 default (non-strict) mode, the engine the reference
+    pins (mysql-persistent-template.json:68), COERCES an invalid ENUM insert
+    to the empty string with index 0; valid members keep their 1-based
+    declaration index (what MySQL stores internally). The events fixture's
+    'error' type is outside the declared ENUM('click','view','purchase',
+    'signup') domain, so both branches are exercised. The membership check
+    is a codegen IN-list — a strict-mode engine raises on `is_valid = false`
+    instead; both behaviors derive from the same projection."""
+    e = table(spark, sf_dir, "events")
+    et = F.col("event_type")
+    valid = et.isin(*_EVENT_ENUM)
+    idx = F.coalesce(
+        F.array_position(F.array(*[F.lit(v) for v in _EVENT_ENUM]), et).cast("int"),
+        F.lit(0),
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.when(valid, et).otherwise(F.lit("")).alias("enum_val"),
+        idx.alias("enum_idx"),
+        valid.alias("is_valid"),
+    )

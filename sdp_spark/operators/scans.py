@@ -100,46 +100,109 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scan_jdbc", oracle=None, section=_SEC)
-def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL service endpoint scan (reference exposes MySQL over TCP 3306,
-    mysql-persistent-template.json:20-25).
+def jdbc_conn(sf_dir: str) -> tuple[str, dict[str, str], bool]:
+    """JDBC endpoint for the reference's SQL-over-TCP role
+    (mysql-persistent-template.json:20-25): ``SDP_JDBC_URL`` when a real DB
+    service is deployed, else an EMBEDDED Derby database (Spark ships
+    derby*.jar for its Hive metastore, so the driver is always on the
+    classpath) — the real ``.format("jdbc")`` code path executes in every
+    environment; nothing falls back to parquet.
 
-    Reads via JDBC when ``SDP_JDBC_URL`` is set (e.g.
-    ``jdbc:mysql://host:3306/sampledb``); in CI (no DB service) falls back to
-    the parquet copy so the operator path stays exercised. At scale, use
-    ``partitionColumn``/``numPartitions`` for parallel range reads.
+    Returns (url, extra reader/writer options, is_embedded). The Derby path
+    is keyed by pid: embedded Derby allows ONE booting JVM per database
+    directory, so concurrent processes (pytest + driver sweep) must never
+    share one. At scale the url points at the managed DB and
+    partitionColumn/numPartitions do parallel range reads.
     """
     url = os.environ.get("SDP_JDBC_URL")
     if url:
-        return (
-            spark.read.format("jdbc")
-            .option("url", url)
-            .option("dbtable", "nation")
-            .option("partitionColumn", "n_nationkey")
-            .option("lowerBound", "0")
-            .option("upperBound", "25")
-            .option("numPartitions", "4")
-            .load()
+        return url, {}, False
+    base = cache_dir(sf_dir, f"derby_{os.getpid()}")
+    os.makedirs(base, exist_ok=True)
+    return (
+        f"jdbc:derby:{base}/db;create=true",
+        {"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+        True,
+    )
+
+
+# Derby DBs start empty: seed source tables once per (process, url, table).
+_JDBC_SEEDED: set[tuple[str, str]] = set()
+
+
+def _seed_jdbc_table(
+    spark: SparkSession, sf_dir: str, url: str, extra: dict[str, str], name: str,
+    column_types: str,
+) -> None:
+    if (url, name) in _JDBC_SEEDED:
+        return
+    w = (
+        table(spark, sf_dir, name)
+        .coalesce(1)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", name)
+        .option("createTableColumnTypes", column_types)
+        .option("batchsize", "1000")
+        .mode("overwrite")
+    )
+    for k, v in extra.items():
+        w = w.option(k, v)
+    w.save()
+    _JDBC_SEEDED.add((url, name))
+
+
+@register(
+    "scan_jdbc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    section=_SEC,
+)
+def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL service endpoint scan (reference exposes MySQL over TCP 3306,
+    mysql-persistent-template.json:20-25): parallel range read over JDBC —
+    ``partitionColumn``/``numPartitions`` split the table into concurrent
+    per-task queries (the only way a JDBC scan parallelizes; a single
+    connection would serialize 100 TB behind one socket). Embedded Derby
+    stands in for the DB service when ``SDP_JDBC_URL`` is unset; the
+    embedded DB is seeded from the fixture once per process, so the oracle
+    (same table from parquet) pins the full round-trip."""
+    url, extra, embedded = jdbc_conn(sf_dir)
+    if embedded:
+        _seed_jdbc_table(
+            spark, sf_dir, url, extra, "nation",
+            "n_nationkey INTEGER, n_name VARCHAR(64), n_regionkey INTEGER",
         )
-    return table(spark, sf_dir, "nation")
+    r = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation")
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "25")
+        .option("numPartitions", "4")
+    )
+    for k, v in extra.items():
+        r = r.option(k, v)
+    return r.load().select("n_nationkey", "n_name", "n_regionkey")
 
 
 def _tmp_sink(name: str) -> str:
     return tempfile.mkdtemp(prefix=f"sdp_sink_{name}_")
 
 
-@register("sink_jdbc", oracle=None, section=_SEC)
+@register(
+    "sink_jdbc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    section=_SEC,
+)
 def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational sink over JDBC — the reference's actual platform role: the
     deployed MySQL service IS the sink (mysql-persistent-template.json:20-25,
-    README.md:2,4 'surveillance data ... services').
-
-    With ``SDP_JDBC_URL`` set, writes `nation` to table ``sdp_sink_nation``
-    (overwrite + truncate keeps the target table's DDL/grants) and reads it
-    back over JDBC; in CI (no DB service) the same round-trip runs against
-    parquet so the operator path stays exercised. rows-only oracle: with a
-    live DB the read-back reflects the external store, not the fixtures.
+    README.md:2,4 'surveillance data ... services'). Writes `nation` to
+    table ``sdp_sink_nation`` (overwrite + truncate keeps the target table's
+    DDL/grants once it exists) and reads it back over the same connection;
+    embedded Derby stands in when no DB service is configured, so the real
+    write/read branches execute everywhere and the oracle pins the values.
 
     Scale notes: ``numPartitions`` bounds concurrent connections (each task
     opens one), ``batchsize`` sets rows per INSERT batch, and
@@ -148,28 +211,30 @@ def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     one MySQL is a DDoS, not a sink.
     """
     src = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    url = os.environ.get("SDP_JDBC_URL")
-    if url:
-        (
-            src.coalesce(4)
-            .write.format("jdbc")
-            .option("url", url)
-            .option("dbtable", "sdp_sink_nation")
-            .option("truncate", "true")
-            .option("batchsize", "1000")
-            .option("isolationLevel", "NONE")
-            .mode("overwrite")
-            .save()
-        )
-        return (
-            spark.read.format("jdbc")
-            .option("url", url)
-            .option("dbtable", "sdp_sink_nation")
-            .load()
-        )
-    out = _tmp_sink("jdbc_fallback")
-    src.write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
+    url, extra, _ = jdbc_conn(sf_dir)
+    w = (
+        src.coalesce(4)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "sdp_sink_nation")
+        .option("createTableColumnTypes",
+                "n_nationkey INTEGER, n_name VARCHAR(64), n_regionkey INTEGER")
+        .option("truncate", "true")
+        .option("batchsize", "1000")
+        .option("isolationLevel", "NONE")
+        .mode("overwrite")
+    )
+    for k, v in extra.items():
+        w = w.option(k, v)
+    w.save()
+    r = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "sdp_sink_nation")
+    )
+    for k, v in extra.items():
+        r = r.option(k, v)
+    return r.load().select("n_nationkey", "n_name", "n_regionkey")
 
 
 @register(
@@ -384,17 +449,23 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     table written over years never has one schema; evolving readers beat
     rewriting petabytes. (Spark merges parquet footers at planning time;
     pin spark.sql.parquet.mergeSchema or pass the option per read.)
-    The mixed-generation dataset is built once per sf_dir (the measured
-    subject is the merge-on-read path, not the writes)."""
+    The mixed-generation dataset is built once per sf_dir into the shared
+    cache_dir layout (stable across sessions — no per-session /tmp litter);
+    overwrite-then-append keeps the build idempotent if a prior run died
+    mid-write."""
     if sf_dir not in _SCHEMA_EVO_CACHE:
-        out = _tmp_sink("schema_evo")
-        o = table(spark, sf_dir, "orders")
-        o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey").write.mode(
-            "append"
-        ).parquet(out)
-        o.filter(F.col("o_orderkey") % 2 == 1).select(
-            "o_orderkey", "o_totalprice"
-        ).write.mode("append").parquet(out)
+        out = cache_dir(sf_dir, "orders_schema_evo")
+        done = os.path.join(out, "_GENERATIONS_DONE")
+        if not os.path.exists(done):
+            o = table(spark, sf_dir, "orders")
+            o.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", "o_custkey"
+            ).write.mode("overwrite").parquet(out)
+            o.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey", "o_totalprice"
+            ).write.mode("append").parquet(out)
+            with open(done, "w") as fh:
+                fh.write("ok")
         _SCHEMA_EVO_CACHE[sf_dir] = out
     back = spark.read.option("mergeSchema", "true").parquet(_SCHEMA_EVO_CACHE[sf_dir])
     return back.select("o_orderkey", "o_custkey", "o_totalprice")

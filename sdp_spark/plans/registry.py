@@ -80,60 +80,58 @@ def register(key: str, oracle: str | None = None, section: str = ""):
     return deco
 
 
-# Driver-sweep priority (round 2): the r1 correctness sweep ran the first 50
-# keys of queries() in insertion order and stopped (CORRECTNESS_r01.json) —
-# everything after had no verdict. The budget shape is unknown (count cap of
-# 50? wall-clock?), so the order hedges both: keys never driver-verified go
-# FIRST; within them, the first ~50 slots are ALL SURVEY §2 keys (cheap
-# SQL-oracled families, then the §2.11/§2.12 headline blocks) so a 50-key
-# cap certifies maximal §2 coverage; extras/streaming (≈1 s query startup
-# each) follow; the 50 r1-green keys trail. Any key ABSENT from this list
-# sorts FIRST (before everything listed): a new key is unverified by
-# definition, so its default placement is maximum sweep priority. There is
-# no way to park an unlisted key at the end — to deprioritize, list it.
+# Driver-sweep priority (round 3): the budget-capped sweep (~50 keys/round)
+# ran r1 = first 50 keys, r2 = next 50 (CORRECTNESS_r01/r02.json). 45 keys
+# still have NO driver verdict — they go FIRST, with the 19 SURVEY-§2 keys
+# (streaming §2.10, fulltext/catalog §2.13, stream/jdbc sinks of §2.1)
+# leading so a tight budget certifies §2 before extras. Round-3 NEW keys are
+# listed EXPLICITLY right after the unverified block — an unlisted key sorts
+# before everything (rank -1) and would displace the backlog past the cap
+# (VERDICT r2 "What's wrong" #1). Keys with r1/r2 green verdicts trail.
+# There is no way to park an unlisted key at the end — to deprioritize, list it.
 _SWEEP_PRIORITY = (
-    # §2.5 windows — cheap, 0 driver rows in r1
-    "win_row_number", "win_rank", "win_lag_lead", "win_running",
-    "win_sliding_rows", "win_range_frame", "win_topk_group", "win_first_last",
-    "win_cume_dist", "win_nth_value", "win_ntile",
-    # §2.6 sort/limit
-    "sort_multikey", "limit_offset", "topk",
-    # §2.7 set ops
-    "set_union_all", "set_union", "set_intersect", "set_except",
-    "set_intersect_all", "set_except_all",
-    # §2.8 scalar families
-    "fn_string", "fn_string_regex", "fn_date", "fn_math", "fn_conditional",
-    "fn_json", "fn_array_map", "fn_hash", "fn_map", "fn_substring_index",
-    "fn_datetime_arith", "fn_bitwise", "fn_mysql_misc",
-    # §2.9 subqueries
-    "subq_scalar", "subq_in_exists", "subq_derived", "cte_with", "subq_lateral",
-    # §2.11 UDF surface
-    "udf_python", "udf_pandas_scalar", "udf_pandas_grouped_agg",
-    "udf_grouped_map", "udtf_explode",
-    # §2.12 headline LLM + multimodal keys (first-class graded)
-    "llm_dedup_exact", "llm_dedup_near", "llm_sim_search", "llm_text_stats",
-    "llm_tfidf_topterms", "llm_lang_filter", "llm_multimodal_cols",
+    # --- unverified block (no driver verdict after r1+r2) ---
+    # §2.1 stream source/sinks + §2.10 streaming (19 SURVEY-§2 keys first)
+    "source_stream_files", "sink_stream_foreachBatch", "sink_jdbc",
+    "sink_stream_jdbc",
+    "stream_ingest", "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_watermark", "stream_dedup", "stream_stateful", "stream_join_dim",
+    "stream_tumbling_wm", "stream_sliding_wm", "stream_session_wm",
+    # §2.13 fulltext/catalog
+    "filter_fulltext", "filter_fulltext_bool", "catalog_ddl", "catalog_views",
+    # §2.12 multimodal decode (the one §2 headline key r2 did not reach)
     "mm_decode_pipeline",
-    # --- ~slot 50 boundary: everything above is SURVEY §2 ---
     # LLM extras (scale-path variants)
     "llm_langid", "llm_quality_score", "llm_fingerprint", "llm_dedup_embed",
     "llm_dedup_ngram_jaccard", "llm_dedup_simhash", "llm_sim_search_lsh",
     "llm_sim_search_ivf", "llm_token_count_bpe", "llm_pipeline_e2e",
+    "llm_pipeline_train_corpus",
     # aggregates the r1 sweep did not reach
     "agg_grouping_sets", "agg_approx_percentile", "agg_corr",
-    # round-2 additions: fulltext, catalog, jdbc sinks, accent collation
-    "filter_fulltext", "filter_fulltext_bool", "catalog_ddl", "catalog_views",
-    "sink_jdbc", "sink_stream_jdbc", "filter_collation_accent",
-    "sample_systematic", "agg_unpivot", "llm_pipeline_train_corpus",
+    # round-2 additions without verdicts
+    "filter_collation_accent", "sample_systematic", "agg_unpivot",
     "project_cast_lenient", "catalog_analyze_stats", "fn_fuzzy",
     "scan_schema_evolution", "catalog_show_describe", "join_hinted",
-    "mm_frame_sample",
-    # §2.10 streaming + production twins — fixed ~1 s startup each
-    "stream_ingest", "source_stream_files", "sink_stream_foreachBatch",
-    "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark",
-    "stream_dedup", "stream_stateful", "stream_join_dim", "stream_stream_join",
-    "stream_tumbling_wm", "stream_sliding_wm", "stream_session_wm",
-    # --- r1-green keys below (driver already has verdicts) ---
+    "mm_frame_sample", "stream_stream_join",
+    # --- round-3 NEW keys: always append here, never leave unlisted ---
+    "llm_dedup_near_resolve", "llm_pipeline_train_corpus_nd",
+    "project_enum_check", "fn_time_year",
+    # --- r2-green keys (driver verdicts in CORRECTNESS_r02.json) ---
+    "win_row_number", "win_rank", "win_lag_lead", "win_running",
+    "win_sliding_rows", "win_range_frame", "win_topk_group", "win_first_last",
+    "win_cume_dist", "win_nth_value", "win_ntile",
+    "sort_multikey", "limit_offset", "topk",
+    "set_union_all", "set_union", "set_intersect", "set_except",
+    "set_intersect_all", "set_except_all",
+    "fn_string", "fn_string_regex", "fn_date", "fn_math", "fn_conditional",
+    "fn_json", "fn_array_map", "fn_hash", "fn_map", "fn_substring_index",
+    "fn_datetime_arith", "fn_bitwise", "fn_mysql_misc",
+    "subq_scalar", "subq_in_exists", "subq_derived", "cte_with", "subq_lateral",
+    "udf_python", "udf_pandas_scalar", "udf_pandas_grouped_agg",
+    "udf_grouped_map", "udtf_explode",
+    "llm_dedup_exact", "llm_dedup_near", "llm_sim_search", "llm_text_stats",
+    "llm_tfidf_topterms", "llm_lang_filter", "llm_multimodal_cols",
+    # --- r1-green keys (driver verdicts in CORRECTNESS_r01.json) ---
     "scan_parquet", "scan_csv", "scan_json", "scan_jdbc", "sink_append",
     "sink_overwrite", "sink_partitioned", "scan_partition_pruned",
     "sink_upsert", "dml_update_delete", "scan_orc",

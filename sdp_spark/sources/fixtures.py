@@ -53,10 +53,12 @@ def _pin_session_confs(spark: SparkSession) -> None:
       would shift relative to the oracle.
     - shuffle partitions: the driver's vanilla session ships Spark's default
       200 — at sf<=0.1 that is ~170 empty tasks per exchange and slows the
-      budget-bounded correctness sweep. Only the untouched default is
-      replaced (an explicit operator/user choice is respected). Purely a
-      latency knob: results are partitioning-independent by construction
-      (DECIMAL sums, floor-form rounding).
+      budget-bounded correctness sweep. Detection is by VALUE: a session
+      where someone explicitly chose "200" is indistinguishable from the
+      untouched default and gets replaced too — accepted edge case, since
+      results are partitioning-independent by construction (DECIMAL sums,
+      floor-form rounding) and 200→32 is purely a small-sf latency knob.
+      Any other explicit choice is respected.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":

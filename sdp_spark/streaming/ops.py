@@ -48,23 +48,55 @@ def _next_name(prefix: str) -> str:
 
 _LANDING: dict[str, str] = {}
 
+_N_LANDING_FILES = 4
 
-def _events_landing_dir(sf_dir: str) -> str:
+
+def _events_landing_dir(spark: SparkSession, sf_dir: str) -> str:
     """File-stream sources need a *directory* to watch; stage the events
     parquet into a per-sf landing dir once (the 'continuously arriving
-    files' shape the platform ingests)."""
+    files' shape the platform ingests) as _N_LANDING_FILES CHRONOLOGICAL
+    slices with increasing mtimes. Chronological file order means the
+    file-source's multi-batch availableNow run replays history in event-time
+    order: watermarks only move forward and no event is ever late, so the
+    incremental result stays equal to the batch query (the property the SQL
+    oracles pin). Built into a temp dir + atomic rename: a concurrent
+    process never streams a half-built landing dir."""
     if sf_dir not in _LANDING:
-        out = cache_dir(sf_dir, "events_landing")
-        os.makedirs(out, exist_ok=True)
-        dst = os.path.join(out, "events.parquet")
-        if not os.path.exists(dst):
-            # copy via temp + atomic rename so a concurrent process never
-            # observes (or streams) a half-written file
-            # dot-prefixed so Spark's file-stream lister never picks up the
-            # in-flight copy (only '.'/'_' prefixes are ignored)
-            tmp = os.path.join(out, f".events.parquet.tmp.{os.getpid()}")
-            shutil.copyfile(f"{sf_dir}/events.parquet", tmp)
-            os.replace(tmp, dst)
+        out = cache_dir(sf_dir, "events_landing4")
+        if not os.path.isdir(out):
+            tmp = f"{out}.tmp.{os.getpid()}"
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            src = spark.read.parquet(f"{sf_dir}/events.parquet")
+            from pyspark.sql import Window
+
+            sliced = src.withColumn(
+                "_slice",
+                F.ntile(_N_LANDING_FILES).over(
+                    Window.orderBy("ts", "event_id")
+                ),
+            )
+            base = 1_600_000_000  # fixed epoch: mtime order == slice order
+            for i in range(1, _N_LANDING_FILES + 1):
+                stage = os.path.join(tmp, f"_stage_{i}")
+                (
+                    sliced.filter(F.col("_slice") == i)
+                    .drop("_slice")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(stage)
+                )
+                part = next(
+                    p for p in os.listdir(stage)
+                    if p.endswith(".parquet") and not p.startswith((".", "_"))
+                )
+                dst = os.path.join(tmp, f"events_{i:03d}.parquet")
+                os.replace(os.path.join(stage, part), dst)
+                shutil.rmtree(stage, ignore_errors=True)
+                os.utime(dst, (base + i, base + i))
+            try:
+                os.rename(tmp, out)
+            except OSError:  # lost the build race: another process landed it
+                shutil.rmtree(tmp, ignore_errors=True)
         _LANDING[sf_dir] = out
     return _LANDING[sf_dir]
 
@@ -72,7 +104,11 @@ def _events_landing_dir(sf_dir: str) -> str:
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (explicit schema — no
     inference job), ts read as nano-long (see sources.fixtures.table) and
-    normalized to a microsecond TimestampType."""
+    normalized to a microsecond TimestampType. maxFilesPerTrigger=2 over the
+    4-file landing dir makes every availableNow run a genuine MULTI-batch
+    incremental execution (2 micro-batches) — state handoff, watermark
+    progression and sink idempotence are exercised on the operators
+    themselves, not only in dedicated tests."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = T.StructType(
         [
@@ -84,7 +120,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
-    sdf = spark.readStream.schema(schema).parquet(_events_landing_dir(sf_dir))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(_events_landing_dir(spark, sf_dir))
+    )
     return sdf.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
 
 
@@ -177,53 +217,68 @@ def sink_stream_foreachBatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("event_id", "user_id", "event_type")
 
 
-@register("sink_stream_jdbc", oracle=None, section=_SEC)
+@register(
+    "sink_stream_jdbc",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    section=_SEC,
+)
 def sink_stream_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream → relational DB via foreachBatch JDBC writes (the reference's
-    continuous-ingest-into-MySQL role). Env-gated like sink_jdbc: with
-    ``SDP_JDBC_URL`` each micro-batch appends to ``sdp_stream_events`` with
-    bounded connections/batch size; without it the identical foreachBatch
-    body targets parquet. Exactly-once discipline: the `_batch_id` column +
-    the target's primary key make redelivered batches detectable — Spark's
-    JDBC writer has no upsert, so production pairs this with an
-    INSERT-dedup constraint DB-side (MySQL PK or unique index).
-    rows-only oracle: a live DB read-back reflects the external store."""
-    url = os.environ.get("SDP_JDBC_URL")
-    out = tempfile.mkdtemp(prefix="sdp_stream_jdbc_")
+    continuous-ingest-into-MySQL role, mysql-persistent-template.json:20-25).
+    Each micro-batch appends to ``sdp_stream_events`` with bounded
+    connections/batch size; embedded Derby stands in when no DB service is
+    configured, so the real JDBC branch executes everywhere. The target is
+    RESET (overwrite an empty frame: DROP+CREATE) before the stream starts —
+    repeat invocations (bench reps, driver re-runs) are idempotent, never
+    accumulating duplicates. Exactly-once discipline: the `_batch_id` column
+    + the target's primary key make redelivered batches detectable — Spark's
+    JDBC writer has no upsert, so production pairs this with an INSERT-dedup
+    constraint DB-side (MySQL PK or unique index)."""
+    from sdp_spark.operators.scans import jdbc_conn
+
+    url, extra, _ = jdbc_conn(sf_dir)
     sdf = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
 
+    staged_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("_batch_id", T.LongType()),
+        ]
+    )
+
+    def _writer(df: DataFrame, mode: str):
+        w = (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "sdp_stream_events")
+            .option("createTableColumnTypes",
+                    "event_id BIGINT, user_id BIGINT, event_type VARCHAR(32), _batch_id BIGINT")
+            .option("batchsize", "1000")
+            .option("isolationLevel", "NONE")
+            .mode(mode)
+        )
+        for k, v in extra.items():
+            w = w.option(k, v)
+        return w
+
+    # idempotency reset: recreate the target empty for THIS run
+    _writer(spark.createDataFrame([], staged_schema), "overwrite").save()
+
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        staged = df.withColumn("_batch_id", F.lit(batch_id))
-        if url:
-            (
-                staged.coalesce(4)
-                .write.format("jdbc")
-                .option("url", url)
-                .option("dbtable", "sdp_stream_events")
-                .option("batchsize", "1000")
-                .option("isolationLevel", "NONE")
-                .mode("append")
-                .save()
-            )
-        else:
-            (
-                staged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(out)
-            )
+        _writer(df.withColumn("_batch_id", F.lit(batch_id)).coalesce(4), "append").save()
 
     q = sdf.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
     q.awaitTermination()
-    if url:
-        return (
-            spark.read.format("jdbc")
-            .option("url", url)
-            .option("dbtable", "sdp_stream_events")
-            .load()
-            .select("event_id", "user_id", "event_type")
-        )
-    return spark.read.parquet(out).select("event_id", "user_id", "event_type")
+    r = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "sdp_stream_events")
+    )
+    for k, v in extra.items():
+        r = r.option(k, v)
+    return r.load().select("event_id", "user_id", "event_type")
 
 
 @register(
@@ -491,7 +546,19 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = sdf.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    return _run_to_memory(result, "update", "stateful")
+    emitted = _run_to_memory(result, "update", "stateful")
+    # update-mode memory sink APPENDS one emission per (batch, active user);
+    # with the multi-batch landing dir a user emits up to once per batch.
+    # n_events is strictly increasing per user, so the final state is the
+    # max-n row — select it (one row per user, matching the batch oracle).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 @register(

@@ -71,7 +71,11 @@ def assert_df_matches_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
     # but VALUES are compared from collect()/fetchall(), because toPandas()
     # and .df() both collapse NULL doubles to NaN and would mask exactly the
     # NaN-vs-NULL divergences the driver's exact hash catches.
+    # The oracle query itself runs ONCE (materialized to a temp table); the
+    # .df() dtype read and fetchall() value read are then trivial rescans.
     sp = spark_df.toPandas()
+    con.execute(f"CREATE OR REPLACE TEMP TABLE _oracle_result AS {sql}")
+    sql = "SELECT * FROM _oracle_result"
     du = con.execute(sql).df()
     assert len(sp) == len(du), f"[{key}] row count: spark={len(sp)} duckdb={len(du)}"
     assert sorted(sp.columns) == sorted(du.columns), (

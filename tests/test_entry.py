@@ -33,16 +33,20 @@ def test_queries_and_oracles_consistent():
 
 
 def test_sweep_priority_matches_registry():
-    """_SWEEP_PRIORITY must reference only real keys; unlisted (new) keys
-    are allowed and sort FIRST (they are unverified by definition)."""
+    """_SWEEP_PRIORITY and the registry must agree EXACTLY: an unlisted key
+    sorts first and displaces the 45-key unverified backlog past the sweep
+    budget (VERDICT r2 "What's wrong" #1), so unlisted keys are a bug."""
     from sdp_spark.plans.registry import _SWEEP_PRIORITY, load_all
 
     specs = load_all()
-    assert set(_SWEEP_PRIORITY) <= set(specs), (
-        set(_SWEEP_PRIORITY) - set(specs)
-    )
+    assert set(_SWEEP_PRIORITY) == set(specs), {
+        "listed_but_missing": set(_SWEEP_PRIORITY) - set(specs),
+        "unlisted": set(specs) - set(_SWEEP_PRIORITY),
+    }
+    assert len(_SWEEP_PRIORITY) == len(set(_SWEEP_PRIORITY)), "duplicate keys"
     ordered = list(specs)
-    # never-driver-verified families come before the r1-green block
+    # unverified-after-r2 families come before everything driver-green
+    assert ordered.index("stream_ingest") < ordered.index("win_row_number")
+    assert ordered.index("filter_fulltext") < ordered.index("win_row_number")
+    assert ordered.index("llm_dedup_near_resolve") < ordered.index("win_row_number")
     assert ordered.index("win_row_number") < ordered.index("scan_parquet")
-    assert ordered.index("stream_ingest") < ordered.index("scan_parquet")
-    assert ordered.index("fn_math") < ordered.index("join_inner")
