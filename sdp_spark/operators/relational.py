@@ -440,3 +440,63 @@ def project_enum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.alias("enum_idx"),
         valid.alias("is_valid"),
     )
+
+
+_SET_DOMAIN = ("click", "view", "purchase", "signup", "promo")
+
+
+@register(
+    "project_set_check",
+    oracle="""
+    WITH base AS (
+      SELECT event_id,
+             event_type || ',' || CASE WHEN value > 50 THEN 'promo' ELSE 'junk' END AS raw_set
+      FROM events
+    ), toks AS (
+      SELECT event_id, raw_set, string_split(raw_set, ',') AS t FROM base
+    )
+    SELECT event_id, raw_set,
+           COALESCE(array_to_string(list_filter(['click','view','purchase','signup','promo'],
+                                                m -> list_contains(t, m)), ','), '') AS set_norm,
+           CAST(  (CASE WHEN list_contains(t, 'click')    THEN 1  ELSE 0 END)
+                + (CASE WHEN list_contains(t, 'view')     THEN 2  ELSE 0 END)
+                + (CASE WHEN list_contains(t, 'purchase') THEN 4  ELSE 0 END)
+                + (CASE WHEN list_contains(t, 'signup')   THEN 8  ELSE 0 END)
+                + (CASE WHEN list_contains(t, 'promo')    THEN 16 ELSE 0 END) AS BIGINT)
+             AS set_mask,
+           len(list_filter(t, x -> NOT list_contains(['click','view','purchase','signup','promo'], x))) = 0
+             AS all_valid
+    FROM toks
+    """,
+    section=_SEC,
+)
+def project_set_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET column semantics (SURVEY §1.2: SET → StringType + domain check,
+    the multi-valued sibling of project_enum_check). MySQL 5.6 non-strict
+    mode DROPS invalid members from a SET insert and stores the rest as a
+    bitmask over the declaration order; the normalized rendering lists kept
+    members in DECLARATION order (not input order). The raw set string is
+    synthesized with one always-invalid branch ('junk') and one
+    sometimes-invalid event_type ('error'), so drop/keep/mask paths are all
+    exercised. Pure codegen: split + per-member array_contains terms — no
+    explode, no shuffle."""
+    e = table(spark, sf_dir, "events")
+    raw = F.concat_ws(
+        ",",
+        F.col("event_type"),
+        F.when(F.col("value") > 50, F.lit("promo")).otherwise(F.lit("junk")),
+    )
+    toks = F.split(F.col("raw_set"), ",")
+    kept = [F.when(F.array_contains(toks, m), F.lit(m)) for m in _SET_DOMAIN]
+    mask = None
+    for i, m in enumerate(_SET_DOMAIN):
+        term = F.when(F.array_contains(toks, m), F.lit(2**i)).otherwise(F.lit(0))
+        mask = term if mask is None else mask + term
+    domain_arr = F.array(*[F.lit(m) for m in _SET_DOMAIN])
+    return e.select("event_id", raw.alias("raw_set")).select(
+        "event_id",
+        "raw_set",
+        F.concat_ws(",", *kept).alias("set_norm"),
+        mask.cast("bigint").alias("set_mask"),
+        F.forall(toks, lambda x: F.array_contains(domain_arr, x)).alias("all_valid"),
+    )

@@ -469,3 +469,88 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SCHEMA_EVO_CACHE[sf_dir] = out
     back = spark.read.option("mergeSchema", "true").parquet(_SCHEMA_EVO_CACHE[sf_dir])
     return back.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "sink_insert_ignore",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    ), incoming AS (
+      SELECT o_orderkey, FLOOR(o_totalprice * 0.5 * 100 + 0.5) / 100 AS o_totalprice,
+             'N' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_orderkey,
+           FLOOR(o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+           o_orderstatus
+    FROM target
+    UNION ALL
+    SELECT i.o_orderkey, i.o_totalprice, i.o_orderstatus
+    FROM incoming i
+    WHERE i.o_orderkey NOT IN (SELECT o_orderkey FROM target)
+    """,
+    section=_SEC,
+)
+def sink_insert_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT IGNORE semantics (MySQL 5.6 DML verb): rows whose primary key
+    already exists in the target are silently skipped, existing rows WIN
+    (the dual of REPLACE INTO / sink_replace). On immutable storage this is
+    an anti-join of the incoming batch against the target's key set, then a
+    plain append — the incoming side shuffles on the PK, the target is
+    read-only. At scale the key-set probe prunes to the partitions the
+    incoming keys touch (partition filter on the PK range)."""
+    orders = table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", dround(F.col("o_totalprice")).alias("o_totalprice"), "o_orderstatus"
+    )
+    incoming = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        dround(F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    fresh = incoming.join(target.select("o_orderkey"), "o_orderkey", "left_anti")
+    out = _tmp_sink("insert_ignore")
+    target.unionByName(fresh).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register(
+    "sink_replace",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    ), incoming AS (
+      SELECT o_orderkey, FLOOR(o_totalprice * 0.5 * 100 + 0.5) / 100 AS o_totalprice,
+             'N' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_orderkey,
+           FLOOR(o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+           o_orderstatus
+    FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM incoming
+    """,
+    section=_SEC,
+)
+def sink_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLACE INTO semantics (MySQL 5.6 DML verb): delete any target row
+    with a matching primary key, then insert the incoming row — incoming
+    WINS (the dual of sink_insert_ignore). Same copy-on-write shape as
+    dml_update_delete: target anti-joined against incoming keys + union,
+    one rewrite. The same incoming/target slices as sink_insert_ignore so
+    the two verbs' outcomes are directly comparable in tests."""
+    orders = table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", dround(F.col("o_totalprice")).alias("o_totalprice"), "o_orderstatus"
+    )
+    incoming = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        dround(F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    survivors = target.join(incoming.select("o_orderkey"), "o_orderkey", "left_anti")
+    out = _tmp_sink("replace")
+    survivors.unionByName(incoming).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

@@ -115,7 +115,8 @@ _SWEEP_PRIORITY = (
     "mm_frame_sample", "stream_stream_join",
     # --- round-3 NEW keys: always append here, never leave unlisted ---
     "llm_dedup_near_resolve", "llm_pipeline_train_corpus_nd",
-    "project_enum_check", "fn_time_year",
+    "project_enum_check", "fn_time_year", "project_set_check",
+    "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     # --- r2-green keys (driver verdicts in CORRECTNESS_r02.json) ---
     "win_row_number", "win_rank", "win_lag_lead", "win_running",
     "win_sliding_rows", "win_range_frame", "win_topk_group", "win_first_last",

@@ -625,3 +625,46 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
     return _run_to_memory(joined, "append", "ss_join")
+
+
+@register("stream_stream_join_outer", oracle=None, section=_SEC)
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, matched to
+    same-user views in the prior hour, with NULL view_id when no view
+    exists. Outer stream-stream joins are the state-eviction milestone:
+    Spark can only emit the NULL-padded row once the watermark proves no
+    matching view can still arrive, so unmatched results trail the inner
+    ones by the watermark delay — state stays bounded by
+    watermark + interval exactly as in the inner twin (stream_stream_join).
+    rows-only: which unmatched rows are sealed by the FINAL watermark
+    depends on micro-batch boundaries; pytest pins (a) the matched subset
+    equals the batch inner join and (b) every NULL-padded purchase has no
+    qualifying view in the batch query."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"
+        ),
+        "left_outer",
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+    return _run_to_memory(joined, "append", "ss_join_outer")

