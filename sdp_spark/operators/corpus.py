@@ -1,0 +1,449 @@
+"""Training-corpus curation operators — SURVEY.md §2.12 extras (round 3).
+
+The five pipeline stages every large-scale LLM training-data build runs
+between "raw crawl" and "tokenizer": PII scrubbing, benchmark
+decontamination, temperature (language-balance) sampling, sequence packing,
+and Gopher-style quality filtering — plus the LSH-bucketed embedding
+near-dup path that replaces `llm_dedup_embed`'s label blocking at 100 TB.
+
+Reference role: CDCgov/SDP is the ingest platform for surveillance text
+streams (/root/reference/README.md:2,4); these are the corpus-hygiene
+operators its data consumers need, re-expressed Spark-first.
+
+Scale notes:
+- PII scrub / quality score: per-row codegen regex & higher-order lambdas —
+  no shuffle at all, whole-stage codegen end to end.
+- Decontamination: the benchmark n-gram set is tiny (the eval suites you
+  protect are MBs, not TBs) — broadcast it; the corpus side streams through
+  one explode + broadcast-hash semi-join. At 100 TB swap the broadcast set
+  for a bloom filter pushed into the scan; the plan shape is unchanged.
+- Temperature sampling: per-language rates come from one 5-row aggregate
+  (broadcast); the keep/drop decision is a deterministic per-row hash
+  compare — no shuffle of the corpus.
+- Packing: partition-local (shard = hash % N), never a global sort — each
+  shard packs its own stream, which is exactly how a 1000-executor packer
+  runs; the window is per-shard so state stays bounded.
+- Embedding near-dup: multi-probe hyperplane LSH — candidates only within
+  (table, bucket ± 1 bit), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sdp_spark.functions.num import KNUTH, KNUTH_MOD, dround
+from sdp_spark.operators.llm import _hyperplanes
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import table
+
+_SEC = "2.12 llm ops (corpus curation)"
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "llm_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END
+               AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS INTEGER) AS n_phones
+    FROM aug
+    """,
+    section=_SEC,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace emails/phone numbers with typed placeholders
+    and count redactions per document. The fixture text is PII-free word
+    soup, so deterministic synthetic PII is appended first — the oracle
+    then genuinely pins the redaction regexes (Java regex and RE2 agree on
+    this subset: character classes, bounded repetition, no backrefs).
+    Pure per-row codegen — the 100 TB plan is a single scan, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@example.org")).otherwise(F.lit("")),
+    )
+    d = d.select("doc_id", raw.alias("raw"))
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        F.regexp_count(F.col("raw"), F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_NGRAM_N = 8
+
+
+@register(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(t) - {_NGRAM_N - 1}),
+                                   i -> array_to_string(t[i:i + {_NGRAM_N - 1}], ' '))) AS ngram
+      FROM toks WHERE len(t) >= {_NGRAM_N}
+    ), bench AS (
+      SELECT DISTINCT ngram FROM grams WHERE doc_id % 97 = 0
+    ), contam AS (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (ngram)
+      WHERE g.doc_id % 97 <> 0
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+           CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM documents d LEFT JOIN contam c USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.source
+    """,
+    section=_SEC,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM recipe): drop training
+    documents sharing any word 8-gram with the held-out benchmark set
+    (stand-in: doc_id % 97 == 0). The benchmark n-gram set is broadcast —
+    eval suites are MBs; the corpus side is one explode + broadcast-hash
+    join, never a shuffle of the 100 TB corpus (swap the broadcast for a
+    scan-pushed bloom filter at extreme benchmark sizes). Output is the
+    per-source contamination accounting a curation report needs."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.withColumn("t", F.split("text", " "))
+    grams = toks.filter(F.size("t") >= _NGRAM_N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (_NGRAM_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice("t", i, _NGRAM_N)),
+            )
+        ).alias("ngram"),
+    )
+    bench = F.broadcast(
+        grams.filter(F.col("doc_id") % 97 == 0).select("ngram").distinct()
+    )
+    contam = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(bench, "ngram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(1))
+    )
+    train = d.filter(F.col("doc_id") % 97 != 0).join(contam, "doc_id", "left")
+    return train.groupBy("source").agg(
+        F.count("*").alias("n_train"),
+        F.sum(F.when(F.col("is_contam").isNotNull(), 1).otherwise(0)).alias("n_contam"),
+        F.sum(F.when(F.col("is_contam").isNull(), 1).otherwise(0)).alias("n_clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature sampling
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA_SQRT = True  # w_l = sqrt(count_l): alpha = 0.5 temperature
+_TEMP_TARGET_FRAC = 0.5  # corpus-wide keep budget
+
+
+@register(
+    "llm_sample_temperature",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ), t AS (
+      SELECT SUM(n_docs) AS total, SUM(sqrt(n_docs)) AS sum_w FROM c
+    ), r AS (
+      SELECT lang, n_docs,
+             ROUND(LEAST(1.0, (sqrt(n_docs) / sum_w) * ({_TEMP_TARGET_FRAC} * total) / n_docs), 6)
+               AS rate
+      FROM c, t
+    ), k AS (
+      SELECT d.lang
+      FROM documents d JOIN r USING (lang)
+      WHERE CAST((d.doc_id * {KNUTH}) % {KNUTH_MOD} AS DOUBLE) / {KNUTH_MOD} < rate
+    )
+    SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_kept, r.rate
+    FROM r LEFT JOIN (SELECT lang, COUNT(*) AS n_kept FROM k GROUP BY lang) kc USING (lang)
+    """,
+    section=_SEC,
+)
+def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling (multilingual balance, alpha = 0.5): rare
+    languages are up-weighted, dominant ones down-sampled, under a fixed
+    corpus-wide keep budget. Per-language rates come from ONE tiny
+    aggregate (5 rows, broadcast back); the keep decision is the same
+    deterministic Knuth-hash compare as sample_systematic — reproducible
+    across runs AND engines, no RNG state, no shuffle of the corpus.
+    Rates are rounded to 6 dp before the compare so the Spark and DuckDB
+    float folds cannot diverge at the keep boundary."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"), F.sum(F.sqrt("n_docs")).alias("sum_w")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.sqrt("n_docs") / F.col("sum_w"))
+                    * (F.lit(_TEMP_TARGET_FRAC) * F.col("total"))
+                    / F.col("n_docs"),
+                ),
+                6,
+            ),
+        )
+        .select("lang", "n_docs", "rate")
+    )
+    frac = ((F.col("doc_id") * F.lit(KNUTH)) % F.lit(KNUTH_MOD)).cast("double") / F.lit(
+        KNUTH_MOD
+    )
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .filter(frac < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "rate",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+_PACK_SHARDS = 8  # parallel packer shards (executors at scale)
+
+
+@register(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS tok_cnt,
+             (doc_id * {KNUTH}) % {KNUTH_MOD} AS h,
+             CAST((doc_id * {KNUTH}) % {KNUTH_MOD} % {_PACK_SHARDS} AS INTEGER) AS shard
+      FROM documents
+    ), o AS (
+      SELECT doc_id, tok_cnt, shard,
+             CAST(COALESCE(SUM(tok_cnt) OVER (PARTITION BY shard ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      FROM d
+    )
+    SELECT doc_id, tok_cnt, shard,
+           CAST(shard * 1000000 + FLOOR(start_off / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id
+    FROM o
+    """,
+    section=_SEC,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: concatenate documents in deterministic
+    pseudo-shuffle order and cut every _PACK_BUDGET tokens; a document's
+    bin is where its first token lands (the streaming-concat packing used
+    by GPT-style pipelines). Packing is PARTITION-LOCAL: docs hash into
+    _PACK_SHARDS independent shards and each shard packs its own stream —
+    no global sort, bounded window state, embarrassingly parallel at 1000
+    executors (shard count scales with the cluster; bin ids stay stable
+    because shard is in the high bits). Pure integer window arithmetic —
+    exact across engines."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .withColumn("tok_cnt", F.size(F.split("text", " ")))
+        .withColumn("h", (F.col("doc_id") * F.lit(KNUTH)) % F.lit(KNUTH_MOD))
+        .withColumn("shard", (F.col("h") % _PACK_SHARDS).cast("int"))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("tok_cnt").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "tok_cnt",
+        "shard",
+        (
+            F.col("shard").cast("bigint") * 1000000
+            + F.floor(start / F.lit(float(_PACK_BUDGET)))
+        ).alias("bin_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "and", "of", "to")
+_STOP_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+
+@register(
+    "llm_quality_gopher",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n_chars_m
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_words,
+             ROUND((n_chars_m - (len(toks) - 1)) / len(toks), 4) AS mean_wlen,
+             ROUND(len(list_distinct(toks)) / len(toks), 4) AS distinct_frac,
+             ROUND(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) / len(toks), 4)
+               AS stop_frac
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_wlen, distinct_frac, stop_frac,
+           (n_words BETWEEN 10 AND 100000)
+             AND (mean_wlen BETWEEN 2 AND 12)
+             AND (distinct_frac > 0.1)
+             AND (stop_frac < 0.5) AS passes
+    FROM m
+    """,
+    section=_SEC,
+)
+def llm_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021) document quality rules: word-count
+    bounds, mean word length, distinct-token fraction (repetition guard),
+    stopword fraction (natural-language guard) — each an explicit rounded
+    metric plus the combined pass verdict, so downstream filters can audit
+    WHY a document was dropped. All higher-order-lambda codegen on the
+    token array — a single scan, no shuffle, no Python."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks"), F.length("text").alias("n_chars_m")
+    )
+    n_words = F.size("toks")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    m = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round((F.col("n_chars_m") - (n_words - 1)) / n_words, 4).alias("mean_wlen"),
+        F.round(F.size(F.array_distinct("toks")) / n_words, 4).alias("distinct_frac"),
+        F.round(
+            F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))) / n_words, 4
+        ).alias("stop_frac"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen",
+        "distinct_frac",
+        "stop_frac",
+        (
+            F.col("n_words").between(10, 100000)
+            & F.col("mean_wlen").between(2, 12)
+            & (F.col("distinct_frac") > 0.1)
+            & (F.col("stop_frac") < 0.5)
+        ).alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup via multi-probe LSH (scale path for llm_dedup_embed)
+# ---------------------------------------------------------------------------
+
+_EMB_TABLES = 6
+_EMB_PLANES = 6  # 64 buckets per table
+_EMB_THRESH = 0.4
+
+
+@register("llm_dedup_embed_lsh", oracle=None, section=_SEC)
+def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: multi-probe random-hyperplane LSH
+    (6 tables x 6 sign-bits, probe = exact bucket + every 1-bit flip)
+    replaces llm_dedup_embed's label blocking — candidates exist only
+    within (table, bucket±1bit), the exact-cosine verify touches candidates
+    only, and the (table, bucket) key is the shuffle key at 100 TB. The
+    probe fan-out (x7) rides the LEFT side of the self-join only; emitted
+    pairs are exact-rescored, so precision is 1.0 by construction and
+    tests pin recall against the brute-force pair set (rows-only oracle:
+    bucketing is sign-pattern-dependent, not SQL-expressible sanely)."""
+    planes = _hyperplanes(_EMB_TABLES * _EMB_PLANES)
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "dvec", F.col("embedding").cast("array<double>")
+    )
+    emb = emb.withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+    buckets = []
+    for t in range(_EMB_TABLES):
+        bucket = F.lit(0)
+        for i in range(_EMB_PLANES):
+            pl = F.array(*[F.lit(w) for w in planes[t * _EMB_PLANES + i]])
+            dot_p = F.aggregate(
+                F.zip_with("dvec", pl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            )
+            bucket = bucket + F.when(dot_p > 0, F.lit(2**i)).otherwise(F.lit(0))
+        buckets.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bkt")))
+    hashed = emb.select(
+        "vec_id", "dvec", "norm", F.explode(F.array(*buckets)).alias("tb")
+    ).select("vec_id", "dvec", "norm", "tb.tbl", "tb.bkt")
+
+    probes = F.array(
+        F.col("bkt"),
+        *[F.col("bkt").bitwiseXOR(F.lit(2**i)) for i in range(_EMB_PLANES)],
+    )
+    left = hashed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("dvec").alias("va"),
+        F.col("norm").alias("na"),
+        "tbl",
+        F.explode(probes).alias("bkt"),
+    )
+    right = hashed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("dvec").alias("vb"),
+        F.col("norm").alias("nb"),
+        "tbl",
+        "bkt",
+    )
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    return (
+        left.join(right, ["tbl", "bkt"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= _EMB_THRESH)
+        .select("vec_a", "vec_b", dround(F.col("cos"), 4).alias("cos_sim"))
+    )

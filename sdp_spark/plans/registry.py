@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "sdp_spark.streaming.ops",
     "sdp_spark.operators.udfs",
     "sdp_spark.operators.llm",
+    "sdp_spark.operators.corpus",
     "sdp_spark.operators.multimodal",
     "sdp_spark.operators.fulltext",
     "sdp_spark.operators.catalog",
@@ -117,6 +118,9 @@ _SWEEP_PRIORITY = (
     "llm_dedup_near_resolve", "llm_pipeline_train_corpus_nd",
     "project_enum_check", "fn_time_year", "project_set_check",
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
+    # --- round-3 session-2 keys (corpus curation) ---
+    "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",
+    "llm_pack_sequences", "llm_quality_gopher", "llm_dedup_embed_lsh",
     # --- r2-green keys (driver verdicts in CORRECTNESS_r02.json) ---
     "win_row_number", "win_rank", "win_lag_lead", "win_running",
     "win_sliding_rows", "win_range_frame", "win_topk_group", "win_first_last",

@@ -128,17 +128,31 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
 
 
+# State-store parallelism for local availableNow runs. A streaming query
+# pins its state-partition count from spark.sql.shuffle.partitions at FIRST
+# batch (recorded in the checkpoint) — 32 partitions means 32 state-store
+# instances committing per micro-batch, pure overhead at fixture scale. 8 is
+# right for local[8..32]; a production deployment sizes this to the cluster
+# BEFORE the query first starts (it cannot change across restarts).
+_STREAM_SHUFFLE = os.environ.get("SDP_STREAM_SHUFFLE", "8")
+
+
 def _run_to_memory(sdf: DataFrame, mode: str, prefix: str) -> DataFrame:
     name = _next_name(prefix)
     spark = sdf.sparkSession
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE)
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(name)
 
 
