@@ -515,3 +515,38 @@ def fn_time_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(ts).alias("yr"),
         F.make_date(F.year(ts), F.lit(1), F.lit(1)).cast("string").alias("year_start"),
     )
+
+
+@register(
+    "fn_encode",
+    oracle="""
+    SELECT c_custkey,
+           hex(c_name) AS name_hex,
+           CAST(unhex(hex(c_name)) AS VARCHAR) AS name_hex_rt,
+           to_base64(CAST(c_name AS BLOB)) AS name_b64,
+           CAST(from_base64(to_base64(CAST(c_name AS BLOB))) AS VARCHAR) AS name_b64_rt,
+           CAST(ascii(c_name) AS INTEGER) AS first_code,
+           chr(CAST(ascii(c_name) AS INTEGER)) AS first_chr,
+           CAST(octet_length(CAST(c_name AS BLOB)) AS INTEGER) AS n_bytes,
+           CAST(octet_length(CAST(c_name AS BLOB)) * 8 AS INTEGER) AS n_bits
+    FROM customer
+    """,
+    section=_SEC,
+)
+def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encoding functions (MySQL HEX/UNHEX/TO_BASE64/FROM_BASE64/
+    ASCII/CHAR/OCTET_LENGTH/BIT_LENGTH): each codec is pinned by a
+    round-trip so the oracle hash proves both directions, not just output
+    shape. All JVM codegen; the string↔binary casts are zero-copy UTF-8."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.hex("c_name").alias("name_hex"),
+        F.unhex(F.hex("c_name")).cast("string").alias("name_hex_rt"),
+        F.base64(F.col("c_name").cast("binary")).alias("name_b64"),
+        F.unbase64(F.base64(F.col("c_name").cast("binary"))).cast("string").alias("name_b64_rt"),
+        F.ascii("c_name").alias("first_code"),
+        F.expr("char(ascii(c_name))").alias("first_chr"),
+        F.octet_length("c_name").alias("n_bytes"),
+        F.bit_length("c_name").alias("n_bits"),
+    )

@@ -406,3 +406,34 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("double").alias("size"),
     )
     return p.unpivot("p_partkey", ["retailprice", "size"], "metric", "value")
+
+
+@register("agg_sketch_rollup", oracle=None, section=_SEC)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    into Spark 3.5+): per-group sketches are aggregated once, then MERGED
+    (hll_union_agg) into the grand total WITHOUT re-touching the base
+    table — the 100 TB pattern for distinct counting across rollup levels
+    (per-partition sketches union associatively; exact COUNT(DISTINCT)
+    would re-shuffle raw keys per level). rows-only oracle: estimates are
+    sketch-parameter-dependent; tests pin the estimate within HLL error
+    bounds of the exact count. Output: one row per l_returnflag plus an
+    'ALL' row whose estimate comes purely from merging the group sketches."""
+    l = table(spark, sf_dir, "lineitem")
+    per_group = l.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey", 14).alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    groups = per_group.select(
+        "l_returnflag",
+        "n_rows",
+        F.hll_sketch_estimate("sk").alias("est_distinct_orders"),
+    )
+    total = per_group.agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_rows").alias("n_rows")
+    ).select(
+        F.lit("ALL").alias("l_returnflag"),
+        "n_rows",
+        F.hll_sketch_estimate("sk").alias("est_distinct_orders"),
+    )
+    return groups.unionByName(total)

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sdp_spark.functions.num import dsum, sql_dsum
+from sdp_spark.functions.num import dround, dsum, sql_dsum
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import cache_dir, table
 
@@ -472,4 +472,72 @@ def join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+_GRID_R = 1.0  # radius; grid cell size == radius => 3x3 neighborhood covers
+
+
+@register(
+    "join_spatial_grid",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS pid,
+             CAST(c_custkey % 1000 AS DOUBLE) / 10.0 AS px,
+             CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 10.0 AS py
+      FROM customer
+    )
+    SELECT a.pid AS pid_a, b.pid AS pid_b,
+           FLOOR(sqrt((a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py))
+                 * 10000 + 0.5) / 10000 AS dist
+    FROM pts a JOIN pts b
+      ON a.pid < b.pid
+     AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 1.0
+    """,
+    section=_SEC,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join (MySQL 5.6 ST_Distance/MBR semantics) via GRID
+    BUCKETING — the scale pattern: each point lands in an integer cell of
+    side = radius; the left side explodes to its 3x3 cell neighborhood and
+    the join runs on the CELL KEY (equi-join, shuffle on tiny int pairs),
+    so exact distance is evaluated on neighborhood candidates only — never
+    an all-pairs theta join. The oracle is the naive O(n^2) distance join:
+    grid blocking must be lossless because a pair within radius r is
+    always within one cell of each other when cell size >= r. Points are
+    derived deterministically from c_custkey so both engines see identical
+    coordinates. At 100 TB: cell id is the partition key (geohash
+    equivalent), density skew handled by AQE or cell-splitting."""
+    pts = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") % 1000).cast("double") / 10.0).alias("px"),
+        (((F.col("c_custkey") * 7919) % 1000).cast("double") / 10.0).alias("py"),
+    )
+    cell = lambda c: F.floor(c / F.lit(_GRID_R))  # noqa: E731
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    a = (
+        pts.withColumn("dx", off)
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("pid").alias("pid_a"),
+            F.col("px").alias("ax"),
+            F.col("py").alias("ay"),
+            (cell(F.col("px")) + F.col("dx")).alias("cx"),
+            (cell(F.col("py")) + F.col("dy")).alias("cy"),
+        )
+    )
+    b = pts.select(
+        F.col("pid").alias("pid_b"),
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        cell(F.col("px")).alias("cx"),
+        cell(F.col("py")).alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("pid_a") < F.col("pid_b")) & (d2 <= _GRID_R * _GRID_R))
+        .select("pid_a", "pid_b", dround(F.sqrt(d2), 4).alias("dist"))
     )

@@ -121,6 +121,7 @@ _SWEEP_PRIORITY = (
     # --- round-3 session-2 keys (corpus curation) ---
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",
     "llm_pack_sequences", "llm_quality_gopher", "llm_dedup_embed_lsh",
+    "fn_encode", "join_spatial_grid", "agg_sketch_rollup", "sink_stream_upsert",
     # --- r2-green keys (driver verdicts in CORRECTNESS_r02.json) ---
     "win_row_number", "win_rank", "win_lag_lead", "win_running",
     "win_sliding_rows", "win_range_frame", "win_topk_group", "win_first_last",

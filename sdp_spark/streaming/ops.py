@@ -682,3 +682,48 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
     return _run_to_memory(joined, "append", "ss_join_outer")
+
+
+@register(
+    "sink_stream_upsert",
+    oracle="""
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id, event_type
+    """,
+    section=_SEC,
+)
+def sink_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE/upsert via foreachBatch (the CDC-apply pattern:
+    INSERT ... ON DUPLICATE KEY UPDATE per micro-batch, accumulating
+    running (user_id, event_type) counts across batches). Copy-on-write
+    without a transactional format: each batch writes the merged state to
+    the version dir for its batch id (v0/v1 alternating), reading the
+    previous version — never overwriting the files it is reading. The
+    multi-batch landing dir (2 micro-batches) makes the merge arithmetic
+    real: batch 1's counts must sum into batch 0's, and the SQL oracle
+    (global batch GROUP BY) only matches if every batch merged exactly
+    once. At scale the versioned rewrite becomes a lakehouse MERGE
+    (Delta/Iceberg) or partition-scoped overwrite keyed on the upsert
+    key's partition."""
+    base = tempfile.mkdtemp(prefix="sdp_stream_upsert_")
+    sdf = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    state = {"last": -1}
+
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        batch_counts = df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("cnt")
+        )
+        prev = state["last"]
+        if prev >= 0:
+            prior = df.sparkSession.read.parquet(f"{base}/v{prev % 2}")
+            batch_counts = (
+                batch_counts.unionByName(prior)
+                .groupBy("user_id", "event_type")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        batch_counts.write.mode("overwrite").parquet(f"{base}/v{batch_id % 2}")
+        state["last"] = batch_id
+
+    q = sdf.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/v{state['last'] % 2}")

@@ -287,3 +287,21 @@ def test_embed_lsh_dedup_precision_and_recall(spark, sf_dir):
     assert got <= truth, "LSH emitted a pair the brute-force set rejects (precision < 1)"
     recall = len(got & truth) / len(truth)
     assert recall >= 0.7, f"embed-LSH recall {recall:.2f} below multi-probe expectation"
+
+
+def test_sketch_rollup_accuracy(spark, sf_dir, ddb):
+    """HLL sketch estimates (per-group and the merged ALL row) must land
+    within the lgK=14 error envelope (<1% at these cardinalities; 5%
+    asserted for headroom) of exact COUNT(DISTINCT), and the ALL row must
+    come out of the merge consistent with the group rows."""
+    rows = {r["l_returnflag"]: r for r in REGISTRY["agg_sketch_rollup"].fn(spark, sf_dir).collect()}
+    exact = dict(
+        ddb.execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_orderkey) FROM lineitem GROUP BY l_returnflag"
+        ).fetchall()
+    )
+    exact["ALL"] = ddb.execute("SELECT COUNT(DISTINCT l_orderkey) FROM lineitem").fetchone()[0]
+    assert set(rows) == set(exact)
+    for k, true_n in exact.items():
+        est = rows[k]["est_distinct_orders"]
+        assert abs(est - true_n) / true_n < 0.05, f"{k}: est {est} vs exact {true_n}"
