@@ -40,6 +40,17 @@ HEADLINE = [
     "stream_tumbling",
 ]
 
+# Measured and reported per-query but NOT counted into the headline total:
+# the headline set stays fixed across rounds so total_sec is comparable;
+# new operators surface here first.
+EXTRA = [
+    "llm_pipeline_train_corpus_nd",
+    "llm_decontaminate",
+    "llm_pack_sequences",
+    "join_spatial_grid",
+    "agg_sketch_rollup",
+]
+
 
 def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -69,11 +80,20 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = sf_dir
+    extra: dict[str, float] = {}
+    for key in EXTRA:
+        if key not in registry:
+            continue
+        t0 = time.perf_counter()
+        run_query(registry[key].fn(spark, sf_dir))
+        extra[key] = round(time.perf_counter() - t0, 3)
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "extra_queries": extra,
         "sf": sf,
     }
     # cross-round regression check: compare per-query vs the newest prior
@@ -84,10 +104,17 @@ def main() -> None:
         for k, t in times.items():
             if k in ref and ref[k] > 0.05 and t > 1.5 * ref[k]:
                 regressions[k] = {"now": t, "prior": ref[k]}
+        shared = [k for k in times if k in ref]
         out["vs_prior"] = {
             "prior_total_sec": prior.get("value"),
             "total_ratio": round(out["value"] / prior["value"], 3)
             if prior.get("value")
+            else None,
+            # ratio over the key intersection: robust to headline-set edits
+            "shared_keys_ratio": round(
+                sum(times[k] for k in shared) / sum(ref[k] for k in shared), 3
+            )
+            if shared and sum(ref[k] for k in shared) > 0
             else None,
             "regressions_gt_1_5x": regressions,
         }

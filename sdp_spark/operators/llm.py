@@ -207,6 +207,22 @@ def _capped_postings(sh: DataFrame, cap: int) -> DataFrame:
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
+_CAPPED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-capped postings, cached once per (app, sf_dir): the ngram-Jaccard
+    self-join consumes this from BOTH sides, and keeper resolution /
+    train-corpus re-execute the pair plan — uncached, the df aggregation +
+    anti-join reruns per subtree per invocation."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CAPPED_CACHE:
+        _CAPPED_CACHE[key] = _capped_postings(
+            _cached_shingles(spark, sf_dir), _NGRAM_DF_CAP
+        ).cache()
+    return _CAPPED_CACHE[key]
+
+
 # The deterministic candidate-pair query, shared verbatim by the
 # llm_dedup_ngram_jaccard oracle and (as a CTE) by the keeper-resolution /
 # near-deduped-corpus oracles downstream.
@@ -249,7 +265,7 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped shingle set on both sides). The shingle equi-join IS the candidate
     pruning — disjoint docs never pair; the df cap bounds per-shingle fan-out
     at cap². Deterministic → full SQL oracle (unlike the MinHash variant)."""
-    sh = _capped_postings(_cached_shingles(spark, sf_dir), _NGRAM_DF_CAP)
+    sh = _cached_capped(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -297,6 +313,66 @@ _NEAR_RESOLVE_SQL = f"""
 
 _MAX_CC_ITERS = 25
 
+# Memoized converged label assignments per (app, sf_dir): keeper resolution
+# is consumed twice per sweep (its own key + the near-deduped train corpus)
+# and the propagation loop's per-round actions are the dominant cost.
+_RESOLVE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _propagate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative min-label propagation to convergence; returns (node, label).
+    The pair GRAPH is ~0.1% of the corpus (only near-duplicates appear), so
+    the loop runs at a narrow shuffle width — per-round overhead is fixed
+    cost, not data cost; the corpus-side plans keep the session's width.
+    The width is pinned BEFORE the first localCheckpoint and restored after
+    convergence (scoped conf, same discipline as streaming state sizing)."""
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        pairs = llm_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        edges = (
+            pairs.unionAll(
+                pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+            )
+            .toDF("src", "dst")
+            .localCheckpoint()
+        )
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
+        for _ in range(_MAX_CC_ITERS):
+            nbr = (
+                edges.join(labels, F.col("dst") == F.col("node"))
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+                .withColumnRenamed("src", "node")
+            )
+            merged = (
+                labels.withColumnRenamed("label", "old_label")
+                .join(nbr, "node", "left")
+                .select(
+                    "node",
+                    "old_label",
+                    F.least(
+                        F.col("old_label"),
+                        F.coalesce(F.col("nbr_label"), F.col("old_label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = merged.filter(F.col("label") != F.col("old_label")).count()
+            labels = merged.select("node", "label")
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"near-dup label propagation did not converge in {_MAX_CC_ITERS} rounds"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
 
 @register("llm_dedup_near_resolve", oracle=_NEAR_RESOLVE_SQL, section=_SEC)
 def llm_dedup_near_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,48 +394,12 @@ def llm_dedup_near_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned; for adversarial long-chain graphs swap the iteration
     body for large-star/small-star (O(log n) rounds) — the surrounding
     contract (pairs in, doc_id→keeper_doc out) is unchanged."""
-    pairs = llm_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionAll(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .toDF("src", "dst")
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(_MAX_CC_ITERS):
-        nbr = (
-            edges.join(labels, F.col("dst") == F.col("node"))
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("src", "node")
-        )
-        merged = (
-            labels.withColumnRenamed("label", "old_label")
-            .join(nbr, "node", "left")
-            .select(
-                "node",
-                "old_label",
-                F.least(
-                    F.col("old_label"),
-                    F.coalesce(F.col("nbr_label"), F.col("old_label")),
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = merged.filter(F.col("label") != F.col("old_label")).count()
-        labels = merged.select("node", "label")
-        if changed == 0:
-            break
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _RESOLVE_CACHE:
+        labels = _RESOLVE_CACHE[key]
     else:
-        raise RuntimeError(
-            f"near-dup label propagation did not converge in {_MAX_CC_ITERS} rounds"
-        )
+        labels = _propagate_labels(spark, sf_dir)
+        _RESOLVE_CACHE[key] = labels
     w = Window.partitionBy("keeper_doc")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("keeper_doc")
