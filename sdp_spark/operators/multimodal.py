@@ -150,3 +150,74 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     )
+
+
+_BIN_STAGED: dict[str, str] = {}
+_N_BIN_FILES = 20
+
+
+def _binfiles_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage _N_BIN_FILES tiny binary payload files (doc_<id>.bin = the doc
+    text's UTF-8 bytes) once per sf — the raw-asset landing dir a multimodal
+    pipeline ingests (image/audio blobs on a share). Built in a temp dir +
+    atomic rename; the 20-row collect is one-time input STAGING, not a query
+    path."""
+    import os
+    import shutil
+    import tempfile
+
+    from sdp_spark.sources.fixtures import cache_dir
+
+    if sf_dir not in _BIN_STAGED:
+        out = cache_dir(sf_dir, "binfiles")
+        if not os.path.isdir(out):
+            tmp = f"{out}.tmp.{os.getpid()}"
+            os.makedirs(tmp, exist_ok=True)
+            rows = (
+                table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < _N_BIN_FILES)
+                .select("doc_id", "text")
+                .collect()
+            )
+            for r in rows:
+                with open(os.path.join(tmp, f"doc_{r['doc_id']}.bin"), "wb") as f:
+                    f.write(r["text"].encode("utf-8"))
+            try:
+                os.rename(tmp, out)
+            except OSError:  # lost the build race: another process landed it
+                shutil.rmtree(tmp, ignore_errors=True)
+        _BIN_STAGED[sf_dir] = out
+    return _BIN_STAGED[sf_dir]
+
+
+@register(
+    "scan_binary_files",
+    oracle=f"""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           hex(encode(text)) AS content_hex
+    FROM documents WHERE doc_id < {_N_BIN_FILES}
+    """,
+    section=_SEC,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw binary-asset ingest (`binaryFile` source): the entry point of
+    every multimodal pipeline — image/audio blobs land as files, Spark lists
+    the directory in parallel and each task reads its files straight into
+    BinaryType `content` (no Python, no decode). pathGlobFilter prunes at
+    LISTING time, before any byte is read. The oracle re-derives the same
+    (name, size, bytes) triple from the source rows the files were staged
+    from, pinning a lossless file round-trip. At 100 TB: listing scales by
+    directory sharding; content never shuffles (per-file pipelines run
+    map-side, like mm_decode_pipeline downstream of this scan)."""
+    path = _binfiles_dir(spark, sf_dir)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.hex("content").alias("content_hex"),
+    )

@@ -122,6 +122,7 @@ _SWEEP_PRIORITY = (
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",
     "llm_pack_sequences", "llm_quality_gopher", "llm_dedup_embed_lsh",
     "fn_encode", "join_spatial_grid", "agg_sketch_rollup", "sink_stream_upsert",
+    "scan_binary_files",
     # --- r2-green keys (driver verdicts in CORRECTNESS_r02.json) ---
     "win_row_number", "win_rank", "win_lag_lead", "win_running",
     "win_sliding_rows", "win_range_frame", "win_topk_group", "win_first_last",
