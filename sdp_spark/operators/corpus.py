@@ -34,9 +34,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sdp_spark.functions.num import KNUTH, KNUTH_MOD, dround
-from sdp_spark.operators.llm import _hyperplanes
+from sdp_spark.operators.llm import _emb_normed, _hyperplanes
 from sdp_spark.plans.registry import register
-from sdp_spark.sources.fixtures import table
+from sdp_spark.sources.fixtures import table, wide_table
 
 _SEC = "2.12 llm ops (corpus curation)"
 
@@ -113,7 +113,9 @@ _GRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _cached_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _GRAMS_CACHE:
-        toks = table(spark, sf_dir, "documents").withColumn("t", F.split("text", " "))
+        # wide_table: the n-gram explode below is the CPU hot spot of the
+        # whole decontamination plan — see fixtures.wide_table.
+        toks = wide_table(spark, sf_dir, "documents").withColumn("t", F.split("text", " "))
         _GRAMS_CACHE[key] = (
             toks.filter(F.size("t") >= _NGRAM_N)
             .select(
@@ -416,13 +418,7 @@ def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests pin recall against the brute-force pair set (rows-only oracle:
     bucketing is sign-pattern-dependent, not SQL-expressible sanely)."""
     planes = _hyperplanes(_EMB_TABLES * _EMB_PLANES)
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "dvec", F.col("embedding").cast("array<double>")
-    )
-    emb = emb.withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
-    )
+    emb = _emb_normed(spark, sf_dir)
     buckets = []
     for t in range(_EMB_TABLES):
         bucket = F.lit(0)

@@ -28,13 +28,35 @@ from pyspark.sql.window import Window
 
 from sdp_spark.functions.num import DEC, KNUTH, KNUTH_MOD, dround
 from sdp_spark.plans.registry import register
-from sdp_spark.sources.fixtures import table
+from sdp_spark.sources.fixtures import table, wide_table
 
 _SEC = "2.12 llm ops"
 
 
-def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+def _docs_tokens(spark: SparkSession, sf_dir: str, wide: bool = False) -> DataFrame:
+    # wide=True routes through the landing-file parallelism guard
+    # (fixtures.wide_table) — use it for consumers with heavy PER-ROW work
+    # before their first shuffle (shingling, n-gram assembly). Consumers
+    # whose next step is a shuffle anyway (explode → groupBy) stay narrow:
+    # for those the extra exchange only adds latency.
+    t = wide_table if wide else table
+    return t(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+
+
+def _emb_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with double-cast vector + L2 norm — the shared preamble of
+    every similarity/dedup consumer (dot-product math wants doubles; the
+    fold order matches DuckDB's list_sum for oracle parity). wide_table for
+    the same reason as _docs_tokens: per-row O(dim) arithmetic."""
+    emb = wide_table(spark, sf_dir, "embeddings").withColumn(
+        "dvec", F.col("embedding").cast("array<double>")
+    )
+    return emb.withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        ),
+    )
 
 
 # Memoized cached DataFrames keyed by (spark app, sf_dir): repeated operator
@@ -47,7 +69,7 @@ _SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SH_CACHE:
-        _SH_CACHE[key] = _shingles(_docs_tokens(spark, sf_dir)).cache()
+        _SH_CACHE[key] = _shingles(_docs_tokens(spark, sf_dir, wide=True)).cache()
     return _SH_CACHE[key]
 
 
@@ -491,13 +513,7 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine >= 0.35 (above the within-label p99 of the loose synthetic
     clusters). The label equi-join is the blocking key (at 100 TB the
     blocking key comes from LSH buckets instead — see llm_sim_search_lsh)."""
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "dvec", F.col("embedding").cast("array<double>")
-    )
-    emb = emb.withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
-    )
+    emb = _emb_normed(spark, sf_dir)
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("dvec").alias("va"), F.col("norm").alias("na"), "label"
     )
@@ -544,13 +560,7 @@ def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (k=5) for 10 query vectors — the correctness
     baseline for ANN. Queries broadcast; candidates never shuffle; per-query
     top-k via row_number on (rounded sim, id) for determinism."""
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "dvec", F.col("embedding").cast("array<double>")
-    )
-    emb = emb.withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
-    )
+    emb = _emb_normed(spark, sf_dir)
     q = F.broadcast(
         emb.filter(F.col("vec_id") <= 10).select(
             F.col("vec_id").alias("query_id"), F.col("dvec").alias("qv"), F.col("norm").alias("qn")
@@ -603,13 +613,7 @@ def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only candidates. rows-only oracle; tests assert returned sims
     are exact and pin recall ≥ 0.8 vs llm_sim_search at sf0.01."""
     planes = _hyperplanes(_LSH_TABLES * _LSH_PLANES)
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "dvec", F.col("embedding").cast("array<double>")
-    )
-    emb = emb.withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
-    )
+    emb = _emb_normed(spark, sf_dir)
     buckets = []
     for t in range(_LSH_TABLES):
         bucket = F.lit(0)
@@ -712,13 +716,7 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition key; each query touches nprobe/K of the corpus. Unlike the
     LSH variant this one is deterministic end-to-end → full SQL oracle
     (fold order of the 64-dim dot product matches DuckDB's list_sum)."""
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "dvec", F.col("embedding").cast("array<double>")
-    )
-    emb = emb.withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
-    ).select("vec_id", "dvec", "norm")
+    emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")
     # vec_id is 0-based: strict < picks exactly K centroids (0..K-1); the
     # query set keeps vec_id <= 10 to match llm_sim_search's query universe
     cent = F.broadcast(

@@ -86,6 +86,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# (applicationId, sf_dir, name) -> scan partition count, memoized so the
+# wide_table parallelism probe lists files once per session, not per call.
+_SCAN_PARTS: dict[tuple[str, str, str], int] = {}
+
+
+def wide_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`table()` plus a landing-file parallelism guard for CPU-heavy
+    consumers (n-gram explode, MinHash, embedding math).
+
+    A single small parquet landing file scans as ONE split, which serializes
+    every downstream per-row computation on one core — the local-mode twin
+    of the classic "one giant gzip file" ingest hazard. When the scan yields
+    fewer splits than `defaultParallelism`, repartition up to it (the data
+    is by definition small — one narrow shuffle of a few MB buys full-width
+    CPU). On a real multi-split scan (100 TB = thousands of row groups)
+    the condition is false and this is `table()` verbatim: no extra
+    exchange, pushdown/pruning untouched."""
+    df = table(spark, sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _SCAN_PARTS:
+        _SCAN_PARTS[key] = df.rdd.getNumPartitions()
+    target = spark.sparkContext.defaultParallelism
+    if _SCAN_PARTS[key] < target:
+        df = df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all fixture tables and register them as temp views."""
     out: dict[str, DataFrame] = {}
