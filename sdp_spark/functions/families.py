@@ -550,3 +550,62 @@ def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("c_name").alias("n_bytes"),
         F.bit_length("c_name").alias("n_bits"),
     )
+
+
+_EARTH_R_KM = 6371.0
+
+
+@register(
+    "fn_spatial",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 37) % 1800 AS DOUBLE) / 10.0 - 90.0 AS lat,
+             CAST((c_custkey * 7919) % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+      FROM customer
+    )
+    SELECT c_custkey, lat, lon,
+           FLOOR(sqrt((lat - 40.7) * (lat - 40.7) + (lon + 74.0) * (lon + 74.0))
+                 * 10000 + 0.5) / 10000 AS dist_deg,
+           FLOOR(2.0 * 6371.0 * asin(sqrt(
+               sin(radians(lat - 40.7) / 2) * sin(radians(lat - 40.7) / 2)
+               + cos(radians(40.7)) * cos(radians(lat))
+               * sin(radians(lon + 74.0) / 2) * sin(radians(lon + 74.0) / 2)))
+                 * 10000 + 0.5) / 10000 AS dist_km,
+           (lat BETWEEN 0.0 AND 45.0) AND (lon BETWEEN -90.0 AND 0.0) AS in_mbr
+    FROM pts
+    """,
+    section="2.8 scalar fns",
+)
+def fn_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial scalar functions (MySQL 5.6 ST_Distance / MBRContains, plus
+    the 5.7 ST_Distance_Sphere superset): planar degree-space distance,
+    great-circle haversine km to a fixed reference point, and a bounding-box
+    containment predicate. Coordinates derive deterministically from
+    c_custkey so both engines see identical doubles; every formula is pure
+    IEEE arithmetic (radians/sin/cos/asin/sqrt are correctly-rounded libm
+    on both JVMs and DuckDB) finished with floor-form rounding — the same
+    cross-engine discipline as num.dround. All whole-stage codegen, one
+    scan, no shuffle; at 100 TB this is a free-rider projection (the grid
+    JOIN twin is join_spatial_grid)."""
+    c = table(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") * 37) % 1800).cast("double") / 10.0 - 90.0
+    lon = ((F.col("c_custkey") * 7919) % 3600).cast("double") / 10.0 - 180.0
+    pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    dlat = F.radians(F.col("lat") - 40.7) / 2
+    dlon = F.radians(F.col("lon") + 74.0) / 2
+    hav = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(F.lit(40.7))) * F.cos(F.radians("lat")) * F.sin(dlon) * F.sin(dlon)
+    )
+    d2 = (F.col("lat") - 40.7) * (F.col("lat") - 40.7) + (F.col("lon") + 74.0) * (
+        F.col("lon") + 74.0
+    )
+    return pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        dround(F.sqrt(d2), 4).alias("dist_deg"),
+        dround(2.0 * _EARTH_R_KM * F.asin(F.sqrt(hav)), 4).alias("dist_km"),
+        (F.col("lat").between(0.0, 45.0) & F.col("lon").between(-90.0, 0.0)).alias("in_mbr"),
+    )

@@ -437,3 +437,69 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("est_distinct_orders"),
     )
     return groups.unionByName(total)
+
+
+@register(
+    "agg_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_buy
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_users
+    UNION ALL
+    SELECT 'view>click', (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+    UNION ALL
+    SELECT 'view>click>purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM p)
+    """,
+    section=_SEC,
+)
+def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase): per user, the first
+    view, the first click strictly after it, the first purchase strictly
+    after that — then the per-stage user counts a conversion report needs.
+    The self-join-on-user_id emulation MySQL 5.6 users write by hand,
+    expressed as three co-keyed aggregates: every join and groupBy shuffles
+    on user_id, so at 100 TB the stages are ONE co-partitioned lineage
+    (Catalyst reuses the exchange) and no stage ever re-keys the event log.
+    Funnel windows (stage k within N minutes of stage k-1) are the same
+    plan with a range predicate on the join."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.lit(name).alias("stage"), F.count("*").alias("n_users"))
+
+    return (
+        _stage(v, "view")
+        .unionByName(_stage(c, "view>click"))
+        .unionByName(_stage(p, "view>click>purchase"))
+    )

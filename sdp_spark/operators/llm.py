@@ -1140,3 +1140,162 @@ def _train_corpus_plan(spark: SparkSession, sf_dir: str, near_dedup: bool) -> Da
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_bpe").cast("bigint")).alias("token_budget"),
     )
+
+
+_NGC_TOPK = 20
+
+
+@register(
+    "llm_ngram_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ), bi AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ), cnt AS (
+      SELECT source, bigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bi GROUP BY 1, 2
+    )
+    SELECT source, bigram, n
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY n DESC, bigram) AS rn FROM cnt) q
+    WHERE rn <= {_NGC_TOPK}
+    """,
+    section=_SEC,
+)
+def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency analysis: top-{K} word bigrams per source —
+    the language-model-adjacent corpus report (boilerplate detection, domain
+    drift, tokenizer-vocab candidates all start from this table). Plan:
+    assemble bigrams per row (codegen transform over the token array),
+    explode, ONE partial-agg groupBy on (source, bigram) — the map-side
+    combine absorbs the explode fan-out before the shuffle — then the
+    standard window top-k (WindowGroupLimit pushes the rank filter into the
+    sort at scale). Deterministic ties by bigram text → full SQL oracle."""
+    d = _docs_tokens(spark, sf_dir)
+    bi = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> concat(toks[i], ' ', toks[i+1]))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    cnt = bi.groupBy("source", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NGC_TOPK)
+        .select("source", "bigram", "n")
+    )
+
+
+_KM_K = 8
+_KM_ITERS = 4
+
+
+@register("llm_cluster_kmeans", oracle=None, section=_SEC)
+def llm_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the corpus
+    partitioner behind semantic sharding, IVF coarse quantizers, and
+    diversity-balanced sampling. Classic Spark shape: centroids live on the
+    driver as K x dim literals (KBs — constant-folded into codegen, the
+    broadcast-variable pattern without the RDD API); assignment is a
+    per-row argmin over K squared distances (zip_with fold, no UDF); the
+    update step is ONE narrow shuffle per iteration (posexplode to
+    (cluster, dim) pairs -> partial-agg avg -> K x dim rows collected).
+    Fixed _KM_ITERS iterations, deterministic seed (lowest vec_ids) and
+    lowest-index tie-breaks -> bit-stable output across runs/partitionings.
+    At 100 TB: per-iteration cost is one map over the corpus + a K*dim-card
+    aggregate (map-side combine collapses it); K and dim bound driver state,
+    corpus size never does. rows-only oracle (iterative refinement is not
+    SQL-expressible sanely); tests pin determinism, argmin consistency, and
+    monotone WCSS."""
+    emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec")
+    cents = [
+        r["dvec"]
+        for r in emb.orderBy("vec_id").limit(_KM_K).select("dvec").collect()
+    ]
+
+    def _dists(df):
+        cols = []
+        for k, c in enumerate(cents):
+            lit = F.array(*[F.lit(x) for x in c])
+            cols.append(
+                F.aggregate(
+                    F.zip_with("dvec", lit, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ).alias(f"d{k}")
+            )
+        return df.select("vec_id", "dvec", *cols)
+
+    def _assigned(df):
+        arr = F.array(*[F.col(f"d{k}") for k in range(_KM_K)])
+        return _dists(df).withColumn(
+            "cluster", (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        )
+
+    for _ in range(_KM_ITERS):
+        upd = (
+            _assigned(emb)
+            .select("cluster", F.posexplode("dvec").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster", F.col("dm.m").alias("cent"))
+            .collect()
+        )
+        # empty clusters keep their previous centroid (standard Lloyd's)
+        for r in upd:
+            cents[r["cluster"]] = r["cent"]
+
+    out = _assigned(emb)
+    dmin = F.array_min(F.array(*[F.col(f"d{k}") for k in range(_KM_K)]))
+    return out.select(
+        "vec_id", "cluster", dround(F.sqrt(dmin), 4).alias("dist_to_centroid")
+    )
+
+
+_HIST_BUCKET_W = 100
+
+
+@register(
+    "llm_doc_len_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(n_chars / {_HIST_BUCKET_W}) * {_HIST_BUCKET_W} AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           FLOOR(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+                 * 100 + 0.5) / 100 AS avg_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+    section=_SEC,
+)
+def llm_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length distribution — the first diagnostic plot of any
+    corpus audit (truncation cliffs, boilerplate spikes, and tokenizer
+    budget planning all read off it). Fixed-width buckets via pure integer
+    arithmetic (portable to any engine, unlike engine-specific
+    width_bucket): one partial-agg groupBy on the bucket id, so the shuffle
+    carries at most n_buckets rows per task regardless of corpus size."""
+    d = _docs_tokens(spark, sf_dir)
+    bucket = (F.floor(F.col("n_chars") / _HIST_BUCKET_W) * _HIST_BUCKET_W).cast("bigint")
+    return (
+        d.select(bucket.alias("bucket_lo"), F.size("toks").alias("n_toks"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            dround(F.sum("n_toks").cast("double") / F.count("*"), 2).alias("avg_tokens"),
+        )
+    )

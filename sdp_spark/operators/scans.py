@@ -554,3 +554,111 @@ def sink_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _tmp_sink("replace")
     survivors.unionByName(incoming).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+@register(
+    "sink_outfile_csv",
+    oracle="""
+    SELECT n_nationkey,
+           n_name || ';' AS n_name_semi,
+           CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                ELSE '"' || n_name || '";' || n_name END AS maybe_quoted
+    FROM nation
+    """,
+    section=_SEC,
+)
+def sink_outfile_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT ... INTO OUTFILE parity (the MySQL CSV export path): write a
+    query result as delimited text with explicit FIELDS TERMINATED BY ';',
+    OPTIONALLY ENCLOSED BY '\"', and a NULL marker, then read it back with
+    the same dialect + explicit schema. The projection plants adversarial
+    values on purpose — a trailing delimiter inside a quoted field and real
+    NULLs — so the oracle hash pins quote/escape/null round-trip fidelity,
+    not just happy-path tokens. Unlike MySQL's single server-side file the
+    write is sharded (one file per partition): at 100 TB an export IS a
+    distributed dataset, and any single-file requirement belongs to the
+    consumer's cat, not the engine's plan."""
+    out = _tmp_sink("outfile_csv")
+    src = table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.concat(F.col("n_name"), F.lit(";")).alias("n_name_semi"),
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit('"'), F.col("n_name"), F.lit('";'), F.col("n_name"))
+        ).alias("maybe_quoted"),
+    )
+    opts = {"sep": ";", "quote": '"', "escape": '"', "nullValue": "\\N", "header": "true"}
+    src.write.mode("overwrite").options(**opts).csv(out)
+    return spark.read.options(**opts).schema(
+        "n_nationkey INT, n_name_semi STRING, maybe_quoted STRING"
+    ).csv(out)
+
+
+_COMPACT_STAGED: dict[str, str] = {}
+_COMPACT_SRC_FILES = 64
+_COMPACT_TARGET_FILES = 4
+_LAST_COMPACT_OUT: str | None = None
+
+
+def _small_files_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events once per sf as _COMPACT_SRC_FILES tiny parquet files —
+    the classic streaming-ingest debris a compaction job consumes."""
+    from sdp_spark.sources.fixtures import cache_dir
+
+    if sf_dir not in _COMPACT_STAGED:
+        out = cache_dir(sf_dir, "events_small_files")
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            (
+                table(spark, sf_dir, "events")
+                .select("event_id", "user_id", "event_type", "value")
+                .repartition(_COMPACT_SRC_FILES)
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+        _COMPACT_STAGED[sf_dir] = out
+    return _COMPACT_STAGED[sf_dir]
+
+
+@register(
+    "sink_compact",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    section=_SEC,
+)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every streaming
+    ingest needs (micro-batches leave KB-scale files; file-open overhead
+    then dominates scans). Reads the 64-file debris dir, rewrites it as
+    _COMPACT_TARGET_FILES right-sized files via repartition, and returns a
+    content aggregate computed FROM THE COMPACTED OUTPUT — the oracle (same
+    aggregate from the source table) proves compaction is lossless, and the
+    file-count collapse is asserted in tests. At 100 TB: pick target file
+    count from bytes/128MB per partition of the table, run per-partition
+    (compact only partitions whose small-file count crosses a threshold),
+    and swap repartition for a sorted write when downstream wants
+    clustering. repartition (not coalesce) so the rewrite redistributes —
+    coalesce would chain the skew of the debris files into the output."""
+    global _LAST_COMPACT_OUT
+    src_dir = _small_files_dir(spark, sf_dir)
+    out = _tmp_sink("compacted")
+    (
+        spark.read.parquet(src_dir)
+        .repartition(_COMPACT_TARGET_FILES)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    _LAST_COMPACT_OUT = out  # tests assert the file-count collapse here
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").alias("sum_ids"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -123,6 +123,9 @@ _SWEEP_PRIORITY = (
     "llm_pack_sequences", "llm_quality_gopher", "llm_dedup_embed_lsh",
     "fn_encode", "join_spatial_grid", "agg_sketch_rollup", "sink_stream_upsert",
     "scan_binary_files",
+    # --- round-3 session-3 keys (analytics + maintenance + clustering) ---
+    "fn_spatial", "agg_funnel", "llm_ngram_counts", "sink_outfile_csv",
+    "sink_compact", "llm_cluster_kmeans", "llm_doc_len_histogram",
     # --- r2-green keys (driver verdicts in CORRECTNESS_r02.json) ---
     "win_row_number", "win_rank", "win_lag_lead", "win_running",
     "win_sliding_rows", "win_range_frame", "win_topk_group", "win_first_last",
