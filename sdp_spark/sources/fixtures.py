@@ -68,10 +68,15 @@ def _pin_session_confs(spark: SparkSession) -> None:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
-    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects; we read nanos as long (legacy conf, runtime-settable) and
-    convert to a microsecond TimestampType — Spark's native precision.
-    Sub-microsecond ordering ties are broken by event_id in every consumer.
+    `events.ts` is stored as parquet TIMESTAMP(NANOS). Engines differ in how
+    they surface it — Spark 4.1 reads it natively as TIMESTAMP_NTZ(µs);
+    older readers reject nanos unless the legacy nanosAsLong conf maps them
+    to a raw long. Normalize BOTH shapes to a session-zoned microsecond
+    TimestampType (session tz is pinned UTC, so ntz→ltz preserves
+    wall-clock): every consumer — batch windows, streaming watermarks
+    (which require TIMESTAMP, not NTZ), date_format oracles — sees one
+    documented type regardless of engine. Sub-microsecond ordering ties are
+    broken by event_id in every consumer.
     """
     _pin_session_confs(spark)
     if name == "events":
@@ -80,8 +85,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_t = df.schema["ts"].dataType
+        if isinstance(ts_t, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        elif isinstance(ts_t, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

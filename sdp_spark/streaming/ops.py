@@ -65,8 +65,16 @@ def _events_landing_dir(spark: SparkSession, sf_dir: str) -> str:
         out = cache_dir(sf_dir, "events_landing4")
         if not os.path.isdir(out):
             tmp = f"{out}.tmp.{os.getpid()}"
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            src = spark.read.parquet(f"{sf_dir}/events.parquet")
+            # Normalize ts to TIMESTAMP_NTZ(µs) in the landing files so the
+            # stream-side schema is engine-independent. Spark 4 reads the
+            # fixture's TIMESTAMP(NANOS) natively as ntz (the legacy
+            # nanosAsLong conf is a no-op there); older engines need the
+            # long-ns fallback. Session tz is pinned UTC by table(), so an
+            # ltz->ntz cast preserves wall-clock.
+            src = table(spark, sf_dir, "events")
+            ts_t = src.schema["ts"].dataType
+            if isinstance(ts_t, T.TimestampType):
+                src = src.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
             from pyspark.sql import Window
 
             sliced = src.withColumn(
@@ -103,17 +111,19 @@ def _events_landing_dir(spark: SparkSession, sf_dir: str) -> str:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (explicit schema — no
-    inference job), ts read as nano-long (see sources.fixtures.table) and
-    normalized to a microsecond TimestampType. maxFilesPerTrigger=2 over the
-    4-file landing dir makes every availableNow run a genuine MULTI-batch
-    incremental execution (2 micro-batches) — state handoff, watermark
-    progression and sink idempotence are exercised on the operators
-    themselves, not only in dedicated tests."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    inference job). Landing files carry ts as TIMESTAMP_NTZ(µs) (normalized
+    at build, _events_landing_dir); cast to session-zoned TimestampType
+    (UTC-pinned ⇒ identical wall-clock) so every downstream window /
+    watermark / date_format sees the type batch consumers see.
+    maxFilesPerTrigger=2 over the 4-file landing dir makes every
+    availableNow run a genuine MULTI-batch incremental execution (2
+    micro-batches) — state handoff, watermark progression and sink
+    idempotence are exercised on the operators themselves, not only in
+    dedicated tests."""
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -125,7 +135,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "2")
         .parquet(_events_landing_dir(spark, sf_dir))
     )
-    return sdf.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # State-store parallelism for local availableNow runs. A streaming query
