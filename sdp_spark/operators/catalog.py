@@ -239,3 +239,40 @@ def catalog_show_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"EXPLAIN SELECT n_regionkey, COUNT(*) FROM {tbl} GROUP BY n_regionkey"
     ).select(F.lit("explain").alias("stmt"), F.col("plan").alias("line"))
     return show.unionAll(desc).unionAll(expl)
+
+
+@register(
+    "catalog_ctas",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    section=_SEC,
+)
+def catalog_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT — the materialization verb of every SQL
+    warehouse (MySQL 5.6 CTAS semantics: new table from a query's result,
+    types inherited). Runs the aggregate ONCE at write time into a managed
+    parquet table in the sampledb namespace; readers then scan the
+    materialized result (the poor-man's materialized view — refresh =
+    re-run the CTAS, which this operator does idempotently via DROP+CREATE).
+    At 100 TB: the CTAS output is partitioned/bucketed like any table write,
+    and downstream queries prune it instead of re-aggregating the fact."""
+    db = ensure_sampledb(spark, sf_dir)
+    name = f"ctas_seg_{_safe_tag(sf_dir)}"
+    _drop_table(spark, sf_dir, name)
+    table(spark, sf_dir, "customer").createOrReplaceTempView("ctas_src_customer")
+    spark.sql(
+        f"""
+        CREATE TABLE {db}.{name} USING PARQUET AS
+        SELECT c_mktsegment,
+               COUNT(*) AS n_custs,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_bal
+        FROM ctas_src_customer
+        GROUP BY c_mktsegment
+        """
+    )
+    return spark.table(f"{db}.{name}")

@@ -460,3 +460,215 @@ def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= _EMB_THRESH)
         .select("vec_a", "vec_b", dround(F.col("cos"), 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Data mixing / sharding / corpus card (round 4)
+# ---------------------------------------------------------------------------
+
+_MIX_CAP_SHARE = 0.10
+
+
+@register(
+    "llm_domain_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(n_tokens) AS tot_tokens FROM t)
+    SELECT source, n_docs, n_tokens,
+           FLOOR(CAST(n_tokens AS DOUBLE) / tot_tokens * 1000000 + 0.5) / 1000000 AS token_share,
+           FLOOR(LEAST(1.0, {_MIX_CAP_SHARE} * tot_tokens / CAST(n_tokens AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS sample_weight
+    FROM t, tot
+    """,
+    section=_SEC,
+)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source mixing weights — the "data mixture" stage of a training
+    build: per-source token counts and shares, plus the down-sampling weight
+    that caps any one source at _MIX_CAP_SHARE of the corpus (weight = min(1,
+    cap/share); under-cap sources keep weight 1.0, dominating sources get
+    scaled down). The per-source totals are a 20-row aggregate; the corpus
+    total joins back via broadcast — at 100 TB the fact table is touched
+    once and the mixing table is metadata. Weight math runs on exact BIGINT
+    token counts in pure IEEE double ops, so both engines render identical
+    values; dround pins the boundary."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
+    share = F.col("n_tokens").cast("double") / F.col("tot_tokens")
+    weight = F.least(
+        F.lit(1.0), F.lit(_MIX_CAP_SHARE) * F.col("tot_tokens") / F.col("n_tokens").cast("double")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        dround(share, 6).alias("token_share"),
+        dround(weight, 6).alias("sample_weight"),
+    )
+
+
+_N_SHARDS = 8
+
+
+@register(
+    "llm_shard_export",
+    oracle=f"""
+    SELECT CAST(doc_id % {_N_SHARDS} AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_bytes_text
+    FROM documents
+    GROUP BY 1
+    """,
+    section=_SEC,
+)
+def llm_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export: deterministic shard assignment (doc_id mod N —
+    reproducible across runs, unlike round-robin repartition) + a
+    partitioned write, then a per-shard manifest aggregated FROM THE
+    WRITTEN OUTPUT so the oracle proves the export is lossless. This is the
+    last stage of a corpus build: the trainer consumes shard directories in
+    parallel. At 100 TB: N ~ total_bytes / target_shard_bytes; the
+    partitionBy write shuffles once on shard id, and each shard lands as
+    its own directory for independent consumption."""
+    import tempfile
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % _N_SHARDS).cast("int")
+    )
+    out = tempfile.mkdtemp(prefix="sdp_shard_export_")
+    (
+        d.select("doc_id", "text", "n_chars", "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_bytes_text"),
+    )
+
+
+_SEM_THRESH = 0.35
+
+
+@register("llm_semdedup", oracle=None, section=_SEC)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic dedup (Abbas et al. 2023, public preprint):
+    learned k-means clusters are the blocking key; a vector is a duplicate
+    iff some LOWER-id vector sharing a block has cosine >= _SEM_THRESH
+    (deterministic keep-lowest rule — greedy set-cover order pinned by id).
+    Versus llm_dedup_embed's fixture-label blocking, the blocking here is
+    LEARNED — the shape that works when no labels exist. MULTI-PROBE: each
+    vector blocks on its TOP-2 nearest centroids, so boundary pairs split
+    across adjacent clusters still meet (pair recall 0.35 -> 0.77 on the
+    fixture vs single-probe; the standard soft-assignment fix). Cost:
+    k-means (one narrow shuffle/iter, K x dim driver state, fit shared with
+    llm_cluster_kmeans) + an equi-join on block id with pairwise cosine
+    only inside blocks — never all-pairs; duplication factor is exactly 2.
+    At 100 TB: raise K so mean cluster size stays ~1k, or recurse k-means
+    inside oversized clusters. rows-only oracle (k-means isn't
+    SQL-expressible); tests pin precision 1.0 and recall vs exact
+    brute-force pairs, plus determinism."""
+    from sdp_spark.operators.llm import _KM_K, _emb_normed, _km_dist_cols, _kmeans_fit
+
+    cents = _kmeans_fit(spark, sf_dir)
+    emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")
+    # top-2 centroids via array_sort over (dist, k) structs — lexicographic
+    # struct ordering gives lowest-distance-then-lowest-index determinism
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.col(f"d{k}").alias("d"), F.lit(k).alias("k"))
+                for k in range(_KM_K)
+            ]
+        )
+    )
+    probed = (
+        _km_dist_cols(emb.select("vec_id", "dvec"), cents)
+        .withColumn("c1", ranked[0]["k"])
+        .withColumn("c2", ranked[1]["k"])
+        .select("vec_id", "c1", "c2")
+        .join(emb, "vec_id")
+    )
+    blocks = probed.select(
+        "vec_id", "dvec", "norm", "c1",
+        F.explode(F.array("c1", "c2")).alias("block"),
+    )
+    a = blocks.select(
+        F.col("vec_id").alias("vec_a"), F.col("dvec").alias("va"),
+        F.col("norm").alias("na"), "block",
+    )
+    b = blocks.select(
+        F.col("vec_id").alias("vec_b"), F.col("dvec").alias("vb"),
+        F.col("norm").alias("nb"), "block",
+    )
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    dup_ids = (
+        a.join(b, "block")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= _SEM_THRESH)
+        .select("vec_b")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        probed.select("vec_id", F.col("c1").alias("cluster"))
+        .join(dup_ids, probed.vec_id == dup_ids.vec_b, "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+@register(
+    "llm_corpus_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           FLOOR(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+                 * 100 + 0.5) / 100 AS avg_doc_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           FLOOR(CAST(COUNT(*) FILTER (WHERE lang = 'en') AS DOUBLE) / COUNT(*)
+                 * 10000 + 0.5) / 10000 AS pct_en,
+           FLOOR((1.0 - CAST(COUNT(DISTINCT sha256(lower(trim(text)))) AS DOUBLE) / COUNT(*))
+                 * 10000 + 0.5) / 10000 AS exact_dup_rate
+    FROM documents
+    """,
+    section=_SEC,
+)
+def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus card — the one-row dataset summary published with every
+    training corpus: scale (docs/tokens), source/language diversity, and
+    exact-duplicate rate (1 - distinct-normalized-hash ratio, same
+    normalization as llm_dedup_exact). One pass, partial aggregation for
+    everything except the two exact DISTINCTs; at 100 TB swap those for
+    approx_count_distinct (the documented trade — the card is diagnostic,
+    not transactional)."""
+    d = table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " ")).cast("bigint")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_toks).alias("n_tokens"),
+        dround(F.sum(n_toks).cast("double") / F.count("*"), 2).alias("avg_doc_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        dround(F.count(F.when(F.col("lang") == "en", 1)).cast("double") / F.count("*"), 4).alias("pct_en"),
+        dround(
+            (F.lit(1.0) - F.countDistinct(F.sha2(F.lower(F.trim(F.col("text"))), 256)).cast("double") / F.count("*")),
+            4,
+        ).alias("exact_dup_rate"),
+    )

@@ -1200,6 +1200,57 @@ def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 8
 _KM_ITERS = 4
 
+# Converged centroids memoized per (app, sf_dir): plain Python lists (K x dim
+# floats, KBs) — both llm_cluster_kmeans and llm_semdedup consume one fit.
+_KM_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _km_dist_cols(df: DataFrame, cents: list) -> DataFrame:
+    """Append d0..d{K-1} squared-distance columns (zip_with fold, no UDF)."""
+    cols = []
+    for k, c in enumerate(cents):
+        lit = F.array(*[F.lit(x) for x in c])
+        cols.append(
+            F.aggregate(
+                F.zip_with("dvec", lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias(f"d{k}")
+        )
+    return df.select("vec_id", "dvec", *cols)
+
+
+def _kmeans_fit(spark: SparkSession, sf_dir: str) -> list:
+    """Run Lloyd's to _KM_ITERS and return the K x dim centroid list
+    (deterministic: seeded from the K lowest vec_ids, lowest-index
+    tie-breaks). See llm_cluster_kmeans for the distributed-shape notes."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _KM_CACHE:
+        return _KM_CACHE[key]
+    emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec")
+    cents = [
+        r["dvec"] for r in emb.orderBy("vec_id").limit(_KM_K).select("dvec").collect()
+    ]
+    for _ in range(_KM_ITERS):
+        arr = F.array(*[F.col(f"d{k}") for k in range(_KM_K)])
+        assigned = _km_dist_cols(emb, cents).withColumn(
+            "cluster", (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        )
+        upd = (
+            assigned.select("cluster", F.posexplode("dvec").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster", F.col("dm.m").alias("cent"))
+            .collect()
+        )
+        # empty clusters keep their previous centroid (standard Lloyd's)
+        for r in upd:
+            cents[r["cluster"]] = r["cent"]
+    _KM_CACHE[key] = cents
+    return cents
+
 
 @register("llm_cluster_kmeans", oracle=None, section=_SEC)
 def llm_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1218,47 +1269,12 @@ def llm_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size never does. rows-only oracle (iterative refinement is not
     SQL-expressible sanely); tests pin determinism, argmin consistency, and
     monotone WCSS."""
+    cents = _kmeans_fit(spark, sf_dir)
     emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec")
-    cents = [
-        r["dvec"]
-        for r in emb.orderBy("vec_id").limit(_KM_K).select("dvec").collect()
-    ]
-
-    def _dists(df):
-        cols = []
-        for k, c in enumerate(cents):
-            lit = F.array(*[F.lit(x) for x in c])
-            cols.append(
-                F.aggregate(
-                    F.zip_with("dvec", lit, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ).alias(f"d{k}")
-            )
-        return df.select("vec_id", "dvec", *cols)
-
-    def _assigned(df):
-        arr = F.array(*[F.col(f"d{k}") for k in range(_KM_K)])
-        return _dists(df).withColumn(
-            "cluster", (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
-        )
-
-    for _ in range(_KM_ITERS):
-        upd = (
-            _assigned(emb)
-            .select("cluster", F.posexplode("dvec").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cluster", F.col("dm.m").alias("cent"))
-            .collect()
-        )
-        # empty clusters keep their previous centroid (standard Lloyd's)
-        for r in upd:
-            cents[r["cluster"]] = r["cent"]
-
-    out = _assigned(emb)
+    arr = F.array(*[F.col(f"d{k}") for k in range(_KM_K)])
+    out = _km_dist_cols(emb, cents).withColumn(
+        "cluster", (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+    )
     dmin = F.array_min(F.array(*[F.col(f"d{k}") for k in range(_KM_K)]))
     return out.select(
         "vec_id", "cluster", dround(F.sqrt(dmin), 4).alias("dist_to_centroid")
@@ -1298,4 +1314,72 @@ def llm_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("bigint").alias("n_tokens"),
             dround(F.sum("n_toks").cast("double") / F.count("*"), 2).alias("avg_tokens"),
         )
+    )
+
+
+@register(
+    "llm_dedup_softnorm",
+    oracle="""
+    SELECT sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                      ' +', ' ', 'g'))) AS norm_hash,
+           MIN(doc_id) AS keeper_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    section=_SEC,
+)
+def llm_dedup_softnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust exact dedup (the C4/RefinedWeb recipe): lower,
+    strip punctuation, collapse whitespace, THEN hash — catches the
+    re-crawls that differ only in casing/markup debris, which byte-exact
+    dedup (llm_dedup_exact) misses. Same scale shape as exact dedup: the
+    normalization is per-row codegen, only the 32-byte hash + doc_id
+    shuffle to the groupBy — document text never moves."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        d.select(F.sha2(norm, 256).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keeper_doc"), F.count("*").alias("n_copies"))
+    )
+
+
+_PREFIX_TOKENS = 20
+
+
+@register(
+    "llm_dedup_prefix",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             sha256(array_to_string(list_slice(string_split(text, ' '), 1, {_PREFIX_TOKENS}), ' '))
+               AS prefix_hash
+      FROM documents
+    )
+    SELECT prefix_hash, MIN(doc_id) AS keeper_doc, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM p
+    GROUP BY prefix_hash
+    HAVING COUNT(*) > 1
+    """,
+    section=_SEC,
+)
+def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup: documents sharing their first N tokens (truncated
+    re-crawls, paginated copies, and templated intros collapse onto one
+    prefix even when tails diverge — a standard web-corpus pass between
+    exact and near dedup). Hash of the 20-token prefix is the group key;
+    only clusters with >1 member survive. Shuffle carries (hash, doc_id)
+    pairs — at 100 TB the prefix slice itself stays map-side."""
+    d = table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, _PREFIX_TOKENS), " ")
+    return (
+        d.select(F.sha2(prefix, 256).alias("prefix_hash"), "doc_id")
+        .groupBy("prefix_hash")
+        .agg(F.min("doc_id").alias("keeper_doc"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
     )

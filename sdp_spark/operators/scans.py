@@ -19,6 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from sdp_spark.functions.num import dround
 from sdp_spark.plans.registry import register
@@ -662,3 +663,82 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "sink_autoincrement",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS row_id,
+           o_orderkey, o_custkey
+    FROM orders
+    """,
+    section=_SEC,
+)
+def sink_autoincrement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO_INCREMENT surrogate keys — the highest-traffic MySQL 5.6 DDL
+    surface still unmapped (mysql-persistent-template.json:68 pins the
+    engine; every CREATE TABLE a platform user writes starts with
+    `id BIGINT AUTO_INCREMENT PRIMARY KEY`). Contract provided: dense
+    1..N BIGINT ids, unique and monotone in "insertion order", which this
+    batch engine defines as the order of a declared unique key (here
+    o_orderkey). Documented gap vs MySQL: ids are assigned per batch-load,
+    not per-row-at-a-time, and re-running a load re-derives the same ids
+    (idempotent) rather than continuing a persistent counter.
+
+    Scale design — NO global sort, no single-partition window:
+    1. bucket rows by equi-width ranges of the key (width_bucket; min/max
+       is one metadata-scale aggregate);
+    2. count per bucket, cumulative-sum the counts driver-side (B tiny
+       rows) into per-bucket starting offsets, broadcast them back;
+    3. id = bucket_offset + row_number() within bucket — ONE shuffle on
+       bucket id, each bucket sorts locally. At 100 TB raise _AI_BUCKETS
+       to ~#cores so bucket sorts stay in-memory; skewed keys get
+       quantile-based boundaries (approxQuantile) instead of equi-width."""
+    B = 16  # id-assignment buckets (size to cluster parallelism at scale)
+    src = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    bucketed = src.withColumn(
+        "_b", F.width_bucket("o_orderkey", F.lit(lo), F.lit(hi + 1), F.lit(B))
+    )
+    counts = {r["_b"]: r["n"] for r in bucketed.groupBy("_b").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_df = F.broadcast(
+        spark.createDataFrame([(b, o) for b, o in offsets.items()], "_b INT, _off BIGINT")
+    )
+    w = Window.partitionBy("_b").orderBy("o_orderkey")
+    ids = (
+        bucketed.join(off_df, "_b")
+        .select(
+            (F.col("_off") + F.row_number().over(w)).alias("row_id"),
+            "o_orderkey",
+            "o_custkey",
+        )
+    )
+    out = _tmp_sink("autoincrement")
+    ids.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register(
+    "scan_text",
+    oracle="SELECT text AS value FROM documents",
+    section=_SEC,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-lines ingest (`spark.read.text`) — the LOAD DATA INFILE
+    analogue for unstructured corpora, and the entry format of most LLM
+    training pipelines (one document per line). Staged once per sf from the
+    documents fixture (each text is single-line by construction), then read
+    back as a line-per-row `value` column. Splittable: Spark assigns line
+    blocks of each file to tasks, so one 100 GB text file still fans out;
+    at 100 TB land many ~1 GB files and listing parallelizes too. The
+    oracle pins the lossless line round-trip."""
+    from sdp_spark.sources.fixtures import cache_dir
+
+    out = cache_dir(sf_dir, "documents_text")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        table(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(out)
+    return spark.read.text(out)

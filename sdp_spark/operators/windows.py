@@ -306,3 +306,56 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
         F.first("o_orderkey").over(w).alias("first_order"),
     )
+
+
+@register(
+    "win_sessionize",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tts, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), lagged AS (
+      SELECT *, CASE WHEN us - LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM lagged
+    )
+    SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(MIN(tts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(tts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    section=_SEC,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap > 30 min starts a new session) — the
+    window-function counterpart of stream_session, and the classic
+    lag+cumsum idiom MySQL 5.6 users emulate with session variables.
+    Gap math runs on integer epoch-microseconds so the break predicate is
+    bit-identical across engines (no float epoch, no truncation drift).
+    Two window passes + one aggregate, all partitioned by user_id — one
+    shuffle at scale; per-user partitions are small and numerous, the shape
+    window execution wants."""
+    from sdp_spark.functions.num import dsum
+
+    e = table(spark, sf_dir, "events").withColumn("us", F.unix_micros(F.col("ts")))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    brk = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.withColumn("brk", brk).withColumn(
+        "session_id", F.sum("brk").over(cum).cast("long")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        dsum("value").alias("sum_value"),
+    )

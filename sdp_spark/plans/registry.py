@@ -81,51 +81,53 @@ def register(key: str, oracle: str | None = None, section: str = ""):
     return deco
 
 
-# Driver-sweep priority (round 3): the budget-capped sweep (~50 keys/round)
-# ran r1 = first 50 keys, r2 = next 50 (CORRECTNESS_r01/r02.json). 45 keys
-# still have NO driver verdict — they go FIRST, with the 19 SURVEY-§2 keys
-# (streaming §2.10, fulltext/catalog §2.13, stream/jdbc sinks of §2.1)
-# leading so a tight budget certifies §2 before extras. Round-3 NEW keys are
-# listed EXPLICITLY right after the unverified block — an unlisted key sorts
-# before everything (rank -1) and would displace the backlog past the cap
-# (VERDICT r2 "What's wrong" #1). Keys with r1/r2 green verdicts trail.
-# There is no way to park an unlisted key at the end — to deprioritize, list it.
+# Driver-sweep priority (round 4): the budget-capped sweep (~50 keys/round)
+# ran r1 = first 50, r2 = next 50, r3 = the 45-key unverified backlog + 5
+# round-3 keys (CORRECTNESS_r01..r03.json). 21 round-3 keys still have NO
+# driver verdict — they go FIRST (VERDICT r3 next-round #1: "do not add new
+# keys ahead of them"). Behind them: keys whose CODE changed since their
+# last verdict (the two r3 `err` array-output fixes, the Derby-reworked
+# scan_jdbc, the rebuilt join_bucketed), then round-4 NEW keys, then greens.
+# An unlisted key sorts before everything (rank -1) and would displace the
+# backlog past the cap — to deprioritize, list it; test_entry enforces
+# registry == list exactly.
 _SWEEP_PRIORITY = (
-    # --- unverified block (no driver verdict after r1+r2) ---
-    # §2.1 stream source/sinks + §2.10 streaming (19 SURVEY-§2 keys first)
+    # --- unverified block: 21 round-3 keys with no driver verdict ---
+    "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
+    "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",
+    "llm_pack_sequences", "llm_quality_gopher", "llm_dedup_embed_lsh",
+    "fn_encode", "join_spatial_grid", "agg_sketch_rollup", "sink_stream_upsert",
+    "scan_binary_files",
+    "fn_spatial", "agg_funnel", "llm_ngram_counts", "sink_outfile_csv",
+    "sink_compact", "llm_cluster_kmeans", "llm_doc_len_histogram",
+    # --- changed since last verdict (re-certify) ---
+    "agg_approx_percentile",  # r3 err: array output → scalar q25/q50/q75
+    "mm_decode_pipeline",     # r3 err: array features → string
+    "scan_jdbc",              # r1 verdict predates the embedded-Derby rework
+    "join_bucketed",          # readiness now catalog-derived (r4)
+    # --- round-4 NEW keys: always append here, never leave unlisted ---
+    "sink_autoincrement", "scan_text", "agg_filtered", "win_sessionize",
+    "join_range_bucketed", "catalog_ctas", "llm_dedup_softnorm",
+    "llm_dedup_prefix", "llm_domain_mix", "llm_shard_export", "llm_semdedup",
+    "llm_corpus_stats",
+    # --- r3-green keys (driver verdicts in CORRECTNESS_r03.json) ---
     "source_stream_files", "sink_stream_foreachBatch", "sink_jdbc",
     "sink_stream_jdbc",
     "stream_ingest", "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark", "stream_dedup", "stream_stateful", "stream_join_dim",
     "stream_tumbling_wm", "stream_sliding_wm", "stream_session_wm",
-    # §2.13 fulltext/catalog
     "filter_fulltext", "filter_fulltext_bool", "catalog_ddl", "catalog_views",
-    # §2.12 multimodal decode (the one §2 headline key r2 did not reach)
-    "mm_decode_pipeline",
-    # LLM extras (scale-path variants)
     "llm_langid", "llm_quality_score", "llm_fingerprint", "llm_dedup_embed",
     "llm_dedup_ngram_jaccard", "llm_dedup_simhash", "llm_sim_search_lsh",
     "llm_sim_search_ivf", "llm_token_count_bpe", "llm_pipeline_e2e",
     "llm_pipeline_train_corpus",
-    # aggregates the r1 sweep did not reach
-    "agg_grouping_sets", "agg_approx_percentile", "agg_corr",
-    # round-2 additions without verdicts
+    "agg_grouping_sets", "agg_corr",
     "filter_collation_accent", "sample_systematic", "agg_unpivot",
     "project_cast_lenient", "catalog_analyze_stats", "fn_fuzzy",
     "scan_schema_evolution", "catalog_show_describe", "join_hinted",
     "mm_frame_sample", "stream_stream_join",
-    # --- round-3 NEW keys: always append here, never leave unlisted ---
     "llm_dedup_near_resolve", "llm_pipeline_train_corpus_nd",
     "project_enum_check", "fn_time_year", "project_set_check",
-    "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
-    # --- round-3 session-2 keys (corpus curation) ---
-    "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",
-    "llm_pack_sequences", "llm_quality_gopher", "llm_dedup_embed_lsh",
-    "fn_encode", "join_spatial_grid", "agg_sketch_rollup", "sink_stream_upsert",
-    "scan_binary_files",
-    # --- round-3 session-3 keys (analytics + maintenance + clustering) ---
-    "fn_spatial", "agg_funnel", "llm_ngram_counts", "sink_outfile_csv",
-    "sink_compact", "llm_cluster_kmeans", "llm_doc_len_histogram",
     # --- r2-green keys (driver verdicts in CORRECTNESS_r02.json) ---
     "win_row_number", "win_rank", "win_lag_lead", "win_running",
     "win_sliding_rows", "win_range_frame", "win_topk_group", "win_first_last",
@@ -142,7 +144,7 @@ _SWEEP_PRIORITY = (
     "llm_dedup_exact", "llm_dedup_near", "llm_sim_search", "llm_text_stats",
     "llm_tfidf_topterms", "llm_lang_filter", "llm_multimodal_cols",
     # --- r1-green keys (driver verdicts in CORRECTNESS_r01.json) ---
-    "scan_parquet", "scan_csv", "scan_json", "scan_jdbc", "sink_append",
+    "scan_parquet", "scan_csv", "scan_json", "sink_append",
     "sink_overwrite", "sink_partitioned", "scan_partition_pruned",
     "sink_upsert", "dml_update_delete", "scan_orc",
     "project_select", "filter_basic", "filter_compound", "filter_between",
@@ -151,7 +153,7 @@ _SWEEP_PRIORITY = (
     "sort_nulls",
     "join_inner", "join_left", "join_right", "join_full", "join_cross",
     "join_semi", "join_anti", "join_theta_range", "join_broadcast",
-    "join_multiway", "join_self", "join_asof", "join_bucketed", "join_salted",
+    "join_multiway", "join_self", "join_asof", "join_salted",
     "agg_groupby", "agg_global", "agg_having", "agg_count_distinct",
     "agg_approx_distinct", "agg_stats", "agg_group_concat", "agg_bool_bit",
     "agg_rollup", "agg_cube", "agg_pivot", "agg_percentile",

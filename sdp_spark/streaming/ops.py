@@ -62,7 +62,10 @@ def _events_landing_dir(spark: SparkSession, sf_dir: str) -> str:
     oracles pin). Built into a temp dir + atomic rename: a concurrent
     process never streams a half-built landing dir."""
     if sf_dir not in _LANDING:
-        out = cache_dir(sf_dir, "events_landing4")
+        # landing5: key bumped when the on-disk ts schema changed from INT64
+        # nano-long to TIMESTAMP_NTZ(µs) — a warm landing4 dir built by
+        # pre-change code would fail the new explicit NTZ stream schema
+        out = cache_dir(sf_dir, "events_landing5")
         if not os.path.isdir(out):
             tmp = f"{out}.tmp.{os.getpid()}"
             # Normalize ts to TIMESTAMP_NTZ(µs) in the landing files so the
@@ -120,6 +123,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches) — state handoff, watermark progression and sink
     idempotence are exercised on the operators themselves, not only in
     dedicated tests."""
+    # Pin session tz=UTC unconditionally: the warm-cache path skips table()
+    # (which normally pins it), and the ntz->ltz cast below plus all window /
+    # session_window bucketing depend on it — an unpinned non-UTC session
+    # (esp. fractional offsets like +05:30) would shift window boundaries
+    # away from the DuckDB oracle.
+    from sdp_spark.sources.fixtures import _pin_session_confs
+
+    _pin_session_confs(spark)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
