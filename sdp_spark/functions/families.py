@@ -609,3 +609,31 @@ def fn_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(2.0 * _EARTH_R_KM * F.asin(F.sqrt(hav)), 4).alias("dist_km"),
         (F.col("lat").between(0.0, 45.0) & F.col("lon").between(-90.0, 0.0)).alias("in_mbr"),
     )
+
+
+@register(
+    "fn_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_typed,
+           CAST(json_extract(props, '$.k') AS INTEGER) * 2 AS k_doubled,
+           CAST(json_extract(props, '$.k') AS INTEGER) IS NOT NULL AS has_k
+    FROM events
+    """,
+    section=_SEC,
+)
+def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON expansion: from_json with an explicit schema turns the
+    props string into a STRUCT whose fields are real typed columns —
+    the schema-on-read counterpart of fn_json's stringly get_json_object.
+    Downstream expressions (arithmetic, null checks) then run on INT, not
+    on string casts; at scale the struct field access is codegen and the
+    JSON parse happens exactly once per row however many fields are read."""
+    e = table(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_typed"),
+        (F.col("p.k") * 2).alias("k_doubled"),
+        F.col("p.k").isNotNull().alias("has_k"),
+    )

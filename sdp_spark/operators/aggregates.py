@@ -545,3 +545,38 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
         F.count("*").alias("n_all"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                       ORDER BY n DESC, o_orderpriority) AS rn
+          FROM counts) t
+    WHERE rn = 1
+    """,
+    section=_SEC,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE per group (most frequent value) — the GROUP BY + ORDER BY count
+    idiom MySQL users run for "most common X per Y". Implemented as
+    count-then-rank rather than F.mode because mode's tie-breaking is
+    engine-defined; row_number over (count DESC, value ASC) pins a
+    deterministic winner on BOTH engines. Two shuffles (count keys, then
+    the tiny per-group rank) but the second input is |statuses x priorities|
+    rows — metadata-scale at any corpus size."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), F.col("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )

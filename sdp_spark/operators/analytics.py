@@ -1,0 +1,149 @@
+"""Composed analytical queries — SURVEY.md §2 capstones (round 4).
+
+Classic TPC-H-shaped decision-support queries run end-to-end through the
+engine's relational core: multi-join star plans with selective date
+predicates, grouped decimal-exact revenue aggregation, and deterministic
+top-k. These are the workload shapes the reference's deployed engine
+(MySQL 5.6, mysql-persistent-template.json:68) serves for surveillance
+analytics dashboards — each one composes 5+ §2 operator keys into a single
+plan, so a correctness hash here certifies the interactions (join
+reordering, pushdown through joins, agg-under-topk), not just the operators
+in isolation.
+
+Scale notes: all three queries keep dimension sides broadcast-able
+(customer/nation filters reduce them far below the broadcast threshold at
+any sf), shuffle the fact ONCE on its join key, push every date predicate
+to the parquet scan, and end in TakeOrderedAndProject (top-k without a
+global sort). This is the plan shape a 1000-executor run wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdp_spark.functions.num import dsum, sql_dsum
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import table
+
+_SEC = "2.14 analytical queries"
+
+_Q3_CUTOFF = "1998-06-01"
+
+
+@register(
+    "query_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    section=_SEC,
+)
+def query_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-10 for one market segment.
+    Plan: segment filter shrinks customer to ~1/5 (broadcast), orders date
+    filter pushes to parquet, ONE shuffle on orderkey for the lineitem
+    join+agg, TakeOrderedAndProject for the limit. Deterministic tie-break
+    on l_orderkey (revenue alone can collide)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_CUTOFF).cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_CUTOFF).cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(rev).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "query_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS lost_revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    section=_SEC,
+)
+def query_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+    Plan: returnflag filter pushes to the lineitem scan (cuts ~2/3 of the
+    fact before any join), nation broadcasts, one orderkey shuffle + one
+    custkey shuffle for the final agg, top-k without global sort."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "query_late_orders",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    section=_SEC,
+)
+def query_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders with at least one late
+    lineitem (shipped >60 days after order). EXISTS becomes a LEFT SEMI
+    join — the fact side is deduplicated by the join itself, no DISTINCT
+    pass. Date window pushes to the orders scan; the semi join shuffles on
+    orderkey once."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))

@@ -672,3 +672,110 @@ def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("exact_dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split leakage removal + URL canonicalization (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_cross_split_dedup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             sha256(lower(trim(text))) AS h,
+             CASE WHEN (doc_id * {KNUTH}) % {KNUTH_MOD} < {KNUTH_MOD} * 0.9
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM documents
+    )
+    SELECT t.doc_id, t.lang
+    FROM hashed t
+    WHERE t.split = 'train'
+      AND NOT EXISTS (SELECT 1 FROM hashed v
+                      WHERE v.split = 'heldout' AND v.h = t.h)
+    """,
+    section=_SEC,
+)
+def llm_cross_split_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage removal: after the deterministic train/heldout
+    split (same Knuth-hash assignment as llm_pipeline_train_corpus), drop
+    every TRAIN document whose normalized text hash also appears in
+    HELDOUT — the doc-level counterpart of n-gram decontamination
+    (llm_decontaminate), protecting the held-out perplexity eval from
+    verbatim overlap. Plan: the heldout hash set is a small fraction of the
+    corpus -> broadcast anti-join; the train side streams through one scan,
+    nothing re-shuffles. At 100 TB swap the broadcast for a bloom filter —
+    identical plan shape, bounded memory."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(KNUTH_MOD)
+    hashed = d.select(
+        "doc_id",
+        "lang",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"),
+        F.when(bucket < KNUTH_MOD * 0.9, "train").otherwise("heldout").alias("split"),
+    )
+    heldout_hashes = F.broadcast(
+        hashed.filter(F.col("split") == "heldout").select("h").distinct()
+    )
+    return (
+        hashed.filter(F.col("split") == "train")
+        .join(heldout_hashes, "h", "left_anti")
+        .select("doc_id", "lang")
+    )
+
+
+_TRACKING_RE = "(utm_[a-z]+|ref|fbclid)=[^&#]*&?"
+
+
+@register(
+    "llm_url_normalize",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || CAST(doc_id % 50 AS VARCHAR)
+               || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '&ref=home#top' ELSE '' END AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+             rtrim(regexp_replace(regexp_replace(url, '#[^#]*$', ''),
+                                  '{_TRACKING_RE}', '', 'g'),
+                   '?&') AS canon_url
+      FROM urls
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_canonical
+    FROM canon
+    GROUP BY host
+    """,
+    section=_SEC,
+)
+def llm_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the first dedup key of every web crawl: strip
+    tracking params (utm_*, ref, fbclid) and fragments, then count raw vs
+    canonical URLs per host (the dedup leverage report). The fixture has no
+    URL column, so deterministic synthetic URLs are derived first (same
+    pattern as llm_pii_scrub's synthetic PII) — the oracle then genuinely
+    pins the normalization regexes on both engines. Pure per-row codegen +
+    one small groupBy; at 100 TB the canonical url feeds llm_dedup_* as the
+    blocking/group key, and this report is its audit."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("&ref=home#top")).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    canon = F.rtrim(
+        F.regexp_replace(F.regexp_replace(F.col("url"), "#[^#]*$", ""), _TRACKING_RE, ""),
+    )
+    host = F.regexp_extract(F.col("url"), "https://([^/]+)/", 1)
+    c = u.select("doc_id", host.alias("host"), canon.alias("canon_url"))
+    return c.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("canon_url").alias("n_canonical"),
+    )

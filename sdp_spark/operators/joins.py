@@ -593,3 +593,67 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count("*").alias("n_shipped"))
     )
+
+
+_ASOF_TOLERANCE_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, event_type,
+             CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+             CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END AS view_us
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), filled AS (
+      SELECT user_id, us, event_id, event_type,
+             LAST_VALUE(view_id IGNORE NULLS) OVER w AS last_view_id,
+             LAST_VALUE(view_us IGNORE NULLS) OVER w AS last_view_us
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN us - last_view_us <= {_ASOF_TOLERANCE_US} THEN last_view_id END
+             AS asof_view_id,
+           CASE WHEN us - last_view_us <= {_ASOF_TOLERANCE_US}
+                THEN CAST(FLOOR((us - last_view_us) / 1000000) AS BIGINT) END AS gap_s
+    FROM filled WHERE event_type = 'purchase'
+    """,
+    section=_SEC,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE: nearest prior 'view' per user, but only if
+    it happened within 1 hour — stale matches become NULL instead of
+    attributing a purchase to a days-old view (the attribution-window
+    semantics of pandas merge_asof(tolerance=...)). Same scalable
+    union+window formulation as join_asof (one sort per user, no pairwise
+    blow-up); the tolerance is a post-fill NULL-out on integer epoch-µs, so
+    the cutoff is bit-exact across engines."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .withColumn("us", F.unix_micros(F.col("ts")))
+    )
+    tagged = e.select(
+        "user_id", "us", "event_id", "event_type",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_id"),
+        F.when(F.col("event_type") == "view", F.col("us")).alias("view_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn(
+        "last_view_id", F.last("view_id", ignorenulls=True).over(w)
+    ).withColumn("last_view_us", F.last("view_us", ignorenulls=True).over(w))
+    gap = F.col("us") - F.col("last_view_us")
+    fresh = gap <= _ASOF_TOLERANCE_US
+    return filled.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(fresh, F.col("last_view_id")).alias("asof_view_id"),
+        F.when(fresh, F.floor(gap / 1_000_000)).alias("gap_s"),
+    )

@@ -694,6 +694,16 @@ def sink_autoincrement(spark: SparkSession, sf_dir: str) -> DataFrame:
        bucket id, each bucket sorts locally. At 100 TB raise _AI_BUCKETS
        to ~#cores so bucket sorts stay in-memory; skewed keys get
        quantile-based boundaries (approxQuantile) instead of equi-width."""
+    ids = _autoincrement_ids(spark, sf_dir)
+    out = _tmp_sink("autoincrement")
+    ids.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def _autoincrement_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-write id-assignment plan (exposed so plan tests can assert
+    the no-global-sort property — the registered sink returns the parquet
+    read-back, whose plan is just a scan)."""
     B = 16  # id-assignment buckets (size to cluster parallelism at scale)
     src = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
@@ -706,20 +716,14 @@ def sink_autoincrement(spark: SparkSession, sf_dir: str) -> DataFrame:
         offsets[b] = acc
         acc += counts[b]
     off_df = F.broadcast(
-        spark.createDataFrame([(b, o) for b, o in offsets.items()], "_b INT, _off BIGINT")
+        spark.createDataFrame([(b, o) for b, o in offsets.items()], "_b BIGINT, _off BIGINT")
     )
     w = Window.partitionBy("_b").orderBy("o_orderkey")
-    ids = (
-        bucketed.join(off_df, "_b")
-        .select(
-            (F.col("_off") + F.row_number().over(w)).alias("row_id"),
-            "o_orderkey",
-            "o_custkey",
-        )
+    return bucketed.join(off_df, "_b").select(
+        (F.col("_off") + F.row_number().over(w)).alias("row_id"),
+        "o_orderkey",
+        "o_custkey",
     )
-    out = _tmp_sink("autoincrement")
-    ids.write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
 
 
 @register(
@@ -742,3 +746,30 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         table(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(out)
     return spark.read.text(out)
+
+
+@register(
+    "sink_jsonl",
+    oracle="SELECT doc_id, lang, text FROM documents",
+    section=_SEC,
+)
+def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines export/ingest round-trip — the interchange format of LLM
+    training corpora (one JSON object per line; every tokenizer/trainer
+    reads it). Write is a partitioned multi-file dump (splittable on read:
+    line-delimited JSON splits by block, unlike a JSON array); read-back
+    uses an EXPLICIT schema so no inference job runs and types round-trip
+    exactly. The oracle pins lossless export of every field. At 100 TB:
+    same plan, more files — compression (zstd) and ~1 GB targets come from
+    the same writer options."""
+    out = _tmp_sink("jsonl")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out).select("doc_id", "lang", "text")

@@ -359,3 +359,28 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         dsum("value").alias("sum_value"),
     )
+
+
+@register(
+    "win_zscore",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           FLOOR((l_quantity - AVG(l_quantity) OVER w)
+                 / STDDEV_SAMP(l_quantity) OVER w * 10000 + 0.5) / 10000 AS qty_z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+    section=_SEC,
+)
+def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization (z-score over an unordered full-partition
+    frame) — the feature-engineering idiom behind outlier flags and
+    normalized model inputs. The whole-partition window computes mean/std
+    once per group and broadcasts them to every member row — one shuffle on
+    the group key, no self-join with a pre-aggregated table. dround(4)
+    absorbs the last-ulp differences of the two engines' variance
+    formulas."""
+    l = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    z = (F.col("l_quantity") - F.avg("l_quantity").over(w)) / F.stddev_samp("l_quantity").over(w)
+    return l.select("l_returnflag", "l_orderkey", "l_linenumber", dround(z, 4).alias("qty_z"))

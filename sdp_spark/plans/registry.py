@@ -54,6 +54,7 @@ _OPERATOR_MODULES = (
     "sdp_spark.operators.multimodal",
     "sdp_spark.operators.fulltext",
     "sdp_spark.operators.catalog",
+    "sdp_spark.operators.analytics",
 )
 
 
@@ -110,6 +111,9 @@ _SWEEP_PRIORITY = (
     "join_range_bucketed", "catalog_ctas", "llm_dedup_softnorm",
     "llm_dedup_prefix", "llm_domain_mix", "llm_shard_export", "llm_semdedup",
     "llm_corpus_stats",
+    "query_shipping_priority", "query_returned_items", "query_late_orders",
+    "agg_mode", "sink_jsonl", "fn_json_struct", "win_zscore",
+    "join_asof_tolerance", "llm_cross_split_dedup", "llm_url_normalize",
     # --- r3-green keys (driver verdicts in CORRECTNESS_r03.json) ---
     "source_stream_files", "sink_stream_foreachBatch", "sink_jdbc",
     "sink_stream_jdbc",

@@ -160,3 +160,38 @@ def test_insert_ignore_anti_join_shape(spark, sf_dir):
     plan = _plan(spark, merged, "simple")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_bucketed_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The bucketed interval join's whole point: the derived month-bucket
+    equi key makes Catalyst plan a hash/merge join with the range residual —
+    never a nested-loop/cartesian over orders x lineitem."""
+    plan = _plan(spark, REGISTRY["join_range_bucketed"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_capstone_queries_broadcast_dims_and_topk(spark, sf_dir):
+    """Q3/Q10 shapes: dimension sides broadcast, top-k plans as
+    TakeOrderedAndProject (no global sort)."""
+    for key in ("query_shipping_priority", "query_returned_items"):
+        plan = _plan(spark, REGISTRY[key].fn(spark, sf_dir), "simple")
+        assert "BroadcastHashJoin" in plan, key
+        assert "TakeOrderedAndProject" in plan, key
+
+
+def test_autoincrement_no_global_sort(spark, sf_dir):
+    """Dense-id assignment must never plan a single-partition global sort:
+    the window partitions by bucket id (rangepartitioning / SinglePartition
+    windows only appear if a global orderBy sneaks in)."""
+    from sdp_spark.operators.scans import _autoincrement_ids
+
+    plan = _plan(spark, _autoincrement_ids(spark, sf_dir), "simple")
+    assert "rangepartitioning" not in plan.lower(), "global sort in id assignment"
+    assert "SinglePartition" not in plan, "single-partition window in id assignment"
+
+
+def test_cross_split_dedup_broadcast_anti(spark, sf_dir):
+    plan = _plan(spark, REGISTRY["llm_cross_split_dedup"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
