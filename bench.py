@@ -50,6 +50,10 @@ EXTRA = [
     "join_spatial_grid",
     "agg_sketch_rollup",
     "stream_tumbling_wm",  # watermarked-state cost, tracked per-round
+    "query_shipping_priority",  # composed Q3-shape capstone (r4)
+    "query_returned_items",     # composed Q10-shape capstone (r4)
+    "llm_semdedup",             # k-means-blocked semantic dedup (r4)
+    "sink_autoincrement",       # bucketed dense-id assignment (r4)
 ]
 
 

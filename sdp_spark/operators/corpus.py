@@ -779,3 +779,53 @@ def llm_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_urls"),
         F.countDistinct("canon_url").alias("n_canonical"),
     )
+
+
+@register(
+    "llm_perplexity_proxy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ), total AS (
+      SELECT SUM(n) AS tot FROM vocab
+    ), scored AS (
+      SELECT t.doc_id, -log2(CAST(v.n AS DOUBLE) / tot) AS surprisal
+      FROM toks t JOIN vocab v USING (tok), total
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           FLOOR(SUM(surprisal) / COUNT(*) * 1000 + 0.5) / 1000 AS bits_per_token
+    FROM scored GROUP BY doc_id
+    """,
+    section=_SEC,
+)
+def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring WITHOUT an external model: a unigram
+    LM is fit on the corpus itself (token -> count / total), and each
+    document is scored by its mean token surprisal -log2 p(tok) — the
+    bits-per-token cross-entropy proxy. High scores flag rare-token noise
+    (mojibake, code dumps, boilerplate IDs), low scores flag degenerate
+    repetition; both tails get filtered in real curation runs (the
+    perplexity-filter stage of CCNet/RefinedWeb, with the corpus unigram LM
+    standing in for the external KenLM). Plan: vocab aggregate (partial
+    map-side), token->vocab equi-join (vocab is zipf-compact — broadcast at
+    moderate scale, shuffle-join beyond), one groupBy(doc_id). Surprisal
+    math is pure IEEE log2 on identical ints -> cross-engine stable;
+    dround(3) absorbs the last-ulp libm differences."""
+    toks = (
+        wide_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = vocab.agg(F.sum("n").alias("tot"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("surprisal", -F.log2(F.col("n").cast("double") / F.col("tot")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        dround(F.sum("surprisal") / F.count("*"), 3).alias("bits_per_token"),
+    )

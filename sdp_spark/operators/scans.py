@@ -773,3 +773,127 @@ def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).json(out).select("doc_id", "lang", "text")
+
+
+_SCD2_EPOCH = "2024-01-01"
+_SCD2_CHANGE_DAY = "2024-06-15"
+
+
+@register(
+    "dml_merge_scd2",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+    ), changed AS (
+      SELECT c_custkey FROM dim WHERE c_custkey % 7 = 0
+    )
+    SELECT d.c_custkey, d.c_mktsegment AS segment,
+           '{_SCD2_EPOCH}' AS valid_from,
+           CASE WHEN ch.c_custkey IS NOT NULL THEN '{_SCD2_CHANGE_DAY}' END AS valid_to,
+           ch.c_custkey IS NULL AS is_current,
+           1 AS version
+    FROM dim d LEFT JOIN changed ch USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'WEB' AS segment,
+           '{_SCD2_CHANGE_DAY}' AS valid_from,
+           CAST(NULL AS VARCHAR) AS valid_to,
+           TRUE AS is_current,
+           2 AS version
+    FROM changed
+    """,
+    section=_SEC,
+)
+def dml_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 merge — the warehouse-standard
+    history-preserving upsert (MySQL users hand-roll it with
+    ON DUPLICATE KEY + audit tables): an incoming change set closes the
+    current version (valid_to stamped, is_current=false) and appends a new
+    open version, never updating in place. Change set here: customers with
+    custkey % 7 == 0 move to segment 'WEB' on the change day
+    (deterministic stand-in for a CDC feed). Copy-on-write plan: dim LEFT
+    JOIN changes (broadcast — change sets are small relative to the
+    dimension) closes rows, UNION ALL appends versions; at 100 TB the
+    rewrite touches only partitions containing changed keys (partition the
+    dimension by key range + dynamic partition overwrite)."""
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    changed = F.broadcast(
+        dim.filter(F.col("c_custkey") % 7 == 0).select("c_custkey").withColumn("_chg", F.lit(1))
+    )
+    closed_or_kept = dim.join(changed, "c_custkey", "left").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(_SCD2_EPOCH).alias("valid_from"),
+        F.when(F.col("_chg").isNotNull(), F.lit(_SCD2_CHANGE_DAY)).alias("valid_to"),
+        F.col("_chg").isNull().alias("is_current"),
+        F.lit(1).alias("version"),
+    )
+    new_versions = changed.select(
+        "c_custkey",
+        F.lit("WEB").alias("segment"),
+        F.lit(_SCD2_CHANGE_DAY).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.lit(2).alias("version"),
+    )
+    merged = closed_or_kept.unionByName(new_versions)
+    out = _tmp_sink("scd2")
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+_CSV_BAD_LINES = (
+    "xx,not_a_number_row,0",
+    "12,typed_wrong,notanint",
+    '1000,"unterminated quote,5',
+)
+
+
+@register(
+    "scan_csv_malformed",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    section=_SEC,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row handling on delimited ingest (LOAD DATA INFILE meets
+    real-world files): the staged csv carries deterministic corrupt lines
+    (wrong arity, bad types, broken quoting); the reader runs PERMISSIVE
+    with columnNameOfCorruptRecord, corrupt rows are diverted into the
+    quarantine column and filtered out — the oracle pins that exactly the
+    clean rows survive with exact values (no good row lost, no bad row
+    leaked). pytest additionally pins the quarantine count and the
+    DROPMALFORMED mode equivalence. At 100 TB: same reader, plus writing
+    the quarantine column to a dead-letter dir for replay."""
+    import shutil as _sh
+
+    base = _converted_dir(spark, sf_dir, "nation", "csv")
+    bad_dir = cache_dir(sf_dir, "nation_csv_malformed")
+    if not os.path.exists(os.path.join(bad_dir, "_done")):
+        os.makedirs(bad_dir, exist_ok=True)
+        for f in os.listdir(base):
+            if f.endswith(".csv"):
+                _sh.copy(os.path.join(base, f), os.path.join(bad_dir, f))
+        with open(os.path.join(bad_dir, "bad_rows.csv"), "w") as fh:
+            fh.write("n_nationkey,n_name,n_regionkey\n")
+            for line in _CSV_BAD_LINES:
+                fh.write(line + "\n")
+        with open(os.path.join(bad_dir, "_done"), "w") as fh:
+            fh.write("ok")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    df = spark.read.csv(
+        bad_dir,
+        schema=schema,
+        header=True,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    return (
+        df.filter(F.col("_corrupt").isNull())
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

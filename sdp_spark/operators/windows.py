@@ -373,14 +373,76 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     section=_SEC,
 )
 def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group standardization (z-score over an unordered full-partition
-    frame) — the feature-engineering idiom behind outlier flags and
-    normalized model inputs. The whole-partition window computes mean/std
-    once per group and broadcasts them to every member row — one shuffle on
-    the group key, no self-join with a pre-aggregated table. dround(4)
-    absorbs the last-ulp differences of the two engines' variance
-    formulas."""
+    """Per-group standardization (z-score) — the feature-engineering idiom
+    behind outlier flags and normalized model inputs. The SQL spelling is a
+    whole-partition window (see oracle), but the PHYSICAL plan here is
+    tiny-agg + broadcast join back: l_returnflag has 3 distinct values, so
+    a window partitioned on it would funnel the entire fact through 3
+    tasks at scale. Instead the per-group mean/std reduce map-side to a
+    3-row table that broadcasts back onto the unshuffled fact — the fact
+    never moves, which is the only formulation that survives a
+    low-cardinality group key at 100 TB. dround(4) absorbs the last-ulp
+    differences of the two engines' variance formulas."""
     l = table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag")
-    z = (F.col("l_quantity") - F.avg("l_quantity").over(w)) / F.stddev_samp("l_quantity").over(w)
-    return l.select("l_returnflag", "l_orderkey", "l_linenumber", dround(z, 4).alias("qty_z"))
+    stats = F.broadcast(
+        l.groupBy("l_returnflag").agg(
+            F.avg("l_quantity").alias("_mu"),
+            F.stddev_samp("l_quantity").alias("_sd"),
+        )
+    )
+    z = (F.col("l_quantity") - F.col("_mu")) / F.col("_sd")
+    return l.join(stats, "l_returnflag").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", dround(z, 4).alias("qty_z")
+    )
+
+
+@register(
+    "win_gap_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ), anchored AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER)
+               AS anchor
+      FROM days
+    ), islands AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len,
+             strftime(MIN(d), '%Y-%m-%d') AS island_start
+      FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           MIN(island_start) AS first_island_start
+    FROM islands GROUP BY user_id
+    """,
+    section=_SEC,
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, maximal runs of CONSECUTIVE active days
+    (streaks) — the classic sessionize-by-calendar idiom behind retention
+    and engagement metrics, unanswerable in one pass without window
+    functions (MySQL 5.6 users resort to variables). The standard trick:
+    day - row_number(day) is constant within a consecutive run, so the
+    difference is the island anchor; two partitioned windows + two grouped
+    aggregates, all keyed by user_id — one shuffle lineage at scale, no
+    self-joins."""
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("island_start"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.max("len").alias("longest_streak"),
+        F.min("island_start").alias("first_island_start"),
+    )

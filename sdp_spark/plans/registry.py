@@ -114,6 +114,9 @@ _SWEEP_PRIORITY = (
     "query_shipping_priority", "query_returned_items", "query_late_orders",
     "agg_mode", "sink_jsonl", "fn_json_struct", "win_zscore",
     "join_asof_tolerance", "llm_cross_split_dedup", "llm_url_normalize",
+    "stream_late_metrics",
+    "win_gap_islands", "dml_merge_scd2", "scan_csv_malformed",
+    "llm_perplexity_proxy",
     # --- r3-green keys (driver verdicts in CORRECTNESS_r03.json) ---
     "source_stream_files", "sink_stream_foreachBatch", "sink_jdbc",
     "sink_stream_jdbc",

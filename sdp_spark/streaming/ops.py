@@ -748,3 +748,127 @@ def sink_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sdf.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(f"{base}/v{state['last'] % 2}")
+
+
+_LANDING_OOO: dict[str, str] = {}
+
+
+def _events_landing_ooo(spark: SparkSession, sf_dir: str) -> str:
+    """OUT-OF-ORDER landing dir: 4 slices by user_id % 4, each spanning the
+    FULL time range (unlike the chronological dir, whose file order keeps
+    every event on-time). Once the watermark advances past the first
+    micro-batch's max event time minus the delay, later files' early events
+    arrive LATE — the adversarial input that makes watermark drop/eviction
+    behavior observable instead of vacuous."""
+    if sf_dir not in _LANDING_OOO:
+        out = cache_dir(sf_dir, "events_landing_ooo1")
+        if not os.path.isdir(out):
+            tmp = f"{out}.tmp.{os.getpid()}"
+            src = table(spark, sf_dir, "events")
+            ts_t = src.schema["ts"].dataType
+            if isinstance(ts_t, T.TimestampType):
+                src = src.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            base = 1_600_000_000
+            os.makedirs(tmp, exist_ok=True)
+            for i in range(4):
+                stage = os.path.join(tmp, f"_stage_{i}")
+                (
+                    src.filter(F.col("user_id") % 4 == i)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(stage)
+                )
+                part = next(
+                    p for p in os.listdir(stage)
+                    if p.endswith(".parquet") and not p.startswith((".", "_"))
+                )
+                dst = os.path.join(tmp, f"events_{i:03d}.parquet")
+                os.replace(os.path.join(stage, part), dst)
+                shutil.rmtree(stage, ignore_errors=True)
+                os.utime(dst, (base + i, base + i))
+            try:
+                os.rename(tmp, out)
+            except OSError:  # lost the build race
+                shutil.rmtree(tmp, ignore_errors=True)
+        _LANDING_OOO[sf_dir] = out
+    return _LANDING_OOO[sf_dir]
+
+
+@register("stream_late_metrics", oracle=None, section=_SEC)
+def stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark observability — the per-run StreamingQueryProgress account
+    a production deployment monitors: batches executed, rows ingested,
+    watermark advance, sealed-window emissions, and the FINAL STATE SIZE
+    (the bounded-state guarantee made measurable). Runs the tumbling
+    watermarked aggregation over the OUT-OF-ORDER landing dir (user-sliced
+    files, each spanning the full time range) — the adversarial input for
+    state bounds. Empirical Spark 4.1 semantics pinned by the pytest twin:
+    late input is still AGGREGATED (the engine holds emission, not
+    ingestion, to the watermark under availableNow), append-mode emission
+    equals exactly the windows the final watermark sealed, and state after
+    the run holds only the unsealed tail (a handful of rows for 10^3+
+    inputs — the 100 TB state bound). rows-only by nature (driver-side
+    query introspection); file order + availableNow make every number
+    deterministic. At 100 TB these counters feed the ingest SLO dashboard
+    and the choose-your-watermark feedback loop."""
+    from sdp_spark.sources.fixtures import _pin_session_confs
+
+    _pin_session_confs(spark)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(_events_landing_ooo(spark, sf_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        sdf.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+        )
+    )
+    import json
+
+    name = _next_name("late_metrics")
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE)
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows_in = 0
+        state_rows_final = 0
+        final_wm = ""
+        n_batches = len(q.recentProgress)
+        for p in q.recentProgress:
+            d = json.loads(p.json)
+            rows_in += d["numInputRows"]
+            final_wm = d.get("eventTime", {}).get("watermark", final_wm)
+            ops = d.get("stateOperators", [])
+            if ops:
+                state_rows_final = ops[0].get("numRowsTotal", 0)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    emitted = spark.table(name).count()
+    return spark.createDataFrame(
+        [(n_batches, rows_in, emitted, state_rows_final, final_wm)],
+        "n_batches INT, rows_in BIGINT, windows_emitted BIGINT,"
+        " state_rows_final BIGINT, final_watermark STRING",
+    )

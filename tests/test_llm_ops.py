@@ -427,3 +427,41 @@ def test_sink_compact_collapses_file_count(spark, sf_dir):
     assert n_src == S._COMPACT_SRC_FILES
     n_out = len(glob.glob(os.path.join(S._LAST_COMPACT_OUT, "part-*")))
     assert n_out == S._COMPACT_TARGET_FILES, f"compacted to {n_out} files"
+
+
+def test_csv_malformed_quarantine_count(spark, sf_dir):
+    """PERMISSIVE mode must quarantine exactly the staged corrupt lines,
+    and DROPMALFORMED must agree with the filtered PERMISSIVE read."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from sdp_spark.operators.scans import _CSV_BAD_LINES
+    from sdp_spark.sources.fixtures import cache_dir
+
+    REGISTRY["scan_csv_malformed"].fn(spark, sf_dir)  # ensure staged
+    bad_dir = cache_dir(sf_dir, "nation_csv_malformed")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    df = spark.read.csv(
+        bad_dir, schema=schema, header=True, mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    ).cache()
+    try:
+        n_corrupt = df.filter(F.col("_corrupt").isNotNull()).count()
+        assert n_corrupt == len(_CSV_BAD_LINES), "every staged bad line must quarantine"
+        dropm = spark.read.csv(
+            bad_dir,
+            schema=T.StructType(schema.fields[:3]),
+            header=True,
+            mode="DROPMALFORMED",
+        )
+        # collect(), not count(): count() prunes every column from the CSV
+        # parse, so type failures are never detected and nothing drops
+        assert len(dropm.collect()) == df.filter(F.col("_corrupt").isNull()).count()
+    finally:
+        df.unpersist()

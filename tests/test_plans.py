@@ -195,3 +195,11 @@ def test_cross_split_dedup_broadcast_anti(spark, sf_dir):
     plan = _plan(spark, REGISTRY["llm_cross_split_dedup"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zscore_broadcast_no_fact_shuffle(spark, sf_dir):
+    """win_zscore must never hash-shuffle the fact on its 3-value group key:
+    the stats side broadcasts, the fact stays unshuffled."""
+    plan = _plan(spark, REGISTRY["win_zscore"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan, "low-cardinality window would bottleneck at scale"

@@ -248,3 +248,31 @@ def test_insert_ignore_vs_replace_duality(spark, sf_dir):
     assert diff == conflict, "verbs must differ exactly on conflicting keys"
     for k in conflict:
         assert ign[k][1] == "F" and rep[k][1] == "N"
+
+
+def test_late_metrics_emission_equals_sealed_and_state_bounded(spark, sf_dir):
+    """Watermark observability invariants on the OUT-OF-ORDER landing dir:
+    (1) every input row is accounted; (2) genuine multi-batch run;
+    (3) append-mode emission == exactly the windows the final watermark
+    sealed (computed independently from the batch query); (4) state after
+    the run holds only the unsealed tail — bounded despite adversarial
+    input order; (5) deterministic across invocations."""
+    m = REGISTRY["stream_late_metrics"].fn(spark, sf_dir).collect()[0]
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert m["rows_in"] == n_events
+    assert m["n_batches"] >= 2, "must be a genuine multi-batch run"
+
+    wm = F.to_timestamp(F.lit(m["final_watermark"].replace("T", " ").replace("Z", "")))
+    batch_windows = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    sealed = batch_windows.filter(F.col("window.end") <= wm).count()
+    unsealed = batch_windows.count() - sealed
+    assert m["windows_emitted"] == sealed, "append emission must equal sealed windows"
+    assert m["state_rows_final"] == unsealed, "state must hold only the unsealed tail"
+    assert m["state_rows_final"] < 10, "state bound violated"
+
+    again = REGISTRY["stream_late_metrics"].fn(spark, sf_dir).collect()[0]
+    assert m == again, "observability metrics must be deterministic"
