@@ -31,6 +31,7 @@ def unpersist_all() -> int:
     sites = (
         ("sdp_spark.operators.llm", "_SH_CACHE"),
         ("sdp_spark.operators.llm", "_SIG_CACHE"),
+        ("sdp_spark.operators.llm", "_EMB_CACHE"),
         ("sdp_spark.operators.llm", "_CAPPED_CACHE"),
         ("sdp_spark.operators.llm", "_RESOLVE_CACHE"),
         ("sdp_spark.operators.corpus", "_GRAMS_CACHE"),

@@ -581,7 +581,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdp_spark.operators.llm import _KM_K, _emb_normed, _km_dist_cols, _kmeans_fit
 
     cents = _kmeans_fit(spark, sf_dir)
-    emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")
+    emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec")
     # top-2 centroids via array_sort over (dist, k) structs — lexicographic
     # struct ordering gives lowest-distance-then-lowest-index determinism
     ranked = F.array_sort(
@@ -593,32 +593,39 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     probed = (
-        _km_dist_cols(emb.select("vec_id", "dvec"), cents)
+        _km_dist_cols(emb, cents)
         .withColumn("c1", ranked[0]["k"])
         .withColumn("c2", ranked[1]["k"])
-        .select("vec_id", "c1", "c2")
-        .join(emb, "vec_id")
+        .select("vec_id", "dvec", "c1", "c2")
     )
     blocks = probed.select(
-        "vec_id", "dvec", "norm", "c1",
-        F.explode(F.array("c1", "c2")).alias("block"),
+        "vec_id", "dvec", F.explode(F.array("c1", "c2")).alias("block")
     )
-    a = blocks.select(
-        F.col("vec_id").alias("vec_a"), F.col("dvec").alias("va"),
-        F.col("norm").alias("na"), "block",
-    )
-    b = blocks.select(
-        F.col("vec_id").alias("vec_b"), F.col("dvec").alias("vb"),
-        F.col("norm").alias("nb"), "block",
-    )
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    # Per-block pairwise cosine via Arrow/numpy (applyInPandas): the
+    # pairwise stage is the hot spot, and Spark's higher-order zip_with
+    # fold evaluates INTERPRETED per element — a million candidate pairs x
+    # 64 dims crawls, while one numpy M @ M.T per block is milliseconds.
+    # Block size is bounded by design (raise K at scale), so each pandas
+    # group is small; output is just the duplicate vec_ids. Defined nested
+    # so cloudpickle ships it by value (workers never import sdp_spark).
+    sem_thresh = _SEM_THRESH
+
+    def _block_dups(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = _np.array([list(v) for v in pdf["dvec"]], dtype=_np.float64)
+        n = _np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        cos = (m / n) @ (m / n).T
+        dup_mask = [(cos[j, :j] >= sem_thresh).any() for j in range(len(pdf))]
+        return _pd.DataFrame({"vec_b": pdf["vec_id"][dup_mask]})
+
     dup_ids = (
-        a.join(b, "block")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
-        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
-        .filter(F.col("cos") >= _SEM_THRESH)
-        .select("vec_b")
+        blocks.groupBy("block")
+        .applyInPandas(_block_dups, "vec_b BIGINT")
         .distinct()
         .withColumn("is_dup", F.lit(True))
     )

@@ -43,20 +43,30 @@ def _docs_tokens(spark: SparkSession, sf_dir: str, wide: bool = False) -> DataFr
     return t(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
 
 
+_EMB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _emb_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings with double-cast vector + L2 norm — the shared preamble of
     every similarity/dedup consumer (dot-product math wants doubles; the
     fold order matches DuckDB's list_sum for oracle parity). wide_table for
-    the same reason as _docs_tokens: per-row O(dim) arithmetic."""
-    emb = wide_table(spark, sf_dir, "embeddings").withColumn(
-        "dvec", F.col("embedding").cast("array<double>")
-    )
-    return emb.withColumn(
-        "norm",
-        F.sqrt(
-            F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-        ),
-    )
+    the same reason as _docs_tokens: per-row O(dim) arithmetic. Memoized
+    cached per (app, sf): the norm fold is an INTERPRETED higher-order
+    expression, so every consumer re-deriving it pays the eval again —
+    one cached materialization serves kmeans/semdedup/ANN/dedup_embed
+    (released by sdp_spark.unpersist_all)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_CACHE:
+        emb = wide_table(spark, sf_dir, "embeddings").withColumn(
+            "dvec", F.col("embedding").cast("array<double>")
+        )
+        _EMB_CACHE[key] = emb.withColumn(
+            "norm",
+            F.sqrt(
+                F.aggregate(F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+            ),
+        ).cache()
+    return _EMB_CACHE[key]
 
 
 # Memoized cached DataFrames keyed by (spark app, sf_dir): repeated operator
@@ -1227,6 +1237,8 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str) -> list:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _KM_CACHE:
         return _KM_CACHE[key]
+    # _emb_normed is a memoized cached frame, so each of the _KM_ITERS jobs
+    # re-reads the materialized cache, not the parquet+normalize lineage
     emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec")
     cents = [
         r["dvec"] for r in emb.orderBy("vec_id").limit(_KM_K).select("dvec").collect()
