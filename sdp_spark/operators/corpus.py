@@ -836,3 +836,98 @@ def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_toks"),
         dround(F.sum("surprisal") / F.count("*"), 3).alias("bits_per_token"),
     )
+
+
+_STRAT_FRAC = 0.2
+
+
+@register(
+    "llm_sample_stratified",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY (doc_id * {KNUTH}) % {KNUTH_MOD}, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT doc_id, lang
+    FROM ranked
+    WHERE rn <= CAST(CEIL(n_lang * {_STRAT_FRAC}) AS BIGINT)
+    """,
+    section=_SEC,
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified sampling: precisely ceil(frac * n) documents per
+    language stratum, chosen by deterministic hash rank — the companion of
+    llm_sample_temperature (which reweights but only hits its rates in
+    expectation). Per-stratum rank + count in one window pass over the
+    lang key; reproducible across runs/partitionings because the order is
+    a pure function of doc_id. At 100 TB: lang has few values, so for hot
+    strata swap row_number for the two-pass variant (per-stratum count,
+    then threshold the hash directly — no window) documented here; the
+    fixture-scale window keeps the oracle exact."""
+    d = table(spark, sf_dir, "documents")
+    hashv = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(KNUTH_MOD)
+    w = Window.partitionBy("lang").orderBy(hashv.asc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id", "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_lang"),
+        )
+        .filter(F.col("rn") <= F.ceil(F.col("n_lang") * _STRAT_FRAC).cast("bigint"))
+        .select("doc_id", "lang")
+    )
+
+
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "llm_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, GREATEST(len(t) - {_CHUNK_TOKENS}, 0) + {_CHUNK_STRIDE},
+                                    {_CHUNK_STRIDE})) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(LEAST(len(t) - s + 1, {_CHUNK_TOKENS}) AS INTEGER) AS n_toks,
+           array_to_string(t[s:s + {_CHUNK_TOKENS - 1}], ' ') AS chunk
+    FROM starts
+    """,
+    section=_SEC,
+)
+def llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    token windows (size {_CHUNK_TOKENS}, stride {_CHUNK_STRIDE}) — the
+    preprocessing stage of RAG indexing and fixed-context training when
+    documents exceed the model window; the overlap keeps boundary
+    sentences intact in some chunk. Pure codegen explode (sequence of
+    window starts -> slice+join per start): no shuffle, no Python, output
+    rows ~ tokens/stride per doc. At 100 TB this runs map-side in the
+    same stage as the scan; chunk text feeds the tokenizer/packer
+    (llm_pack_sequences) downstream."""
+    d = table(spark, sf_dir, "documents").withColumn("t", F.split("text", " "))
+    # stop = max(len - CHUNK, 0) + STRIDE: one start past the last full
+    # window whenever (len - CHUNK) is not a stride multiple, so the final
+    # (shorter) chunk reaches the document tail — every token is covered
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("t") - _CHUNK_TOKENS, F.lit(0)) + _CHUNK_STRIDE,
+        F.lit(_CHUNK_STRIDE),
+    )
+    e = d.select("doc_id", "t", F.explode(starts).alias("s"))
+    return e.select(
+        "doc_id",
+        ((F.col("s") - 1) / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.least(F.size("t") - F.col("s") + 1, F.lit(_CHUNK_TOKENS)).cast("int").alias("n_toks"),
+        F.array_join(F.slice("t", F.col("s"), _CHUNK_TOKENS), " ").alias("chunk"),
+    )

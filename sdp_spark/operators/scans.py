@@ -897,3 +897,40 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.filter(F.col("_corrupt").isNull())
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@register(
+    "scan_multiformat_union",
+    oracle="""
+    SELECT fmt, n_nationkey, n_name, n_regionkey
+    FROM (SELECT 'parquet' AS fmt, * FROM nation
+          UNION ALL SELECT 'csv', * FROM nation
+          UNION ALL SELECT 'json', * FROM nation)
+    """,
+    section=_SEC,
+)
+def scan_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format federated ingest: the same logical table arriving as
+    parquet + csv + json (the real shape of a landing zone fed by several
+    producers), harmonized to one schema and unioned — each branch keeps
+    its native pushdown (parquet row-groups, csv/json line splitting) and
+    the union is plan-level (no shuffle, branches scan in parallel). The
+    oracle pins that format round-trips agree field-for-field. At 100 TB:
+    this is the migration-period query shape (old csv feed + new parquet
+    feed), retired by rewriting csv partitions to parquet (sink_compact)."""
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    pq = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    csv = spark.read.csv(_converted_dir(spark, sf_dir, "nation", "csv"), schema=schema, header=True)
+    js = spark.read.json(_converted_dir(spark, sf_dir, "nation", "json"), schema=schema)
+    return (
+        pq.withColumn("fmt", F.lit("parquet"))
+        .unionByName(csv.withColumn("fmt", F.lit("csv")))
+        .unionByName(js.withColumn("fmt", F.lit("json")))
+        .select("fmt", "n_nationkey", "n_name", "n_regionkey")
+    )

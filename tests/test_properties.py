@@ -173,3 +173,72 @@ def test_train_corpus_counts_reconcile(spark, sf_dir):
     keepers = filtered.groupBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).count().count()
     assert total == keepers
     assert all(r["token_budget"] > 0 for r in rows)
+
+
+def test_autoincrement_dense_and_key_ordered(spark, sf_dir):
+    """Surrogate keys: exactly 1..N, and id order == key order."""
+    rows = REGISTRY["sink_autoincrement"].fn(spark, sf_dir).collect()
+    ids = sorted(r["row_id"] for r in rows)
+    assert ids == list(range(1, len(rows) + 1)), "ids must be dense 1..N"
+    by_id = sorted(rows, key=lambda r: r["row_id"])
+    keys = [r["o_orderkey"] for r in by_id]
+    assert keys == sorted(keys), "id order must follow the declared key order"
+
+
+def test_domain_mix_shares_and_weights(spark, sf_dir):
+    """Token shares sum to 1; weights are in (0, 1] and only over-cap
+    sources are down-weighted."""
+    rows = REGISTRY["llm_domain_mix"].fn(spark, sf_dir).collect()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert 0.0 < r["sample_weight"] <= 1.0
+        if r["token_share"] <= 0.10:
+            assert r["sample_weight"] == 1.0, f"under-cap source {r['source']} down-weighted"
+        else:
+            assert r["sample_weight"] < 1.0
+
+
+def test_chunk_windows_cover_and_overlap(spark, sf_dir):
+    """Chunking invariants: chunk 0 starts at token 0; consecutive chunks
+    advance by the stride; every token index is covered by some chunk; the
+    reassembled stride-prefixes reconstruct the document."""
+    from sdp_spark.operators.corpus import _CHUNK_STRIDE, _CHUNK_TOKENS
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    chunks = REGISTRY["llm_chunk_windows"].fn(spark, sf_dir).collect()
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c["doc_id"], []).append(c)
+    assert set(by_doc) == set(docs)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda c: c["chunk_idx"])
+        toks = docs[doc_id]
+        assert [c["chunk_idx"] for c in cs] == list(range(len(cs)))
+        for c in cs:
+            start = c["chunk_idx"] * _CHUNK_STRIDE
+            expect = toks[start : start + _CHUNK_TOKENS]
+            assert c["chunk"].split(" ") == expect
+            assert c["n_toks"] == len(expect)
+        covered = (len(cs) - 1) * _CHUNK_STRIDE + cs[-1]["n_toks"]
+        assert covered == len(toks), "chunks must cover every token exactly"
+
+
+def test_stratified_sample_exact_per_stratum(spark, sf_dir):
+    """Exactly ceil(frac * n) docs per language, deterministic."""
+    import math
+
+    from sdp_spark.operators.corpus import _STRAT_FRAC
+
+    got = {}
+    for r in REGISTRY["llm_sample_stratified"].fn(spark, sf_dir).collect():
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    totals = {
+        r["lang"]: r["n"]
+        for r in table(spark, sf_dir, "documents").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got) == set(totals)
+    for lang, n in totals.items():
+        assert got[lang] == math.ceil(n * _STRAT_FRAC), lang
