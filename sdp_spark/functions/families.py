@@ -637,3 +637,38 @@ def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p.k") * 2).alias("k_doubled"),
         F.col("p.k").isNotNull().alias("has_k"),
     )
+
+
+@register(
+    "fn_trig",
+    oracle=f"""
+    SELECT p_partkey,
+           {sql_dround('sin(p_size / 10.0)', 6)}  AS sin_x,
+           {sql_dround('cos(p_size / 10.0)', 6)}  AS cos_x,
+           {sql_dround('tan(p_size / 100.0)', 6)} AS tan_x,
+           {sql_dround('atan2(p_size, 7.0)', 6)}  AS atan2_x,
+           {sql_dround('radians(p_size)', 6)}     AS rad_x,
+           {sql_dround('degrees(p_size / 10.0)', 6)} AS deg_x,
+           {sql_dround('pi()', 6)}                AS pi_c
+    FROM part
+    """,
+    section=_SEC,
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric family (SIN/COS/TAN/ATAN2/RADIANS/DEGREES/PI) — the
+    remaining MySQL 5.6 math surface (geo/bearing computations on the
+    platform's surveillance data; fn_spatial consumes these). Pure codegen;
+    dround(6) absorbs the 1-ulp differences between Java's and libm's
+    transcendental implementations (sqrt alone is IEEE-exact)."""
+    p = table(spark, sf_dir, "part")
+    x = F.col("p_size") / 10.0
+    return p.select(
+        "p_partkey",
+        dround(F.sin(x), 6).alias("sin_x"),
+        dround(F.cos(x), 6).alias("cos_x"),
+        dround(F.tan(F.col("p_size") / 100.0), 6).alias("tan_x"),
+        dround(F.atan2(F.col("p_size").cast("double"), F.lit(7.0)), 6).alias("atan2_x"),
+        dround(F.radians(F.col("p_size")), 6).alias("rad_x"),
+        dround(F.degrees(x), 6).alias("deg_x"),
+        dround(F.lit(3.141592653589793), 6).alias("pi_c"),
+    )

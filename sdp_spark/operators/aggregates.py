@@ -580,3 +580,35 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
     )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_disc(l_quantity, 0.25), 2) AS q25_disc,
+           ROUND(quantile_disc(l_quantity, 0.50), 2) AS med_disc,
+           ROUND(quantile_disc(l_quantity, 0.75), 2) AS q75_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    section=_SEC,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (PERCENTILE_DISC WITHIN GROUP): the returned
+    value is an ACTUAL data value (smallest with cume_dist >= p), not an
+    interpolation — the variant auditors want when the answer must be a
+    real observed measurement. Spark SQL's WITHIN GROUP syntax; DuckDB's
+    quantile_disc implements the same definition, so plain ROUND is safe
+    (both sides return exact input values)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_pdisc")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_quantity), 2) AS q25_disc,
+               ROUND(PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY l_quantity), 2) AS med_disc,
+               ROUND(PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY l_quantity), 2) AS q75_disc
+        FROM li_pdisc
+        GROUP BY l_returnflag
+        """
+    )

@@ -934,3 +934,37 @@ def scan_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(js.withColumn("fmt", F.lit("json")))
         .select("fmt", "n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@register(
+    "dml_truncate_partition",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderstatus <> 'F'
+    """,
+    section=_SEC,
+)
+def dml_truncate_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level TRUNCATE (ALTER TABLE ... TRUNCATE PARTITION /
+    MySQL partition maintenance): drop one partition of a partitioned
+    table WITHOUT touching any other data — the operation is metadata +
+    one directory removal, not a table rewrite. That is exactly why
+    partition layout is the retention primitive at 100 TB: expiring a day
+    of data costs O(1) regardless of table size (contrast row-level DELETE
+    in dml_update_delete, which rewrites affected files). The oracle pins
+    that surviving partitions are byte-identical to the source."""
+    import shutil as _sh
+
+    out = _tmp_sink("truncate_part")
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    _sh.rmtree(os.path.join(out, "o_orderstatus=F"))
+    back = spark.read.parquet(out)
+    return back.select(
+        "o_orderkey", "o_totalprice", F.col("o_orderstatus").cast("string")
+    )

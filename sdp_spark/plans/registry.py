@@ -118,6 +118,7 @@ _SWEEP_PRIORITY = (
     "win_gap_islands", "dml_merge_scd2", "scan_csv_malformed",
     "llm_perplexity_proxy",
     "llm_sample_stratified", "llm_chunk_windows", "scan_multiformat_union",
+    "agg_percentile_disc", "fn_trig", "dml_truncate_partition",
     # --- r3-green keys (driver verdicts in CORRECTNESS_r03.json) ---
     "source_stream_files", "sink_stream_foreachBatch", "sink_jdbc",
     "sink_stream_jdbc",
