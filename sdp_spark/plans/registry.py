@@ -82,43 +82,45 @@ def register(key: str, oracle: str | None = None, section: str = ""):
     return deco
 
 
-# Driver-sweep priority (round 4): the budget-capped sweep (~50 keys/round)
-# ran r1 = first 50, r2 = next 50, r3 = the 45-key unverified backlog + 5
-# round-3 keys (CORRECTNESS_r01..r03.json). 21 round-3 keys still have NO
-# driver verdict — they go FIRST (VERDICT r3 next-round #1: "do not add new
-# keys ahead of them"). Behind them: keys whose CODE changed since their
-# last verdict (the two r3 `err` array-output fixes, the Derby-reworked
-# scan_jdbc, the rebuilt join_bucketed), then round-4 NEW keys, then greens.
+# Driver-sweep priority (round 5): the budget-capped sweep (~50 keys/round)
+# ran r1 = first 50, r2 = next 50, r3 = the 45-key unverified backlog + 5,
+# r4 = the 21-key backlog + re-certifies + most round-4 keys — but the
+# 50-key cap cut off before the LAST 8 round-4 keys, so those lead round 5
+# (ADVICE r4 + VERDICT r4 next-round #1: "do not add new keys ahead of
+# them"). Behind them: keys whose CODE changed this round (re-certify),
+# then round-5 NEW keys, then all driver-green keys newest-round-first.
 # An unlisted key sorts before everything (rank -1) and would displace the
 # backlog past the cap — to deprioritize, list it; test_entry enforces
 # registry == list exactly.
 _SWEEP_PRIORITY = (
-    # --- unverified block: 21 round-3 keys with no driver verdict ---
+    # --- unverified block: 8 round-4 keys the r4 sweep's cap cut off ---
+    "scan_csv_malformed", "llm_perplexity_proxy", "llm_sample_stratified",
+    "llm_chunk_windows", "scan_multiformat_union", "agg_percentile_disc",
+    "fn_trig", "dml_truncate_partition",
+    # --- changed since last verdict (re-certify) ---
+    "llm_url_normalize",      # r4 pass, but rtrim trim-set fixed (ADVICE r4)
+    "llm_shard_export",       # r4 pass; tmp-dir lifecycle reworked (ADVICE r4)
+    "llm_semdedup",           # r4 rows-only; K-ceiling lift reworked assignment
+    "llm_cluster_kmeans",     # r4 rows-only; same K parameterization
+    # --- round-5 NEW keys: always append here, never leave unlisted ---
+    # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",
     "llm_pack_sequences", "llm_quality_gopher", "llm_dedup_embed_lsh",
     "fn_encode", "join_spatial_grid", "agg_sketch_rollup", "sink_stream_upsert",
     "scan_binary_files",
     "fn_spatial", "agg_funnel", "llm_ngram_counts", "sink_outfile_csv",
-    "sink_compact", "llm_cluster_kmeans", "llm_doc_len_histogram",
-    # --- changed since last verdict (re-certify) ---
-    "agg_approx_percentile",  # r3 err: array output → scalar q25/q50/q75
-    "mm_decode_pipeline",     # r3 err: array features → string
-    "scan_jdbc",              # r1 verdict predates the embedded-Derby rework
-    "join_bucketed",          # readiness now catalog-derived (r4)
-    # --- round-4 NEW keys: always append here, never leave unlisted ---
+    "sink_compact", "llm_doc_len_histogram",
+    "agg_approx_percentile", "mm_decode_pipeline", "scan_jdbc", "join_bucketed",
     "sink_autoincrement", "scan_text", "agg_filtered", "win_sessionize",
     "join_range_bucketed", "catalog_ctas", "llm_dedup_softnorm",
-    "llm_dedup_prefix", "llm_domain_mix", "llm_shard_export", "llm_semdedup",
+    "llm_dedup_prefix", "llm_domain_mix",
     "llm_corpus_stats",
     "query_shipping_priority", "query_returned_items", "query_late_orders",
     "agg_mode", "sink_jsonl", "fn_json_struct", "win_zscore",
-    "join_asof_tolerance", "llm_cross_split_dedup", "llm_url_normalize",
+    "join_asof_tolerance", "llm_cross_split_dedup",
     "stream_late_metrics",
-    "win_gap_islands", "dml_merge_scd2", "scan_csv_malformed",
-    "llm_perplexity_proxy",
-    "llm_sample_stratified", "llm_chunk_windows", "scan_multiformat_union",
-    "agg_percentile_disc", "fn_trig", "dml_truncate_partition",
+    "win_gap_islands", "dml_merge_scd2",
     # --- r3-green keys (driver verdicts in CORRECTNESS_r03.json) ---
     "source_stream_files", "sink_stream_foreachBatch", "sink_jdbc",
     "sink_stream_jdbc",

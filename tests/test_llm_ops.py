@@ -465,3 +465,37 @@ def test_csv_malformed_quarantine_count(spark, sf_dir):
         assert len(dropm.collect()) == df.filter(F.col("_corrupt").isNull()).count()
     finally:
         df.unpersist()
+
+
+def test_url_normalize_pins_canon_value(spark, sf_dir):
+    """The canonical URL itself (not just distinct counts) must match the
+    documented normalization: tracking params stripped, fragment stripped,
+    and trailing '?'/'&' separators trimmed (ADVICE r4: the single-arg
+    rtrim left '...?id=4&' for even doc_ids)."""
+    from pyspark.sql import functions as F
+
+    from sdp_spark.operators.corpus import _TRACKING_RE
+    from sdp_spark.sources.fixtures import table
+
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("&ref=home#top")).otherwise(F.lit("")),
+    )
+    canon = F.rtrim(
+        F.regexp_replace(F.regexp_replace(url, "#[^#]*$", ""), _TRACKING_RE, ""),
+        F.lit("?&"),
+    )
+    rows = {
+        r["doc_id"]: r["c"]
+        for r in d.select("doc_id", canon.alias("c"), "source")
+        .filter(F.col("doc_id").isin(4, 5))
+        .collect()
+    }
+    assert rows[4].endswith("/docs/4?id=4"), rows[4]
+    assert rows[5].endswith("/docs/5?id=5"), rows[5]
+    # no canonical URL may keep a trailing separator
+    bad = d.select(canon.alias("c")).filter(F.col("c").rlike("[?&]$")).count()
+    assert bad == 0

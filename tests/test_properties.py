@@ -190,9 +190,14 @@ def test_domain_mix_shares_and_weights(spark, sf_dir):
     sources are down-weighted."""
     rows = REGISTRY["llm_domain_mix"].fn(spark, sf_dir).collect()
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+    # Branch on the UNROUNDED share (recomputed from exact token counts):
+    # a true share in (0.10, 0.1000005] rounds to 0.10 and would otherwise
+    # flip into the under-cap branch while the weight rounds below 1.0.
+    tot_tokens = sum(r["n_tokens"] for r in rows)
     for r in rows:
+        true_share = r["n_tokens"] / tot_tokens
         assert 0.0 < r["sample_weight"] <= 1.0
-        if r["token_share"] <= 0.10:
+        if true_share <= 0.10:
             assert r["sample_weight"] == 1.0, f"under-cap source {r['source']} down-weighted"
         else:
             assert r["sample_weight"] < 1.0
