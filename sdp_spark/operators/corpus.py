@@ -567,43 +567,18 @@ def llm_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_THRESH = 0.35
 
 
-@register("llm_semdedup", oracle=None, section=_SEC)
-def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDedup-style semantic dedup (Abbas et al. 2023, public preprint):
-    learned k-means clusters are the blocking key; a vector is a duplicate
-    iff some LOWER-id vector sharing a block has cosine >= _SEM_THRESH
-    (deterministic keep-lowest rule — greedy set-cover order pinned by id).
-    Versus llm_dedup_embed's fixture-label blocking, the blocking here is
-    LEARNED — the shape that works when no labels exist. MULTI-PROBE: each
-    vector blocks on its TOP-2 nearest centroids, so boundary pairs split
-    across adjacent clusters still meet (pair recall 0.35 -> 0.77 on the
-    fixture vs single-probe; the standard soft-assignment fix). Cost:
-    k-means (one narrow shuffle/iter, K x dim driver state, fit shared with
-    llm_cluster_kmeans) + an equi-join on block id with pairwise cosine
-    only inside blocks — never all-pairs; duplication factor is exactly 2.
-    At 100 TB: raise K so mean cluster size stays ~1k, or recurse k-means
-    inside oversized clusters. rows-only oracle (k-means isn't
-    SQL-expressible); tests pin precision 1.0 and recall vs exact
-    brute-force pairs, plus determinism."""
-    from sdp_spark.operators.llm import _KM_K, _emb_normed, _km_dist_cols, _kmeans_fit
+def _semdedup_frame(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
+    """Parameterized core of llm_semdedup — K flows through to the k-means
+    fit and to _km_assign's strategy choice (literal columns vs broadcast
+    Arrow matmul), so tests exercise the large-K path at K=64."""
+    from sdp_spark.operators.llm import _emb_normed, _km_assign, _kmeans_fit
 
-    cents = _kmeans_fit(spark, sf_dir)
+    cents = _kmeans_fit(spark, sf_dir, k=k)
     emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec")
-    # top-2 centroids via array_sort over (dist, k) structs — lexicographic
-    # struct ordering gives lowest-distance-then-lowest-index determinism
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(F.col(f"d{k}").alias("d"), F.lit(k).alias("k"))
-                for k in range(_KM_K)
-            ]
-        )
-    )
-    probed = (
-        _km_dist_cols(emb, cents)
-        .withColumn("c1", ranked[0]["k"])
-        .withColumn("c2", ranked[1]["k"])
-        .select("vec_id", "dvec", "c1", "c2")
+    # top-2 nearest centroids (lowest-distance-then-lowest-index ties on
+    # both physical paths) — the multi-probe soft assignment
+    probed = _km_assign(emb, cents, probe2=True).select(
+        "vec_id", "dvec", F.col("cluster").alias("c1"), F.col("cluster2").alias("c2")
     )
     blocks = probed.select(
         "vec_id", "dvec", F.explode(F.array("c1", "c2")).alias("block")
@@ -645,6 +620,29 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+@register("llm_semdedup", oracle=None, section=_SEC)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic dedup (Abbas et al. 2023, public preprint):
+    learned k-means clusters are the blocking key; a vector is a duplicate
+    iff some LOWER-id vector sharing a block has cosine >= _SEM_THRESH
+    (deterministic keep-lowest rule — greedy set-cover order pinned by id).
+    Versus llm_dedup_embed's fixture-label blocking, the blocking here is
+    LEARNED — the shape that works when no labels exist. MULTI-PROBE: each
+    vector blocks on its TOP-2 nearest centroids, so boundary pairs split
+    across adjacent clusters still meet (pair recall 0.35 -> 0.77 on the
+    fixture vs single-probe; the standard soft-assignment fix). Cost:
+    k-means (one narrow shuffle/iter, K x dim driver state, fit shared with
+    llm_cluster_kmeans) + an equi-join on block id with pairwise cosine
+    only inside blocks — never all-pairs; duplication factor is exactly 2.
+    At 100 TB: raise K so mean cluster size stays ~1k — K is a real
+    parameter now (_semdedup_frame(k=...)); above _KM_LITERAL_MAX the
+    centroid assignment runs as a broadcast numpy matrix + Arrow matmul
+    with an O(1)-in-K plan (tests pin K=64). rows-only oracle (k-means
+    isn't SQL-expressible); tests pin precision 1.0 and recall vs exact
+    brute-force pairs, plus determinism."""
+    return _semdedup_frame(spark, sf_dir)
 
 
 @register(

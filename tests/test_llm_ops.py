@@ -499,3 +499,84 @@ def test_url_normalize_pins_canon_value(spark, sf_dir):
     # no canonical URL may keep a trailing separator
     bad = d.select(canon.alias("c")).filter(F.col("c").rlike("[?&]$")).count()
     assert bad == 0
+
+
+def test_kmeans_k64_arrow_assignment_matches_bruteforce(spark, sf_dir):
+    """The K-ceiling lift (VERDICT r4 #3): above _KM_LITERAL_MAX the
+    centroid assignment must run as the broadcast-matrix Arrow path —
+    O(1)-in-K plan (no literal distance columns), exact argmin/top-2
+    agreement with numpy brute force, lowest-index tie-breaks, and
+    run-to-run determinism."""
+    import numpy as np
+
+    from sdp_spark.operators.llm import (
+        _KM_LITERAL_MAX,
+        _emb_normed,
+        _km_assign,
+        _kmeans_fit,
+    )
+
+    k = 64
+    assert k > _KM_LITERAL_MAX
+    cents = _kmeans_fit(spark, sf_dir, k=k)
+    assert len(cents) == k
+    emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec")
+    out = _km_assign(emb, cents, probe2=True)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, "large-K path must be Arrow-vectorized"
+    assert "d63" not in plan and f"d{k - 1}" not in plan, (
+        "large-K plan must not explode into K literal distance columns"
+    )
+
+    rows = out.collect()
+    C = np.asarray(cents, dtype=np.float64)
+    for r in rows:
+        d = ((C - np.array(r["dvec"], dtype=np.float64)) ** 2).sum(axis=1)
+        o = np.argsort(d, kind="stable")
+        assert int(o[0]) == r["cluster"], f"vec {r['vec_id']} argmin mismatch"
+        assert int(o[1]) == r["cluster2"], f"vec {r['vec_id']} top-2 mismatch"
+        assert abs(d[o[0]] - r["dmin"]) < 1e-6
+
+    again = _km_assign(emb, cents, probe2=True).collect()
+    assert {(r["vec_id"], r["cluster"], r["cluster2"]) for r in rows} == {
+        (r["vec_id"], r["cluster"], r["cluster2"]) for r in again
+    }
+
+
+def test_semdedup_k64_precision_and_recall(spark, sf_dir):
+    """llm_semdedup's documented raise-K-at-scale path must actually hold
+    its invariants at K=64 (Arrow assignment path): precision stays exactly
+    1.0 (within-block cosine is exact) and recall vs brute-force ground
+    truth stays useful despite the smaller blocks."""
+    import numpy as np
+
+    from sdp_spark.operators.corpus import _semdedup_frame
+
+    sem = _semdedup_frame(spark, sf_dir, k=64).collect()
+    flagged = {r["vec_id"] for r in sem if r["is_dup"]}
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.array([rows[i]["embedding"] for i in order], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    truth = set()
+    for j in range(1, len(ids)):
+        if (cos[j, :j] >= 0.35).any():
+            truth.add(int(ids[j]))
+    assert flagged <= truth, f"false positives at K=64: {sorted(flagged - truth)[:5]}"
+    if truth:
+        recall = len(flagged & truth) / len(truth)
+        assert recall >= 0.5, f"K=64 recall {recall:.2f} < 0.5"
+
+    again = {
+        r["vec_id"] for r in _semdedup_frame(spark, sf_dir, k=64).collect() if r["is_dup"]
+    }
+    assert flagged == again
