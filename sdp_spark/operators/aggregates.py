@@ -612,3 +612,59 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "agg_ohlc_resample",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             ts, event_id, value
+      FROM events
+    ), r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM d
+    )
+    SELECT user_id, day,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS INTEGER) AS n_events,
+           {sql_dsum('value')} AS vol
+    FROM r GROUP BY 1, 2
+    """,
+    section=_SEC,
+)
+def agg_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to daily OHLC bars (open/high/low/close +
+    volume) per user — the canonical resample the reference platform's
+    surveillance-stream consumers run over event series. Spark-first:
+    `min_by`/`max_by` (arg-min/arg-max aggregates) pick the first/last
+    value per bar in ONE hash aggregate — no window, no self-join; the
+    (ts, event_id) struct key makes ties deterministic. The oracle mirrors
+    with row-number windows (portable arg-min).
+
+    Plan: single partial+final aggregate (SortAggregate — struct-keyed
+    min_by/max_by states aren't hash-aggregable, but the map-side combine
+    still runs) shuffling only |users × days| group states; open/close/
+    high/low are raw picked doubles (bit-identical cross-engine), volume
+    is the DECIMAL dsum. At 100 TB this is the map-side-combine resample
+    shape — per-bar state is O(1) and the shuffle carries bars, not
+    events."""
+    e = table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return (
+        e.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").cast("int").alias("n_events"),
+            dsum("value").alias("vol"),
+        )
+    )

@@ -29,11 +29,12 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sdp_spark.functions.num import KNUTH, KNUTH_MOD, dround
+from sdp_spark.functions.num import DEC, KNUTH, KNUTH_MOD, dround
 from sdp_spark.operators.llm import _emb_normed, _hyperplanes
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table, wide_table
@@ -939,4 +940,251 @@ def llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s") - 1) / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
         F.least(F.size("t") - F.col("s") + 1, F.lit(_CHUNK_TOKENS)).cast("int").alias("n_toks"),
         F.array_join(F.slice("t", F.col("s"), _CHUNK_TOKENS), " ").alias("chunk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Substring-span dedup (Lee et al. 2022-style, stride-windowed approximation)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 20  # tokens per span
+_SPAN_S = 10  # stride between span starts
+
+
+@register(
+    "llm_dedup_substring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), spans AS (
+      SELECT doc_id, array_to_string(t[s : s + {_SPAN_W - 1}], ' ') AS span
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - {_SPAN_W} + 1, {_SPAN_S})) AS s
+        FROM toks WHERE len(t) >= {_SPAN_W}
+      )
+    ), dup AS (
+      SELECT span FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_spans,
+           CAST(SUM(CASE WHEN dup.span IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_dup_spans,
+           SUM(CASE WHEN dup.span IS NOT NULL THEN 1 ELSE 0 END) > 0 AS has_dup
+    FROM spans s LEFT JOIN dup ON s.span = dup.span
+    GROUP BY 1
+    """,
+    section=_SEC,
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-span dedup: flag token spans shared VERBATIM across
+    different documents (boilerplate, licenses, templated crawl content
+    that document-level dedup misses — Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"). Exact suffix-array
+    matching is replaced by the standard distributed approximation:
+    stride-{_SPAN_S} windows of {_SPAN_W} tokens, so any duplicated run of
+    >= {_SPAN_W + _SPAN_S - 1} tokens is guaranteed to align in some
+    window. Per doc: total spans, spans whose text occurs in >= 2 distinct
+    docs, and the dedup flag (downstream action: trim the spans or drop
+    the doc).
+
+    Plan: explode -> span groupBy (the dup set) -> one equi-join back ->
+    per-doc agg. Span TEXT is the key here so the DuckDB oracle stays
+    exact; at 100 TB the key is xxhash64(span) — the shuffle then carries
+    8-byte hashes, the plan shape is unchanged, and a second verify pass
+    over hash-collision buckets restores exactness. Within-doc repeats do
+    not self-flag (distinct-doc count >= 2)."""
+    d = table(spark, sf_dir, "documents").withColumn("t", F.split("text", " "))
+    starts = F.sequence(F.lit(1), F.size("t") - _SPAN_W + 1, F.lit(_SPAN_S))
+    spans = (
+        d.filter(F.size("t") >= _SPAN_W)
+        .select("doc_id", "t", F.explode(starts).alias("s"))
+        .select(
+            "doc_id", F.array_join(F.slice("t", F.col("s"), _SPAN_W), " ").alias("span")
+        )
+    )
+    dup = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span", F.lit(1).alias("is_dup"))
+    )
+    return (
+        spans.join(dup, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_spans"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("int").alias("n_dup_spans"),
+            (F.sum(F.coalesce("is_dup", F.lit(0))) > 0).alias("has_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding hygiene: L2 normalization (the stage before every cosine op)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_embed_normalize",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, u.x
+      FROM (SELECT vec_id, embedding FROM embeddings) e, UNNEST(embedding) AS u(x)
+    ), agg AS (
+      SELECT vec_id, CAST(COUNT(*) AS INTEGER) AS dim,
+             sqrt(CAST(SUM(CAST(
+               FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 100000000 + 0.5)
+                 / 100000000 AS DECIMAL(30,8))) AS DOUBLE)) AS norm_raw
+      FROM comp GROUP BY 1
+    )
+    SELECT a.vec_id, a.dim,
+           FLOOR(a.norm_raw * 1000000 + 0.5) / 1000000 AS norm,
+           FLOOR(CAST(e.embedding[1] AS DOUBLE) / a.norm_raw * 1000000 + 0.5)
+             / 1000000 AS head_normed
+    FROM agg a JOIN embeddings e USING (vec_id)
+    """,
+    section=_SEC,
+)
+def llm_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization audit of the embedding column — the hygiene stage
+    every cosine-based op (ANN, semantic dedup) runs first. Per vector:
+    dimensionality, L2 norm, and the first normalized component (the
+    normalized vectors themselves are the [unhashable] payload; `_emb_normed`
+    is the cached production frame the other ops consume).
+
+    Determinism: squared components snap to the 1e-8 grid and sum as
+    DECIMAL (order-independent under any partitioning/AQE re-plan), so the
+    norm is bit-identical cross-engine; float32 components are widened to
+    double BEFORE squaring on both sides. Plan: one explode + hash agg +
+    an equi-join back for the head component — at 100 TB the explode is
+    map-side and the shuffle carries vec_id-keyed partial sums only."""
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select("vec_id", F.explode("embedding").alias("x"))
+    x = F.col("x").cast("double")
+    agg = comp.groupBy("vec_id").agg(
+        F.count("*").cast("int").alias("dim"),
+        F.sqrt(
+            F.sum((F.floor(x * x * 100000000 + 0.5) / 100000000).cast(DEC)).cast(
+                "double"
+            )
+        ).alias("norm_raw"),
+    )
+    return agg.join(e, "vec_id").select(
+        "vec_id",
+        "dim",
+        dround("norm_raw", 6).alias("norm"),
+        dround(
+            F.col("embedding").getItem(0).cast("double") / F.col("norm_raw"), 6
+        ).alias("head_normed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA dimensionality reduction (the stage before ANN index build at scale)
+# ---------------------------------------------------------------------------
+
+_PCA_NCOMP = 4
+
+# (mean, components, explained_variance_ratio) memoized per (app, sf_dir):
+# the fit is one distributed pass; projection and tests consume it.
+_PCA_CACHE: dict = {}
+
+
+def _pca_fit(spark: SparkSession, sf_dir: str):
+    """One-pass distributed PCA fit: per-partition partial (n, sum(x),
+    X^T X) via mapInPandas — each partition ships ONE (1 + dim + dim^2)
+    float row to the driver, never the vectors — then a dim x dim eigh on
+    the driver (dim=64: trivial). This is the textbook scalable-covariance
+    shape: at 100 TB the reduce tree carries #partitions tiny matrices.
+    Sign convention: each component's largest-|coordinate| entry is made
+    positive, so the fit is fully deterministic."""
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PCA_CACHE:
+        return _PCA_CACHE[key]
+
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partial(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        n, s, g = 0, None, None
+        for pdf in batches:
+            x = _np.array([list(v) for v in pdf["embedding"]], dtype=_np.float64)
+            if len(x) == 0:
+                continue
+            n += len(x)
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x if g is None else g + x.T @ x
+        if n == 0:
+            return
+        yield _pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
+
+    parts = emb.mapInPandas(
+        partial, "n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    g = np.sum([np.array(r["g"]) for r in parts], axis=0)
+    dim = len(s)
+    mean = s / n
+    cov = g.reshape(dim, dim) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:_PCA_NCOMP]
+    comps = evecs[:, order].T  # (ncomp, dim)
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    evr = (evals[order] / evals.sum()).tolist()
+    _PCA_CACHE[key] = (mean, comps, evr)
+    return _PCA_CACHE[key]
+
+
+@register("llm_embed_pca", oracle=None, section=_SEC)
+def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding column to its top {_PCA_NCOMP}
+    principal components — the dimensionality-reduction stage run before
+    ANN index build / IVF coarse quantization at corpus scale (shorter
+    vectors => cheaper distance math and smaller indexes; cf. OPQ/PCA
+    preprocessing in FAISS-style pipelines).
+
+    Fit: `_pca_fit` (one distributed pass, partial covariance per
+    partition). Projection: the (ncomp x dim) component matrix rides ONE
+    sc.broadcast and a vectorized pandas UDF projects each Arrow batch
+    with a single matmul — O(1) plan size in both dim and ncomp, no
+    shuffle (the same broadcast-matrix strategy as `_km_assign` above the
+    literal ceiling). Rows-only driver check (eigenvector sign/order are
+    engine-specific even with the sign pin); pytest pins orthonormality,
+    variance ordering, determinism, and reconstruction error."""
+    import numpy as np
+
+    mean, comps, _ = _pca_fit(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    bc = spark.sparkContext.broadcast((mean, comps))
+
+    out_schema = ", ".join(f"pc{i + 1} double" for i in range(len(comps)))
+
+    @F.pandas_udf(out_schema)
+    def _project(emb: pd.Series) -> pd.DataFrame:
+        import numpy as _np
+        import pandas as _pd
+
+        m, w = bc.value
+        if len(emb) == 0:
+            return _pd.DataFrame({f"pc{i + 1}": [] for i in range(len(w))})
+        x = _np.array([list(v) for v in emb], dtype=_np.float64) - m
+        p = x @ w.T
+        return _pd.DataFrame(
+            {f"pc{i + 1}": _np.round(p[:, i], 6) for i in range(len(w))}
+        )
+
+    proj = e.withColumn("_p", _project("embedding"))
+    return proj.select(
+        "vec_id",
+        "label",
+        *[F.col(f"_p.pc{i + 1}").alias(f"pc{i + 1}") for i in range(len(comps))],
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sdp_spark.functions.num import DEC
 from sdp_spark.plans.registry import register
@@ -130,3 +131,153 @@ def filter_fulltext_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(
         F.array_contains("toks", "stream") & ~F.array_contains("toks", "window")
     ).select("doc_id", "lang", "n_chars")
+
+
+# BM25 constants (Robertson/Lucene defaults).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "fulltext_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.token
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+           UNNEST(toks) AS t(token)
+    ), tfq AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok WHERE token IN {_FT_IN} GROUP BY 1, 2
+    ), dfq AS (
+      SELECT token, COUNT(*) AS df FROM tfq GROUP BY 1
+    ), dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), n AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM documents
+    )
+    SELECT tfq.doc_id,
+           CAST(ROUND(SUM(CAST(
+                  FLOOR(ln(1.0 + (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                        * (tfq.tf * ({_BM25_K1} + 1.0))
+                        / (tfq.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                             + {_BM25_B} * dl.dl / n.avgdl))
+                        * 100000000 + 0.5) / 100000000
+                AS DECIMAL(30,8))), 6) AS DOUBLE) AS bm25
+    FROM tfq
+    JOIN dfq USING (token)
+    JOIN dl USING (doc_id)
+    CROSS JOIN n
+    GROUP BY 1
+    """,
+    section=_SEC,
+)
+def fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked natural-language fulltext (the modern ranking the
+    reference engine's TF-IDF-style FULLTEXT relevance approximates;
+    Robertson et al., k1=1.2 b=0.75). Per-term weight
+    idf(t) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)) with the
+    Lucene-style non-negative idf = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Plan: the SAME cached matched-term postings as `filter_fulltext` (one
+    corpus tokenization per session), df re-aggregated from the postings
+    (broadcast — query terms are a handful of rows), per-doc length joined
+    only for matching docs, corpus-level N/avgdl a broadcast 1-row
+    aggregate. Weights snap to the 1e-8 grid and sum as DECIMAL, so the
+    score is order-independent under AQE re-plans at 100 TB. avgdl is an
+    exact bigint-sum / count quotient — bit-identical cross-engine."""
+    d = table(spark, sf_dir, "documents")
+    tf = _cached_tf(spark, sf_dir)
+    dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    n = d.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " "))).cast("double") / F.count("*")
+        ).alias("avgdl"),
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    w = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    w_snapped = F.floor(w * 100000000 + 0.5) / 100000000
+    return (
+        tf.join(F.broadcast(dfc), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .withColumn("w", w_snapped.cast(DEC))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).cast("double").alias("bm25"))
+    )
+
+
+@register(
+    "llm_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.token
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+           UNNEST(toks) AS t(token)
+    ), tfd AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), stats AS (
+      SELECT token, CAST(COUNT(*) AS INTEGER) AS df,
+             CAST(SUM(tf) AS BIGINT) AS total_tf
+      FROM tfd GROUP BY 1
+    ), ranked AS (
+      SELECT token, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
+      FROM tfd
+    ), tops AS (
+      SELECT token,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS postings
+      FROM ranked WHERE rn <= 5 GROUP BY 1
+    )
+    SELECT s.token, s.df, s.total_tf, tops.postings
+    FROM stats s JOIN tops USING (token)
+    ORDER BY s.df DESC, s.token ASC
+    LIMIT 50
+    """,
+    section=_SEC,
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted-index build (the structure behind the engine's
+    FULLTEXT index, made explicit as a dataset): per term, document
+    frequency, total term frequency, and a CAPPED posting sample (top-5
+    docs by tf). Output: the 50 highest-df terms.
+
+    Plan: explode → (token, doc_id) partial-agg → one token-keyed shuffle
+    shared by the df/total_tf aggregate and the top-5 window; posting lists
+    are bounded by construction (rn <= 5), so no unbounded collect_list
+    ever ships — the classic distributed index-build shape. At 100 TB the
+    same plan emits the FULL postings partitioned by term prefix; the top-k
+    cap here stands in for posting-block truncation."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tfd = tok.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    stats = tfd.groupBy("token").agg(
+        F.count("*").cast("int").alias("df"), F.sum("tf").alias("total_tf")
+    )
+    w = Window.partitionBy("token").orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    tops = (
+        tfd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                    lambda x: x["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return (
+        stats.join(tops, "token")
+        .select("token", "df", "total_tf", "postings")
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(50)
+    )

@@ -968,3 +968,85 @@ def dml_truncate_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "o_orderkey", "o_totalprice", F.col("o_orderstatus").cast("string")
     )
+
+
+def _z16_sql(xcol: str, ycol: str) -> str:
+    """16-bit Morton (z-order) key: interleave 8 bits of x and y using
+    pure FLOOR/%/× arithmetic — identical semantics in Spark SQL and
+    DuckDB (both divide ints as doubles; FLOOR+CAST restores exactness),
+    so ONE generated expression string serves implementation and oracle."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(CAST(FLOOR({xcol} / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i)}")
+        terms.append(f"(CAST(FLOOR({ycol} / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_ZORDER_READY: set[str] = set()
+
+
+@register(
+    "sink_zorder",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS xb,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256 AS yb
+      FROM orders
+    ), z AS (
+      SELECT o_orderkey, xb, yb, {_z16_sql("xb", "yb")} AS zkey FROM keyed
+    )
+    SELECT CAST(FLOOR(zkey / 4096) AS INTEGER) AS zblock,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(xb) AS INTEGER) AS min_x, CAST(MAX(xb) AS INTEGER) AS max_x,
+           CAST(MIN(yb) AS INTEGER) AS min_y, CAST(MAX(yb) AS INTEGER) AS max_y
+    FROM z GROUP BY 1
+    """,
+    section=_SEC,
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered layout (the Delta/Iceberg OPTIMIZE ZORDER BY
+    analogue, built from primitives): interleave the bits of two filter
+    dimensions (customer bucket × order-day bucket) into a Morton key,
+    range-repartition + sort the write by it — parquet files/row-groups
+    then carry TIGHT min/max ranges on BOTH dimensions, so selective
+    filters on either column prune IO. At 100 TB data layout is the
+    difference between scanning everything and reading a few files: a
+    single-column sort clusters one dimension only; the z-curve bounds
+    both (each 1/16 key block spans ≤ a quarter of each dimension's
+    range).
+
+    The returned relation is the per-block clustering audit (count +
+    per-dimension bounding box) — layout-independent, so the DuckDB
+    oracle pins the key math exactly; the physical file-level win is
+    asserted in tests/test_plans.py::test_zorder_files_cluster_both_dims.
+    The z-key is pure codegen arithmetic (shared expression string with
+    the oracle — no engine bit-op divergence)."""
+    out = cache_dir(sf_dir, "orders_zorder")
+    o = table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("xb"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 256
+        ).alias("yb"),
+    ).withColumn("zkey", F.expr(_z16_sql("xb", "yb")))
+    if out not in _ZORDER_READY:
+        (
+            keyed.repartitionByRange(16, "zkey")
+            .sortWithinPartitions("zkey")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        _ZORDER_READY.add(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.floor(F.col("zkey") / 4096).cast("int").alias("zblock")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("xb").cast("int").alias("min_x"),
+        F.max("xb").cast("int").alias("max_x"),
+        F.min("yb").cast("int").alias("min_y"),
+        F.max("yb").cast("int").alias("max_y"),
+    )

@@ -79,3 +79,43 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
+
+
+@register(
+    "limit_found_rows",
+    oracle="""
+    SELECT p.o_orderkey, p.o_totalprice, t.found_rows
+    FROM (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderstatus = 'O'
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 20 OFFSET 40
+    ) p
+    CROSS JOIN (
+      SELECT COUNT(*) AS found_rows FROM orders WHERE o_orderstatus = 'O'
+    ) t
+    """,
+    section=_SEC,
+)
+def limit_found_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL 5.6 ``SELECT SQL_CALC_FOUND_ROWS ... LIMIT`` + ``FOUND_ROWS()``
+    pagination idiom ([ENGINE]): one page of results plus the total
+    matching-row count the LIMIT suppressed, here returned as a column of
+    the page (the two-statement protocol collapsed into one relation).
+
+    Plan: the page is TakeOrderedAndProject over the filtered scan (per-
+    partition heap, offset+limit merged on the driver); the total is a
+    1-row partial-count aggregate CROSS-JOINed via broadcast — the fact
+    table is scanned, never globally sorted, and the count reuses the same
+    pushed-down filter. MySQL's SQL_CALC_FOUND_ROWS forces the server to
+    walk the full result; this shape gets the same answer from a partial
+    aggregate instead."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    page = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(40)
+        .limit(20)
+    )
+    total = o.agg(F.count("*").alias("found_rows"))
+    return page.crossJoin(F.broadcast(total))

@@ -446,3 +446,76 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.min("island_start").alias("first_island_start"),
     )
+
+
+@register(
+    "ts_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS day_sum,
+             CAST(COUNT(*) AS INTEGER) AS n_events
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(d) AS mind, MAX(d) AS maxd FROM daily GROUP BY 1
+    ), scaffold AS (
+      SELECT user_id, UNNEST(generate_series(mind, maxd, INTERVAL 1 DAY)) AS d
+      FROM span
+    ), j AS (
+      SELECT s.user_id, s.d, daily.day_sum,
+             COALESCE(daily.n_events, 0) AS n_events
+      FROM scaffold s
+      LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day, n_events, day_sum,
+           LAST_VALUE(day_sum IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_sum
+    FROM j
+    """,
+    section=_SEC,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling + forward-fill (LOCF) — densify a per-user daily
+    series so downstream windows/joins see every calendar day, carrying the
+    last observed value across silent days. MySQL users emulate this with a
+    calendar helper table; Spark-first it is `sequence(min_day, max_day)`
+    exploded per user (the scaffold is generated WHERE the user's rows
+    already live — no global calendar broadcast-join needed), a left join
+    back to the observed bars, and `last(ignorenulls=True)` over an
+    unbounded-preceding row frame for the fill.
+
+    Plan: the daily bars are one partial+final hash agg; the scaffold
+    explode is narrow (per-user span ≤ days in range); the fill window
+    shuffles by user_id once and sorts each user's ≤|days| rows. At 100 TB
+    state per user stays calendar-bounded — the series length, not the
+    event count."""
+    from sdp_spark.functions.num import dsum
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(dsum("value").alias("day_sum"), F.count("*").cast("int").alias("n_events"))
+    )
+    span = daily.groupBy("user_id").agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
+    scaffold = span.select(
+        "user_id",
+        F.explode(F.sequence("mind", "maxd", F.expr("interval 1 day"))).alias("d"),
+    )
+    j = (
+        scaffold.join(daily, ["user_id", "d"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "day_sum",
+        F.last("day_sum", ignorenulls=True).over(w).alias("filled_sum"),
+    )

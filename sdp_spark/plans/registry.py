@@ -103,6 +103,9 @@ _SWEEP_PRIORITY = (
     "llm_semdedup",           # r4 rows-only; K-ceiling lift reworked assignment
     "llm_cluster_kmeans",     # r4 rows-only; same K parameterization
     # --- round-5 NEW keys: always append here, never leave unlisted ---
+    "fulltext_bm25", "llm_inverted_index", "limit_found_rows",
+    "agg_ohlc_resample", "ts_gap_fill", "llm_dedup_substring",
+    "llm_embed_normalize", "llm_embed_pca", "sink_zorder",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",

@@ -580,3 +580,72 @@ def test_semdedup_k64_precision_and_recall(spark, sf_dir):
         r["vec_id"] for r in _semdedup_frame(spark, sf_dir, k=64).collect() if r["is_dup"]
     }
     assert flagged == again
+
+
+def test_bm25_scores_match_term_docset(spark, sf_dir):
+    """fulltext_bm25 must rank exactly the docs filter_fulltext matches
+    (same matched-postings source), with strictly positive scores (the
+    Lucene-style idf is non-negative and tf >= 1)."""
+    bm = {r["doc_id"]: r["bm25"] for r in REGISTRY["fulltext_bm25"].fn(spark, sf_dir).collect()}
+    ft = {r["doc_id"] for r in REGISTRY["filter_fulltext"].fn(spark, sf_dir).collect()}
+    assert set(bm) == ft
+    assert all(v > 0 for v in bm.values())
+
+
+def test_substring_dedup_detects_planted_spans(spark, tmp_path):
+    """Recall evidence for llm_dedup_substring: two docs sharing a verbatim
+    35-token run must flag has_dup (W=20, S=10 guarantees any >=29-token
+    shared run aligns in some window); a doc with unique text must not."""
+    import pandas as pd_
+
+    shared = " ".join(f"shared{i}" for i in range(35))
+    docs = pd_.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "intro one two three " + shared + " tail a b c",
+                "different lead tokens here " + shared,
+                " ".join(f"unique{i}" for i in range(60)),
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [100] * 3,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r for r in REGISTRY["llm_dedup_substring"].fn(spark, sf).collect()}
+    assert out[1]["has_dup"] and out[2]["has_dup"]
+    assert not out[3]["has_dup"]
+    assert out[1]["n_dup_spans"] >= 1 and out[1]["n_spans"] > out[1]["n_dup_spans"]
+
+
+def test_pca_fit_invariants_and_projection(spark, sf_dir):
+    """llm_embed_pca: components orthonormal, explained variance ratios
+    descending and in (0, 1]; projected variance ordering matches; fit is
+    deterministic run-to-run (cache cleared between fits)."""
+    import numpy as np
+
+    from sdp_spark.operators.corpus import _PCA_CACHE, _pca_fit
+
+    _PCA_CACHE.clear()
+    mean1, comps1, evr1 = _pca_fit(spark, sf_dir)
+    _PCA_CACHE.clear()
+    mean2, comps2, evr2 = _pca_fit(spark, sf_dir)
+    assert np.allclose(mean1, mean2) and np.allclose(comps1, comps2)
+
+    ident = comps1 @ comps1.T
+    assert np.allclose(ident, np.eye(len(comps1)), atol=1e-8), "not orthonormal"
+    assert all(evr1[i] >= evr1[i + 1] - 1e-12 for i in range(len(evr1) - 1))
+    assert all(0 < r <= 1 for r in evr1)
+
+    pdf = REGISTRY["llm_embed_pca"].fn(spark, sf_dir).toPandas()
+    variances = [pdf[f"pc{i + 1}"].var() for i in range(len(comps1))]
+    # projected variance must fall with component rank (rounding noise 1e-6)
+    assert all(variances[i] >= variances[i + 1] - 1e-4 for i in range(len(variances) - 1))
+    # pc1 must carry more variance than a raw coordinate's average share
+    emb = np.array(
+        [list(r["embedding"]) for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()]
+    )
+    total_var = np.trace(np.cov(emb.T, bias=True))
+    assert variances[0] > total_var / emb.shape[1]

@@ -260,3 +260,54 @@ def test_aqe_skew_join_split_kicks_in(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_files_cluster_both_dims(spark, sf_dir):
+    """sink_zorder's physical claim: after the Morton-key range-partitioned
+    sorted write, EVERY parquet file's min/max bounding box is tight on
+    BOTH dimensions (each zkey block spans <= a quarter of each dim's
+    0..255 range, vs ~the full range for an unclustered write) — so a
+    selective filter on either column prunes most files by footer stats."""
+    from pyspark.sql import functions as F
+
+    from sdp_spark.sources.fixtures import cache_dir
+
+    # materialize the layout (idempotent per cache_dir)
+    REGISTRY["sink_zorder"].fn(spark, sf_dir).collect()
+    out = cache_dir(sf_dir, "orders_zorder")
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("xb") - F.min("xb")).alias("span_x"),
+            (F.max("yb") - F.min("yb")).alias("span_y"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 8, "range partitioning should emit many files"
+    avg_x = sum(r["span_x"] for r in per_file) / len(per_file)
+    avg_y = sum(r["span_y"] for r in per_file) / len(per_file)
+    # z-curve bound: 16 zkey blocks -> top-2 bits of each dim fixed per
+    # block => per-block span <= 64; range boundaries straddle blocks, so
+    # allow 2x slack — still far below the ~255 span of an unsorted write
+    assert avg_x < 128 and avg_y < 128, (avg_x, avg_y)
+
+
+def test_found_rows_page_is_topk_plus_broadcast_count(spark, sf_dir):
+    """limit_found_rows: the page must plan as TakeOrderedAndProject (per-
+    partition heap, never a global sort) and the total as a broadcast
+    1-row aggregate — the scan is read twice but sorted zero times."""
+    plan = _plan(spark, REGISTRY["limit_found_rows"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row count rides a broadcast
+    assert "Sort " not in plan, "no global sort allowed"
+
+
+def test_ohlc_single_partial_final_aggregate(spark, sf_dir):
+    """agg_ohlc_resample: one exchange (bar states), map-side combine
+    visible as partial min_by/max_by, and no window operator."""
+    plan = _plan(spark, REGISTRY["agg_ohlc_resample"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert "Window" not in plan
