@@ -1188,3 +1188,215 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         *[F.col(f"_p.pc{i + 1}").alias(f"pc{i + 1}") for i in range(len(comps))],
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (index compression for the 100 TB ANN path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_embed_quantize",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, CAST(s.i AS INTEGER) AS i,
+             CAST(embedding[s.i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i)
+    ), scales AS (
+      SELECT i, MAX(ABS(x)) AS scale FROM comp GROUP BY 1
+    ), q AS (
+      SELECT c.vec_id, c.i, c.x, sc.scale,
+             CASE WHEN c.x >= 0
+                  THEN FLOOR(c.x / sc.scale * 127 + 0.5)
+                  ELSE -FLOOR(-c.x / sc.scale * 127 + 0.5) END AS qv
+      FROM comp c JOIN scales sc USING (i)
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN qv BETWEEN -127 AND 127 THEN 0 ELSE 1 END) AS INTEGER)
+             AS n_clipped,
+           FLOOR(sqrt(CAST(SUM(CAST(
+             FLOOR((x - qv * scale / 127) * (x - qv * scale / 127) * 1e12 + 0.5) / 1e12
+               AS DECIMAL(30,14))) AS DOUBLE) / COUNT(*)) * 1e8 + 0.5) / 1e8 AS rmse,
+           CAST(MIN(qv) AS INTEGER) AS q_min,
+           CAST(MAX(qv) AS INTEGER) AS q_max
+    FROM q GROUP BY 1
+    """,
+    section=_SEC,
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding column —
+    the index-compression stage of a corpus-scale ANN build (4× smaller
+    vectors, SIMD int8 distance kernels; the scalar-quantizer of
+    FAISS/ScaNN-style pipelines). Per-dim scale = max|x| over the corpus;
+    q = round(x/scale·127), symmetric away-from-zero rounding spelled as
+    sign-split FLOOR(+0.5) so both engines agree at .5 boundaries. Output
+    per vector: clip count (always 0 with max-abs scaling — asserted by
+    the oracle), reconstruction RMSE, and the quantized range.
+
+    Plan: posexplode → per-dim max aggregate (64 rows, broadcast back) →
+    per-vector error aggregate. At 100 TB the scales table is metadata
+    (dim rows) learned in one pass — the corpus shuffles only vec_id-keyed
+    partial error sums; squared errors snap to a 1e-12 grid and sum as
+    DECIMAL so the RMSE is partition-order-independent."""
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id", (F.col("i0") + 1).cast("int").alias("i"), F.col("xf").cast("double").alias("x")
+    )
+    scales = comp.groupBy("i").agg(F.max(F.abs("x")).alias("scale"))
+    qv = F.when(
+        F.col("x") >= 0, F.floor(F.col("x") / F.col("scale") * 127 + 0.5)
+    ).otherwise(-F.floor(-F.col("x") / F.col("scale") * 127 + 0.5))
+    q = comp.join(F.broadcast(scales), "i").withColumn("qv", qv)
+    err2 = (F.col("x") - F.col("qv") * F.col("scale") / 127) ** 2
+    err2_snapped = (F.floor(err2 * 1e12 + 0.5) / 1e12).cast("decimal(30,14)")
+    return q.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("qv").between(-127, 127), 0).otherwise(1))
+        .cast("int")
+        .alias("n_clipped"),
+        dround(
+            F.sqrt(F.sum(err2_snapped).cast("double") / F.count("*")), 8
+        ).alias("rmse"),
+        F.min("qv").cast("int").alias("q_min"),
+        F.max("qv").cast("int").alias("q_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair statistics (tokenizer-induction stage)
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 30
+
+
+@register(
+    "llm_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT t.w FROM (SELECT string_split(text, ' ') AS ws FROM documents) d,
+           UNNEST(ws) AS t(w)
+      WHERE len(t.w) >= 2
+    ), pairs AS (
+      SELECT p.pair
+      FROM (SELECT list_transform(generate_series(1, len(w) - 1),
+                                  i -> substr(w, i, 2)) AS ps FROM words) x,
+           UNNEST(ps) AS p(pair)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1
+    ORDER BY n DESC, pair ASC
+    LIMIT {_BPE_TOPK}
+    """,
+    section=_SEC,
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair frequencies — the statistic ONE iteration of
+    BPE vocabulary induction maximizes (Sennrich et al. 2016: merge the
+    most frequent pair, recount, repeat). Here: character bigrams within
+    words, corpus-wide, top {_BPE_TOPK}. The sliding substr() expression
+    is shared verbatim with the oracle (no engine split('')-semantics
+    divergence).
+
+    Plan: explode words → explode in-word char pairs (both map-side,
+    same stage as the scan) → partial+final count → TakeOrdered top-k.
+    At 100 TB the iterative trainer broadcasts the merge table each
+    round and re-runs this exact plan over re-segmented symbols — the
+    per-round cost is one scan + one tiny-key shuffle (pair cardinality
+    ≈ |alphabet|², metadata-scale)."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(_BPE_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch materialization from mixture weights (the upsampling twin of
+# llm_domain_mix's downsampling weights)
+# ---------------------------------------------------------------------------
+
+_EPOCH_CAP = 4.0  # max repeats per source (diminishing returns beyond ~4)
+
+
+@register(
+    "llm_mix_epochs",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_tokens) AS tot_tokens, COUNT(*) AS n_srcs FROM t
+    ), w AS (
+      SELECT source,
+             LEAST({_EPOCH_CAP}, CAST(tot_tokens AS DOUBLE) / (n_srcs * n_tokens)) AS wt
+      FROM t, tot
+    ), copies AS (
+      SELECT d.doc_id, d.source,
+             CAST(FLOOR(wt) +
+               CASE WHEN CAST(d.doc_id * {KNUTH} % {KNUTH_MOD} AS DOUBLE)
+                         / {KNUTH_MOD} < wt - FLOOR(wt)
+                    THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+      FROM documents d JOIN w USING (source)
+    )
+    SELECT doc_id, source, CAST(c.i AS INTEGER) AS copy_idx
+    FROM copies, UNNEST(generate_series(1, n_copies)) AS c(i)
+    WHERE n_copies >= 1
+    """,
+    section=_SEC,
+)
+def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a mixture as per-document epoch repeats — the
+    upsampling stage that turns target shares into an actual training
+    stream (small high-quality sources repeat, capped at {_EPOCH_CAP}
+    epochs per the data-constrained-scaling evidence that value beyond
+    ~4 repeats decays; oversized sources fall below 1 and downsample).
+    Target here: equal token share per source → weight = tot/(n_srcs ×
+    src_tokens), capped. Fractional epochs land deterministically via
+    the Knuth multiplicative hash on doc_id (the same portable
+    keep-decision as sample_systematic).
+
+    Plan: weights are a |sources|-row broadcast; the corpus is touched
+    once — join, integer explode (≤ cap copies), no shuffle of document
+    payloads at all. At 100 TB copy_idx feeds the shuffle-free packer
+    (llm_pack_sequences) downstream; nothing materializes text twice on
+    disk."""
+    d = table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("n_tokens")
+    )
+    tot = t.agg(F.sum("n_tokens").alias("tot_tokens"), F.count("*").alias("n_srcs"))
+    w = t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(_EPOCH_CAP),
+            F.col("tot_tokens").cast("double") / (F.col("n_srcs") * F.col("n_tokens")),
+        ).alias("wt"),
+    )
+    frac_keep = (
+        (F.col("doc_id") * KNUTH % KNUTH_MOD).cast("double") / KNUTH_MOD
+        < F.col("wt") - F.floor("wt")
+    )
+    copies = d.join(F.broadcast(w), "source").select(
+        "doc_id",
+        "source",
+        (F.floor("wt") + F.when(frac_keep, 1).otherwise(0)).cast("int").alias("n_copies"),
+    )
+    return (
+        copies.filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+        )
+    )

@@ -657,3 +657,70 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("last_view_id")).alias("asof_view_id"),
         F.when(fresh, F.floor(gap / 1_000_000)).alias("gap_s"),
     )
+
+
+@register(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, v.ver,
+             CAST('199' || CAST(2 * v.ver AS VARCHAR) || '-01-01' AS TIMESTAMP)
+               AS valid_from,
+             CASE WHEN v.ver < 3
+                  THEN CAST('199' || CAST(2 * v.ver + 2 AS VARCHAR) || '-01-01' AS TIMESTAMP)
+                  ELSE CAST('9999-01-01' AS TIMESTAMP) END AS valid_to,
+             ROUND(c_acctbal + 10 * v.ver, 2) AS eff_bal
+      FROM customer, UNNEST([1, 2, 3]) AS v(ver)
+    )
+    SELECT o.o_orderkey, o.o_custkey, CAST(dim.ver AS INTEGER) AS ver, dim.eff_bal
+    FROM orders o
+    JOIN dim ON o.o_custkey = dim.c_custkey
+            AND o.o_orderdate >= dim.valid_from
+            AND o.o_orderdate < dim.valid_to
+    WHERE o.o_orderdate >= TIMESTAMP '1994-01-01'
+    """,
+    section=_SEC,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join — the READ side of SCD
+    Type-2 (`dml_merge_scd2` writes the versioned history; this joins each
+    fact to the dimension version valid AT the fact's timestamp:
+    custkey matches AND valid_from <= orderdate < valid_to). Dimension
+    versions here are three deterministic validity windows per customer
+    (1992/1994/1996 boundaries) so the oracle pins the semantics exactly.
+
+    Plan: equi conjunct on custkey → hash join with the validity range as
+    a RESIDUAL predicate — never a cartesian/BNLJ (same discipline as
+    join_theta_range). Each fact row matches EXACTLY ONE version (windows
+    partition time), so output cardinality = facts, not facts × versions.
+    At 100 TB the dimension history is small relative to facts → broadcast;
+    a versions-per-key explosion would instead call for the
+    join_range_bucketed time-bucket decomposition."""
+    c = table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("ver"),
+        "c_acctbal",
+    ).select(
+        "c_custkey",
+        "ver",
+        F.concat(F.lit("199"), (2 * F.col("ver")).cast("string"), F.lit("-01-01"))
+        .cast("timestamp")
+        .alias("valid_from"),
+        F.when(
+            F.col("ver") < 3,
+            F.concat(
+                F.lit("199"), (2 * F.col("ver") + 2).cast("string"), F.lit("-01-01")
+            ).cast("timestamp"),
+        )
+        .otherwise(F.lit("9999-01-01").cast("timestamp"))
+        .alias("valid_to"),
+        F.round(F.col("c_acctbal") + 10 * F.col("ver"), 2).alias("eff_bal"),
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1994-01-01")
+    return o.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to")),
+    ).select("o_orderkey", "o_custkey", F.col("ver").cast("int").alias("ver"), "eff_bal")

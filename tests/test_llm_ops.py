@@ -649,3 +649,29 @@ def test_pca_fit_invariants_and_projection(spark, sf_dir):
     )
     total_var = np.trace(np.cov(emb.T, bias=True))
     assert variances[0] > total_var / emb.shape[1]
+
+
+def test_quantize_error_bound_and_no_clipping(spark, sf_dir):
+    """llm_embed_quantize: max-abs scaling can never clip; quantized range
+    stays in int8; RMSE is bounded by the quantization-step bound
+    (scale/254 per dim, so well under 0.01 on unit-ish embeddings)."""
+    rows = REGISTRY["llm_embed_quantize"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_clipped"] == 0 for r in rows)
+    assert all(-127 <= r["q_min"] <= r["q_max"] <= 127 for r in rows)
+    assert all(0 <= r["rmse"] < 0.01 for r in rows)
+
+
+def test_mix_epochs_copies_bounded_and_unique(spark, sf_dir):
+    """llm_mix_epochs: copy indexes are dense 1..n per doc, capped at the
+    epoch ceiling; per-source mean copies stays within the weight's
+    floor/ceil envelope (the fractional hash decides per doc)."""
+    import collections
+
+    rows = REGISTRY["llm_mix_epochs"].fn(spark, sf_dir).collect()
+    per_doc = collections.defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r["copy_idx"])
+    for doc, idxs in per_doc.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1)), doc
+        assert len(idxs) <= 4

@@ -311,3 +311,17 @@ def test_ohlc_single_partial_final_aggregate(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_min_by" in plan and "partial_max_by" in plan
     assert "Window" not in plan
+
+
+def test_scd2_pointintime_is_hash_join_one_version_per_fact(spark, sf_dir):
+    """join_scd2_pointintime: the equi conjunct must plan a (broadcast)
+    hash join with the validity range as residual — never BNLJ/cartesian —
+    and validity windows partition time, so each fact matches exactly one
+    dimension version."""
+    df = REGISTRY["join_scd2_pointintime"].fn(spark, sf_dir)
+    plan = _plan(spark, df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    total = df.count()
+    distinct_orders = df.select("o_orderkey").distinct().count()
+    assert total == distinct_orders, "a fact matched more than one version"
