@@ -672,3 +672,48 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.degrees(x), 6).alias("deg_x"),
         dround(F.lit(3.141592653589793), 6).alias("pi_c"),
     )
+
+
+@register(
+    "fn_convert_tz",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_wall,
+           strftime(timezone('America/New_York', timezone('UTC', ts)),
+                    '%Y-%m-%d %H:%M:%S') AS ny_wall,
+           strftime(timezone('Asia/Kolkata', timezone('UTC', ts)),
+                    '%Y-%m-%d %H:%M:%S') AS kolkata_wall,
+           strftime(timezone('UTC', timezone('America/New_York',
+                    timezone('America/New_York', timezone('UTC', ts)))),
+                    '%Y-%m-%d %H:%M:%S') AS roundtrip_utc
+    FROM events
+    """,
+    section=_SEC,
+)
+def fn_convert_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT_TZ — MySQL 5.6's named-zone timestamp conversion ([ENGINE],
+    loaded via mysql_tzinfo_to_sql): UTC wall clock → America/New_York
+    (DST-aware: January fixture data renders EST, -05:00) and
+    Asia/Kolkata (+05:30 — the fractional offset that catches
+    half-hour-shift bugs), plus the full there-and-back round trip which
+    must reproduce the input exactly. Spark: from_utc_timestamp /
+    to_utc_timestamp; oracle: ICU timezone() pairs — both sides render
+    strings so naive-vs-zoned type gaps can't leak into the hash.
+
+    Pure per-row codegen (zone rules are JVM-side tables, no shuffle);
+    session-timezone-independent by construction on both engines — the
+    registry's UTC pin plus instant-based conversion, verified by the
+    round-5 TZ=America/New_York / Asia/Kolkata driver-emulation runs."""
+    e = table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    kol = F.from_utc_timestamp("ts", "Asia/Kolkata")
+    return e.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("utc_wall"),
+        F.date_format(ny, fmt).alias("ny_wall"),
+        F.date_format(kol, fmt).alias("kolkata_wall"),
+        F.date_format(F.to_utc_timestamp(ny, "America/New_York"), fmt).alias(
+            "roundtrip_utc"
+        ),
+    )

@@ -147,3 +147,41 @@ def query_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "query_cust_order_counts",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    section=_SEC,
+)
+def query_cust_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): outer join
+    with an ON-clause filter (customers with zero qualifying orders must
+    appear with count 0 — the LEFT JOIN + conditional-count semantics this
+    capstone certifies), then an aggregate OF the aggregate.
+
+    Plan: this is the rare capstone where the dim side CANNOT broadcast at
+    scale (every customer must survive, so customer is a full outer input)
+    → one custkey shuffle joins the two tables (AQE splits skewed
+    customers), the first count collapses to |customers| rows, and the
+    second groupBy shuffles only |distinct counts| rows (metadata-scale).
+    The priority filter sits in the JOIN CONDITION, not a WHERE — pushing
+    it to WHERE would wrongly drop zero-order customers."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))

@@ -107,3 +107,39 @@ def subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders per customer) — MariaDB 10.1 lacks LATERAL; Spark decorrelates
     it into a ranked window join."""
     return _sql(spark, sf_dir, _LATERAL)
+
+
+_NOT_IN_NULL = """
+SELECT
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                                            ELSE o_custkey END
+                                FROM orders)) AS BIGINT) AS n_not_in_with_null,
+  CAST((SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus <> 'P')) AS BIGINT) AS n_not_exists,
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus <> 'P'
+                                  AND o_custkey IS NOT NULL)) AS BIGINT)
+    AS n_not_in_filtered
+"""
+
+
+@register("subq_not_in_null", oracle=_NOT_IN_NULL, section=_SEC)
+def subq_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN three-valued-logic semantics — the classic SQL trap the
+    engine must reproduce EXACTLY: when the subquery result contains a
+    NULL, `x NOT IN (...)` is never TRUE (every row is FALSE or UNKNOWN),
+    so the first count is provably 0; the NOT EXISTS form and the
+    null-filtered NOT IN form are the equivalent rewrites users actually
+    want, and must agree with each other. One scorecard row pins all
+    three against the oracle.
+
+    Plan/scale note: Spark lowers the null-aware NOT IN to a
+    BroadcastNestedLoopJoin (null-awareness defeats hashing — inherent to
+    the semantics, not a planner miss), while NOT EXISTS lowers to a hash
+    LEFT ANTI join. Same answer, wildly different cost at 100 TB: the
+    rewrite demonstrated here IS the optimization."""
+    return _sql(spark, sf_dir, _NOT_IN_NULL)

@@ -107,7 +107,8 @@ _SWEEP_PRIORITY = (
     "agg_ohlc_resample", "ts_gap_fill", "llm_dedup_substring",
     "llm_embed_normalize", "llm_embed_pca", "sink_zorder",
     "llm_embed_quantize", "llm_bpe_pair_counts", "llm_mix_epochs",
-    "join_scd2_pointintime",
+    "join_scd2_pointintime", "subq_not_in_null", "fn_convert_tz",
+    "query_cust_order_counts", "stream_ohlc", "stream_stateful_timeout",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",

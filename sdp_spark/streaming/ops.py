@@ -872,3 +872,156 @@ def stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_batches INT, rows_in BIGINT, windows_emitted BIGINT,"
         " state_rows_final BIGINT, final_watermark STRING",
     )
+
+
+@register(
+    "stream_ohlc",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+               AS win_start,
+             ts, event_id, value
+      FROM events
+    ), r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY event_type, win_start
+                           ORDER BY ts, event_id) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY event_type, win_start
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM d
+    )
+    SELECT win_start, event_type,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r GROUP BY 1, 2
+    """,
+    section=_SEC,
+)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars — the real-time twin of `agg_ohlc_resample`:
+    per event_type per 1-hour event-time window, open/high/low/close via
+    declarative min_by/max_by arg-picks INSIDE the streaming aggregate
+    (no custom state code — the same expression vocabulary as batch, which
+    is the Structured Streaming contract this key certifies). The
+    (ts, event_id) struct key makes the open/close picks deterministic
+    under any micro-batch split, so the complete-mode result equals the
+    batch oracle regardless of trigger boundaries.
+
+    Production shape: add withWatermark + append mode exactly as the
+    `stream_*_wm` twins do — per-window state is O(1) (the four partial
+    arg-pick states), sealed bars emit once."""
+    sdf = _events_stream(spark, sf_dir)
+    key = F.struct("ts", "event_id")
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+    return _run_to_memory(agg, "complete", "ohlc")
+
+
+@register("stream_stateful_timeout", oracle=None, section=_SEC)
+def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMEOUT — the
+    applyInPandasWithState feature the fixed-gap `session_window` can't
+    replace: arbitrary per-session state (here: event count + exact cents
+    total + first/last ts) that EMITS ONLY WHEN THE SESSION CLOSES, i.e.
+    when the event-time watermark passes last_event + 30 min. Open
+    sessions at end-of-stream stay in state and emit nothing — exactly the
+    once-per-session output a downstream sink wants (vs the per-batch
+    re-emission of `stream_stateful`).
+
+    State is per-user O(1); the timeout bound (watermark lag + gap) is
+    what keeps state finite at 100 TB/day. rows-only by design: the
+    emission set depends on the final watermark position; pytest pins
+    closed sessions == the batch sessionizer's sessions whose end precedes
+    the final watermark, values exact."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sdf = _events_stream(spark, sf_dir).withWatermark("ts", "2 hours").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    _GAP_MS = 30 * 60 * 1000
+
+    def update(key, pdfs, state: GroupState):
+        import datetime as _dt
+
+        import numpy as np
+
+        def _emit(start_us, n, cents):
+            start = _dt.datetime.utcfromtimestamp(int(start_us) / 1_000_000)
+            return pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "session_start": [start.strftime("%Y-%m-%d %H:%M:%S")],
+                    "n_events": [int(n)],
+                    "total_value": [int(cents) / 100.0],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, _last, n, cents = state.get
+            state.remove()
+            yield _emit(start_us, n, cents)
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()  # ns -> µs
+        vals = np.rint(rows["value"].to_numpy() * 100).astype(np.int64)
+        if state.exists:
+            start_us, last_us, n, cents = state.get
+        else:
+            start_us = last_us = n = cents = None
+        for t, v in zip(ts_us.tolist(), vals.tolist()):
+            if start_us is None:
+                start_us, last_us, n, cents = t, t, 1, v
+            elif t - last_us >= _GAP_MS * 1000:
+                # gap exceeded WITHIN the data: close the old session now
+                yield _emit(start_us, n, cents)
+                start_us, last_us, n, cents = t, t, 1, v
+            else:
+                last_us, n, cents = max(last_us, t), n + 1, cents + v
+        state.update((int(start_us), int(last_us), int(n), int(cents)))
+        # close when the EVENT-TIME watermark passes last event + gap
+        state.setTimeoutTimestamp(int(last_us) // 1000 + _GAP_MS)
+
+    result = sdf.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+    return _run_to_memory(result, "append", "stateful_timeout")

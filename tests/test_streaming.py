@@ -379,3 +379,53 @@ def test_state_store_soak_10x_bounded(spark, sf_dir, tmp_path):
     assert peak_state <= total_windows * 0.15, (
         f"peak state {peak_state} rows vs {total_windows} windows — state unbounded"
     )
+
+
+def test_stateful_timeout_sessions_match_batch(spark, sf_dir, ddb):
+    """stream_stateful_timeout: every emitted (closed) session must equal a
+    batch-sessionized session EXACTLY (start, count, exact-cents total);
+    no session emits twice; and at least the early sessions (well behind
+    the final watermark) must have closed."""
+    out = REGISTRY["stream_stateful_timeout"].fn(spark, sf_dir).collect()
+    assert out, "no sessions closed — timeout machinery never fired"
+    emitted = {(r["user_id"], r["session_start"]): (r["n_events"], r["total_value"]) for r in out}
+    assert len(emitted) == len(out), "a session emitted twice"
+
+    batch = ddb.execute("""
+        WITH gaps AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                           - epoch(CAST(LAG(ts) OVER w AS TIMESTAMP)) >= 1800
+                        OR LAG(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM gaps
+        )
+        SELECT user_id,
+               strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value,
+               MAX(CAST(ts AS TIMESTAMP)) AS session_end
+        FROM sess GROUP BY user_id, sid
+    """).df()
+    bmap = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in batch.itertuples()
+    }
+    for k, v in emitted.items():
+        assert k in bmap, f"emitted session {k} not in batch sessionization"
+        assert bmap[k] == v, f"session {k}: stream {v} != batch {bmap[k]}"
+    # completeness: sessions ending >= 4h before the stream's end must have
+    # timed out (final watermark = max_ts - 2h; 30-min gap; wide margin)
+    import pandas as pd_
+
+    horizon = batch["session_end"].max() - pd_.Timedelta(hours=4)
+    must_close = batch[batch["session_end"] < horizon]
+    for r in must_close.itertuples():
+        assert (r.user_id, r.session_start) in emitted, (
+            f"session ending {r.session_end} never closed"
+        )
