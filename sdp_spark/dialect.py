@@ -1,0 +1,216 @@
+"""MySQL-dialect SQL shim — the migration path for the reference's
+port-3306 clients (SURVEY.md §3.2 entry point 2: `spark.sql` mirrors the
+SQL session surface; this module lets the SQL *text* itself stay MySQL
+5.6-flavored, [ENGINE] pinned at mysql-persistent-template.json:68).
+
+`translate_mysql(sql)` rewrites the MySQL-isms that Spark's ANSI parser
+rejects or mis-reads into Spark SQL; `sql_mysql(spark, sf_dir, sql)` runs
+the result over the registered fixture views. This is a pragmatic
+REWRITER, not a parser: rules are applied token-safely OUTSIDE string
+literals (single- and double-quoted text is carved out first, so a
+`'#hash'` or `'LIMIT 1, 2'` inside a string is never touched), and each
+rule covers the unnested form MySQL clients actually write. Unsupported
+constructs pass through untouched and fail loudly in Spark's parser —
+never silently misparse.
+
+Rules (each unit-tested in tests/test_dialect.py):
+- backtick identifiers        `tbl`.`col`     -> tbl.col
+- # line comments             # note          -> -- note
+- MySQL double-quoted strings "text"          -> 'text'  (5.6 default
+  sql_mode treats " as a STRING quote, not an identifier quote)
+- LIMIT offset, count         LIMIT 1, 3      -> LIMIT 3 OFFSET 1
+- SQL_CALC_FOUND_ROWS         stripped (pair with a count query —
+  see the `limit_found_rows` operator for the collapsed idiom)
+- STRAIGHT_JOIN               -> JOIN (Catalyst orders joins by cost;
+  the reference's left-deep forcing hint has no meaning here)
+- REGEXP / NOT REGEXP         -> RLIKE / NOT RLIKE
+- NOW() / CURDATE()           -> current_timestamp() / current_date()
+- DATE_FORMAT(x, '%Y-%m')     -> date_format(x, 'yyyy-MM') (% pattern
+  codes mapped to Java DateTimeFormatter letters)
+- GROUP_CONCAT([DISTINCT] x [SEPARATOR 's']) ->
+  array_join(array_sort(collect_list|collect_set(x)), 's').
+  MySQL's unordered GROUP_CONCAT is nondeterministic; the translation
+  imposes sorted order (the determinism contract every operator here
+  follows). ORDER BY inside GROUP_CONCAT is supported for the common
+  self-ordering form (ORDER BY the same expression).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+# MySQL DATE_FORMAT % codes -> Java DateTimeFormatter patterns.
+_DF_CODES = {
+    "%Y": "yyyy", "%y": "yy", "%M": "MMMM", "%b": "MMM", "%m": "MM",
+    "%c": "M", "%d": "dd", "%e": "d", "%H": "HH", "%k": "H", "%h": "hh",
+    "%l": "h", "%i": "mm", "%s": "ss", "%S": "ss", "%f": "SSSSSS",
+    "%p": "a", "%W": "EEEE", "%a": "EEE", "%j": "DDD", "%T": "HH:mm:ss",
+    "%%": "%",
+}
+
+_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+
+def _carve_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace single-quoted literals with \x00<i>\x00 placeholders so
+    rewrite rules can never touch string contents."""
+    out: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        out.append(m.group(0))
+        return f"\x00{len(out) - 1}\x00"
+
+    return _LITERAL.sub(stash, sql), out
+
+
+def _restore_literals(sql: str, lits: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], sql)
+
+
+def _map_date_format(lit: str) -> str:
+    """Translate one quoted MySQL %-pattern to a quoted Java pattern."""
+    body = lit[1:-1]
+    out, i = [], 0
+    while i < len(body):
+        if body[i] == "%" and i + 1 < len(body):
+            code = body[i : i + 2]
+            out.append(_DF_CODES.get(code, code))
+            i += 2
+        else:
+            # literal chars that collide with Java pattern letters must be
+            # escaped in DateTimeFormatter patterns
+            c = body[i]
+            out.append(f"'{c}'" if c.isalpha() else c)
+            i += 1
+    return "'" + "".join(out) + "'"
+
+
+def _group_concat(m: re.Match, lits: list[str]) -> str:
+    inner = m.group(1).strip()
+    sep = "','"
+    sm = re.search(r"\s+SEPARATOR\s+(\x00\d+\x00)\s*$", inner, re.I)
+    if sm:
+        sep = sm.group(1)
+        inner = inner[: sm.start()].strip()
+    om = re.search(r"\s+ORDER\s+BY\s+(.+?)\s*$", inner, re.I)
+    if om:
+        order = om.group(1).strip()
+        expr = inner[: om.start()].strip()
+        bare = re.sub(r"\s+(ASC|DESC)\s*$", "", order, flags=re.I).strip()
+        if bare != expr:
+            # general ORDER BY needs a struct sort — out of shim scope;
+            # leave the original text so Spark's parser rejects it loudly
+            return m.group(0)
+        desc = bool(re.search(r"\bDESC\s*$", order, re.I))
+        coll = f"collect_list({expr})"
+        sort = f"reverse(array_sort({coll}))" if desc else f"array_sort({coll})"
+        return f"array_join({sort}, {sep})"
+    dm = re.match(r"DISTINCT\s+(.+)$", inner, re.I | re.S)
+    if dm:
+        return f"array_join(array_sort(collect_set({dm.group(1).strip()})), {sep})"
+    return f"array_join(array_sort(collect_list({inner})), {sep})"
+
+
+def translate_mysql(sql: str) -> str:
+    """Rewrite MySQL 5.6 SQL text into Spark SQL (see module docstring)."""
+    # 0) MySQL double-quoted strings -> single-quoted (before carving)
+    sql = re.sub(
+        r'"([^"\\]*)"', lambda m: "'" + m.group(1).replace("'", "''") + "'", sql
+    )
+    body, lits = _carve_literals(sql)
+
+    # 1) backticks drop entirely (identifiers are already sane)
+    body = body.replace("`", "")
+    # 2) '#' comments -> '--' (to end of line)
+    body = re.sub(r"#+\s?", "-- ", body)
+    # 3) SQL_CALC_FOUND_ROWS has no Spark analogue (see limit_found_rows)
+    body = re.sub(r"\bSQL_CALC_FOUND_ROWS\b\s*", "", body, flags=re.I)
+    # 4) LIMIT offset, count  ->  LIMIT count OFFSET offset
+    body = re.sub(
+        r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", body, flags=re.I
+    )
+    # 5) join/predicate keyword swaps
+    body = re.sub(r"\bSTRAIGHT_JOIN\b", "JOIN", body, flags=re.I)
+    body = re.sub(r"\bREGEXP\b", "RLIKE", body, flags=re.I)
+    # 6) zero-arg datetime functions
+    body = re.sub(r"\bNOW\s*\(\s*\)", "current_timestamp()", body, flags=re.I)
+    body = re.sub(r"\bCURDATE\s*\(\s*\)", "current_date()", body, flags=re.I)
+    # 7) DATE_FORMAT %-patterns (second arg is a carved literal placeholder)
+    def df_sub(m: re.Match) -> str:
+        idx = int(m.group(2))
+        lits[idx] = _map_date_format(lits[idx])
+        return f"date_format({m.group(1)}, \x00{idx}\x00)"
+
+    body = re.sub(
+        r"\bDATE_FORMAT\s*\(\s*((?:[^,()]|\([^()]*\))+?)\s*,\s*\x00(\d+)\x00\s*\)",
+        df_sub,
+        body,
+        flags=re.I,
+    )
+    # 8) GROUP_CONCAT (expressions up to one paren level deep)
+    body = re.sub(
+        r"\bGROUP_CONCAT\s*\(((?:[^()]|\([^()]*\))*)\)",
+        lambda m: _group_concat(m, lits),
+        body,
+        flags=re.I,
+    )
+    return _restore_literals(body, lits)
+
+
+def sql_mysql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Run MySQL-dialect SQL text over the fixture views — the end-to-end
+    migration surface: reference clients paste their 5.6 queries here."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(translate_mysql(sql))
+
+
+from sdp_spark.plans.registry import register  # noqa: E402
+
+# A representative 5.6-flavored query exercising every shim rule at once:
+# backticks, # comment, STRAIGHT_JOIN, GROUP_CONCAT DISTINCT+SEPARATOR,
+# DATE_FORMAT %-codes, IFNULL, double-quoted string, LIMIT offset,count.
+_MYSQL_QUERY = """
+SELECT `c`.`c_mktsegment` AS segment,   # revenue page per segment
+       COUNT(*) AS n_orders,
+       IFNULL(GROUP_CONCAT(DISTINCT `o`.`o_orderpriority` SEPARATOR '|'), "none")
+         AS prios,
+       DATE_FORMAT(MIN(`o`.`o_orderdate`), '%Y-%m') AS first_month
+FROM `customer` c STRAIGHT_JOIN `orders` o ON o.o_custkey = c.c_custkey
+WHERE `o`.`o_orderpriority` REGEXP '^[12]-'
+GROUP BY segment
+ORDER BY n_orders DESC, segment ASC
+LIMIT 1, 3
+"""
+
+
+@register(
+    "dialect_mysql_query",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           COALESCE(array_to_string(list_sort(list(DISTINCT o.o_orderpriority)), '|'),
+                    'none') AS prios,
+           strftime(MIN(o.o_orderdate), '%Y-%m') AS first_month
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE regexp_matches(o.o_orderpriority, '^[12]-')
+    GROUP BY segment
+    ORDER BY n_orders DESC, segment ASC
+    LIMIT 3 OFFSET 1
+    """,
+    section="3.2 sql dialect",
+)
+def dialect_mysql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MySQL-dialect session: the 5.6 query text above (verbatim
+    what a reference client would send over port 3306) runs through
+    `translate_mysql` → Catalyst, and must hash-match an ANSI oracle — the
+    conformance proof for the migration shim. Every rewrite rule fires in
+    this one statement; per-rule unit tests live in tests/test_dialect.py.
+
+    Plan note: the translated text plans exactly like the native-API twin
+    (broadcast-able dim join, partial+final agg, TakeOrderedAndProject) —
+    the shim is a parse-time string rewrite, invisible to the optimizer."""
+    return sql_mysql(spark, sf_dir, _MYSQL_QUERY)

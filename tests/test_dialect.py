@@ -1,0 +1,99 @@
+"""Unit tests for the MySQL-dialect shim (sdp_spark/dialect.py): one test
+per rewrite rule, plus literal-preservation (the carve-out that keeps rules
+from ever touching string contents). The end-to-end conformance proof is
+the `dialect_mysql_query` registry key (hash-matched against its ANSI
+oracle by the driver and tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from sdp_spark.dialect import translate_mysql as t
+
+
+def test_backticks_drop():
+    assert t("SELECT `a`.`b` FROM `tbl`") == "SELECT a.b FROM tbl"
+
+
+def test_hash_comment():
+    assert t("SELECT 1 # note\n") == "SELECT 1 -- note\n"
+
+
+def test_double_quoted_string_becomes_single():
+    assert t('SELECT "it\'s"') == "SELECT 'it''s'"
+
+
+def test_limit_offset_count():
+    assert t("SELECT 1 LIMIT 10, 5") == "SELECT 1 LIMIT 5 OFFSET 10"
+
+
+def test_calc_found_rows_stripped():
+    assert t("SELECT SQL_CALC_FOUND_ROWS x FROM t") == "SELECT x FROM t"
+
+
+def test_straight_join_and_regexp():
+    assert (
+        t("SELECT 1 FROM a STRAIGHT_JOIN b WHERE x REGEXP 'p'")
+        == "SELECT 1 FROM a JOIN b WHERE x RLIKE 'p'"
+    )
+
+
+def test_now_curdate():
+    assert t("SELECT NOW(), CURDATE()") == "SELECT current_timestamp(), current_date()"
+
+
+def test_date_format_codes():
+    assert (
+        t("SELECT DATE_FORMAT(ts, '%Y-%m-%d %H:%i:%s')")
+        == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss')"
+    )
+
+
+def test_date_format_literal_letters_escaped():
+    # non-code alphabetic chars must be quoted for DateTimeFormatter
+    assert t("SELECT DATE_FORMAT(ts, '%Yq%m')") == "SELECT date_format(ts, 'yyyy'q'MM')"
+
+
+def test_date_format_nested_call_arg():
+    assert (
+        t("SELECT DATE_FORMAT(MIN(o.d), '%Y-%m')")
+        == "SELECT date_format(MIN(o.d), 'yyyy-MM')"
+    )
+
+
+def test_group_concat_plain():
+    assert (
+        t("SELECT GROUP_CONCAT(x) FROM t")
+        == "SELECT array_join(array_sort(collect_list(x)), ',') FROM t"
+    )
+
+
+def test_group_concat_distinct_separator():
+    assert (
+        t("SELECT GROUP_CONCAT(DISTINCT x SEPARATOR '|')")
+        == "SELECT array_join(array_sort(collect_set(x)), '|')"
+    )
+
+
+def test_group_concat_self_order_desc():
+    assert (
+        t("SELECT GROUP_CONCAT(x ORDER BY x DESC SEPARATOR ';')")
+        == "SELECT array_join(reverse(array_sort(collect_list(x))), ';')"
+    )
+
+
+def test_group_concat_foreign_order_left_untouched():
+    # unsupported general ORDER BY must pass through (fail loudly later)
+    src = "SELECT GROUP_CONCAT(x ORDER BY y)"
+    assert "GROUP_CONCAT" in t(src)
+
+
+def test_string_literals_never_rewritten():
+    src = "SELECT '#hash', 'LIMIT 1, 2', 'a REGEXP b', 'NOW()' FROM t LIMIT 1, 2"
+    out = t(src)
+    assert "'#hash'" in out and "'LIMIT 1, 2'" in out
+    assert "'a REGEXP b'" in out and "'NOW()'" in out
+    assert out.endswith("LIMIT 2 OFFSET 1")
+
+
+def test_escaped_quote_literal_survives():
+    src = "SELECT 'it''s #fine' FROM t"
+    assert t(src) == src
