@@ -54,6 +54,11 @@ EXTRA = [
     "query_returned_items",     # composed Q10-shape capstone (r4)
     "llm_semdedup",             # k-means-blocked semantic dedup (r4)
     "sink_autoincrement",       # bucketed dense-id assignment (r4)
+    "fulltext_bm25",            # BM25 over shared postings (r5)
+    "llm_dedup_substring",      # stride-window span dedup (r5)
+    "sink_zorder",              # Morton-clustered layout write (r5)
+    "query_cust_order_counts",  # Q13-shape outer-join capstone (r5)
+    "stream_ohlc",              # streaming arg-pick OHLC bars (r5)
 ]
 
 

@@ -1400,3 +1400,122 @@ def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-keyed document dedup (canonical-URL blocking -> keeper election)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_url_docs",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/page/'
+               || CAST(doc_id % 50 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=home#frag'
+                       ELSE '?fbclid=' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             rtrim(regexp_replace(regexp_replace(url, '#[^#]*$', ''),
+                                  '{_TRACKING_RE}', '', 'g'), '?&') AS canon_url
+      FROM u
+    )
+    SELECT canon_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+    FROM c GROUP BY 1
+    """,
+    section=_SEC,
+)
+def llm_dedup_url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup — the crawl-pipeline stage BEFORE any content
+    hashing: pages re-crawled under tracking-param/fragment variants
+    collapse onto their canonical URL, one keeper (lowest doc_id) elected
+    per group. Composes `llm_url_normalize`'s canonicalization (same
+    regexes, same explicit '?&' rtrim set) with the keeper-election shape
+    of `llm_dedup_exact`. Synthetic URLs vary ONLY by tracking junk within
+    a (source, page) bucket, so the canon key genuinely collapses them.
+
+    Plan: per-row codegen canonicalization + ONE groupBy on the canon key
+    (the shuffle carries URLs, not documents). At 100 TB this runs ahead
+    of fetch/store — the cheapest dedup leverage in the whole pipeline."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed&ref=home#frag"))
+        .otherwise(F.concat(F.lit("?fbclid="), F.col("doc_id").cast("string"))),
+    )
+    canon = F.rtrim(
+        F.regexp_replace(F.regexp_replace(url, "#[^#]*$", ""), _TRACKING_RE, ""),
+        F.lit("?&"),
+    )
+    return (
+        d.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary OOV coverage (tokenizer-fit audit)
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZE = 100
+
+
+@register(
+    "llm_vocab_oov",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, t.token
+      FROM (SELECT source, string_split(text, ' ') AS ts FROM documents) d,
+           UNNEST(ts) AS t(token)
+    ), cnt AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+    ), vocab AS (
+      SELECT token FROM cnt ORDER BY n DESC, token ASC LIMIT {_VOCAB_SIZE}
+    )
+    SELECT tok.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           FLOOR(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (token)
+    GROUP BY 1
+    """,
+    section=_SEC,
+)
+def llm_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: per source, the out-of-vocabulary token
+    rate against a top-{_VOCAB_SIZE} frequency vocabulary learned from the
+    corpus itself (the go/no-go metric before freezing a tokenizer — a
+    domain with high OOV gets its own merges or more vocab budget).
+
+    Plan: one tokenize+count pass learns the vocab (top-k via
+    TakeOrdered, deterministic count-then-token tie-break); the vocab is
+    METADATA-scale and broadcast, so the coverage pass is a map-side
+    explode + broadcast LEFT join + per-source partial agg — the corpus
+    shuffles only |sources| partial rows. The exact-bigint / IEEE-floor
+    rate math renders identically cross-engine."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count("*").alias("n"))
+    vocab = (
+        cnt.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(_VOCAB_SIZE)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(oov).alias("n_oov"),
+            dround(F.sum(oov).cast("double") / F.count("*"), 6).alias("oov_rate"),
+        )
+    )
