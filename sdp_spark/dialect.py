@@ -25,6 +25,8 @@ Rules (each unit-tested in tests/test_dialect.py):
   the reference's left-deep forcing hint has no meaning here)
 - REGEXP / NOT REGEXP         -> RLIKE / NOT RLIKE
 - NOW() / CURDATE()           -> current_timestamp() / current_date()
+- DATE_ADD/DATE_SUB(x, INTERVAL n UNIT) -> (x +/- INTERVAL n UNIT)
+- STR_TO_DATE(s, '%...')      -> to_timestamp(s, 'java pattern')
 - DATE_FORMAT(x, '%Y-%m')     -> date_format(x, 'yyyy-MM') (% pattern
   codes mapped to Java DateTimeFormatter letters)
 - GROUP_CONCAT([DISTINCT] x [SEPARATOR 's']) ->
@@ -137,6 +139,28 @@ def translate_mysql(sql: str) -> str:
     # 6) zero-arg datetime functions
     body = re.sub(r"\bNOW\s*\(\s*\)", "current_timestamp()", body, flags=re.I)
     body = re.sub(r"\bCURDATE\s*\(\s*\)", "current_date()", body, flags=re.I)
+    # 6b) DATE_ADD/DATE_SUB(x, INTERVAL n UNIT) -> x +/- INTERVAL n UNIT
+    #     (Spark parses the infix interval form, not MySQL's function form)
+    body = re.sub(
+        r"\bDATE_(ADD|SUB)\s*\(\s*((?:[^,()]|\([^()]*\))+?)\s*,\s*"
+        r"INTERVAL\s+(\d+)\s+(\w+)\s*\)",
+        lambda m: f"({m.group(2)} {'+' if m.group(1).upper() == 'ADD' else '-'} "
+        f"INTERVAL {m.group(3)} {m.group(4)})",
+        body,
+        flags=re.I,
+    )
+    # 6c) STR_TO_DATE(s, '%...') -> to_timestamp(s, 'java pattern')
+    def std_sub(m: re.Match) -> str:
+        idx = int(m.group(2))
+        lits[idx] = _map_date_format(lits[idx])
+        return f"to_timestamp({m.group(1)}, \x00{idx}\x00)"
+
+    body = re.sub(
+        r"\bSTR_TO_DATE\s*\(\s*((?:[^,()]|\([^()]*\))+?)\s*,\s*\x00(\d+)\x00\s*\)",
+        std_sub,
+        body,
+        flags=re.I,
+    )
     # 7) DATE_FORMAT %-patterns (second arg is a carved literal placeholder)
     def df_sub(m: re.Match) -> str:
         idx = int(m.group(2))

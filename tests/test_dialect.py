@@ -97,3 +97,21 @@ def test_string_literals_never_rewritten():
 def test_escaped_quote_literal_survives():
     src = "SELECT 'it''s #fine' FROM t"
     assert t(src) == src
+
+
+def test_date_add_sub_interval():
+    assert (
+        t("SELECT DATE_ADD(o_orderdate, INTERVAL 30 DAY)")
+        == "SELECT (o_orderdate + INTERVAL 30 DAY)"
+    )
+    assert (
+        t("SELECT DATE_SUB(NOW(), INTERVAL 2 HOUR)")
+        == "SELECT (current_timestamp() - INTERVAL 2 HOUR)"
+    )
+
+
+def test_str_to_date():
+    assert (
+        t("SELECT STR_TO_DATE('2024-01-02', '%Y-%m-%d')")
+        == "SELECT to_timestamp('2024-01-02', 'yyyy-MM-dd')"
+    )
