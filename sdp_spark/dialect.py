@@ -52,16 +52,25 @@ _DF_CODES = {
     "%%": "%",
 }
 
-_LITERAL = re.compile(r"'(?:[^']|'')*'")
+# Both MySQL string-quote styles, matched in ONE left-to-right pass so a
+# double quote inside a single-quoted literal (or vice versa) is content,
+# never a new string opener.
+_LITERAL = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"")
 
 
 def _carve_literals(sql: str) -> tuple[str, list[str]]:
-    """Replace single-quoted literals with \x00<i>\x00 placeholders so
-    rewrite rules can never touch string contents."""
+    """Replace string literals with \x00<i>\x00 placeholders so rewrite
+    rules can never touch string contents. Double-quoted strings (a MySQL
+    5.6 default-sql_mode string syntax) are normalized to single-quoted
+    here, at the tokenizer level."""
     out: list[str] = []
 
     def stash(m: re.Match) -> str:
-        out.append(m.group(0))
+        lit = m.group(0)
+        if lit.startswith('"'):
+            body = lit[1:-1].replace('""', '"')
+            lit = "'" + body.replace("'", "''") + "'"
+        out.append(lit)
         return f"\x00{len(out) - 1}\x00"
 
     return _LITERAL.sub(stash, sql), out
@@ -117,10 +126,9 @@ def _group_concat(m: re.Match, lits: list[str]) -> str:
 
 def translate_mysql(sql: str) -> str:
     """Rewrite MySQL 5.6 SQL text into Spark SQL (see module docstring)."""
-    # 0) MySQL double-quoted strings -> single-quoted (before carving)
-    sql = re.sub(
-        r'"([^"\\]*)"', lambda m: "'" + m.group(1).replace("'", "''") + "'", sql
-    )
+    # string literals (both quote styles) carve out first — rules below can
+    # never fire inside them; double-quoted strings normalize to
+    # single-quoted inside the carve
     body, lits = _carve_literals(sql)
 
     # 1) backticks drop entirely (identifiers are already sane)

@@ -115,3 +115,54 @@ def test_str_to_date():
         t("SELECT STR_TO_DATE('2024-01-02', '%Y-%m-%d')")
         == "SELECT to_timestamp('2024-01-02', 'yyyy-MM-dd')"
     )
+
+
+# --- property fuzz: literals are inviolable -------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts)
+def test_fuzz_single_quoted_literal_roundtrips(s):
+    """Whatever the string literal contains — #, LIMIT 1,2, REGEXP, %Y,
+    backticks — translation must return it verbatim (SQL-escaped quotes
+    preserved)."""
+    lit = "'" + s.replace("'", "''") + "'"
+    out = t(f"SELECT {lit} AS v FROM tbl")
+    assert lit in out
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts)
+def test_fuzz_double_quoted_becomes_equivalent_single(s):
+    """MySQL double-quoted strings convert to single-quoted with identical
+    contents (no rule may fire inside)."""
+    if '"' in s or "\\" in s:
+        return
+    out = t(f'SELECT "{s}" AS v')
+    assert "'" + s.replace("'", "''") + "'" in out
+
+
+def test_double_quote_inside_single_quoted_literal_is_content():
+    # '"a"' is a 3-char string; the double quotes must NOT open a string
+    src = "SELECT '\"a\"' FROM t"
+    assert t(src) == src
+
+
+def test_single_quote_inside_double_quoted_string():
+    assert t('SELECT "it\'s"') == "SELECT 'it''s'"
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts)
+def test_fuzz_literal_with_embedded_double_quotes(s):
+    lit = "'" + s.replace("'", "''") + "'"
+    out = t(f"SELECT {lit}, {lit} FROM tbl")
+    assert out.count(lit) == 2
