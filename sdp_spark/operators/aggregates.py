@@ -668,3 +668,30 @@ def agg_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("vol"),
         )
     )
+
+
+@register("agg_approx_topk", oracle=None, section=_SEC)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters: `approx_top_k` (Spark 4's bounded-memory
+    frequent-items sketch) over the corpus token stream — the sketch twin
+    of the exact explode→count→TakeOrdered top-k (`llm_vocab_oov`'s vocab
+    build), for the 100 TB case where even the count shuffle should carry
+    a fixed-size sketch instead of the full key set. Mergeable partial
+    sketches → one tiny final merge; memory is O(items_tracked), not
+    O(distinct tokens).
+
+    rows-only by design (sketch internals are engine-specific); pytest
+    pins the invariant that matters: with capacity >> distinct(tokens) the
+    sketch is EXACT — returned counts equal the exact counts and the set
+    equals the exact top-k modulo count ties at the boundary."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    sk = tok.agg(F.expr("approx_top_k(token, 10, 100000)").alias("top"))
+    return (
+        sk.select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("bigint").alias("n"),
+        )
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sdp_spark.functions.num import dsum, sql_dsum
+from sdp_spark.functions.num import DEC, dsum, sql_dsum
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table
 
@@ -185,3 +185,58 @@ def query_cust_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q18_QTY = 150
+
+
+@register(
+    "query_large_volume_cust",
+    oracle=f"""
+    SELECT c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           {sql_dsum('l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(30,8))) > {_Q18_QTY}
+    )
+    GROUP BY 1, 2, 3
+    """,
+    section=_SEC,
+)
+def query_large_volume_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN over an AGGREGATED
+    subquery — the order keys whose total quantity clears a threshold —
+    then re-join facts to report per-order totals. Certifies the
+    semi-join-on-aggregate pattern (Catalyst plans the IN as a LEFT SEMI
+    against the HAVING-filtered agg, no decorrelation needed).
+
+    Plan: lineitem aggregates once by orderkey (partial+final, DECIMAL
+    sums); the qualifying-keys side is small after HAVING → broadcast
+    semi; the final join+agg reuses the orderkey shuffle. At 100 TB the
+    only full-fact shuffles are the two orderkey hash exchanges — customer
+    attaches via its own key join (broadcast-able per AQE stats)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
+        .filter(F.col("q") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )

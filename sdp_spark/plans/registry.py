@@ -111,6 +111,7 @@ _SWEEP_PRIORITY = (
     "join_scd2_pointintime", "subq_not_in_null", "fn_convert_tz",
     "query_cust_order_counts", "stream_ohlc", "stream_stateful_timeout",
     "dialect_mysql_query", "llm_dedup_url_docs", "llm_vocab_oov",
+    "agg_approx_topk", "query_large_volume_cust",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",

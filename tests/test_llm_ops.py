@@ -675,3 +675,29 @@ def test_mix_epochs_copies_bounded_and_unique(spark, sf_dir):
     for doc, idxs in per_doc.items():
         assert sorted(idxs) == list(range(1, len(idxs) + 1)), doc
         assert len(idxs) <= 4
+
+
+def test_approx_topk_exact_at_capacity(spark, sf_dir):
+    """agg_approx_topk: with capacity >> distinct tokens the sketch is
+    exact — every returned count equals the exact count, and the returned
+    set contains every token whose exact count strictly exceeds the 10th
+    largest exact count (ties at the boundary may go either way)."""
+    from pyspark.sql import functions as F
+
+    got = REGISTRY["agg_approx_topk"].fn(spark, sf_dir).collect()
+    assert len(got) == 10
+    from sdp_spark.sources.fixtures import table
+
+    exact = {
+        r["token"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in got:
+        assert exact[r["token"]] == r["n"], r
+    kth = sorted(exact.values(), reverse=True)[9]
+    must_have = {t for t, n in exact.items() if n > kth}
+    assert must_have <= {r["token"] for r in got}
