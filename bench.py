@@ -103,7 +103,10 @@ def main() -> None:
     sdp_spark.unpersist_all()
 
     extra: dict[str, float] = {}
-    for key in EXTRA:
+    # scale-evidence runs (e.g. the tools/make_sf1.py 10x fixture) time the
+    # fixed headline only; default (driver) behavior is unchanged
+    skip_extras = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY") == "1"
+    for key in [] if skip_extras else EXTRA:
         if key not in registry:
             continue
         t0 = time.perf_counter()

@@ -325,3 +325,12 @@ def test_scd2_pointintime_is_hash_join_one_version_per_fact(spark, sf_dir):
     total = df.count()
     distinct_orders = df.select("o_orderkey").distinct().count()
     assert total == distinct_orders, "a fact matched more than one version"
+
+
+def test_q18_semi_join_on_aggregate(spark, sf_dir):
+    """query_large_volume_cust: the IN-over-aggregated-subquery must plan
+    as a LEFT SEMI join against the HAVING-filtered aggregate — never a
+    cartesian/BNLJ — and the threshold filter must sit on the DECIMAL sum."""
+    plan = _plan(spark, REGISTRY["query_large_volume_cust"].fn(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
