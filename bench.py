@@ -59,6 +59,9 @@ EXTRA = [
     "sink_zorder",              # Morton-clustered layout write (r5)
     "query_cust_order_counts",  # Q13-shape outer-join capstone (r5)
     "stream_ohlc",              # streaming arg-pick OHLC bars (r5)
+    "query_local_supplier_volume",  # Q5-shape 6-table star capstone (r5)
+    "query_volume_shipping",        # Q7-shape double-alias dim capstone (r5)
+    "query_dormant_customers",      # Q22-shape scalar-avg + anti capstone (r5)
 ]
 
 

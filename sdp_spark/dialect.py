@@ -35,6 +35,10 @@ Rules (each unit-tested in tests/test_dialect.py):
   imposes sorted order (the determinism contract every operator here
   follows). ORDER BY inside GROUP_CONCAT is supported for the common
   self-ordering form (ORDER BY the same expression).
+- user-variable ranking        @r := @r + 1  (with a `(SELECT @r := 0)`
+  initializer and a top-level ORDER BY) -> row_number() OVER (ORDER BY
+  the query's own sort keys) — the 5.6 window-function emulation idiom
+  mapped onto the real window function.
 """
 
 from __future__ import annotations
@@ -42,6 +46,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # MySQL DATE_FORMAT % codes -> Java DateTimeFormatter patterns.
 _DF_CODES = {
@@ -188,6 +193,35 @@ def translate_mysql(sql: str) -> str:
         body,
         flags=re.I,
     )
+    # 9) user-variable ranking idiom — THE 5.6 window-function emulation:
+    #      SELECT t.*, @r := @r + 1 AS rn
+    #      FROM tbl t, (SELECT @r := 0) vars  ORDER BY <keys>
+    #    translates to the real window function the engine has natively:
+    #      row_number() OVER (ORDER BY <the query's own ORDER BY keys>).
+    #    MySQL's actual evaluation order for := is undocumented-and-version-
+    #    dependent; the translation pins the semantics users INTEND (rank in
+    #    final output order). Only @v := @v + 1 with a (SELECT @v := 0)
+    #    initializer is rewritten; other variable uses pass through and fail
+    #    loudly in Spark's parser.
+    rm = re.search(r"@(\w+)\s*:=\s*@\1\s*\+\s*1", body)
+    if rm:
+        var = rm.group(1)
+        om = re.search(
+            r"\bORDER\s+BY\s+(.+?)(?=\bLIMIT\b|$)", body, re.I | re.S
+        )
+        if om:
+            order = om.group(1).strip().rstrip(";").strip()
+            body = re.sub(
+                rf"@{var}\s*:=\s*@{var}\s*\+\s*1",
+                f"row_number() OVER (ORDER BY {order})",
+                body,
+            )
+            body = re.sub(
+                rf"(?:,|\bCROSS\s+JOIN\b)\s*\(\s*SELECT\s+@{var}\s*:=\s*0\s*\)\s*(?:AS\s+)?\w*",
+                "",
+                body,
+                flags=re.I,
+            )
     return _restore_literals(body, lits)
 
 
@@ -246,3 +280,44 @@ def dialect_mysql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast-able dim join, partial+final agg, TakeOrderedAndProject) —
     the shim is a parse-time string rewrite, invisible to the optimizer."""
     return sql_mysql(spark, sf_dir, _MYSQL_QUERY)
+
+
+# The canonical 5.6 ranking-emulation query (verbatim from the era's
+# cookbooks): rank customers by balance with a session variable.
+_USER_VAR_QUERY = """
+SELECT c.c_custkey, c.c_acctbal,
+       @rank := @rank + 1 AS balance_rank
+FROM `customer` c, (SELECT @rank := 0) vars
+WHERE c.c_acctbal > 5000
+ORDER BY c.c_acctbal DESC, c.c_custkey
+LIMIT 25
+"""
+
+
+@register(
+    "dialect_user_var_rownum",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                AS BIGINT) AS balance_rank
+    FROM customer
+    WHERE c_acctbal > 5000
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 25
+    """,
+    section="3.2 sql dialect",
+)
+def dialect_user_var_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MySQL 5.6 user-variable ranking idiom (`@r := @r + 1` + a
+    `(SELECT @r := 0)` initializer row) — THE standard workaround for the
+    engine's missing window functions (SURVEY.md §2.5 [ENGINE gap]) —
+    translated by the shim into a real `row_number() OVER (ORDER BY ...)`
+    using the query's own ORDER BY keys.
+
+    Plan note: the variable idiom forces MySQL into a single-threaded
+    ordered scan; the translation plans as a window over a sort — and
+    because this query also carries LIMIT, Spark executes
+    TakeOrderedAndProject + a bounded window, never a global sort of the
+    full table. The rank column comes back BIGINT on both engines."""
+    df = sql_mysql(spark, sf_dir, _USER_VAR_QUERY)
+    return df.withColumn("balance_rank", F.col("balance_rank").cast("bigint"))

@@ -22,7 +22,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sdp_spark.functions.num import DEC, dsum, sql_dsum
+from sdp_spark.functions.num import (
+    DEC,
+    davg,
+    dround,
+    dsum,
+    sql_davg,
+    sql_dround,
+    sql_dsum,
+)
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table
 
@@ -239,4 +247,333 @@ def query_large_volume_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         )
         .agg(dsum("l_quantity").alias("total_qty"))
+    )
+
+
+@register(
+    "query_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    section=_SEC,
+)
+def query_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation where the
+    customer and the supplier sit in the SAME nation of one region — the
+    6-table star join with a cross-dimension equality (s_nationkey ==
+    c_nationkey) that join reordering must keep out of a cartesian.
+
+    Plan: region+nation broadcast (25/5 rows), supplier broadcasts after
+    its nation filter, orders' date window pushes to parquet; the fact
+    shuffles once on orderkey to meet orders, then the same-nation equality
+    evaluates as a residual on already-joined rows. Final agg is 25 groups
+    — metadata-scale."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "query_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3')
+        OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    section=_SEC,
+)
+def query_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations by year — the capstone that joins the SAME dimension twice
+    under two aliases (supplier's nation vs customer's nation) with a
+    disjunctive cross-alias predicate.
+
+    Plan: both nation aliases broadcast; the pair disjunction evaluates as
+    a residual after the dim joins (it references both sides, so it cannot
+    push below either); shipdate window pushes to the fact scan. Fact
+    shuffles once on orderkey, once on custkey — the two fact⋈dim-key
+    exchanges any formulation needs."""
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_3")
+    ) | ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_2"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "query_promo_effect",
+    oracle=f"""
+    SELECT {sql_dround(
+        "100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' "
+        "THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8)) "
+        "ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE) "
+        "/ CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE)",
+        4,
+    )} AS promo_share,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    section=_SEC,
+)
+def query_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of one month's revenue
+    earned by PROMO-type parts — a conditional-aggregate ratio in a single
+    global agg (no GROUP BY), certifying CASE-inside-SUM over a dim join.
+
+    Plan: one month of shipdate pushes to the fact scan; part broadcasts;
+    both sums are DECIMAL partials (order-independent) and the ratio is a
+    single driver-side division of two exact sums — deterministic under
+    any partitioning, which is what makes a ratio-of-sums hashable at all."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            dround(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_share"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "query_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    section=_SEC,
+)
+def query_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): supplier(s) with the maximum quarter
+    revenue — a scalar-MAX subquery over a derived aggregate, reusing the
+    aggregate on both sides (the classic CTE-reuse plan).
+
+    Plan: one suppkey shuffle builds the revenue aggregate (|suppliers|
+    rows); the scalar max is a 1-row broadcast crossed into the filter; the
+    name lookup broadcasts supplier. DECIMAL revenue makes the equality
+    against MAX exact — a float sum here could drop the winner on a ulp."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "query_disjunctive_parts",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#5'  AND p.p_size BETWEEN 1  AND 15
+           AND l.l_quantity BETWEEN 1  AND 20)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 25 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    section=_SEC,
+)
+def query_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    OR-of-ANDs mixing both join sides — the shape that defeats naive
+    pushdown. Catalyst extracts the common single-side implications
+    (p_brand IN (...), l_quantity <= 40) below the join while the full
+    disjunction stays as a join residual.
+
+    Plan: part broadcasts; the extracted IN-list prunes part before the
+    broadcast build and the quantity bound prunes the fact scan
+    (PushedFilters), so the residual OR runs over a pre-shrunk join — at
+    100 TB the difference between scanning 3 brands' worth and all parts."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(25, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(rev).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+_Q22_NATIONS = (1, 3, 5, 7, 9)
+_Q22_DORMANT_SINCE = "2000-01-01"
+
+
+@register(
+    "query_dormant_customers",
+    oracle=f"""
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_dsum('c.c_acctbal')} AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN {_Q22_NATIONS}
+      AND c.c_acctbal > (
+        SELECT {sql_davg('c2.c_acctbal')}
+        FROM customer c2
+        WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN {_Q22_NATIONS}
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{_Q22_DORMANT_SINCE}'
+      )
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+    section=_SEC,
+)
+def query_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): wealthy-but-dormant
+    customers per nation — a scalar AVG subquery feeding a filter PLUS a
+    NOT EXISTS anti-join in one plan. (The fixture has no c_phone, so the
+    country-code substring becomes the nationkey set directly; 'no orders
+    at all' becomes 'no orders since {_Q22_DORMANT_SINCE}' — every fixture
+    customer has early orders.)
+
+    Plan: the scalar average is a 1-row broadcast cross; the anti-join
+    shuffles the date-pruned orders (PushedFilters) against the
+    nation-filtered customers on custkey; final agg is ≤5 groups.
+    The average uses davg (exact decimal sum / count) so the threshold —
+    and therefore the row SET, not just values — is engine-independent."""
+    nats = list(_Q22_NATIONS)
+    c = table(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nats))
+    avg_bal = (
+        table(spark, sf_dir, "customer")
+        .filter((F.col("c_acctbal") > 0.0) & F.col("c_nationkey").isin(nats))
+        .agg(davg("c_acctbal").alias("_avg"))
+    )
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_Q22_DORMANT_SINCE).cast("timestamp")
+    )
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("_avg"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+        .orderBy("c_nationkey")
     )

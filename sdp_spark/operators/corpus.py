@@ -1519,3 +1519,54 @@ def llm_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum(oov).cast("double") / F.count("*"), 6).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "llm_dedup_incremental",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT sha256(lower(trim(text))) AS h
+      FROM documents WHERE source NOT IN ('src15','src16','src17','src18','src19')
+    ), batch AS (
+      SELECT doc_id, source, sha256(lower(trim(text))) AS h
+      FROM documents WHERE source IN ('src15','src16','src17','src18','src19')
+    ), in_batch_keeper AS (
+      SELECT h, MIN(doc_id) AS doc_id FROM batch GROUP BY h
+    )
+    SELECT b.doc_id, b.source
+    FROM batch b
+    JOIN in_batch_keeper k ON b.h = k.h AND b.doc_id = k.doc_id
+    WHERE b.h NOT IN (SELECT h FROM hist)
+    """,
+    section=_SEC,
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion dedup — the shape a DAILY crawl refresh
+    runs: an incoming batch (sources src15-19 stand in for today's crawl)
+    dedups (a) against the ALREADY-INGESTED corpus's hash ledger and (b)
+    within itself (min-doc_id keeper), and only the survivors append. The
+    historical side touches only its 32-byte hash column — never re-reads
+    text — which is what makes re-deduplicating a 100 TB corpus against
+    each day's delta affordable: the ledger is a compact hash table
+    partitioned by hash prefix, the anti-join shuffles the small BATCH to
+    the ledger's partitioning, and the ledger itself appends the
+    survivors' hashes as the new day's state.
+
+    Plan: hash computed map-side on both inputs; within-batch keeper is
+    one hash-groupBy; the history check is a left ANTI join on the hash
+    (no row explosion possible — both sides are distinct-per-hash)."""
+    d = table(spark, sf_dir, "documents")
+    new_srcs = ["src15", "src16", "src17", "src18", "src19"]
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    hist = (
+        d.filter(~F.col("source").isin(new_srcs)).select(h.alias("h")).distinct()
+    )
+    batch = d.filter(F.col("source").isin(new_srcs)).select(
+        "doc_id", "source", h.alias("h")
+    )
+    keeper = batch.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        batch.join(keeper, ["h", "doc_id"])
+        .join(hist, "h", "left_anti")
+        .select("doc_id", "source")
+    )

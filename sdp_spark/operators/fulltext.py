@@ -281,3 +281,129 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("token").asc())
         .limit(50)
     )
+
+
+_RRF_K = 60       # Cormack et al. 2009 constant
+_RRF_POOL = 100   # per-modality candidate pool (rank cutoff)
+
+
+@register(
+    "llm_hybrid_search_rrf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.token
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+           UNNEST(toks) AS t(token)
+    ), tfq AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok WHERE token IN {_FT_IN} GROUP BY 1, 2
+    ), dfq AS (
+      SELECT token, COUNT(*) AS df FROM tfq GROUP BY 1
+    ), dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), n AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM documents
+    ), bm AS (
+      SELECT tfq.doc_id,
+             CAST(ROUND(SUM(CAST(
+                    FLOOR(ln(1.0 + (n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                          * (tfq.tf * ({_BM25_K1} + 1.0))
+                          / (tfq.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                               + {_BM25_B} * dl.dl / n.avgdl))
+                          * 100000000 + 0.5) / 100000000
+                  AS DECIMAL(30,8))), 6) AS DOUBLE) AS bm25
+      FROM tfq JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN n
+      GROUP BY 1
+    ), sparse AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM bm) t WHERE r <= {_RRF_POOL}
+    ), q AS (
+      SELECT embedding FROM embeddings WHERE vec_id = 1
+    ), coss AS (
+      SELECT c.vec_id,
+             ROUND(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x)))
+                      * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)))),
+                   4) AS cos
+      FROM embeddings c CROSS JOIN q WHERE c.vec_id <> 1
+    ), dense AS (
+      SELECT vec_id, r FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r
+        FROM coss) t WHERE r <= {_RRF_POOL}
+    )
+    SELECT COALESCE(s.doc_id, d.vec_id) AS id,
+           FLOOR((COALESCE(1.0 / ({_RRF_K} + s.r), 0.0)
+                + COALESCE(1.0 / ({_RRF_K} + d.r), 0.0)) * 100000000 + 0.5)
+             / 100000000 AS rrf_score,
+           CAST(s.r AS BIGINT) AS bm25_rank,
+           CAST(d.r AS BIGINT) AS cos_rank
+    FROM sparse s FULL JOIN dense d ON s.doc_id = d.vec_id
+    ORDER BY rrf_score DESC, id
+    LIMIT 20
+    """,
+    section=_SEC,
+)
+def llm_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al., SIGIR
+    2009): fuse the BM25 keyword ranking with an embedding-cosine ranking
+    (query = vec 1's embedding, docs keyed doc_id == vec_id) as
+    SUM 1/(k + rank), k=60, over each modality's top-100 pool — the
+    standard RAG retrieval stage that needs no score normalization across
+    incomparable scales.
+
+    Plan: each modality reduces to its top-100 FIRST via orderBy().limit()
+    — TakeOrderedAndProject, a parallel partial top-k with no global sort
+    — and only then ranks with row_number over the 100-row pool (a
+    bounded, metadata-scale window: the registry's no-global-window rule
+    holds). The fusion join touches ≤200 rows. At 100 TB the pools come
+    from the ANN/inverted-index paths (llm_sim_search_ivf,
+    llm_inverted_index); RRF itself never sees the corpus."""
+    from sdp_spark.operators.llm import _emb_normed
+
+    bm = fulltext_bm25(spark, sf_dir)
+    sparse_pool = bm.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(_RRF_POOL)
+    ws = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    sparse = sparse_pool.select(
+        "doc_id", F.row_number().over(ws).cast("bigint").alias("bm25_rank")
+    )
+
+    emb = _emb_normed(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 1).select(
+            F.col("dvec").alias("qv"), F.col("norm").alias("qn")
+        )
+    )
+    c = emb.filter(F.col("vec_id") != 1).select(
+        "vec_id", F.col("dvec").alias("cv"), F.col("norm").alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    coss = c.crossJoin(q).select(
+        "vec_id", F.round(dot / (F.col("qn") * F.col("cn")), 4).alias("cos")
+    )
+    dense_pool = coss.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(_RRF_POOL)
+    wd = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    dense = dense_pool.select(
+        "vec_id", F.row_number().over(wd).cast("bigint").alias("cos_rank")
+    )
+
+    rrf = (
+        F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("cos_rank")), F.lit(0.0))
+    )
+    return (
+        sparse.join(dense, sparse.doc_id == dense.vec_id, "full")
+        .select(
+            F.coalesce("doc_id", "vec_id").alias("id"),
+            (F.floor(rrf * 100000000 + F.lit(0.5)) / 100000000).alias("rrf_score"),
+            "bm25_rank",
+            "cos_rank",
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("id"))
+        .limit(20)
+    )

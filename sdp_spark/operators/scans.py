@@ -1050,3 +1050,72 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("yb").cast("int").alias("min_y"),
         F.max("yb").cast("int").alias("max_y"),
     )
+
+
+@register(
+    "sink_odku",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, FLOOR(o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+             o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    ), incoming AS (
+      SELECT o_orderkey, FLOOR(o_totalprice * 0.5 * 100 + 0.5) / 100 AS o_totalprice,
+             'N' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT t.o_orderkey,
+           FLOOR((t.o_totalprice + COALESCE(i.o_totalprice, 0.0)) * 100 + 0.5) / 100
+             AS o_totalprice,
+           t.o_orderstatus
+    FROM target t LEFT JOIN incoming i ON t.o_orderkey = i.o_orderkey
+    UNION ALL
+    SELECT i.o_orderkey, i.o_totalprice, i.o_orderstatus
+    FROM incoming i
+    WHERE i.o_orderkey NOT IN (SELECT o_orderkey FROM target)
+    """,
+    section=_SEC,
+)
+def sink_odku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT ... ON DUPLICATE KEY UPDATE (MySQL 5.6's third conflict verb,
+    completing the trio with INSERT IGNORE and REPLACE INTO): rows whose
+    key exists get a COLUMN-LEVEL update referencing both the old row and
+    VALUES() of the incoming one — here the accumulate idiom
+    `o_totalprice = o_totalprice + VALUES(o_totalprice)` with the target's
+    other columns preserved — while unmatched incoming rows insert as-is.
+    Unlike REPLACE (whole-row swap) the matched output is a MERGE of both
+    sides, which is why this maps to a LEFT JOIN + COALESCE, not an
+    anti-join union.
+
+    Same target/incoming slices as its two siblings so the three verbs'
+    outcomes are directly comparable. Copy-on-write shape: one custkey-free
+    left join on the PK (shuffle carries key+delta, not whole rows), one
+    anti-join for the fresh inserts, one rewrite. At 100 TB dynamic
+    partition overwrite limits the rewrite to touched partitions."""
+    orders = table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        dround(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    incoming = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        dround(F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    inc = incoming.select(
+        F.col("o_orderkey").alias("_ik"), F.col("o_totalprice").alias("_delta")
+    )
+    updated = (
+        target.join(inc, target.o_orderkey == inc._ik, "left")
+        .select(
+            "o_orderkey",
+            dround(
+                F.col("o_totalprice") + F.coalesce(F.col("_delta"), F.lit(0.0))
+            ).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    fresh = incoming.join(target.select("o_orderkey"), "o_orderkey", "left_anti")
+    out = _tmp_sink("odku")
+    updated.unionByName(fresh).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

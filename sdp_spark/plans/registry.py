@@ -112,6 +112,10 @@ _SWEEP_PRIORITY = (
     "query_cust_order_counts", "stream_ohlc", "stream_stateful_timeout",
     "dialect_mysql_query", "llm_dedup_url_docs", "llm_vocab_oov",
     "agg_approx_topk", "query_large_volume_cust",
+    "query_local_supplier_volume", "query_volume_shipping",
+    "query_promo_effect", "query_top_supplier", "query_disjunctive_parts",
+    "query_dormant_customers", "dialect_user_var_rownum", "sink_odku",
+    "llm_hybrid_search_rrf", "llm_dedup_incremental",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",

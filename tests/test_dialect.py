@@ -166,3 +166,38 @@ def test_fuzz_literal_with_embedded_double_quotes(s):
     lit = "'" + s.replace("'", "''") + "'"
     out = t(f"SELECT {lit}, {lit} FROM tbl")
     assert out.count(lit) == 2
+
+
+def test_user_var_rownum_translates_to_window():
+    src = (
+        "SELECT c_custkey, @r := @r + 1 AS rn "
+        "FROM customer c, (SELECT @r := 0) vars "
+        "ORDER BY c_acctbal DESC, c_custkey LIMIT 5"
+    )
+    out = t(src)
+    assert "row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)" in out
+    assert "@r" not in out and "vars" not in out
+    # the FROM keeps only the real table (no dangling comma-join)
+    assert "customer c" in out and "SELECT @" not in out
+
+
+def test_user_var_cross_join_initializer_form():
+    src = (
+        "SELECT t.*, @seq := @seq + 1 AS seq FROM orders t "
+        "CROSS JOIN (SELECT @seq := 0) x ORDER BY t.o_orderdate"
+    )
+    out = t(src)
+    assert "row_number() OVER (ORDER BY t.o_orderdate)" in out
+    assert "CROSS JOIN" not in out
+
+
+def test_user_var_without_order_by_passes_through():
+    """No ORDER BY -> no safe rank order; leave text for a loud parse
+    failure rather than inventing an order."""
+    src = "SELECT @r := @r + 1 FROM t, (SELECT @r := 0) v"
+    assert "@r := @r + 1" in t(src)
+
+
+def test_user_var_inside_string_literal_untouched():
+    src = "SELECT '@r := @r + 1' AS s FROM t ORDER BY s"
+    assert t(src) == src

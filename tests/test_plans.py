@@ -334,3 +334,41 @@ def test_q18_semi_join_on_aggregate(spark, sf_dir):
     plan = _plan(spark, REGISTRY["query_large_volume_cust"].fn(spark, sf_dir), "simple")
     assert "LeftSemi" in plan or "left_semi" in plan.lower()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_q7_broadcast_dims_no_cartesian(spark, sf_dir):
+    """Q5/Q7 shapes: every dimension rides a broadcast, the cross-dimension
+    predicates (same-nation equality / nation-pair disjunction) evaluate as
+    residuals on hash joins — never a cartesian or nested-loop plan."""
+    for key in ("query_local_supplier_volume", "query_volume_shipping"):
+        plan = _plan(spark, REGISTRY[key].fn(spark, sf_dir), "simple")
+        assert "BroadcastHashJoin" in plan, key
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_q19_extracts_pushable_conjuncts(spark, sf_dir):
+    """Q19 shape: from the OR-of-ANDs, Catalyst must extract the
+    single-side implications and push them below the join — the part scan
+    sees a brand IN-list and the lineitem scan sees the quantity bound."""
+    plan = _plan(spark, REGISTRY["query_disjunctive_parts"].fn(spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    part_pushed = [ln for ln in pushed if "p_brand" in ln]
+    fact_pushed = [ln for ln in pushed if "l_quantity" in ln]
+    assert part_pushed, "brand disjunction not pushed to the part scan"
+    assert fact_pushed, "quantity bound not pushed to the lineitem scan"
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """Q22 shape: NOT EXISTS lowers to an anti join, the scalar average is
+    a broadcast (1-row) input, and the dormancy date pushes to the orders
+    scan."""
+    df = REGISTRY["query_dormant_customers"].fn(spark, sf_dir)
+    simple = _plan(spark, df, "simple")
+    assert "LeftAnti" in simple
+    assert "CartesianProduct" not in simple
+    formatted = _plan(spark, df)
+    assert any(
+        "PushedFilters" in ln and "o_orderdate" in ln
+        for ln in formatted.splitlines()
+    ), "dormancy date not pushed to the orders scan"
