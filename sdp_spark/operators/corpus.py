@@ -1570,3 +1570,84 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hist, "h", "left_anti")
         .select("doc_id", "source")
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_merge_expr(a: str, b: str) -> str:
+    """Greedy left-to-right non-overlapping merge of adjacent symbol pair
+    (a, b) -> a||b, as a pure fold expression (no UDF). Comparing against
+    the ORIGINAL symbols makes overlap handling automatic: a just-merged
+    token never string-equals `a` (lengths differ), so `aaa` under (a,a)
+    becomes [aa, a], the textbook non-overlapping replace."""
+    qa = a.replace("'", "\\'")
+    qb = b.replace("'", "\\'")
+    return f"""
+    aggregate(
+      syms,
+      cast(array() as array<string>),
+      (acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{qa}' AND x = '{qb}',
+                     concat(slice(acc, 1, size(acc) - 1),
+                            array(concat('{qa}', '{qb}'))),
+                     concat(acc, array(x))),
+      acc -> acc)
+    """
+
+
+@register("llm_bpe_apply", oracle=None, section=_SEC)
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, the ITERATIVE trainer (Sennrich et al.
+    2016) that `llm_bpe_pair_counts` supplies one round of: start from
+    character symbols, then for R rounds (R=3) find the corpus-wide most
+    frequent adjacent pair, merge every non-overlapping occurrence, and
+    recount. Returns the training log — one row per round with the merged
+    pair, its pre-merge frequency, and the total corpus symbol count after
+    the merge (strictly decreasing; pinned in tests/test_properties.py
+    together with round-1-equals-pair-counts-argmax and lossless-decode).
+
+    Plan: per round, ONE scan-stage pair count (explode is map-side, the
+    shuffle carries |alphabet|²-scale keys), a 1-row argmax collect (the
+    same justified K-sized driver state as the k-means fit), and a
+    map-side fold re-segmentation — no shuffle touches the documents
+    themselves. Rounds compose linearly: at 100 TB each round is one
+    pass, and production trainers batch dozens of merges per recount
+    (the standard frequency-threshold batching) on this exact plan."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    segs = words.select(
+        "w",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "syms"
+        ),
+    ).localCheckpoint()
+    log_rows = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = segs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS a,"
+                    "             element_at(syms, i + 1) AS b))"
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()[0]
+        )
+        segs = segs.withColumn(
+            "syms", F.expr(_bpe_merge_expr(top["a"], top["b"]))
+        ).localCheckpoint()
+        n_after = segs.agg(F.sum(F.size("syms"))).collect()[0][0]
+        log_rows.append(
+            (rnd, top["a"] + "+" + top["b"], int(top["n"]), int(n_after))
+        )
+    return spark.createDataFrame(
+        log_rows, "round INT, merged_pair STRING, pair_freq BIGINT, symbols_after BIGINT"
+    )

@@ -724,3 +724,79 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") >= F.col("valid_from"))
         & (F.col("o_orderdate") < F.col("valid_to")),
     ).select("o_orderkey", "o_custkey", F.col("ver").cast("int").alias("ver"), "eff_bal")
+
+
+_BLOOM_CONFS = {
+    # injection preconditions at FIXTURE scale; at 100 TB the defaults
+    # (10 GB application side, 10 MB creation side, broadcast threshold)
+    # are already satisfied by any selective dim⋈fact shuffle join
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "join_runtime_bloom",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dsum('l.l_extendedprice')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 100000
+    GROUP BY o.o_orderpriority
+    """,
+    section=_SEC,
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join (Spark's InjectRuntimeFilter): when a
+    selective dimension is too large to broadcast but its JOIN KEYS are
+    few, the optimizer plants a bloom_filter_agg subquery on the dim side
+    and a `might_contain(xxhash64(l_orderkey))` predicate directly on the
+    FACT SCAN — rows that cannot match are dropped before the shuffle.
+    At 100 TB this is the row-level complement of dynamic partition
+    pruning: the shuffle writes only surviving rows, typically the
+    single biggest I/O saving available to a selective fact⋈dim join
+    that cannot broadcast.
+
+    The injection preconditions are size-estimate-based, so the fixture
+    build pins them (broadcast off + thresholds) ONLY while the plan is
+    optimized — `optimizedPlan()` is forced inside the pinned scope and
+    the Dataset's QueryExecution keeps the injected filter afterwards
+    (session confs restored; proven by tests/test_plans.py asserting
+    might_contain + bloom_filter_agg in this key's executed plan).
+    Results are filter-independent — the oracle is the plain join."""
+    conf = spark.conf
+    saved: dict[str, str | None] = {}
+    for k in _BLOOM_CONFS:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+    for k, v in _BLOOM_CONFS.items():
+        conf.set(k, v)
+    try:
+        l = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 100000)
+        )
+        out = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_lines"),
+                dsum("l_extendedprice").alias("revenue"),
+            )
+        )
+        # freeze the injected-filter plan before confs revert
+        out._jdf.queryExecution().optimizedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -1119,3 +1119,34 @@ def sink_odku(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _tmp_sink("odku")
     updated.unionByName(fresh).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+_SIZED_MAX_RECORDS = 50_000
+
+
+@register(
+    "sink_sized_files",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+    """,
+    section=_SEC,
+)
+def sink_sized_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-size governance on write: `maxRecordsPerFile` caps every output
+    file (here 50k records) regardless of partition sizes — the writer-side
+    half of the small/huge-file problem (`sink_compact` is the reader-side
+    half). A 100 TB table written by 1000 executors with skewed partitions
+    otherwise emits multi-GB files that defeat split planning and row-group
+    pruning; the cap bounds scan task granularity at a config, not a
+    repartition (no extra shuffle — files split within each task).
+    tests/test_properties.py asserts every produced file honors the cap
+    and that the multi-file read-back is lossless (the oracle here)."""
+    src = table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    out = _tmp_sink("sized_files")
+    src.write.mode("overwrite").option(
+        "maxRecordsPerFile", _SIZED_MAX_RECORDS
+    ).parquet(out)
+    return spark.read.parquet(out)

@@ -115,7 +115,8 @@ _SWEEP_PRIORITY = (
     "query_local_supplier_volume", "query_volume_shipping",
     "query_promo_effect", "query_top_supplier", "query_disjunctive_parts",
     "query_dormant_customers", "dialect_user_var_rownum", "sink_odku",
-    "llm_hybrid_search_rrf", "llm_dedup_incremental",
+    "llm_hybrid_search_rrf", "llm_dedup_incremental", "join_runtime_bloom",
+    "stream_topk_windowed", "llm_bpe_apply", "sink_sized_files",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",

@@ -1025,3 +1025,52 @@ def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
     return _run_to_memory(result, "append", "stateful_timeout")
+
+
+@register(
+    "stream_topk_windowed",
+    oracle="""
+    WITH counts AS (
+      SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, n, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY win_start
+                    ORDER BY n DESC, event_type) AS rk
+          FROM counts) t
+    WHERE rk <= 3
+    """,
+    section=_SEC,
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items dashboard shape: top-3 event types per 1-hour window
+    over the stream. Structured Streaming cannot rank inside the streaming
+    query (window functions aren't incremental), so the production pattern
+    is the two-stage split certified here: the STREAM maintains the
+    windowed counts (bounded per-window state, incremental), and the RANK
+    runs batch-side over the materialized aggregate — a metadata-scale
+    table (windows × event types), so the row_number window is cheap no
+    matter the stream volume. The oracle pins the composite end-to-end:
+    incremental counts == batch counts, then identical ranking."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    from pyspark.sql import Window
+
+    snap = _run_to_memory(agg, "complete", "topkwin")
+    w = Window.partitionBy("win_start").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        snap.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+    )

@@ -372,3 +372,15 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
         "PushedFilters" in ln and "o_orderdate" in ln
         for ln in formatted.splitlines()
     ), "dormancy date not pushed to the orders scan"
+
+
+def test_runtime_bloom_filter_injected_on_fact_scan(spark, sf_dir):
+    """join_runtime_bloom: the optimizer must plant a bloom_filter_agg on
+    the selective dim side and a might_contain predicate on the FACT side
+    — and the frozen plan must survive the operator's conf restore."""
+    df = REGISTRY["join_runtime_bloom"].fn(spark, sf_dir)
+    plan = _plan(spark, df, "formatted")
+    assert "might_contain" in plan, "runtime bloom filter not injected"
+    assert "bloom_filter_agg" in plan, "bloom build side missing"
+    # and the session confs were restored (fixture-scale pins don't leak)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"

@@ -247,3 +247,51 @@ def test_stratified_sample_exact_per_stratum(spark, sf_dir):
     assert set(got) == set(totals)
     for lang, n in totals.items():
         assert got[lang] == math.ceil(n * _STRAT_FRAC), lang
+
+
+def test_bpe_apply_training_log_invariants(spark, sf_dir):
+    """Round 1's merge must be the argmax of llm_bpe_pair_counts; symbol
+    counts strictly decrease; each round's post-merge count equals the
+    pre-merge count minus the non-overlapping merges performed."""
+    log = REGISTRY["llm_bpe_apply"].fn(spark, sf_dir).collect()
+    assert [r["round"] for r in log] == [1, 2, 3]
+    top_pair = REGISTRY["llm_bpe_pair_counts"].fn(spark, sf_dir).collect()[0]
+    assert log[0]["merged_pair"] == top_pair["pair"][0] + "+" + top_pair["pair"][1]
+    counts = [r["symbols_after"] for r in log]
+    assert counts == sorted(counts, reverse=True) and len(set(counts)) == 3
+    # decode losslessness + exact merge accounting, recomputed in python
+    d = table(spark, sf_dir, "documents").select("text").collect()
+    words = [w for r in d for w in r["text"].split(" ") if len(w) >= 2]
+    syms = [list(w) for w in words]
+    before = sum(len(s) for s in syms)
+    for r in log:
+        a, b = r["merged_pair"].split("+")
+        merges = 0
+        for s in syms:
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                    merges += 1
+                else:
+                    out.append(x)
+            s[:] = out
+        before -= merges
+        assert r["symbols_after"] == before, f"round {r['round']} accounting"
+    assert all("".join(s) == w for s, w in zip(syms, words)), "decode loss"
+
+
+def test_sized_files_cap_honored(spark, sf_dir):
+    """Every parquet file written by sink_sized_files holds at most the
+    configured record cap, and the multi-file dataset is lossless."""
+    from sdp_spark.operators.scans import _SIZED_MAX_RECORDS
+
+    df = REGISTRY["sink_sized_files"].fn(spark, sf_dir)
+    files = df.inputFiles()
+    assert files, "no files written"
+    total = 0
+    for f in files:
+        n = spark.read.parquet(f).count()
+        assert n <= _SIZED_MAX_RECORDS, f"{f} exceeds cap ({n})"
+        total += n
+    assert total == df.count()
