@@ -1651,3 +1651,49 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         log_rows, "round INT, merged_pair STRING, pair_freq BIGINT, symbols_after BIGINT"
     )
+
+
+_BLOCKLIST = ("error", "fatal", "crash")
+_BLOCK_MAX_SHARE = 0.02
+
+
+@register(
+    "llm_blocklist_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('error', 'fatal', 'crash'))) AS n_blocked,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_blocked AS BIGINT) AS n_blocked,
+           CASE WHEN CAST(n_blocked AS DOUBLE) / n_tokens <= {_BLOCK_MAX_SHARE}
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM scored
+    """,
+    section=_SEC,
+)
+def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-based content filter — the C4/Gopher-style wordlist stage
+    every corpus build runs before training: per-document blocked-token
+    count and share against a curated list, keep/drop verdict at a share
+    threshold. The predicate is a pure row-level array filter (codegen,
+    zero shuffle, zero index); at 100 TB the real blocklists (thousands
+    of terms) ride a broadcast set or compile into one regex — either
+    way the plan shape is identical: one map-side pass over the scan."""
+    d = table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    blocked = F.size(
+        F.filter("toks", lambda t: t.isin(*_BLOCKLIST))
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        blocked.cast("bigint").alias("n_blocked"),
+        F.when(
+            blocked.cast("double") / F.size("toks") <= _BLOCK_MAX_SHARE,
+            F.lit("keep"),
+        )
+        .otherwise(F.lit("drop"))
+        .alias("verdict"),
+    )

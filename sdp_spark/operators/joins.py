@@ -800,3 +800,77 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+_DPP_CACHE: dict[str, str] = {}
+
+
+def _month_parted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem partitioned hive-style by ship month (cached per sf_dir)."""
+    if sf_dir not in _DPP_CACHE:
+        out = cache_dir(sf_dir, "lineitem_by_month")
+        (
+            table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey",
+                "l_extendedprice",
+                "l_discount",
+                F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(out)
+        )
+        _DPP_CACHE[sf_dir] = out
+    return spark.read.parquet(_DPP_CACHE[sf_dir])
+
+
+@register(
+    "join_dpp",
+    oracle=f"""
+    WITH dim AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month,
+             CAST(quarter(o_orderdate) AS BIGINT) AS q
+      FROM orders
+    )
+    SELECT l.ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                 l_extendedprice, l_discount FROM lineitem) l
+    JOIN dim ON l.ship_month = dim.ship_month
+    WHERE dim.q = 3
+    GROUP BY l.ship_month
+    ORDER BY l.ship_month
+    """,
+    section=_SEC,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning — the star-join runtime counterpart of
+    static pruning (`scan_partition_pruned`): the fact table is
+    hive-partitioned by ship month and joins a month dimension DERIVED
+    FROM A DIFFERENT TABLE (orders' calendar, so the filter is not
+    statically derivable); the quarter predicate sits on the dim only.
+    Catalyst plants a `dynamicpruningexpression(ship_month IN subquery)`
+    PartitionFilter on the fact scan: the dim's broadcast result prunes
+    fact DIRECTORIES at runtime, before any fact IO — asserted in
+    tests/test_plans.py. At 100 TB this is THE mechanism that turns a
+    quarter-filtered year-partitioned star join from a full scan into
+    reading 3 months of files."""
+    fact = _month_parted_lineitem(spark, sf_dir)
+    dim = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"),
+            F.quarter("o_orderdate").cast("bigint").alias("q"),
+        )
+        .distinct()
+        .filter(F.col("q") == 3)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        fact.join(F.broadcast(dim), "ship_month")
+        .groupBy("ship_month")
+        .agg(F.count("*").alias("n_lines"), dsum(rev).alias("revenue"))
+        .orderBy("ship_month")
+    )

@@ -519,3 +519,99 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_sum",
         F.last("day_sum", ignorenulls=True).over(w).alias("filled_sum"),
     )
+
+
+@register(
+    "win_sliding_median",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {sql_dround('median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)', 6)}
+             AS med7
+    FROM events
+    """,
+    section=_SEC,
+)
+def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving MEDIAN over a 7-row frame per user — the robust-statistics
+    twin of the moving average (`win_sliding_rows`): outlier-resistant
+    smoothing for surveillance counts. Spark has no median window
+    function, so the frame is materialized as a bounded array
+    (collect_list over ROWS BETWEEN 6 PRECEDING) and the median computed
+    by sort + middle pick — with the even-count interpolation (mean of
+    the two middles) matching the oracle's median() semantics exactly.
+
+    Scale: the collected frame is ≤ 7 elements by construction — state
+    per row is O(frame), never O(partition); one user-key shuffle + sort,
+    like every other window here."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = ((n + 2) / 2).cast("int")  # = n/2 + 1 for even n
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (F.element_at(arr, (n / 2).cast("int")) + F.element_at(arr, mid_hi)) / 2.0
+    )
+    return e.select("event_id", "user_id", dround(med, 6).alias("med7"))
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_SPAN = 20
+
+
+@register(
+    "win_ewma",
+    oracle=f"""
+    WITH framed AS (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS arr
+      FROM events
+    )
+    SELECT event_id, user_id,
+           {sql_dround(
+             f"list_sum(list_transform(generate_series(1, len(arr)), "
+             f"i -> arr[i] * pow(1.0 - {_EWMA_ALPHA}, len(arr) - i))) "
+             f"/ list_sum(list_transform(generate_series(1, len(arr)), "
+             f"i -> pow(1.0 - {_EWMA_ALPHA}, len(arr) - i)))", 6)} AS ewma
+    FROM framed
+    """,
+    section=_SEC,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (alpha=0.3),
+    TRUNCATED to the trailing 20 rows — the un-truncated recurrence
+    y_i = a*x_i + (1-a)*y_(i-1) is inherently sequential (and its
+    closed form overflows pow(1-a, -i) on long partitions), while weights
+    beyond 20 lags are < (1-a)^20 ≈ 8e-4 of the current one; the
+    truncated, weight-normalized form is the scale-safe equivalent
+    (pandas' adjust=True over a bounded span). The frame array is ≤ 20
+    elements; the weighted fold is the same left-to-right sum in both
+    engines, so the doubles agree bit-for-bit before the final rounding.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), Window.currentRow)
+    )
+    a = _EWMA_ALPHA
+    framed = e.select(
+        "event_id", "user_id", F.collect_list("value").over(w).alias("arr")
+    ).withColumn("n", F.size("arr"))
+    num = F.expr(
+        f"aggregate(sequence(1, n), cast(0.0 as double), "
+        f"(s, i) -> s + element_at(arr, i) * power(1.0 - {a}, n - i))"
+    )
+    den = F.expr(
+        f"aggregate(sequence(1, n), cast(0.0 as double), "
+        f"(s, i) -> s + power(1.0 - {a}, n - i))"
+    )
+    return framed.select(
+        "event_id", "user_id", dround(num / den, 6).alias("ewma")
+    )

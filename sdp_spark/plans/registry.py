@@ -117,6 +117,7 @@ _SWEEP_PRIORITY = (
     "query_dormant_customers", "dialect_user_var_rownum", "sink_odku",
     "llm_hybrid_search_rrf", "llm_dedup_incremental", "join_runtime_bloom",
     "stream_topk_windowed", "llm_bpe_apply", "sink_sized_files",
+    "join_dpp", "win_sliding_median", "win_ewma", "llm_blocklist_filter",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",

@@ -384,3 +384,12 @@ def test_runtime_bloom_filter_injected_on_fact_scan(spark, sf_dir):
     assert "bloom_filter_agg" in plan, "bloom build side missing"
     # and the session confs were restored (fixture-scale pins don't leak)
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    """join_dpp: the fact scan's PartitionFilters must carry a
+    dynamicpruningexpression fed by the dim-side broadcast — runtime
+    directory pruning, not a static filter."""
+    plan = _plan(spark, REGISTRY["join_dpp"].fn(spark, sf_dir))
+    assert "dynamicpruningexpression" in plan, "no DPP on the fact scan"
+    assert "BroadcastHashJoin" in plan
