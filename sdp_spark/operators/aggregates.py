@@ -16,7 +16,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sdp_spark.functions.num import DEC, davg, dsum, sql_davg, sql_dsum
+from sdp_spark.functions.num import (
+    DEC,
+    davg,
+    dround,
+    dsum,
+    sql_davg,
+    sql_dround,
+    sql_dsum,
+)
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table
 
@@ -694,4 +702,47 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").cast("bigint").alias("n"),
         )
         .orderBy(F.col("n").desc(), F.col("token").asc())
+    )
+
+
+@register(
+    "agg_regression",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dround('regr_slope(l_extendedprice, l_quantity)', 4)} AS slope,
+           {sql_dround('regr_intercept(l_extendedprice, l_quantity)', 4)} AS intercept,
+           {sql_dround('regr_r2(l_extendedprice, l_quantity)', 6)} AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    section=_SEC,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (REGR_SLOPE / REGR_INTERCEPT /
+    REGR_R2 / REGR_COUNT): price-vs-quantity fit per return flag — the
+    SQL:2003 ordinary-least-squares aggregates (MySQL lacks them; users
+    assemble them from SUM/COUNT — this is the native superset, same
+    stance as window functions). Both engines compute them as mergeable
+    moment sketches (sum, sum², cross-sum), so the aggregation is
+    partial+final like any SUM — one shuffle of 3-group moment states.
+    Double moments differ in the last ulp across partition orders, so
+    outputs are pinned at 4/6 decimals on both sides (the slope/r2 values
+    are O(1e3)/O(1), far from the rounding grid's noise floor)."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.regr_slope("l_extendedprice", "l_quantity").alias("_s"),
+            F.regr_intercept("l_extendedprice", "l_quantity").alias("_i"),
+            F.regr_r2("l_extendedprice", "l_quantity").alias("_r"),
+            F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            dround(F.col("_s"), 4).alias("slope"),
+            dround(F.col("_i"), 4).alias("intercept"),
+            dround(F.col("_r"), 6).alias("r2"),
+            "n",
+        )
     )

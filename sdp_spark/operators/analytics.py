@@ -577,3 +577,38 @@ def query_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "query_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS potential_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    section=_SEC,
+)
+def query_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    scan-predicate-aggregate query — no join at all — that benchmarks the
+    raw scan path: every predicate (date window, discount band, quantity
+    bound) must reach the parquet reader as PushedFilters so row groups
+    and pages skip, and the single global aggregate is one partial+final
+    DECIMAL sum. At 100 TB Q6 is bandwidth-bound by design; the engine's
+    job is to never touch a column or row group it doesn't need."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "potential_revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )

@@ -143,3 +143,45 @@ def subq_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT ANTI join. Same answer, wildly different cost at 100 TB: the
     rewrite demonstrated here IS the optimization."""
     return _sql(spark, sf_dir, _NOT_IN_NULL)
+
+
+_CORR_SCALAR = """
+SELECT o.o_orderkey,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+            AS BIGINT) AS n_heavy_lines
+FROM orders o
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+
+@register("subq_correlated_scalar", oracle=_CORR_SCALAR, section=_SEC)
+def subq_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar aggregate subquery in the SELECT list — per outer
+    row, an aggregate over matching inner rows (with the COUNT-on-empty=0
+    edge the rewrite must preserve). MySQL 5.6 re-executes the inner query
+    per row (index lookup); Catalyst's DecorrelateInnerQuery rewrites it
+    to ONE aggregate-then-LEFT-OUTER-join plan — the decorrelation that
+    turns O(outer × inner) into two scans and a hash join, which is the
+    only shape that survives 100 TB. Cited plan property: no per-row
+    subquery execution exists in the physical plan (single join, single
+    aggregate)."""
+    return _sql(spark, sf_dir, _CORR_SCALAR)
+
+
+_ROW_CTOR = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM orders
+WHERE (o_orderstatus, o_orderpriority) IN
+      (('F', '1-URGENT'), ('O', '2-HIGH'), ('P', '5-LOW'))
+"""
+
+
+@register("filter_row_constructor", oracle=_ROW_CTOR, section=_SEC)
+def filter_row_constructor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-constructor (tuple) IN predicate — `(a, b) IN ((..),(..))`,
+    the multi-column membership syntax MySQL 5.6 supports and optimizers
+    historically mishandled (5.6 couldn't use indexes on it; Catalyst
+    folds it to an OR-of-ANDs / struct IN evaluated row-level in codegen,
+    pushable to the scan). One map-side predicate, zero shuffles."""
+    return _sql(spark, sf_dir, _ROW_CTOR)

@@ -118,6 +118,8 @@ _SWEEP_PRIORITY = (
     "llm_hybrid_search_rrf", "llm_dedup_incremental", "join_runtime_bloom",
     "stream_topk_windowed", "llm_bpe_apply", "sink_sized_files",
     "join_dpp", "win_sliding_median", "win_ewma", "llm_blocklist_filter",
+    "subq_correlated_scalar", "filter_row_constructor", "agg_regression",
+    "query_forecast_revenue",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",
