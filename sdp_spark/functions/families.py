@@ -717,3 +717,58 @@ def fn_convert_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roundtrip_utc"
         ),
     )
+
+
+# MySQL WEEK(d, 0): weeks start SUNDAY; days before the year's first
+# Sunday are week 0. Shared formula (same arithmetic both engines):
+#   fs_doy = 1 + (8 - dayofweek(jan1)) % 7      -- first Sunday's doy
+#   week0  = 0 if doy < fs_doy else (doy - fs_doy) / 7 + 1
+_WEEK0_SQL = (
+    "CASE WHEN {doy} < 1 + (8 - ({dow_jan1})) % 7 THEN 0 "
+    "ELSE CAST(FLOOR(({doy} - (1 + (8 - ({dow_jan1})) % 7)) / 7) AS BIGINT) + 1 END"
+)
+
+
+@register(
+    "fn_week_modes",
+    oracle=f"""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS d,
+           {_WEEK0_SQL.format(
+               doy="dayofyear(o_orderdate)",
+               dow_jan1="dayofweek(date_trunc('year', o_orderdate)) + 1",
+           )} AS week_mode0,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS week_iso,
+           CAST(isoyear(o_orderdate) AS BIGINT) AS year_iso
+    FROM orders WHERE o_orderkey % 37 = 0
+    """,
+    section=_SEC,
+)
+def fn_week_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL WEEK() mode semantics — the 5.6 footgun this engine must
+    reproduce for migrating reports: WEEK(d) defaults to MODE 0
+    (Sunday-start weeks, week 0 for days before the year's first Sunday),
+    which disagrees with ISO everywhere near year boundaries; WEEK(d, 3)
+    is ISO-8601 (Monday-start, week 1 holds Jan 4) and pairs with
+    YEARWEEK's ISO year. Mode 0 is computed from the explicit
+    first-Sunday formula (shared verbatim with the oracle; pinned against
+    MySQL-documented literals in tests — e.g. WEEK('2008-02-20', 0) = 7);
+    mode 3 maps to the engines' native ISO weekofyear/YEAROFWEEK.
+    All row-level codegen arithmetic — no shuffle."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    doy = F.dayofyear("o_orderdate")
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday..6
+    dow_jan1 = F.dayofweek(F.trunc("o_orderdate", "year"))
+    fs_doy = 1 + (8 - dow_jan1) % 7
+    week0 = (
+        F.when(doy < fs_doy, F.lit(0))
+        .otherwise(F.floor((doy - fs_doy) / 7).cast("bigint") + 1)
+        .cast("bigint")
+    )
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        week0.alias("week_mode0"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("week_iso"),
+        F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("bigint").alias("year_iso"),
+    )

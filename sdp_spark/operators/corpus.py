@@ -1697,3 +1697,71 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("drop"))
         .alias("verdict"),
     )
+
+
+_CDC_W = 4       # rolling-window width (tokens)
+_CDC_MASK = 16   # boundary when window-hash % 16 == 0 -> ~16-token chunks
+
+
+def _cdc_chunks(docs: DataFrame) -> DataFrame:
+    """Content-defined chunking over (doc_id, text): cut points fall where
+    the hash of the trailing token window hits a target residue, so chunk
+    boundaries depend only on LOCAL content — inserting a sentence at the
+    front shifts fixed-stride chunks everywhere but re-synchronizes CDC
+    chunks at the next content boundary (the FastCDC/rsync principle).
+    Pure column expressions: window hashes via transform+xxhash64, cut
+    positions via filter, chunk extraction via slice."""
+    w, m = _CDC_W, _CDC_MASK
+    return (
+        docs.withColumn("toks", F.split("text", " "))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= w)
+        # cut BEFORE position i when the window ending at i-1 hits residue 0
+        .withColumn(
+            "cuts",
+            F.expr(
+                f"filter(transform(sequence({w} + 1, n), "
+                f"  i -> IF(pmod(xxhash64(concat_ws(' ', slice(toks, i - {w}, {w}))), {m}) = 0, "
+                f"          i - 1, -1)), x -> x > 0)"
+            ),
+        )
+        .withColumn(
+            "bounds",
+            F.expr("concat(array(0), cuts, array(n))"),
+        )
+        .withColumn(
+            "chunks",
+            F.expr(
+                "filter(transform(sequence(1, size(bounds) - 1), "
+                "  j -> concat_ws(' ', slice(toks, element_at(bounds, j) + 1, "
+                "       element_at(bounds, j + 1) - element_at(bounds, j)))), "
+                "  c -> c <> '')"
+            ),
+        )
+        .select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk_text"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.xxhash64("chunk_text").alias("chunk_hash"),
+            F.size(F.split("chunk_text", " ")).alias("chunk_tokens"),
+        )
+    )
+
+
+@register("llm_cdc_chunk", oracle=None, section=_SEC)
+def llm_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/FastCDC boundary rule applied
+    to tokens): chunks end where the trailing 4-token window's hash ≡ 0
+    (mod 16), giving ~16-token expected chunks whose boundaries are
+    SHIFT-ROBUST — the property fixed-stride windows (`llm_chunk_windows`)
+    lack, and the reason storage dedup and incremental-crawl dedup use
+    CDC: an edit near the start changes only the chunks it touches.
+    tests/test_properties.py pins (a) chunk reconstruction == document
+    and (b) re-synchronization: a prefix-shifted copy shares every chunk
+    hash beyond the first boundary after the edit.
+
+    Plan: everything is map-side array arithmetic per document (no
+    shuffle until the consumer groups by chunk_hash for dedup); at
+    100 TB the chunk-hash groupBy IS the dedup shuffle and carries
+    8-byte hashes."""
+    return _cdc_chunks(table(spark, sf_dir, "documents").select("doc_id", "text"))

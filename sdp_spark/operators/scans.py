@@ -1150,3 +1150,43 @@ def sink_sized_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxRecordsPerFile", _SIZED_MAX_RECORDS
     ).parquet(out)
     return spark.read.parquet(out)
+
+
+_GLOB_CACHE: dict[str, str] = {}
+
+
+@register(
+    "scan_recursive_glob",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation WHERE n_regionkey IN (0, 1)
+    """,
+    section=_SEC,
+)
+def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive landing-zone ingestion: `recursiveFileLookup` walks an
+    arbitrarily nested directory tree (upstream systems drop files under
+    per-team/per-day folders that are NOT hive partitions) and
+    `pathGlobFilter` admits only the data files, skipping sidecars
+    (_SUCCESS, manifests, .tmp debris). At 100 TB both happen at file
+    LISTING time — the scan plan never opens a skipped file. The fixture
+    stages two nested subtrees plus a decoy .json sidecar; the oracle is
+    the union of the real files' content."""
+    if sf_dir not in _GLOB_CACHE:
+        import os
+
+        root = cache_dir(sf_dir, "glob_landing")
+        n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        n.filter(F.col("n_regionkey") == 0).drop("n_regionkey").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "team_a", "day=01"))
+        n.filter(F.col("n_regionkey") == 1).drop("n_regionkey").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "team_b", "nested", "deeper"))
+        with open(os.path.join(root, "team_a", "manifest.json"), "w") as fh:
+            fh.write('{"decoy": true}')
+        _GLOB_CACHE[sf_dir] = root
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(_GLOB_CACHE[sf_dir])
+    )

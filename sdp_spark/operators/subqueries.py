@@ -185,3 +185,26 @@ def filter_row_constructor(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds it to an OR-of-ANDs / struct IN evaluated row-level in codegen,
     pushable to the scan). One map-side predicate, zero shuffles."""
     return _sql(spark, sf_dir, _ROW_CTOR)
+
+
+_EXISTENCE = """
+SELECT c_custkey, c_mktsegment,
+       EXISTS(SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 250000) AS has_big_order
+FROM customer c
+"""
+
+
+@register("join_existence", oracle=_EXISTENCE, section=_SEC)
+def join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a PROJECTED boolean (not a filter) — every customer comes
+    back with a has-big-order flag. This exercises Spark's fifth join
+    type, ExistenceJoin (alongside inner/outer/semi/anti): a semi-join
+    that keeps non-matching rows and emits the match bit as a column,
+    planned as one hash join — MySQL 5.6 re-runs the EXISTS per row.
+    Distinct from `subq_in_exists` (predicate position → LeftSemi) and
+    `query_cust_order_counts` (outer join + count). The plan property
+    (ExistenceJoin, no per-row subquery) is asserted in
+    tests/test_plans.py."""
+    return _sql(spark, sf_dir, _EXISTENCE)

@@ -119,7 +119,8 @@ _SWEEP_PRIORITY = (
     "stream_topk_windowed", "llm_bpe_apply", "sink_sized_files",
     "join_dpp", "win_sliding_median", "win_ewma", "llm_blocklist_filter",
     "subq_correlated_scalar", "filter_row_constructor", "agg_regression",
-    "query_forecast_revenue",
+    "query_forecast_revenue", "join_existence", "scan_recursive_glob",
+    "fn_week_modes", "llm_cdc_chunk",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",

@@ -393,3 +393,11 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
     plan = _plan(spark, REGISTRY["join_dpp"].fn(spark, sf_dir))
     assert "dynamicpruningexpression" in plan, "no DPP on the fact scan"
     assert "BroadcastHashJoin" in plan
+
+
+def test_existence_join_planned(spark, sf_dir):
+    """join_existence: the projected EXISTS must plan as ONE ExistenceJoin
+    hash join, not a per-row subquery."""
+    plan = _plan(spark, REGISTRY["join_existence"].fn(spark, sf_dir), "simple")
+    assert "ExistenceJoin" in plan
+    assert plan.count("Join") >= 1 and "CartesianProduct" not in plan
