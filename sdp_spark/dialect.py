@@ -39,6 +39,10 @@ Rules (each unit-tested in tests/test_dialect.py):
   initializer and a top-level ORDER BY) -> row_number() OVER (ORDER BY
   the query's own sort keys) — the 5.6 window-function emulation idiom
   mapped onto the real window function.
+- GROUP BY expr ASC/DESC      direction stripped; when no explicit
+  ORDER BY exists the 5.6 implicit group-key sort is materialized as
+  one (8.0 removed the syntax; an explicit ORDER BY overrides it,
+  matching 5.6).
 """
 
 from __future__ import annotations
@@ -203,6 +207,25 @@ def translate_mysql(sql: str) -> str:
     #    final output order). Only @v := @v + 1 with a (SELECT @v := 0)
     #    initializer is rewritten; other variable uses pass through and fail
     #    loudly in Spark's parser.
+    # 10) GROUP BY <expr> [ASC|DESC] — 5.6 implicitly SORTS by the group
+    #     keys (removed in 8.0; Spark's parser rejects the ASC/DESC).
+    #     Strip the direction tokens; when the query has no explicit
+    #     ORDER BY, materialize the implicit sort as one (5.6 lets an
+    #     explicit ORDER BY override the implicit group sort).
+    gm = re.search(
+        r"\bGROUP\s+BY\s+(.+?)(?=\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+        body,
+        re.I | re.S,
+    )
+    if gm and re.search(r"\b(ASC|DESC)\b", gm.group(1), re.I):
+        glist = gm.group(1)
+        stripped = re.sub(r"\s+(ASC|DESC)\b", "", glist, flags=re.I)
+        body = body[: gm.start(1)] + stripped + body[gm.end(1) :]
+        if not re.search(r"\bORDER\s+BY\b", body, re.I):
+            order = glist.strip().rstrip(";").strip()
+            lm = re.search(r"\bLIMIT\b", body, re.I)
+            ins = lm.start() if lm else len(body)
+            body = body[:ins].rstrip() + f"\nORDER BY {order}\n" + body[ins:]
     rm = re.search(r"@(\w+)\s*:=\s*@\1\s*\+\s*1", body)
     if rm:
         var = rm.group(1)

@@ -772,3 +772,148 @@ def fn_week_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("o_orderdate").cast("bigint").alias("week_iso"),
         F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("bigint").alias("year_iso"),
     )
+
+
+@register(
+    "fn_mysql_string2",
+    oracle="""
+    SELECT n_nationkey,
+           ['alpha', 'beta', 'gamma'][(n_nationkey % 3) + 1] AS elt_pick,
+           CAST(COALESCE(list_position(['AFRICA', 'ASIA', 'EUROPE'], n_name), 0)
+                AS BIGINT) AS field_pos,
+           CAST(COALESCE(list_position(string_split('NATION_1,NATION_5,NATION_7', ','),
+                                  n_name), 0) AS BIGINT) AS in_set,
+           upper(format('{:x}', n_nationkey * 255 + 7)) AS conv_hex,
+           format('{:,}', CAST(FLOOR(n_nationkey * 1234.567 * 100 + 0.5) AS BIGINT) // 100)
+             || '.' ||
+             lpad(CAST(CAST(FLOOR(n_nationkey * 1234.567 * 100 + 0.5) AS BIGINT) % 100
+                  AS VARCHAR), 2, '0') AS fmt_grouped
+    FROM nation
+    """,
+    section=_SEC,
+)
+def fn_mysql_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second MySQL string-function family — the list/positional helpers
+    5.6 reports lean on: ELT(i, ...) positional pick, FIELD(s, ...) ->
+    1-based position (0 when absent), FIND_IN_SET over a CSV set string
+    (the SET-type accessor; Spark ships find_in_set natively),
+    CONV(n, 10, 16) radix conversion, and FORMAT(x, 2) thousands-grouped
+    rendering (applied to an already-exactly-rounded value so both
+    engines format the same double). All row-level codegen expressions;
+    the oracle mirrors each via DuckDB list/format primitives."""
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.element_at(
+            F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma")),
+            (F.col("n_nationkey") % 3 + 1).cast("int"),
+        ).alias("elt_pick"),
+        F.coalesce(
+            F.array_position(
+                F.array(F.lit("AFRICA"), F.lit("ASIA"), F.lit("EUROPE")),
+                F.col("n_name"),
+            ),
+            F.lit(0),
+        ).alias("field_pos"),
+        F.expr("find_in_set(n_name, 'NATION_1,NATION_5,NATION_7')")
+        .cast("bigint")
+        .alias("in_set"),
+        F.conv((F.col("n_nationkey") * 255 + 7).cast("string"), 10, 16).alias(
+            "conv_hex"
+        ),
+        F.format_number(dround(F.col("n_nationkey") * 1234.567, 2), 2).alias(
+            "fmt_grouped"
+        ),
+    )
+
+
+@register(
+    "fn_inet",
+    oracle="""
+    WITH ips AS (
+      SELECT n_nationkey,
+             '10.' || CAST(n_regionkey AS VARCHAR) || '.'
+                   || CAST(n_nationkey AS VARCHAR) || '.'
+                   || CAST((n_nationkey * 37) % 256 AS VARCHAR) AS ip
+      FROM nation
+    )
+    SELECT n_nationkey, ip,
+           CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+             + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+             + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+             + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_num,
+           num.v // 16777216 || '.' || (num.v // 65536) % 256 || '.'
+             || (num.v // 256) % 256 || '.' || num.v % 256 AS ip_back
+    FROM ips,
+         LATERAL (SELECT CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+             + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+             + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+             + CAST(string_split(ip, '.')[4] AS BIGINT) AS v) num
+    """,
+    section=_SEC,
+)
+def fn_inet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INET_ATON / INET_NTOA — MySQL's IPv4 dotted-quad ↔ integer pair,
+    the address normalization every network/surveillance log pipeline
+    runs (sortable ranges, CIDR joins become integer BETWEENs at 100 TB).
+    Both directions are pure integer/string arithmetic (octet shifts),
+    shared with the oracle; the round-trip (ip_back == ip) is part of the
+    hashed output."""
+    n = table(spark, sf_dir, "nation")
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        F.col("n_regionkey").cast("string"),
+        F.col("n_nationkey").cast("string"),
+        ((F.col("n_nationkey") * 37) % 256).cast("string"),
+    )
+    df = n.select("n_nationkey", ip.alias("ip"))
+    oct_ = lambda i: F.element_at(F.split("ip", "\\."), i).cast("bigint")  # noqa: E731
+    aton = oct_(1) * 16777216 + oct_(2) * 65536 + oct_(3) * 256 + oct_(4)
+    ntoa = F.concat_ws(
+        ".",
+        F.floor(aton / 16777216).cast("bigint").cast("string"),
+        (F.floor(aton / 65536).cast("bigint") % 256).cast("string"),
+        (F.floor(aton / 256).cast("bigint") % 256).cast("string"),
+        (aton % 256).cast("string"),
+    )
+    return df.select(
+        "n_nationkey", "ip", aton.alias("ip_num"), ntoa.alias("ip_back")
+    )
+
+
+_AES_KEY = "0123456789abcdef"  # 16-byte demo key (AES-128)
+
+
+@register(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name AS plain, n_name AS decrypted,
+           CAST(1 AS BOOLEAN) AS roundtrip_ok
+    FROM nation
+    """,
+    section=_SEC,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AES_ENCRYPT / AES_DECRYPT (MySQL 5.6's symmetric crypto pair, ECB
+    mode exactly as 5.6 defaults to): the oracle cannot re-derive Spark's
+    ciphertext (DuckDB has no AES), so the HASHED CONTRACT is the
+    round-trip — decrypt(encrypt(plain)) must equal plain, emitted
+    alongside an equality bit. Ciphertext itself stays out of the output
+    (ECB is deterministic but engine-private). Row-level JVM crypto —
+    no shuffle, no UDF. (5.6's ECB default is also its documented
+    weakness; production guidance is GCM — which Spark supports via the
+    same functions with a mode argument — but ECB is what the reference
+    engine does, so ECB is what the conformance key pins.)"""
+    n = table(spark, sf_dir, "nation")
+    enc = F.expr(f"aes_encrypt(n_name, '{_AES_KEY}', 'ECB')")
+    dec = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(n_name, '{_AES_KEY}', 'ECB'),"
+        f" '{_AES_KEY}', 'ECB') AS STRING)"
+    )
+    return n.select(
+        "n_nationkey",
+        F.col("n_name").alias("plain"),
+        dec.alias("decrypted"),
+        (dec == F.col("n_name")).alias("roundtrip_ok"),
+    )

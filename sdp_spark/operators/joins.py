@@ -874,3 +874,61 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_lines"), dsum(rev).alias("revenue"))
         .orderBy("ship_month")
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                              ELSE o_orderstatus END AS k
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), b AS (
+      SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                  ELSE ['F', 'O', 'P'][(n_nationkey % 3) + 1] END AS k,
+             n_nationkey
+      FROM nation
+    )
+    SELECT a.o_orderkey, b.n_nationkey,
+           COALESCE(a.k, '<null>') AS k_disp
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    section=_SEC,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join — MySQL's `<=>` operator (a 5.6 surface
+    item ANSI spells IS NOT DISTINCT FROM): NULL keys MATCH each other
+    instead of vanishing, the semantics CDC-style feeds with optional
+    fields need. Spark's eqNullSafe compiles to a hash join on a
+    null-coalesced key (plan: EqualNullSafe inside the join condition,
+    still a BroadcastHashJoin/SMJ — not the nested-loop a naive
+    OR(IS NULL AND IS NULL) rewrite would force). At scale, beware: a
+    hot NULL key concentrates on one reducer exactly like any hot key —
+    `join_salted` is the antidote when NULLs dominate."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 0)
+    a = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("k"),
+    )
+    n = table(spark, sf_dir, "nation")
+    b = n.select(
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None))
+        .otherwise(
+            F.element_at(
+                F.array(F.lit("F"), F.lit("O"), F.lit("P")),
+                (F.col("n_nationkey") % 3 + 1).cast("int"),
+            )
+        )
+        .alias("k"),
+        "n_nationkey",
+    )
+    return (
+        a.join(F.broadcast(b), a.k.eqNullSafe(b.k))
+        .select(
+            "o_orderkey",
+            "n_nationkey",
+            F.coalesce(a.k, F.lit("<null>")).alias("k_disp"),
+        )
+    )

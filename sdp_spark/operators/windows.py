@@ -615,3 +615,32 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.select(
         "event_id", "user_id", dround(num / den, 6).alias("ewma")
     )
+
+
+@register(
+    "win_ratio_to_report",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           {sql_dround(
+             "o_totalprice / (SUM(CAST(o_totalprice AS DECIMAL(30,8))) "
+             "OVER (PARTITION BY o_custkey))::DOUBLE", 8)} AS share
+    FROM orders
+    """,
+    section=_SEC,
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT: each order's share of its customer's total — the
+    percent-of-total window idiom (Oracle names it; MySQL 5.6 users run
+    two queries and a join). One unbounded-frame SUM per partition; the
+    denominator aggregates in DECIMAL so every row of a partition divides
+    by the SAME exact total regardless of partition order — with a double
+    sum the shares wouldn't reproduce under AQE re-plans, and at 100 TB
+    they must. One custkey shuffle, O(1) state per partition."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        dround(F.col("o_totalprice") / total, 8).alias("share"),
+    )

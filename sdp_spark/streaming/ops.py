@@ -1074,3 +1074,33 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@register("stream_approx_distinct", oracle=None, section=_SEC)
+def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality: approx distinct users per tumbling hour —
+    the 100 TB way to count uniques on a stream. Exact streaming
+    COUNT(DISTINCT) needs per-window SETS of every key ever seen
+    (unbounded state, and Spark rejects it in streaming aggregates);
+    the HLL++ sketch is O(kilobytes) per window and MERGEABLE, so
+    micro-batch partials combine associatively — state stays bounded no
+    matter how many users flow through. rows-only key: the sketch has no
+    DuckDB twin; the pytest contract is batch-equivalence (same sketch,
+    same data → streaming result == batch approx_count_distinct exactly)
+    plus the rsd error bound against the exact count."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "approx_users",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete", "approxdistinct")

@@ -201,3 +201,29 @@ def test_user_var_without_order_by_passes_through():
 def test_user_var_inside_string_literal_untouched():
     src = "SELECT '@r := @r + 1' AS s FROM t ORDER BY s"
     assert t(src) == src
+
+
+def test_group_by_desc_becomes_order_by():
+    src = "SELECT a, COUNT(*) FROM t GROUP BY a DESC"
+    out = t(src)
+    assert "GROUP BY a\n" in out + "\n" or "GROUP BY a " in out
+    assert "ORDER BY a DESC" in out
+    assert out.count("DESC") == 1
+
+
+def test_group_by_dir_stripped_when_order_by_present():
+    src = "SELECT a, b, COUNT(*) FROM t GROUP BY a ASC, b DESC ORDER BY 3"
+    out = t(src)
+    assert "GROUP BY a, b" in out.replace("  ", " ")
+    assert "ORDER BY 3" in out and "b DESC" not in out
+
+
+def test_group_by_dir_before_limit():
+    src = "SELECT a, COUNT(*) c FROM t GROUP BY a DESC LIMIT 5"
+    out = t(src)
+    assert "ORDER BY a DESC" in out and out.index("ORDER BY") < out.index("LIMIT")
+
+
+def test_plain_group_by_untouched():
+    src = "SELECT a, COUNT(*) FROM t GROUP BY a HAVING COUNT(*) > 1"
+    assert t(src) == src

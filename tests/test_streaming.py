@@ -429,3 +429,37 @@ def test_stateful_timeout_sessions_match_batch(spark, sf_dir, ddb):
         assert (r.user_id, r.session_start) in emitted, (
             f"session ending {r.session_end} never closed"
         )
+
+
+def test_stream_approx_distinct_batch_equivalent(spark, sf_dir):
+    """Same sketch + same data => the streaming HLL result must equal the
+    batch approx_count_distinct exactly, and sit within the rsd bound of
+    the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    got = {
+        r["win_start"]: (r["approx_users"], r["n_events"])
+        for r in REGISTRY["stream_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("a"),
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("w"),
+            "a",
+            "n",
+            "exact",
+        )
+        .collect()
+    )
+    assert len(batch) == len(got)
+    for r in batch:
+        a, n = got[r["w"]]
+        assert n == r["n"]
+        assert a == r["a"], "streaming sketch != batch sketch"
+        assert abs(a - r["exact"]) <= max(3, 0.1 * r["exact"])
