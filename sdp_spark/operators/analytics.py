@@ -453,9 +453,13 @@ def query_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     s = table(spark, sf_dir, "supplier")
+    # the CTE is referenced twice (scores + scalar max); materialize it ONCE
+    # (localCheckpoint = explicit CTE materialization — without it Spark
+    # plans two full lineitem scans and two aggregations)
     rev = (
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .localCheckpoint()
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     return (

@@ -401,3 +401,33 @@ def test_existence_join_planned(spark, sf_dir):
     plan = _plan(spark, REGISTRY["join_existence"].fn(spark, sf_dir), "simple")
     assert "ExistenceJoin" in plan
     assert plan.count("Join") >= 1 and "CartesianProduct" not in plan
+
+
+# Exchange-count budgets for the composed capstones: a plan that suddenly
+# shuffles more than its budget has lost a broadcast or gained an extra
+# stage — the regression a bench run on a noisy sandbox cannot detect.
+# Budgets are CURRENT counts (asserted <=), not aspirations.
+_CAPSTONE_EXCHANGE_BUDGET = {
+    "query_shipping_priority": 2,
+    "query_returned_items": 3,
+    "query_late_orders": 2,
+    "query_cust_order_counts": 3,
+    "query_large_volume_cust": 4,
+    "query_local_supplier_volume": 3,
+    "query_volume_shipping": 3,
+    "query_promo_effect": 1,
+    "query_top_supplier": 2,
+    "query_disjunctive_parts": 1,
+    "query_dormant_customers": 2,
+    "query_forecast_revenue": 1,
+}
+
+
+@pytest.mark.parametrize("key,budget", sorted(_CAPSTONE_EXCHANGE_BUDGET.items()))
+def test_capstone_exchange_budget(spark, sf_dir, key, budget):
+    plan = _plan(spark, REGISTRY[key].fn(spark, sf_dir), "simple")
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= budget, f"{key}: {n} exchanges (budget {budget}) — lost a broadcast?"
+    assert "CartesianProduct" not in plan, key
