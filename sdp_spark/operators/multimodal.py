@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sdp_spark.functions.num import dround
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table
 
@@ -223,4 +224,60 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("path", "/"), -1).alias("fname"),
         F.col("length").alias("n_bytes"),
         F.hex("content").alias("content_hex"),
+    )
+
+
+@register(
+    "mm_modality_stats",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id,
+             ['text', 'image', 'audio'][(doc_id % 3) + 1] AS modality,
+             octet_length(encode(text)) AS n_bytes,
+             lang
+      FROM documents
+    )
+    SELECT modality,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           FLOOR(CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100
+             AS avg_bytes,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM assets
+    GROUP BY modality
+    ORDER BY modality
+    """,
+    section=_SEC,
+)
+def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus card for a MIXED-modality asset table: per-modality asset
+    counts, payload volume, and language spread — the inventory query a
+    multimodal training build runs first (how many hours of audio, how
+    many images, per language). Modality is assigned deterministically
+    (doc_id mod 3) over binary payloads; the aggregate never touches
+    payload CONTENT — octet_length is metadata — so at 100 TB this scans
+    parquet statistics-friendly columns and shuffles 3 group states. The
+    pattern matters: corpus accounting must stay payload-free or it
+    re-reads the entire binary corpus."""
+    d = table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+        "lang",
+    )
+    return (
+        assets.groupBy("modality")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            dround(F.sum("n_bytes").cast("double") / F.count("*"), 2).alias(
+                "avg_bytes"
+            ),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("modality")
     )
