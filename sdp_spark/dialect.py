@@ -212,10 +212,20 @@ def translate_mysql(sql: str) -> str:
     #     Strip the direction tokens; when the query has no explicit
     #     ORDER BY, materialize the implicit sort as one (5.6 lets an
     #     explicit ORDER BY override the implicit group sort).
-    gm = re.search(
-        r"\bGROUP\s+BY\s+(.+?)(?=\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+    def _last_toplevel(pattern: str, text: str) -> re.Match | None:
+        """Last match of pattern at paren depth 0 — rules 9/10 must bind
+        to the OUTER query's clause, never one inside a derived table
+        (string literals are already carved out, so every paren counts)."""
+        best = None
+        for m in re.finditer(pattern, text, re.I | re.S):
+            prefix = text[: m.start()]
+            if prefix.count("(") == prefix.count(")"):
+                best = m
+        return best
+
+    gm = _last_toplevel(
+        r"\bGROUP\s+BY\s+(.+?)(?=\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|;|$)",
         body,
-        re.I | re.S,
     )
     if gm and re.search(r"\b(ASC|DESC)\b", gm.group(1), re.I):
         glist = gm.group(1)
@@ -223,14 +233,16 @@ def translate_mysql(sql: str) -> str:
         body = body[: gm.start(1)] + stripped + body[gm.end(1) :]
         if not re.search(r"\bORDER\s+BY\b", body, re.I):
             order = glist.strip().rstrip(";").strip()
+            # insert before LIMIT, else before a trailing semicolon
             lm = re.search(r"\bLIMIT\b", body, re.I)
-            ins = lm.start() if lm else len(body)
+            sc = re.search(r";\s*$", body)
+            ins = lm.start() if lm else (sc.start() if sc else len(body))
             body = body[:ins].rstrip() + f"\nORDER BY {order}\n" + body[ins:]
     rm = re.search(r"@(\w+)\s*:=\s*@\1\s*\+\s*1", body)
     if rm:
         var = rm.group(1)
-        om = re.search(
-            r"\bORDER\s+BY\s+(.+?)(?=\bLIMIT\b|$)", body, re.I | re.S
+        om = _last_toplevel(
+            r"\bORDER\s+BY\s+(.+?)(?=\bLIMIT\b|;|$)", body
         )
         if om:
             order = om.group(1).strip().rstrip(";").strip()

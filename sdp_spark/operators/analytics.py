@@ -405,7 +405,8 @@ def query_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     p = table(spark, sf_dir, "part")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    raw = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = raw.cast(DEC)
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
@@ -415,7 +416,7 @@ def query_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_share"),
-            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+            dsum(raw).alias("total_revenue"),
         )
     )
 

@@ -1625,7 +1625,9 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     log_rows = []
     for rnd in range(1, _BPE_ROUNDS + 1):
-        pairs = segs.select(
+        # guard: a word fully merged to ONE symbol has no pairs —
+        # sequence(1, 0) would run DESCENDING and index past the array
+        pairs = segs.filter(F.size("syms") >= 2).select(
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(syms) - 1),"
@@ -1719,10 +1721,14 @@ def _cdc_chunks(docs: DataFrame) -> DataFrame:
         # cut BEFORE position i when the window ending at i-1 hits residue 0
         .withColumn(
             "cuts",
+            # n == window width -> no interior cut candidates (the doc is
+            # one chunk); sequence(w+1, n) would run DESCENDING there and
+            # slice() from index 0 — guard with an empty cut list
             F.expr(
+                f"IF(n <= {w}, cast(array() as array<int>), "
                 f"filter(transform(sequence({w} + 1, n), "
                 f"  i -> IF(pmod(xxhash64(concat_ws(' ', slice(toks, i - {w}, {w}))), {m}) = 0, "
-                f"          i - 1, -1)), x -> x > 0)"
+                f"          i - 1, -1)), x -> x > 0))"
             ),
         )
         .withColumn(

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sdp_spark.functions.num import DEC
+from sdp_spark.functions.num import DEC, dround
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table
 
@@ -324,11 +324,11 @@ _RRF_POOL = 100   # per-modality candidate pool (rank cutoff)
       SELECT embedding FROM embeddings WHERE vec_id = 1
     ), coss AS (
       SELECT c.vec_id,
-             ROUND(list_sum(list_transform(generate_series(1, 64),
+             FLOOR(list_sum(list_transform(generate_series(1, 64),
                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
                    / (sqrt(list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x)))
-                      * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)))),
-                   4) AS cos
+                      * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x))))
+                   * 10000 + 0.5) / 10000 AS cos
       FROM embeddings c CROSS JOIN q WHERE c.vec_id <> 1
     ), dense AS (
       SELECT vec_id, r FROM (
@@ -383,8 +383,11 @@ def llm_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
+    # dround, not F.round: Spark's shortest-decimal HALF_UP and DuckDB's
+    # raw-binary ROUND can split on the 1e-4 half-grid, flipping a pool
+    # rank (num.py hazard #2); the floor-form is bit-identical on both
     coss = c.crossJoin(q).select(
-        "vec_id", F.round(dot / (F.col("qn") * F.col("cn")), 4).alias("cos")
+        "vec_id", dround(dot / (F.col("qn") * F.col("cn")), 4).alias("cos")
     )
     dense_pool = coss.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(_RRF_POOL)
     wd = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))

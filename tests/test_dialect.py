@@ -227,3 +227,45 @@ def test_group_by_dir_before_limit():
 def test_plain_group_by_untouched():
     src = "SELECT a, COUNT(*) FROM t GROUP BY a HAVING COUNT(*) > 1"
     assert t(src) == src
+
+
+def test_user_var_binds_toplevel_order_by_not_nested():
+    src = (
+        "SELECT t.x, @r := @r + 1 AS rn "
+        "FROM (SELECT x FROM u ORDER BY y LIMIT 10) t, (SELECT @r := 0) v "
+        "ORDER BY t.x"
+    )
+    out = t(src)
+    assert "row_number() OVER (ORDER BY t.x)" in out
+    assert "OVER (ORDER BY y" not in out
+    # the derived table's own ORDER BY survives untouched
+    assert "FROM u ORDER BY y LIMIT 10" in out
+
+
+def test_user_var_nested_order_only_passes_through():
+    """Only a NESTED ORDER BY exists -> no top-level order to rank by;
+    leave the idiom for a loud parse failure."""
+    src = (
+        "SELECT t.x, @r := @r + 1 FROM "
+        "(SELECT x FROM u ORDER BY y) t, (SELECT @r := 0) v"
+    )
+    assert "@r := @r + 1" in t(src)
+
+
+def test_group_by_desc_with_trailing_semicolon():
+    out = t("SELECT a, COUNT(*) FROM t GROUP BY a DESC;")
+    assert "ORDER BY a DESC" in out
+    # no text after the semicolon; semicolon (if kept) stays terminal
+    assert not out.rstrip().rstrip(";").rstrip().endswith("DESC;")
+    assert out.rstrip().endswith(("DESC", ";"))
+
+
+def test_group_by_binds_toplevel_not_derived():
+    src = (
+        "SELECT a, COUNT(*) FROM "
+        "(SELECT a FROM u GROUP BY a ASC) t GROUP BY a"
+    )
+    out = t(src)
+    # inner GROUP BY a ASC is nested; outer has no direction -> rule 10
+    # must not touch the outer, and must not mis-bind the inner
+    assert "GROUP BY a" in out

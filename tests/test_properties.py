@@ -325,3 +325,37 @@ def test_cdc_chunks_reconstruct_and_resync(spark, sf_dir):
     # all chunks after the first boundary of doc 1 must reappear in doc 2
     assert len(h1) > 1, "fixture doc produced a single chunk; widen the doc"
     assert set(h1[1:]) <= set(h2), "CDC failed to re-synchronize after edit"
+
+
+def test_bpe_pairs_guard_single_symbol_words(spark):
+    """A word that fully merges into one symbol must not crash pair
+    extraction in later rounds (sequence(1,0) runs descending)."""
+    from sdp_spark.operators.corpus import _bpe_merge_expr
+
+    df = spark.createDataFrame([("in",), ("inn",)], "w STRING").selectExpr(
+        "w", "transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS syms"
+    )
+    merged = df.selectExpr("w", _bpe_merge_expr("i", "n") + " AS syms")
+    pairs = merged.filter(F.size("syms") >= 2).selectExpr(
+        "explode(transform(sequence(1, size(syms) - 1),"
+        " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))) AS p"
+    )
+    got = [(r["p"]["a"], r["p"]["b"]) for r in pairs.collect()]
+    assert got == [("in", "n")], got  # 'in' fully merged, contributes nothing
+
+
+def test_cdc_chunks_minimal_docs(spark):
+    """Docs with exactly the window width (4 tokens) are one whole chunk,
+    not a crash; 3-token docs are filtered; reconstruction holds."""
+    from sdp_spark.operators.corpus import _cdc_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c"), (3, "w1 w2 w3 w4 w5 w6 w7 w8")],
+        "doc_id LONG, text STRING",
+    )
+    rows = _cdc_chunks(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], 0)
+        by_doc[r["doc_id"]] += r["chunk_tokens"]
+    assert by_doc[1] == 4 and 2 not in by_doc and by_doc[3] == 8
