@@ -281,3 +281,70 @@ def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+@register(
+    "llm_pipeline_multimodal",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, text, lang,
+             ['text', 'image', 'audio'][(doc_id % 3) + 1] AS modality
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '),
+                            t -> t IN ('error', 'fatal', 'crash')))
+            <= 0.02 * len(string_split(text, ' '))
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM kept GROUP BY sha256(lower(trim(text)))
+    )
+    SELECT k.modality, k.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(octet_length(encode(k.text))) AS BIGINT) AS total_bytes,
+           CAST(SUM(len(string_split(k.text, ' '))) AS BIGINT) AS total_tokens
+    FROM kept k JOIN keepers USING (doc_id)
+    GROUP BY k.modality, k.lang
+    ORDER BY k.modality, k.lang
+    """,
+    section=_SEC,
+)
+def llm_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MULTIMODAL corpus build in one plan: blocklist quality
+    gate → exact dedup (normalized-hash keepers) → modality assignment →
+    per-(modality, lang) corpus card (assets, payload bytes, token
+    budget). The composition the text-only `llm_pipeline_train_corpus`
+    runs, lifted to mixed-modality assets — one hash shuffle for the
+    dedup, one (modality, lang) shuffle for the card, every gate
+    evaluated map-side before either. Payload bytes come from
+    octet_length (metadata), never payload content — the corpus card of
+    a 100 TB asset store must not re-read the assets."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    blocked = F.size(F.filter(toks, lambda t: t.isin("error", "fatal", "crash")))
+    kept = d.filter(blocked <= 0.02 * F.size(toks)).select(
+        "doc_id",
+        "text",
+        "lang",
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+    )
+    keepers = (
+        kept.groupBy(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        kept.join(keepers, "doc_id")
+        .groupBy("modality", "lang")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.length(F.encode("text", "UTF-8")))
+            .cast("bigint")
+            .alias("total_bytes"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+        .orderBy("modality", "lang")
+    )
