@@ -617,3 +617,85 @@ def query_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_lines"),
     )
+
+
+_EARS_Z = 2.0  # alert threshold (EARS C2 commonly uses 2-3 sigma)
+
+
+@register(
+    "query_outbreak_ears",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, n,
+             AVG(CAST(n AS DOUBLE)) OVER w AS mu,
+             stddev_samp(CAST(n AS DOUBLE)) OVER w AS sd,
+             COUNT(*) OVER w AS n_base
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 9 PRECEDING AND 3 PRECEDING)
+    )
+    SELECT event_type, day_s, n,
+           {sql_dround('(n - mu) / sd', 4)} AS c2_score,
+           {sql_dround('(n - mu) / sd', 4)} > {_EARS_Z} AS alert
+    FROM scored
+    WHERE n_base = 7 AND sd > 0
+    ORDER BY event_type, day_s
+    """,
+    section=_SEC,
+)
+def query_outbreak_ears(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC EARS C2 aberration detection — the surveillance analytics the
+    reference platform exists to serve (README.md:2,4: SDP ingests
+    public-health surveillance data; EARS is CDC's Early Aberration
+    Reporting System). C2: today's event count vs a 7-day moving baseline
+    LAGGED 2 days (the lag keeps an emerging outbreak out of its own
+    baseline); alert when the z-score clears {_EARS_Z}σ. Rows with an
+    incomplete baseline or zero variance are excluded (the published
+    method's applicability condition).
+
+    Plan: one (type, day) partial+final count collapses the stream to
+    metadata scale, then a bounded 7-row frame per type — the window
+    state is O(frame), and the heavy lifting (daily counts) shuffles
+    grouped states, not events. The same plan incrementalizes: the
+    streaming twin is `stream_tumbling` + this frame over its sink."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-9, -3)
+    )
+    nd = F.col("n").cast("double")
+    scored = daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "n",
+        F.avg(nd).over(w).alias("mu"),
+        F.stddev_samp(nd).over(w).alias("sd"),
+        F.count("*").over(w).alias("n_base"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter((F.col("n_base") == 7) & (F.col("sd") > 0))
+        .select(
+            "event_type",
+            "day_s",
+            "n",
+            dround(z, 4).alias("c2_score"),
+            # compare the ROUNDED score: the raw z differs in the last ulp
+            # across engines' stddev algorithms, and the alert bit must not
+            (dround(z, 4) > _EARS_Z).alias("alert"),
+        )
+        .orderBy("event_type", "day_s")
+    )
