@@ -1771,3 +1771,65 @@ def llm_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the chunk-hash groupBy IS the dedup shuffle and carries
     8-byte hashes."""
     return _cdc_chunks(table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@register(
+    "llm_corpus_lineage",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id,
+             lang NOT IN ('en', 'es') AS g_lang,
+             n_chars NOT BETWEEN 100 AND 500 AS g_len,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('error', 'fatal', 'crash')))
+               > 0.02 * len(string_split(text, ' ')) AS g_block,
+             doc_id <> MIN(doc_id) OVER (PARTITION BY sha256(lower(trim(text))))
+               AS g_dup
+      FROM documents
+    )
+    SELECT CASE WHEN g_lang THEN 'lang_filter'
+                WHEN g_len THEN 'length_filter'
+                WHEN g_block THEN 'blocklist'
+                WHEN g_dup THEN 'dup_loser'
+                ELSE 'kept' END AS dropped_by,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM gated
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    section=_SEC,
+)
+def llm_corpus_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline lineage accounting — per-document attribution of WHICH
+    gate dropped it (language, length, blocklist, dedup-loser, or kept),
+    summarized as the funnel every corpus build publishes next to its
+    data card. All gates evaluate in ONE pass (each is a map-side
+    predicate; the dedup-loser bit is a min-over-hash window whose
+    partitions are the duplicate groups), with first-gate-wins
+    attribution so the counts sum to the corpus. At 100 TB this replaces
+    N separate 'how many did stage X drop' scans with one — and because
+    attribution is deterministic, two builds can diff their funnels to
+    localize a regression to a stage."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    blocked = F.size(F.filter(toks, lambda t: t.isin("error", "fatal", "crash")))
+    w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256))
+    gated = d.select(
+        "doc_id",
+        (~F.col("lang").isin("en", "es")).alias("g_lang"),
+        (~F.col("n_chars").between(100, 500)).alias("g_len"),
+        (blocked > 0.02 * F.size(toks)).alias("g_block"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("g_dup"),
+    )
+    reason = (
+        F.when(F.col("g_lang"), "lang_filter")
+        .when(F.col("g_len"), "length_filter")
+        .when(F.col("g_block"), "blocklist")
+        .when(F.col("g_dup"), "dup_loser")
+        .otherwise("kept")
+    )
+    return (
+        gated.groupBy(reason.alias("dropped_by"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("dropped_by")
+    )

@@ -123,7 +123,8 @@ _SWEEP_PRIORITY = (
     "fn_week_modes", "llm_cdc_chunk", "fn_mysql_string2", "fn_inet",
     "fn_aes_roundtrip", "join_null_safe", "win_ratio_to_report",
     "stream_approx_distinct", "mm_modality_stats", "llm_pipeline_multimodal",
-    "query_outbreak_ears", "join_fuzzy_blocked",
+    "query_outbreak_ears", "join_fuzzy_blocked", "stream_ears_alerts",
+    "llm_corpus_lineage",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",

@@ -1104,3 +1104,70 @@ def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete", "approxdistinct")
+
+
+@register(
+    "stream_ears_alerts",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, n,
+             AVG(CAST(n AS DOUBLE)) OVER w AS mu,
+             stddev_samp(CAST(n AS DOUBLE)) OVER w AS sd,
+             COUNT(*) OVER w AS n_base
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 9 PRECEDING AND 3 PRECEDING)
+    )
+    SELECT event_type, day_s, n,
+           FLOOR((n - mu) / sd * 10000 + 0.5) / 10000 AS c2_score
+    FROM scored
+    WHERE n_base = 7 AND sd > 0
+      AND FLOOR((n - mu) / sd * 10000 + 0.5) / 10000 > 2.0
+    ORDER BY event_type, day_s
+    """,
+    section=_SEC,
+)
+def stream_ears_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE outbreak monitoring — the streaming twin of
+    `query_outbreak_ears` and the composite the reference platform's
+    mission statement describes (continuous surveillance ingest →
+    aberration alerts): the STREAM maintains per-(type, day) counts
+    (incremental, bounded per-day state), and the EARS C2 baseline frame
+    runs batch-side over the materialized daily table after each trigger
+    — the same two-stage split as `stream_topk_windowed`, because window
+    frames aren't incremental. Emits only firing alerts (rounded z >
+    2σ). At 100 TB/day the streaming half shuffles grouped day-states,
+    never events, and the scoring half runs over |types × days| rows —
+    metadata scale. The oracle pins stream==batch end-to-end."""
+    from pyspark.sql import Window
+
+    from sdp_spark.functions.num import dround
+
+    sdf = _events_stream(spark, sf_dir)
+    daily = (
+        sdf.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    snap = _run_to_memory(daily, "complete", "earsdaily")
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-9, -3)
+    nd = F.col("n").cast("double")
+    scored = snap.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "n",
+        F.avg(nd).over(w).alias("mu"),
+        F.stddev_samp(nd).over(w).alias("sd"),
+        F.count("*").over(w).alias("n_base"),
+    )
+    z = dround((F.col("n") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        scored.filter((F.col("n_base") == 7) & (F.col("sd") > 0))
+        .withColumn("c2_score", z)
+        .filter(F.col("c2_score") > 2.0)
+        .select("event_type", "day_s", "n", "c2_score")
+        .orderBy("event_type", "day_s")
+    )
