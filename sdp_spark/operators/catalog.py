@@ -21,6 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sdp_spark.functions.num import sql_dsum
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import cache_dir, cache_tag, table
 
@@ -276,3 +277,63 @@ def catalog_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.table(f"{db}.{name}")
+
+
+_REFDB = "refdb"
+_REFDB_READY: set[str] = set()
+
+
+@register(
+    "catalog_cross_db",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_dsum('c.c_acctbal')} AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = 2
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    section=_SEC,
+)
+def catalog_cross_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-database query — the multi-schema layout MySQL deployments
+    actually run (the reference template parameterizes MYSQL_DATABASE per
+    service; teams join across them with db.table qualification): a
+    reference dimension lives in `refdb`, facts in `sampledb`, and one
+    query joins `sampledb.customer_x` ⋈ `refdb.nation_x` by qualified
+    name. Namespace resolution is catalog metadata — the PLAN is
+    identical to the single-db join (broadcast dim, one agg), which is
+    the point: databases are organizational, not physical, exactly as in
+    the reference engine."""
+    db = ensure_sampledb(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    if app not in _REFDB_READY:
+        loc = cache_dir(sf_dir, "refdb_warehouse")
+        os.makedirs(loc, exist_ok=True)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {_REFDB} LOCATION '{loc}'")
+        _REFDB_READY.add(app)
+    tag = _safe_tag(sf_dir)
+    cust, nat = f"{db}.customer_{tag}", f"{_REFDB}.nation_x_{tag}"
+    if not spark.catalog.tableExists(cust):
+        _drop_table(spark, sf_dir, f"customer_{tag}")
+        table(spark, sf_dir, "customer").write.saveAsTable(cust)
+    if not spark.catalog.tableExists(nat):
+        # clear an orphaned managed dir (fresh in-memory catalog, old disk)
+        import shutil
+        from urllib.parse import urlparse
+
+        db_loc = urlparse(spark.catalog.getDatabase(_REFDB).locationUri).path
+        shutil.rmtree(os.path.join(db_loc, f"nation_x_{tag}"), ignore_errors=True)
+        table(spark, sf_dir, "nation").write.saveAsTable(nat)
+    return spark.sql(
+        f"""
+        SELECT n.n_name, COUNT(*) AS n_customers,
+               CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(30,8))), 2) AS DOUBLE)
+                 AS total_bal
+        FROM {cust} c JOIN {nat} n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = 2
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """
+    )
