@@ -62,6 +62,11 @@ EXTRA = [
     "query_local_supplier_volume",  # Q5-shape 6-table star capstone (r5)
     "query_volume_shipping",        # Q7-shape double-alias dim capstone (r5)
     "query_dormant_customers",      # Q22-shape scalar-avg + anti capstone (r5)
+    "join_dpp",                     # dynamic partition pruning star join (r5)
+    "join_runtime_bloom",           # runtime bloom-filtered fact scan (r5)
+    "llm_hybrid_search_rrf",        # BM25+cosine RRF fusion (r5)
+    "query_outbreak_ears",          # CDC EARS C2 surveillance capstone (r5)
+    "llm_pipeline_multimodal",      # one-plan multimodal corpus build (r5)
 ]
 
 
