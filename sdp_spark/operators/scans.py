@@ -1190,3 +1190,56 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.parquet")
         .parquet(_GLOB_CACHE[sf_dir])
     )
+
+
+_RESTATE_MONTH = "1997-03"
+
+
+@register(
+    "sink_dynamic_overwrite",
+    oracle=f"""
+    SELECT o_orderkey,
+           CASE WHEN strftime(o_orderdate, '%Y-%m') = '{_RESTATE_MONTH}'
+                THEN FLOOR(FLOOR(o_totalprice * 100 + 0.5) / 100 * 0.9 * 100 + 0.5) / 100
+                ELSE FLOOR(o_totalprice * 100 + 0.5) / 100 END AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m') AS m
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    """,
+    section=_SEC,
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the incremental batch-load verb at
+    scale: restating ONE month rewrites ONLY that month's partition
+    (partitionOverwriteMode=dynamic), while static overwrite mode would
+    TRUNCATE THE WHOLE TABLE first (the classic data-loss footgun this
+    key pins against). The restatement writes month {_RESTATE_MONTH} at
+    0.9× price into a 12-month table; the read-back proves the other 11
+    partitions kept their original bytes. At 100 TB this is how daily
+    loads land: overwrite-by-partition is idempotent (safe re-runs) and
+    touches O(day), not O(table)."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    base = o.select(
+        "o_orderkey",
+        dround("o_totalprice").alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+    )
+    out = _tmp_sink("dyn_overwrite")
+    base.write.mode("overwrite").partitionBy("m").parquet(out)
+    restated = base.filter(F.col("m") == _RESTATE_MONTH).withColumn(
+        "o_totalprice", dround(F.col("o_totalprice") * 0.9)
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("m")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.select(
+        "o_orderkey", "o_totalprice", F.col("m").cast("string").alias("m")
+    )

