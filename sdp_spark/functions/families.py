@@ -917,3 +917,34 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec.alias("decrypted"),
         (dec == F.col("n_name")).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "fn_regex_advanced",
+    oracle=r"""
+    SELECT n_nationkey,
+           regexp_replace(n_name, '([A-Z]+)_(\d+)', '\2-\1') AS swapped,
+           regexp_extract(n_name, '(\d+)$', 1) AS tail_digits,
+           CAST(regexp_matches(n_name, '^NATION_(1\d|2[0-4])$') AS BOOLEAN)
+             AS teens_or_twenties,
+           regexp_replace('a1b22c333', '(\d+)', '<\1>', 'g') AS wrapped
+    FROM nation
+    """,
+    section=_SEC,
+)
+def fn_regex_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advanced regex surface: capture-group BACKREFERENCES in the
+    replacement (the dialect split pinned here: Spark/Java writes $1,
+    DuckDB/RE2 writes \\1 — each side uses its own syntax and the oracle
+    hash proves the RESULTS agree), anchored alternation, group
+    extraction, and global multi-match replacement (Spark replaces all
+    occurrences by default; DuckDB needs the 'g' flag — another dialect
+    asymmetry this key pins). Row-level codegen, no shuffle."""
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.regexp_replace("n_name", r"([A-Z]+)_(\d+)", r"$2-$1").alias("swapped"),
+        F.regexp_extract("n_name", r"(\d+)$", 1).alias("tail_digits"),
+        F.col("n_name").rlike(r"^NATION_(1\d|2[0-4])$").alias("teens_or_twenties"),
+        F.regexp_replace(F.lit("a1b22c333"), r"(\d+)", r"<$1>").alias("wrapped"),
+    )

@@ -1243,3 +1243,38 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "o_orderkey", "o_totalprice", F.col("m").cast("string").alias("m")
     )
+
+
+@register(
+    "scan_numbers_table",
+    oracle="""
+    WITH nums AS (SELECT i AS n FROM generate_series(1, 1000) AS t(i))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN n % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS sevens,
+           CAST(MIN(n * n) AS BIGINT) AS min_sq,
+           CAST(MAX(n * n) AS BIGINT) AS max_sq
+    FROM nums
+    """,
+    section=_SEC,
+)
+def scan_numbers_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numbers-table generation — the scaffold idiom MySQL 5.6 users
+    build with auxiliary tables (no generate_series there) and this
+    engine produces inline: explode(sequence(...)) materializes the
+    range lazily per-partition. The same generator underlies calendar
+    scaffolds (ts_gap_fill), tally expansions, and synthetic fixtures.
+    At scale: spark.range(N) is the partitioned form (a parallelized
+    range source with no data movement); the sequence() form here is the
+    per-row variant — both stay entirely map-side."""
+    nums = spark.range(1, 1001).select(F.col("id").alias("n"))
+    return nums.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.when(F.col("n") % 7 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("sevens"),
+        F.min(F.col("n") * F.col("n")).cast("bigint").alias("min_sq"),
+        F.max(F.col("n") * F.col("n")).cast("bigint").alias("max_sq"),
+    )

@@ -1171,3 +1171,47 @@ def stream_ears_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day_s", "n", "c2_score")
         .orderBy("event_type", "day_s")
     )
+
+
+@register(
+    "sink_stream_partitioned",
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           event_id, event_type, user_id
+    FROM events
+    """,
+    section=_SEC,
+)
+def sink_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream → date-partitioned lake layout: THE production landing
+    pattern (continuous ingest appending into day= partitions that batch
+    consumers prune). foreachBatch writes each micro-batch partitioned by
+    event day; partition dirs accumulate across batches (append mode) and
+    idempotence comes from the per-run target + batchId-deterministic
+    content. The read-back must equal the batch source — files moved
+    through 2 micro-batches into day partitions losslessly. At 100 TB/day
+    the day partition is what makes yesterday immutable, retention a
+    directory delete (dml_truncate_partition), and backfills
+    partition-scoped (sink_dynamic_overwrite)."""
+    sdf = _events_stream(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_id",
+        "event_type",
+        "user_id",
+    )
+    out = tempfile.mkdtemp(prefix="sdp_stream_parted_")
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").partitionBy("day").parquet(out)
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.select(
+        F.col("day").cast("string").alias("day"), "event_id", "event_type", "user_id"
+    )
