@@ -126,6 +126,7 @@ _SWEEP_PRIORITY = (
     "query_outbreak_ears", "join_fuzzy_blocked", "stream_ears_alerts",
     "llm_corpus_lineage", "catalog_cross_db", "sink_dynamic_overwrite",
     "sink_stream_partitioned", "fn_regex_advanced", "scan_numbers_table",
+    "scan_incremental_files",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",

@@ -1215,3 +1215,41 @@ def sink_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         F.col("day").cast("string").alias("day"), "event_id", "event_type", "user_id"
     )
+
+
+@register(
+    "scan_incremental_files",
+    oracle="""
+    WITH sliced AS (
+      SELECT event_id, user_id, event_type,
+             NTILE(4) OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id) AS slc
+      FROM events
+    )
+    SELECT event_id, user_id, event_type
+    FROM sliced WHERE slc >= 3
+    """,
+    section=_SEC,
+)
+def scan_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BATCH ingestion without streaming machinery: re-read a
+    landing directory picking up only files newer than the last
+    high-water mark (`modifiedAfter` — evaluated at FILE LISTING time,
+    zero IO for already-ingested files). The watermark-file pattern every
+    hourly batch loader runs when Structured Streaming is overkill; the
+    streaming twin over the same landing dir is `source_stream_files`
+    (checkpoint-tracked instead of mtime-tracked). The fixture's 4
+    chronological landing slices carry mtimes base+1..base+4; the cutoff
+    admits slices 3-4 — exactly the NTILE(4) ∈ {3,4} half of the stream,
+    which is what the oracle pins."""
+    import datetime
+
+    path = _events_landing_dir(spark, sf_dir)
+    # cutoff between slice 2 and 3 (mtimes are base+i, base = 1.6e9)
+    cutoff = datetime.datetime.fromtimestamp(
+        1_600_000_000 + 2, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%S")
+    return (
+        spark.read.option("modifiedAfter", cutoff)
+        .parquet(path)
+        .select("event_id", "user_id", "event_type")
+    )
