@@ -621,10 +621,10 @@ def query_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EARS_Z = 2.0  # alert threshold (EARS C2 commonly uses 2-3 sigma)
 
-
-@register(
-    "query_outbreak_ears",
-    oracle=f"""
+# Shared EARS C2 core (batch capstone + streaming twin build on this
+# SINGLE definition, SQL and Spark sides alike — the stream==batch
+# invariant is structural, not copy-paste):
+EARS_SCORED_SQL = f"""
     WITH daily AS (
       SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
              CAST(COUNT(*) AS BIGINT) AS n
@@ -639,10 +639,42 @@ _EARS_Z = 2.0  # alert threshold (EARS C2 commonly uses 2-3 sigma)
                    ROWS BETWEEN 9 PRECEDING AND 3 PRECEDING)
     )
     SELECT event_type, day_s, n,
-           {sql_dround('(n - mu) / sd', 4)} AS c2_score,
-           {sql_dround('(n - mu) / sd', 4)} > {_EARS_Z} AS alert
+           {sql_dround('(n - mu) / sd', 4)} AS c2_score
     FROM scored
     WHERE n_base = 7 AND sd > 0
+"""
+
+
+def ears_c2_scored(daily: DataFrame) -> DataFrame:
+    """EARS C2 scoring over a (event_type, day, n) daily-count frame:
+    7-day baseline lagged 2 days, rounded z-score, applicability filter
+    (complete baseline, nonzero variance). Shared by the batch capstone
+    and the streaming twin."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-9, -3)
+    nd = F.col("n").cast("double")
+    scored = daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "n",
+        F.avg(nd).over(w).alias("mu"),
+        F.stddev_samp(nd).over(w).alias("sd"),
+        F.count("*").over(w).alias("n_base"),
+    )
+    # ROUNDED score: the raw z differs in the last ulp across engines'
+    # stddev algorithms, and downstream alert bits must not flip on it
+    z = dround((F.col("n") - F.col("mu")) / F.col("sd"), 4)
+    return scored.filter((F.col("n_base") == 7) & (F.col("sd") > 0)).select(
+        "event_type", "day_s", "n", z.alias("c2_score")
+    )
+
+
+@register(
+    "query_outbreak_ears",
+    oracle=f"""
+    SELECT event_type, day_s, n, c2_score, c2_score > {_EARS_Z} AS alert
+    FROM ({EARS_SCORED_SQL}) t
     ORDER BY event_type, day_s
     """,
     section=_SEC,
@@ -669,33 +701,8 @@ def query_outbreak_ears(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-9, -3)
-    )
-    nd = F.col("n").cast("double")
-    scored = daily.select(
-        "event_type",
-        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
-        "n",
-        F.avg(nd).over(w).alias("mu"),
-        F.stddev_samp(nd).over(w).alias("sd"),
-        F.count("*").over(w).alias("n_base"),
-    )
-    z = (F.col("n") - F.col("mu")) / F.col("sd")
     return (
-        scored.filter((F.col("n_base") == 7) & (F.col("sd") > 0))
-        .select(
-            "event_type",
-            "day_s",
-            "n",
-            dround(z, 4).alias("c2_score"),
-            # compare the ROUNDED score: the raw z differs in the last ulp
-            # across engines' stddev algorithms, and the alert bit must not
-            (dround(z, 4) > _EARS_Z).alias("alert"),
-        )
+        ears_c2_scored(daily)
+        .withColumn("alert", F.col("c2_score") > _EARS_Z)
         .orderBy("event_type", "day_s")
     )

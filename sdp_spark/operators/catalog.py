@@ -314,9 +314,12 @@ def catalog_cross_db(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {_REFDB} LOCATION '{loc}'")
         _REFDB_READY.add(app)
     tag = _safe_tag(sf_dir)
-    cust, nat = f"{db}.customer_{tag}", f"{_REFDB}.nation_x_{tag}"
+    # customer_x_, not customer_: catalog_views owns customer_{tag} with a
+    # 2-column projection — reusing it here would UNRESOLVED_COLUMN when
+    # that key ran first in the session
+    cust, nat = f"{db}.customer_x_{tag}", f"{_REFDB}.nation_x_{tag}"
     if not spark.catalog.tableExists(cust):
-        _drop_table(spark, sf_dir, f"customer_{tag}")
+        _drop_table(spark, sf_dir, f"customer_x_{tag}")
         table(spark, sf_dir, "customer").write.saveAsTable(cust)
     if not spark.catalog.tableExists(nat):
         # clear an orphaned managed dir (fresh in-memory catalog, old disk)

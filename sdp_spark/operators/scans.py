@@ -1262,12 +1262,11 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_numbers_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numbers-table generation — the scaffold idiom MySQL 5.6 users
     build with auxiliary tables (no generate_series there) and this
-    engine produces inline: explode(sequence(...)) materializes the
-    range lazily per-partition. The same generator underlies calendar
-    scaffolds (ts_gap_fill), tally expansions, and synthetic fixtures.
-    At scale: spark.range(N) is the partitioned form (a parallelized
-    range source with no data movement); the sequence() form here is the
-    per-row variant — both stay entirely map-side."""
+    engine produces inline via spark.range(N) — a partitioned range
+    source with no data movement (each partition generates its own
+    slice). The same generator family underlies calendar scaffolds
+    (ts_gap_fill uses the per-row sequence()/explode variant) and tally
+    expansions; both forms stay entirely map-side."""
     nums = spark.range(1, 1001).select(F.col("id").alias("n"))
     return nums.agg(
         F.count("*").alias("n_rows"),

@@ -1106,27 +1106,16 @@ def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete", "approxdistinct")
 
 
+from sdp_spark.operators.analytics import _EARS_Z as _EARS_Z_SHARED  # noqa: E402
+from sdp_spark.operators.analytics import EARS_SCORED_SQL  # noqa: E402
+
+
 @register(
     "stream_ears_alerts",
-    oracle="""
-    WITH daily AS (
-      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2
-    ), scored AS (
-      SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, n,
-             AVG(CAST(n AS DOUBLE)) OVER w AS mu,
-             stddev_samp(CAST(n AS DOUBLE)) OVER w AS sd,
-             COUNT(*) OVER w AS n_base
-      FROM daily
-      WINDOW w AS (PARTITION BY event_type ORDER BY day
-                   ROWS BETWEEN 9 PRECEDING AND 3 PRECEDING)
-    )
-    SELECT event_type, day_s, n,
-           FLOOR((n - mu) / sd * 10000 + 0.5) / 10000 AS c2_score
-    FROM scored
-    WHERE n_base = 7 AND sd > 0
-      AND FLOOR((n - mu) / sd * 10000 + 0.5) / 10000 > 2.0
+    oracle=f"""
+    SELECT event_type, day_s, n, c2_score
+    FROM ({EARS_SCORED_SQL}) t
+    WHERE c2_score > {_EARS_Z_SHARED}
     ORDER BY event_type, day_s
     """,
     section=_SEC,
@@ -1136,16 +1125,16 @@ def stream_ears_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     `query_outbreak_ears` and the composite the reference platform's
     mission statement describes (continuous surveillance ingest →
     aberration alerts): the STREAM maintains per-(type, day) counts
-    (incremental, bounded per-day state), and the EARS C2 baseline frame
-    runs batch-side over the materialized daily table after each trigger
-    — the same two-stage split as `stream_topk_windowed`, because window
-    frames aren't incremental. Emits only firing alerts (rounded z >
-    2σ). At 100 TB/day the streaming half shuffles grouped day-states,
-    never events, and the scoring half runs over |types × days| rows —
+    (incremental, bounded per-day state), and the EARS C2 scoring —
+    the SAME `ears_c2_scored` core the batch capstone calls, so the
+    stream==batch invariant is structural — runs batch-side over the
+    materialized daily table after each trigger (window frames aren't
+    incremental; same two-stage split as `stream_topk_windowed`).
+    Emits only firing alerts (rounded z > the shared _EARS_Z). At
+    100 TB/day the streaming half shuffles grouped day-states, never
+    events, and the scoring half runs over |types × days| rows —
     metadata scale. The oracle pins stream==batch end-to-end."""
-    from pyspark.sql import Window
-
-    from sdp_spark.functions.num import dround
+    from sdp_spark.operators.analytics import _EARS_Z, ears_c2_scored
 
     sdf = _events_stream(spark, sf_dir)
     daily = (
@@ -1153,22 +1142,9 @@ def stream_ears_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     snap = _run_to_memory(daily, "complete", "earsdaily")
-    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-9, -3)
-    nd = F.col("n").cast("double")
-    scored = snap.select(
-        "event_type",
-        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
-        "n",
-        F.avg(nd).over(w).alias("mu"),
-        F.stddev_samp(nd).over(w).alias("sd"),
-        F.count("*").over(w).alias("n_base"),
-    )
-    z = dround((F.col("n") - F.col("mu")) / F.col("sd"), 4)
     return (
-        scored.filter((F.col("n_base") == 7) & (F.col("sd") > 0))
-        .withColumn("c2_score", z)
-        .filter(F.col("c2_score") > 2.0)
-        .select("event_type", "day_s", "n", "c2_score")
+        ears_c2_scored(snap)
+        .filter(F.col("c2_score") > _EARS_Z)
         .orderBy("event_type", "day_s")
     )
 
@@ -1243,6 +1219,12 @@ def scan_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what the oracle pins."""
     import datetime
 
+    # pin session tz=UTC: with a WARM landing dir this operator performs no
+    # table() call, and the naive modifiedAfter cutoff below parses in the
+    # session zone — unpinned non-UTC hosts would admit the wrong file set
+    from sdp_spark.sources.fixtures import _pin_session_confs
+
+    _pin_session_confs(spark)
     path = _events_landing_dir(spark, sf_dir)
     # cutoff between slice 2 and 3 (mtimes are base+i, base = 1.6e9)
     cutoff = datetime.datetime.fromtimestamp(

@@ -362,18 +362,56 @@ def test_cdc_chunks_minimal_docs(spark):
 
 
 def test_dynamic_overwrite_touches_only_restated_partition(spark, sf_dir):
-    """The restatement must leave the other 11 monthly partitions'
-    FILES untouched (same paths) — proof the overwrite was partition-
-    scoped, not table-truncating."""
+    """Dynamic-mode proof, independently staged so the before-state is
+    observable: write a 3-partition table, snapshot every partition's
+    file listing + mtimes, dynamically overwrite ONE partition, then
+    assert (a) the other partitions' files are bit-identical (same
+    paths, same mtimes — static mode would truncate them) and (b) the
+    restated partition's values actually changed."""
+    import glob
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sdp_dynover_test_")
+    base = spark.createDataFrame(
+        [(i, float(i), f"p{i % 3}") for i in range(30)],
+        "id LONG, v DOUBLE, part STRING",
+    )
+    base.write.mode("overwrite").partitionBy("part").parquet(out)
+
+    def snap(p):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(out, f"part={p}", "*.parquet"))
+        }
+
+    before = {p: snap(p) for p in ("p0", "p1", "p2")}
+    restated = base.filter(F.col("part") == "p1").withColumn(
+        "v", F.col("v") * 10
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(out)
+    )
+    assert snap("p0") == before["p0"], "p0 files rewritten — not partition-scoped"
+    assert snap("p2") == before["p2"], "p2 files rewritten — not partition-scoped"
+    assert snap("p1") != before["p1"], "restated partition unchanged"
+    got = {
+        r["id"]: r["v"]
+        for r in spark.read.parquet(out).filter(F.col("part") == "p1").collect()
+    }
+    assert got and all(v == k * 10.0 for k, v in got.items()), "values not restated"
+    # and the registered operator's 12-month output reconciles
     from sdp_spark.operators.scans import _RESTATE_MONTH
 
     df = REGISTRY["sink_dynamic_overwrite"].fn(spark, sf_dir)
     months = {r["m"] for r in df.select("m").distinct().collect()}
     assert len(months) == 12 and _RESTATE_MONTH in months
-    # restated month is exactly 0.9x of the source (re-derive from orders)
-    src = table(spark, sf_dir, "orders").filter(
-        F.date_format("o_orderdate", "yyyy-MM") == _RESTATE_MONTH
+    n_src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.date_format("o_orderdate", "yyyy-MM") == _RESTATE_MONTH)
+        .count()
     )
-    n_src = src.count()
-    n_restated = df.filter(F.col("m") == _RESTATE_MONTH).count()
-    assert n_restated == n_src
+    assert df.filter(F.col("m") == _RESTATE_MONTH).count() == n_src
