@@ -356,3 +356,45 @@ def dialect_user_var_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     full table. The rank column comes back BIGINT on both engines."""
     df = sql_mysql(spark, sf_dir, _USER_VAR_QUERY)
     return df.withColumn("balance_rank", F.col("balance_rank").cast("bigint"))
+
+
+@register(
+    "dialect_prepared_stmt",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    section="3.2 sql dialect",
+)
+def dialect_prepared_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL — the engine-side analogue of MySQL's PREPARE /
+    EXECUTE (the 5.6 client surface every ORM speaks): named parameters
+    bind server-side (`:cutoff`, `:min_price`), so query text stays
+    constant across executions (plan cache friendly) and values are never
+    string-spliced (the injection class prepared statements exist to
+    kill). Spark binds via spark.sql(query, args={...}) — literals enter
+    the plan as typed foldable expressions, giving Catalyst the same
+    constant-folding/pushdown it gets from inline literals."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"cutoff": "1997-01-01", "min_price": 150000.0},
+    )

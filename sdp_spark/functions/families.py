@@ -948,3 +948,35 @@ def fn_regex_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").rlike(r"^NATION_(1\d|2[0-4])$").alias("teens_or_twenties"),
         F.regexp_replace(F.lit("a1b22c333"), r"(\d+)", r"<$1>").alias("wrapped"),
     )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract(props, '$.k') AS VARCHAR) IS NOT NULL AS has_k,
+           CAST(CAST(json_extract(props, '$.k') AS INTEGER) * 2 AS BIGINT)
+             AS k_doubled
+    FROM events WHERE event_id % 11 = 0
+    """,
+    section=_SEC,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT — the modern semi-structured type (Spark 4, same model as
+    the 2024 open Variant spec): parse_json() builds a binary-encoded
+    variant ONCE and typed paths extract without re-parsing text — at
+    100 TB the difference between one parse per row and one parse per
+    get_json_object CALL (events.props consumers here: fn_json runs
+    string-path extraction; this is its typed successor). variant_get
+    returns typed values directly; the oracle mirrors with DuckDB JSON
+    extraction. Engine-private binary encoding stays out of the output —
+    only extracted typed values are hashed."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return e.select(
+        "event_id",
+        k.alias("k_int"),
+        k.isNotNull().alias("has_k"),
+        (k * 2).cast("bigint").alias("k_doubled"),
+    )

@@ -340,3 +340,55 @@ def catalog_cross_db(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name
         """
     )
+
+
+@register(
+    "catalog_sql_udf",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS band,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) / 100 * 1.07 AS DOUBLE)
+             AS with_tax
+    FROM orders WHERE o_orderkey % 17 = 0
+    """,
+    section=_SEC,
+)
+def catalog_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (CREATE FUNCTION ... RETURN expr, Spark 4) —
+    the ANALYTIC answer to MySQL's stored functions (README non-goal #2:
+    procedural stored routines stay out of scope, but the common 5.6
+    usage — a named scalar expression shared across queries — maps onto
+    SQL UDFs directly). The body INLINES into the calling plan at
+    resolution time: price_band()/with_tax() below cost exactly what
+    their CASE/arithmetic would written inline — full codegen, full
+    pushdown, no function-call boundary at execution. That inlining is
+    what makes them safe at 100 TB where a row-at-a-time stored function
+    would serialize."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(x DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN x < 50000 THEN 'small'
+                    WHEN x < 200000 THEN 'medium'
+                    ELSE 'large' END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION with_tax(x DOUBLE)
+        RETURNS DOUBLE
+        RETURN FLOOR(x * 100 + 0.5) / 100 * 1.07
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, price_band(o_totalprice) AS band,
+               with_tax(o_totalprice) AS with_tax
+        FROM orders WHERE o_orderkey % 17 = 0
+        """
+    )

@@ -186,3 +186,89 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+
+
+@register(
+    "udtf_python_native",
+    oracle="""
+    SELECT d.doc_id, d.ws[t.i] AS word, CAST(t.i - 1 AS INT) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents WHERE doc_id % 50 = 0) d,
+         UNNEST(generate_series(1, len(d.ws))) AS t(i)
+    """,
+    section=_SEC,
+)
+def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE Python UDTF (Spark 3.5+ @udtf API) — the real user-defined
+    TABLE function, not the explode() emulation (`udtf_explode`): the
+    class's eval() yields any number of rows per input, called via SQL
+    LATERAL correlation. This is the extension point for row-expanding
+    logic no builtin covers (parsers, segmenters, API-response
+    flatteners). Arrow-batched like pandas UDFs; per-partition
+    instantiation means init cost amortizes across the partition's rows
+    at 100 TB. The class is defined NESTED so it pickles by value
+    (module-level classes pickle by reference and break under the
+    driver's non-repo cwd)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield (w, i)
+
+    spark.udtf.register("sdp_split_words", SplitWords)
+    d = table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.pos
+        FROM _udtf_docs d, LATERAL sdp_split_words(d.text) t
+        """
+    )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           FLOOR(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))) * 1000000 + 0.5)
+             / 1000000 AS l2_norm
+    FROM embeddings
+    """,
+    section=_SEC,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy batch extension point (Spark 3.3+):
+    the function receives raw pyarrow RecordBatches (no pandas
+    conversion), the right tier for byte-level / columnar-native work
+    where even pandas' materialization overhead matters. Computes L2
+    norms over the embedding column; the per-row accumulation runs
+    SEQUENTIALLY in float64, matching the oracle's list_sum fold order
+    exactly (numpy's pairwise summation would drift in the last ulp) —
+    then snaps to the 1e-6 grid. Batches stream through Python once;
+    nothing but (vec_id, norm) returns to the JVM."""
+    import math
+
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            norms = []
+            for row in emb.to_pylist():
+                acc = 0.0
+                for x in row:
+                    acc += float(x) * float(x)
+                norms.append(math.floor(math.sqrt(acc) * 1e6 + 0.5) / 1e6)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(norms, type=pa.float64())],
+                names=["vec_id", "l2_norm"],
+            )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(batches, "vec_id long, l2_norm double")

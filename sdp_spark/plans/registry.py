@@ -126,7 +126,8 @@ _SWEEP_PRIORITY = (
     "query_outbreak_ears", "join_fuzzy_blocked", "stream_ears_alerts",
     "llm_corpus_lineage", "catalog_cross_db", "sink_dynamic_overwrite",
     "sink_stream_partitioned", "fn_regex_advanced", "scan_numbers_table",
-    "scan_incremental_files",
+    "scan_incremental_files", "dialect_prepared_stmt", "udtf_python_native",
+    "udf_map_in_arrow", "fn_variant_json", "catalog_sql_udf",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",
