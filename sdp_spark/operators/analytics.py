@@ -706,3 +706,51 @@ def query_outbreak_ears(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("alert", F.col("c2_score") > _EARS_Z)
         .orderBy("event_type", "day_s")
     )
+
+
+@register(
+    "query_small_qty_orders",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+    section=_SEC,
+)
+def query_small_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
+    brand's parts whose quantity is below 20% of THAT PART's average — a
+    correlated scalar aggregate in the WHERE clause, the decorrelation
+    stress test: Catalyst rewrites the per-part AVG into one aggregate
+    over lineitem grouped by partkey + a join (two scans + hash joins,
+    never per-row re-execution — MySQL 5.6 runs the subquery per outer
+    row). The per-part average is an exact-decimal-sum / count quotient
+    on BOTH engines — a bare AVG(double) differs in the last ulp across
+    aggregation orders and rows sitting on the 0.2×avg boundary would
+    flip membership between engines."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))) / 7.0, 2)
+                    AS DOUBLE) AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (
+            SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+                          / COUNT(*))
+            FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
