@@ -420,6 +420,8 @@ _CAPSTONE_EXCHANGE_BUDGET = {
     "query_disjunctive_parts": 1,
     "query_dormant_customers": 2,
     "query_forecast_revenue": 1,
+    "query_small_qty_orders": 1,
+    "query_outbreak_ears": 3,
 }
 
 
