@@ -711,8 +711,8 @@ def query_outbreak_ears(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "query_small_qty_orders",
     oracle="""
-    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))) / 7.0, 2)
-                AS DOUBLE) AS avg_yearly,
+    SELECT FLOOR(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+                 / 7.0 * 100 + 0.5) / 100 AS avg_yearly,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -735,14 +735,17 @@ def query_small_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     row). The per-part average is an exact-decimal-sum / count quotient
     on BOTH engines — a bare AVG(double) differs in the last ulp across
     aggregation orders and rows sitting on the 0.2×avg boundary would
-    flip membership between engines."""
+    flip membership between engines. The outer avg_yearly division also
+    casts the decimal sum to DOUBLE first: Spark divides DECIMAL/7.0
+    exactly then HALF_UP-rounds while DuckDB promotes to double and
+    binary-rounds — the one-cent divergence class num.py exists for."""
     from sdp_spark.sources.fixtures import load_tables
 
     load_tables(spark, sf_dir)
     return spark.sql(
         """
-        SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))) / 7.0, 2)
-                    AS DOUBLE) AS avg_yearly,
+        SELECT FLOOR(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+                     / 7.0 * 100 + 0.5) / 100 AS avg_yearly,
                COUNT(*) AS n_lines
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey

@@ -211,7 +211,7 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's non-repo cwd)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="word: string, pos: int")
+    @udtf(returnType="word: string, pos: int", useArrow=True)
     class SplitWords:
         def eval(self, text: str):
             for i, w in enumerate(text.split(" ")):
