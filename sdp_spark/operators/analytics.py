@@ -757,3 +757,348 @@ def query_small_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch: the remaining classic decision-support shapes. partsupp,
+# l_shipmode and l_commitdate/l_receiptdate do not exist in the fixture
+# star schema (TESTDATA.md), so Q9/Q12/Q16/Q21 keep their canonical plan
+# shape (the thing being certified) with the missing column substituted by
+# a documented stand-in — the same adaptation query_late_orders (Q4) uses.
+# ---------------------------------------------------------------------------
+
+_Q8_CASE = (
+    "CASE WHEN n2.n_name = 'NATION_7' "
+    "THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8)) "
+    "ELSE CAST(0 AS DECIMAL(30,8)) END"
+)
+
+
+@register(
+    "query_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_dround(
+               f"CAST(SUM({_Q8_CASE}) AS DOUBLE) / "
+               "CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)"
+               " AS DECIMAL(30,8))) AS DOUBLE)",
+               6,
+           )} AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'EUROPE'
+      AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    section=_SEC,
+)
+def query_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_7's share of ECONOMY
+    part revenue sold into EUROPE-region customers, by order year — the
+    8-table star with the SAME dimension joined twice (customer's nation
+    gates the market, supplier's nation is the share numerator) and a
+    conditional-ratio aggregate.
+
+    Plan: every dimension (part after its type filter, supplier, both
+    nation aliases, region) broadcasts; the fact shuffles once on orderkey
+    and once on custkey. The share is a quotient of two EXACT decimal CASE
+    sums cast to double, then deterministically rounded — identical inputs
+    on both engines, so the ratio cannot diverge in the last ulp (the Q14
+    promo_share discipline). Output is ≤2 rows; the final agg is bytes."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    num = F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(zero)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            dround(
+                F.sum(num).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "query_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum(
+               'l.l_extendedprice * (1 - l.l_discount)'
+               ' - 0.6 * p.p_retailprice * l.l_quantity'
+           )} AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    section=_SEC,
+)
+def query_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per supplier-nation, per
+    order-year profit on parts whose name contains a color token. The
+    fixture has no partsupp.ps_supplycost, so cost is the documented
+    stand-in 0.6 x p_retailprice x l_quantity — per-row arithmetic over
+    columns both engines read identically, so the decimal-sum discipline
+    still certifies the plan exactly.
+
+    Plan: the LIKE filter prunes part to ~1/4 then broadcasts; supplier
+    and nation broadcast; the fact shuffles once on orderkey (no customer
+    side at all — Q9 has no date predicate, it scans ALL years, which is
+    what makes it a scan-bandwidth capstone at 100 TB). 25x6 output
+    groups; final agg is metadata-scale."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@register(
+    "query_shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY ship_class
+    ORDER BY ship_class
+    """,
+    section=_SEC,
+)
+def query_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): for lines
+    shipped late (>45 days after order — the fixture's stand-in for
+    l_receiptdate > l_commitdate) in one year, count critical- vs
+    non-critical-priority orders per line status (stand-in for the absent
+    l_shipmode). The signature Q12 feature survives intact: the pivot is
+    two conditional COUNTs in ONE pass — not two queries, not a join.
+
+    Plan: the shipdate year-window pushes to the fact scan; the late
+    predicate is a join residual (it references both sides); one orderkey
+    shuffle; 2-group final agg. Conditional sums partial-aggregate
+    map-side, so the exchange carries 2 rows per task."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")),
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~crit, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "query_parts_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#03'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 50
+    """,
+    section=_SEC,
+)
+def query_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers ship each (brand, type, size) bucket, excluding a blocklist
+    of suppliers (negative balance — the fixture's stand-in for the
+    '%Customer%Complaints%' list) via NOT IN. Supplier-part pairs come
+    from lineitem (the fixture has no partsupp); the certified shape —
+    dimension predicates + NOT IN anti-join + COUNT(DISTINCT) under
+    GROUP BY + deterministic top-k — is Q16's.
+
+    Plan: part's three predicates prune before a broadcast hash join; the
+    blocklist subquery (6 rows) lowers to a BROADCAST null-aware anti
+    join, not a shuffle; COUNT(DISTINCT suppkey) runs as the two-phase
+    partial-distinct expand Spark plans for it; TakeOrderedAndProject
+    caps the result without a global sort. s_suppkey is non-null by
+    schema, so NOT IN's three-valued-logic trap (any NULL in the list
+    empties the result) cannot fire — the null-aware plan is still the
+    one being certified."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#03")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    blocked = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(blocked),
+            l.l_suppkey == blocked.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "query_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    section=_SEC,
+)
+def query_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers in
+    one region who were the SOLE late supplier on a finished
+    multi-supplier order. Late = shipped >60 days after order date (the
+    query_late_orders stand-in for the absent l_receiptdate >
+    l_commitdate). This is the decorrelation torture test: the same fact
+    table appears THREE times — once as the probe, once under EXISTS
+    (some other supplier on the order), once under NOT EXISTS (no other
+    LATE supplier) — and both correlated predicates also reference the
+    outer ORDERS row (o_orderdate).
+
+    Plan (expressed in SQL so Catalyst's subquery decorrelation is what's
+    certified): EXISTS lowers to a left-semi and NOT EXISTS to a
+    left-anti hash join, both keyed on l_orderkey with the
+    suppkey-inequality and lateness conditions as join residuals — never
+    a per-row re-execution (MySQL 5.6's DEPENDENT SUBQUERY) and never a
+    cartesian. All three lineitem scans shuffle on the SAME key
+    (orderkey), so AQE can pipeline them; supplier/nation/region
+    broadcast; TakeOrderedAndProject caps at 20."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE r.r_name = 'EUROPE'
+          AND o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+        """
+    )

@@ -128,7 +128,9 @@ _SWEEP_PRIORITY = (
     "sink_stream_partitioned", "fn_regex_advanced", "scan_numbers_table",
     "scan_incremental_files", "dialect_prepared_stmt", "udtf_python_native",
     "udf_map_in_arrow", "fn_variant_json", "catalog_sql_udf",
-    "query_small_qty_orders",
+    "query_small_qty_orders", "query_market_share", "query_product_profit",
+    "query_shipmode_priority", "query_parts_supplier_cnt",
+    "query_waiting_suppliers",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",

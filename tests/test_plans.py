@@ -422,7 +422,24 @@ _CAPSTONE_EXCHANGE_BUDGET = {
     "query_forecast_revenue": 1,
     "query_small_qty_orders": 1,
     "query_outbreak_ears": 3,
+    "query_market_share": 2,
+    "query_product_profit": 2,
+    "query_shipmode_priority": 2,
+    "query_parts_supplier_cnt": 2,
+    "query_waiting_suppliers": 2,
 }
+
+
+def test_q21_decorrelates_to_semi_and_anti(spark, sf_dir):
+    """query_waiting_suppliers: both correlated subqueries (EXISTS / NOT
+    EXISTS over lineitem with outer references to l1 AND o) must lower to
+    left-semi / left-anti hash joins on orderkey — never a per-row
+    re-execution and never a cartesian."""
+    plan = _plan(spark, REGISTRY["query_waiting_suppliers"].fn(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 @pytest.mark.parametrize("key,budget", sorted(_CAPSTONE_EXCHANGE_BUDGET.items()))
