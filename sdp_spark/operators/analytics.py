@@ -1102,3 +1102,216 @@ def query_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@register(
+    "query_min_cost_supplier",
+    oracle="""
+    WITH offer AS (
+      SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+             MIN(l.l_extendedprice / l.l_quantity) AS unit_price
+      FROM lineitem l
+      GROUP BY 1, 2
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           FLOOR(f.unit_price * 100 + 0.5) / 100 AS best_price
+    FROM part p
+    JOIN offer f    ON f.partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = f.suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15
+      AND r.r_name = 'ASIA'
+      AND f.unit_price = (
+        SELECT MIN(f2.unit_price)
+        FROM offer f2
+        JOIN supplier s2 ON s2.s_suppkey = f2.suppkey
+        JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+        WHERE f2.partkey = p.p_partkey AND r2.r_name = 'ASIA'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    section=_SEC,
+)
+def query_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum cost supplier): for every size-15 part,
+    the ASIA-region supplier whose unit price is the region-wide minimum
+    for that part — the correlated scalar MIN subquery whose inner query
+    is itself a multi-table join. The fixture has no partsupp, so the
+    offer book is derived: unit price = MIN(l_extendedprice / l_quantity)
+    per (part, supplier) from lineitem — a per-row IEEE quotient over
+    columns both engines read identically, so the MIN and the equality
+    comparison against it are bit-deterministic cross-engine (only the
+    DISPLAYED price is rounded).
+
+    Plan (SQL so Catalyst's rewrite is what's certified): the correlated
+    = MIN(...) decorrelates into a per-partkey aggregate of the SAME
+    offer relation joined back on (partkey, unit_price) — two scans of a
+    CTE, no per-row re-execution. The offer aggregation shuffles lineitem
+    once on (partkey, suppkey); supplier/nation/region broadcast under
+    AQE; TakeOrderedAndProject caps at 100."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH offer AS (
+          SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+                 MIN(l.l_extendedprice / l.l_quantity) AS unit_price
+          FROM lineitem l
+          GROUP BY 1, 2
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+               FLOOR(f.unit_price * 100 + 0.5) / 100 AS best_price
+        FROM part p
+        JOIN offer f    ON f.partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = f.suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_size = 15
+          AND r.r_name = 'ASIA'
+          AND f.unit_price = (
+            SELECT MIN(f2.unit_price)
+            FROM offer f2
+            JOIN supplier s2 ON s2.s_suppkey = f2.suppkey
+            JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+            JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+            WHERE f2.partkey = p.p_partkey AND r2.r_name = 'ASIA'
+          )
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+        """
+    )
+
+
+@register(
+    "query_important_stock",
+    oracle="""
+    SELECT l.l_partkey AS partkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))), 2)
+                AS DOUBLE) AS part_value
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY partkey
+    HAVING SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))) > (
+      SELECT 0.001 * SUM(CAST(l2.l_extendedprice AS DECIMAL(30,8)))
+      FROM lineitem l2
+      JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+      WHERE n2.n_name = 'NATION_3'
+    )
+    ORDER BY part_value DESC, partkey
+    """,
+    section=_SEC,
+)
+def query_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    inventory value from NATION_3's suppliers exceeds a fraction of the
+    nation's TOTAL inventory value — a grouped HAVING whose threshold is
+    an uncorrelated scalar subquery over the same join. Value is
+    SUM(l_extendedprice) per part from lineitem (no partsupp in the
+    fixture); both the per-part value and the grand total aggregate in
+    exact DECIMAL, so the > threshold comparison happens on identical
+    exact quantities in both engines — a boundary part cannot flip.
+
+    Plan: the scalar subquery runs once (two-row broadcast result
+    reused as a literal); Catalyst does NOT rescan for it per group. The
+    main branch shuffles the nation-filtered fact once on partkey;
+    supplier and nation broadcast. The HAVING evaluates post-aggregation
+    against the broadcast scalar. At 100 TB both branches share the same
+    nation-pruned scan shape — an optimizer could CSE them; expressing
+    them separately keeps each side's partial-agg pipeline intact."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    base = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_extendedprice"))
+    )
+    exact = F.sum(F.col("l_extendedprice").cast(DEC))
+    per_part = base.groupBy("partkey").agg(
+        exact.alias("value_exact"),
+        F.round(exact, 2).cast("double").alias("part_value"),
+    )
+    total = base.agg((F.lit(0.001) * exact).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_exact") > F.col("threshold"))
+        .select("partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@register(
+    "query_dominant_suppliers",
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l.l_partkey, l.l_suppkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(30,8))) > 0.3 * (
+        SELECT SUM(CAST(l2.l_quantity AS DECIMAL(30,8)))
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+          AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l2.l_shipdate <  TIMESTAMP '1998-01-01'
+      )
+    )
+    ORDER BY s.s_name
+    """,
+    section=_SEC,
+)
+def query_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who shipped
+    more than 30% of a 'small%' part's total 1997 volume — an IN
+    subquery whose HAVING clause contains a correlated scalar aggregate
+    over the same fact (the stand-in for ps_availqty > 0.5 x shipped,
+    partsupp being absent). Both quantity sums aggregate in exact
+    DECIMAL; 0.3 x total is exact-decimal-times-literal on both engines,
+    so the dominance boundary cannot flip cross-engine.
+
+    Plan: the correlated per-part total decorrelates into a partkey
+    aggregate joined back on partkey — the (part, supplier) and (part)
+    aggregations share one shuffle key, so AQE plans them off the same
+    exchange; the IN lowers to a left-semi hash join against the ~100-row
+    supplier dim. Nation broadcasts. No per-row subquery execution
+    anywhere — MySQL 5.6 runs this as DEPENDENT SUBQUERY per outer row."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_name LIKE 'small%'
+            AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l.l_partkey, l.l_suppkey
+          HAVING SUM(CAST(l.l_quantity AS DECIMAL(30,8))) > 0.3 * (
+            SELECT SUM(CAST(l2.l_quantity AS DECIMAL(30,8)))
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l2.l_shipdate <  TIMESTAMP '1998-01-01'
+          )
+        )
+        ORDER BY s.s_name
+        """
+    )

@@ -130,7 +130,8 @@ _SWEEP_PRIORITY = (
     "udf_map_in_arrow", "fn_variant_json", "catalog_sql_udf",
     "query_small_qty_orders", "query_market_share", "query_product_profit",
     "query_shipmode_priority", "query_parts_supplier_cnt",
-    "query_waiting_suppliers",
+    "query_waiting_suppliers", "query_min_cost_supplier",
+    "query_important_stock", "query_dominant_suppliers",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",

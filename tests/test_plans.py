@@ -427,6 +427,11 @@ _CAPSTONE_EXCHANGE_BUDGET = {
     "query_shipmode_priority": 2,
     "query_parts_supplier_cnt": 2,
     "query_waiting_suppliers": 2,
+    # Q2/Q20 scan the offer/fact CTE twice by decorrelation design — the
+    # per-group aggregate and its correlated threshold share a shuffle key.
+    "query_min_cost_supplier": 5,
+    "query_important_stock": 2,
+    "query_dominant_suppliers": 5,
 }
 
 
