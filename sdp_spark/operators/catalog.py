@@ -392,3 +392,66 @@ def catalog_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey % 17 = 0
         """
     )
+
+
+@register(
+    "catalog_sql_script",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS c FROM orders),
+    cand AS (
+      SELECT g, CAST(1000 * POWER(2, g) AS BIGINT) AS t
+      FROM generate_series(1, 20) gs(g)
+    ),
+    cnts AS (
+      SELECT g, t,
+             (SELECT COUNT(*) FROM orders WHERE o_totalprice < t) AS n
+      FROM cand
+    )
+    SELECT t AS threshold, n AS n_below, CAST(g AS INT) AS iters,
+           CASE WHEN t > 100000 THEN 'high' ELSE 'low' END AS band
+    FROM cnts, tot
+    WHERE n * 2 >= c
+    ORDER BY g LIMIT 1
+    """,
+    section=_SEC,
+)
+def catalog_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (BEGIN/DECLARE/WHILE/IF, Spark 4) — the procedural
+    multi-statement surface MySQL 5.6 exposes as stored procedures
+    (README non-goal #2 covers persistent routines; THIS is the analytic
+    engine's answer for the control-flow part: the script runs on the
+    driver as a sequence of Catalyst-compiled statements, each statement
+    a full distributed query). The script below is the classic
+    procedural job SQL alone can't express without materializing every
+    candidate: geometric search for the smallest doubling price
+    threshold capturing half of all orders — each WHILE iteration issues
+    one scan-count, state lives in declared variables, and an IF bands
+    the result. ~9 iterations at any sf (the threshold chases the median,
+    which doesn't move with row count). The DuckDB oracle replays the
+    same search declaratively over a generated power series — same
+    result, different paradigm, which is exactly the parity claim."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t BIGINT DEFAULT 1000;
+          DECLARE iters INT DEFAULT 0;
+          DECLARE total BIGINT;
+          DECLARE cnt BIGINT DEFAULT 0;
+          DECLARE band STRING DEFAULT 'low';
+          SET total = (SELECT COUNT(*) FROM orders);
+          WHILE cnt * 2 < total DO
+            SET t = t * 2;
+            SET iters = iters + 1;
+            SET cnt = (SELECT COUNT(*) FROM orders WHERE o_totalprice < t);
+          END WHILE;
+          IF t > 100000 THEN
+            SET band = 'high';
+          END IF;
+          SELECT t AS threshold, cnt AS n_below, iters, band;
+        END
+        """
+    )

@@ -1277,3 +1277,121 @@ def scan_numbers_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("n") * F.col("n")).cast("bigint").alias("min_sq"),
         F.max(F.col("n") * F.col("n")).cast("bigint").alias("max_sq"),
     )
+
+
+@register(
+    "scan_xml",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size
+    FROM part WHERE p_size <= 10
+    """,
+    section=_SEC,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest via Spark 4's built-in XML source (no external package)
+    — the LOAD XML INFILE analogue of the reference's MySQL surface. The
+    fixture's part table is staged once per sf as row-tagged XML (Spark's
+    own XML writer, _SUCCESS-guarded like every converted-copy cache),
+    then read back with an EXPLICIT schema: at 100 TB schema inference
+    would be a second full pass over the corpus, and XML files split by
+    row tag, so the read parallelizes like CSV. Filter and projection
+    still prune parsing work per record (non-projected elements are
+    skipped by the pull parser)."""
+    key = (sf_dir, "part.xml")
+    if key not in _CONVERTED:
+        out = cache_dir(sf_dir, "part_xml")
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            (
+                table(spark, sf_dir, "part")
+                .select("p_partkey", "p_name", "p_brand", "p_size")
+                .write.mode("overwrite")
+                .format("xml")
+                .option("rowTag", "part")
+                .save(out)
+            )
+        _CONVERTED[key] = out
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "part")
+        .schema(schema)
+        .load(_CONVERTED[key])
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+    )
+
+
+@register(
+    "scan_python_datasource",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    section=_SEC,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python DataSource API (Spark 4) — the
+    extension point a user of the reference's engine would use where
+    MySQL offers a storage-engine/FEDERATED plugin. The source splits by
+    parquet ROW GROUP: partitions() lists row groups driver-side (file
+    metadata only), each read() opens ONLY its group via pyarrow — so a
+    100 TB directory fans out to thousands of independent tasks with no
+    driver data movement, exactly how the built-in reader parallelizes.
+
+    Everything is defined nested so cloudpickle ships the classes by
+    value (the driver's cwd is not the repo; by-reference pickling would
+    fail to import on workers)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    path = os.path.join(sf_dir, "supplier.parquet")
+
+    class RowGroupPartition(InputPartition):
+        def __init__(self, path: str, index: int):
+            self.path = path
+            self.index = index
+
+    class SupplierReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def partitions(self):
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(self.path).num_row_groups
+            return [RowGroupPartition(self.path, i) for i in range(n)]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            tbl = pq.ParquetFile(partition.path).read_row_group(
+                partition.index,
+                columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+            )
+            for batch in tbl.to_batches():
+                yield from zip(
+                    batch.column(0).to_pylist(),
+                    batch.column(1).to_pylist(),
+                    batch.column(2).to_pylist(),
+                    batch.column(3).to_pylist(),
+                )
+
+    class SupplierDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "sdp_rowgroups"
+
+        def schema(self):
+            return (
+                "s_suppkey bigint, s_name string, s_nationkey int,"
+                " s_acctbal double"
+            )
+
+        def reader(self, schema):
+            return SupplierReader(self.options)
+
+    spark.dataSource.register(SupplierDataSource)
+    return spark.read.format("sdp_rowgroups").option("path", path).load()
