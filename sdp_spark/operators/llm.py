@@ -1316,36 +1316,74 @@ def _km_assign(emb: DataFrame, cents: list, probe2: bool = False) -> DataFrame:
     return out.select(*cols)
 
 
+_KM_FIT_SAMPLE = 100_000  # max vectors the driver-side fit will pull
+
+
 def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int | None = None) -> list:
     """Run Lloyd's to _KM_ITERS and return the K x dim centroid list
     (deterministic: seeded from the K lowest vec_ids, lowest-index
     tie-breaks). K defaults to _KM_K; any K works — assignment picks the
-    literal-codegen or broadcast-Arrow strategy per _km_assign. See
-    llm_cluster_kmeans for the distributed-shape notes."""
+    literal-codegen or broadcast-Arrow strategy per _km_assign.
+
+    Fit strategy by N (mirrors _km_assign's dual physical path):
+    - N <= _KM_FIT_SAMPLE: collect the vectors ONCE and run Lloyd's in
+      numpy on the driver. Same math (argmin squared distance,
+      lowest-index ties, empty clusters keep their centroid), but the
+      4-iteration loop costs matrix ops instead of 4 multi-stage Spark
+      jobs — at fixture scale that was ~6 s of pure job-scheduling
+      overhead for 2,000 rows. This is also the 100 TB design: a coarse
+      quantizer is trained on a BOUNDED sample (how FAISS trains IVF
+      centroids), never on the full corpus.
+    - N > _KM_FIT_SAMPLE: distributed Lloyd's — assignment via
+      _km_assign, per-dim mean via posexplode + two-level agg (partial
+      map-side combine, K x dim rows on the wire), K x dim driver state.
+    See llm_cluster_kmeans for the distributed-shape notes."""
     k = _KM_K if k is None else k
     key = (spark.sparkContext.applicationId, sf_dir, k)
     if key in _KM_CACHE:
         return _KM_CACHE[key]
-    # _emb_normed is a memoized cached frame, so each of the _KM_ITERS jobs
+    # _emb_normed is a memoized cached frame, so each of the fit jobs
     # re-reads the materialized cache, not the parquet+normalize lineage
     emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec")
-    cents = [
-        r["dvec"] for r in emb.orderBy("vec_id").limit(k).select("dvec").collect()
-    ]
-    for _ in range(_KM_ITERS):
-        assigned = _km_assign(emb, cents)
-        upd = (
-            assigned.select("cluster", F.posexplode("dvec").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cluster", F.col("dm.m").alias("cent"))
-            .collect()
+    n = emb.count()
+    if n <= _KM_FIT_SAMPLE:
+        import numpy as np
+
+        mat = np.array(
+            [r["dvec"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
         )
-        # empty clusters keep their previous centroid (standard Lloyd's)
-        for r in upd:
-            cents[r["cluster"]] = r["cent"]
+        cmat = mat[:k].copy()
+        for _ in range(_KM_ITERS):
+            # B x K squared distances; argmin takes the FIRST minimum =
+            # lowest centroid index, matching _km_assign's tie rule
+            d = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cmat)):
+                members = mat[assign == c]
+                if len(members):
+                    cmat[c] = members.mean(axis=0)
+        cents = [row.tolist() for row in cmat]
+    else:
+        cents = [
+            r["dvec"]
+            for r in emb.orderBy("vec_id").limit(k).select("dvec").collect()
+        ]
+        for _ in range(_KM_ITERS):
+            assigned = _km_assign(emb, cents)
+            upd = (
+                assigned.select("cluster", F.posexplode("dvec").alias("dim", "x"))
+                .groupBy("cluster", "dim")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cluster")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm")
+                )
+                .select("cluster", F.col("dm.m").alias("cent"))
+                .collect()
+            )
+            # empty clusters keep their previous centroid (standard Lloyd's)
+            for r in upd:
+                cents[r["cluster"]] = r["cent"]
     _KM_CACHE[key] = cents
     return cents
 

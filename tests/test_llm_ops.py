@@ -701,3 +701,24 @@ def test_approx_topk_exact_at_capacity(spark, sf_dir):
     kth = sorted(exact.values(), reverse=True)[9]
     must_have = {t for t, n in exact.items() if n > kth}
     assert must_have <= {r["token"] for r in got}
+
+
+def test_kmeans_distributed_fit_matches_driver_fit(spark, sf_dir, monkeypatch):
+    """_kmeans_fit's two physical paths (driver-side numpy below
+    _KM_FIT_SAMPLE, distributed Lloyd's above) must converge to the same
+    centroids on the same data — same seeds, same iteration count, same
+    empty-cluster rule; only the float summation order differs."""
+    import numpy as np
+
+    import sdp_spark.operators.llm as llm
+
+    llm._KM_CACHE.clear()
+    driver_cents = llm._kmeans_fit(spark, sf_dir)
+    llm._KM_CACHE.clear()
+    monkeypatch.setattr(llm, "_KM_FIT_SAMPLE", 0)  # force distributed path
+    dist_cents = llm._kmeans_fit(spark, sf_dir)
+    llm._KM_CACHE.clear()
+    assert len(driver_cents) == len(dist_cents)
+    assert np.allclose(
+        np.array(driver_cents), np.array(dist_cents), rtol=1e-9, atol=1e-12
+    )
