@@ -67,6 +67,11 @@ EXTRA = [
     "llm_hybrid_search_rrf",        # BM25+cosine RRF fusion (r5)
     "query_outbreak_ears",          # CDC EARS C2 surveillance capstone (r5)
     "llm_pipeline_multimodal",      # one-plan multimodal corpus build (r5)
+    "query_market_share",           # Q8-shape dual-nation-alias capstone (r5)
+    "query_product_profit",         # Q9-shape all-years scan capstone (r5)
+    "query_waiting_suppliers",      # Q21-shape triple-fact semi/anti (r5)
+    "query_min_cost_supplier",      # Q2-shape correlated-MIN capstone (r5)
+    "cte_recursive",                # WITH RECURSIVE level-join loop (r5)
 ]
 
 

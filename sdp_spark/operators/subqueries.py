@@ -208,3 +208,43 @@ def join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ExistenceJoin, no per-row subquery) is asserted in
     tests/test_plans.py."""
     return _sql(spark, sf_dir, _EXISTENCE)
+
+
+_RECURSIVE = """
+WITH RECURSIVE chain(custkey, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0
+  FROM customer WHERE c_custkey < 8
+  UNION ALL
+  SELECT c.c_custkey, ch.root, ch.depth + 1
+  FROM customer c JOIN chain ch ON CAST(FLOOR(c.c_custkey / 2) AS BIGINT) = ch.custkey
+  WHERE c.c_custkey >= 8
+)
+SELECT root, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(depth) AS INT) AS max_depth
+FROM chain
+GROUP BY root
+ORDER BY root
+"""
+
+
+@register("cte_recursive", oracle=_RECURSIVE, section=_SEC)
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4) — iterative hierarchy traversal inside
+    one SQL statement, the capability MySQL added in 8.0 and 5.6 users
+    emulate with session-variable tricks or stored-procedure loops. The
+    fixture has no parent column, so the hierarchy is the implicit
+    binary tree parent(k) = floor(k/2) over custkeys: seeds are the 8
+    shallow keys, each recursion step joins the NEXT tree level; per
+    root the query returns subtree size and height.
+
+    Execution shape: Catalyst unrolls the recursion into iterative
+    UnionLoop steps — each level is one distributed join of the frontier
+    against the base table, the same per-iteration shape as the
+    label-propagation loop in llm_dedup_near_resolve but driven by the
+    SQL engine itself (frontier size is bounded by the level width;
+    depth here is ~log2(N), so ~11 iterations at sf0.01). The DuckDB
+    oracle runs the identical statement text — recursive CTEs are the
+    one construct where both engines share syntax AND iteration
+    semantics (UNION ALL = bag semantics, no cycle detection needed on
+    a tree)."""
+    return _sql(spark, sf_dir, _RECURSIVE)

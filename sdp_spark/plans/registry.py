@@ -133,6 +133,7 @@ _SWEEP_PRIORITY = (
     "query_waiting_suppliers", "query_min_cost_supplier",
     "query_important_stock", "query_dominant_suppliers",
     "scan_xml", "scan_python_datasource", "catalog_sql_script",
+    "cte_recursive",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",
