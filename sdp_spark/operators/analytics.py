@@ -995,32 +995,30 @@ def query_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-distinct expand Spark plans for it; TakeOrderedAndProject
     caps the result without a global sort. s_suppkey is non-null by
     schema, so NOT IN's three-valued-logic trap (any NULL in the list
-    empties the result) cannot fire — the null-aware plan is still the
-    one being certified."""
-    l = table(spark, sf_dir, "lineitem")
-    p = table(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#03")
-        & (F.col("p_type") != "PROMO")
-        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
-    )
-    blocked = (
-        table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
-        .select("s_suppkey")
-    )
-    return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(
-            F.broadcast(blocked),
-            l.l_suppkey == blocked.s_suppkey,
-            "left_anti",
-        )
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
-        .orderBy(
-            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
-        )
-        .limit(50)
+    empties the result) cannot fire here — but the query is expressed in
+    SQL precisely so the NULL-AWARE anti join (BroadcastHashJoin LeftAnti
+    with isNullAwareAntiJoin, reachable only from an authored NOT IN) is
+    the plan actually certified, keeping Spark's semantics aligned with
+    the oracle's three-valued logic if the blocklist ever admits NULLs."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#03'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        LIMIT 50
+        """
     )
 
 
@@ -1238,7 +1236,12 @@ def query_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("value_exact"),
         F.round(exact, 2).cast("double").alias("part_value"),
     )
-    total = base.agg((F.lit(0.001) * exact).alias("threshold"))
+    # DECIMAL literal: a double 0.001 would make the product (and the
+    # HAVING comparison) double while the oracle compares exact decimals —
+    # the boundary-flip class num.py exists to prevent
+    total = base.agg(
+        (F.expr("CAST(0.001 AS DECIMAL(4,3))") * exact).alias("threshold")
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("value_exact") > F.col("threshold"))

@@ -433,9 +433,14 @@ def catalog_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdp_spark.sources.fixtures import load_tables
 
     load_tables(spark, sf_dir)
+    # the script executes eagerly inside spark.sql(); restore the parser
+    # flag afterwards (session confs must not leak across operators —
+    # the discipline test_plans' no-conf-leak assertions enforce)
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(
-        """
+    try:
+        return spark.sql(
+            """
         BEGIN
           DECLARE t BIGINT DEFAULT 1000;
           DECLARE iters INT DEFAULT 0;
@@ -454,4 +459,9 @@ def catalog_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT t AS threshold, cnt AS n_below, iters, band;
         END
         """
-    )
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)

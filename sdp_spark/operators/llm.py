@@ -1327,13 +1327,17 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int | None = None) -> list:
 
     Fit strategy by N (mirrors _km_assign's dual physical path):
     - N <= _KM_FIT_SAMPLE: collect the vectors ONCE and run Lloyd's in
-      numpy on the driver. Same math (argmin squared distance,
+      numpy on the driver. Same algorithm (argmin squared distance,
       lowest-index ties, empty clusters keep their centroid), but the
       4-iteration loop costs matrix ops instead of 4 multi-stage Spark
       jobs — at fixture scale that was ~6 s of pure job-scheduling
       overhead for 2,000 rows. This is also the 100 TB design: a coarse
       quantizer is trained on a BOUNDED sample (how FAISS trains IVF
-      centroids), never on the full corpus.
+      centroids), never on the full corpus. Float summation ORDER
+      differs from the distributed path (numpy pairwise vs fold/F.avg),
+      so a vector ulp-equidistant from two centroids could assign
+      differently across paths; the test pinning both paths equal
+      certifies the fixture, not bit-identity on arbitrary data.
     - N > _KM_FIT_SAMPLE: distributed Lloyd's — assignment via
       _km_assign, per-dim mean via posexplode + two-level agg (partial
       map-side combine, K x dim rows on the wire), K x dim driver state.
@@ -1354,9 +1358,15 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int | None = None) -> list:
         )
         cmat = mat[:k].copy()
         for _ in range(_KM_ITERS):
-            # B x K squared distances; argmin takes the FIRST minimum =
+            # N x K squared distances via |x|^2 - 2 x.c + |c|^2 (one
+            # matmul; an (N, K, dim) difference tensor would be ~400 MB
+            # at the sample cap). argmin takes the FIRST minimum =
             # lowest centroid index, matching _km_assign's tie rule
-            d = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            d = (
+                (mat * mat).sum(axis=1, keepdims=True)
+                - 2.0 * (mat @ cmat.T)
+                + (cmat * cmat).sum(axis=1)[None, :]
+            )
             assign = d.argmin(axis=1)
             for c in range(len(cmat)):
                 members = mat[assign == c]

@@ -35,15 +35,30 @@ _SCHEMA_EVO_CACHE: dict[str, str] = {}
 _CONVERTED: dict[tuple[str, str], str] = {}
 
 
-def _converted_dir(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> str:
+def _converted_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fmt: str,
+    columns: list[str] | None = None,
+    **options: str,
+) -> str:
+    """One cache policy for every converted-copy format (csv/json/xml):
+    per-process memo + an on-disk _SUCCESS guard so a partially-written
+    dir from a killed process is rewritten, never trusted."""
     key = (sf_dir, f"{name}.{fmt}")
     if key not in _CONVERTED:
         out = cache_dir(sf_dir, f"{name}_{fmt}")
-        df = table(spark, sf_dir, name)
-        if fmt == "csv":
-            df.write.mode("overwrite").option("header", "true").csv(out)
-        else:
-            df.write.mode("overwrite").json(out)
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            df = table(spark, sf_dir, name)
+            if columns:
+                df = df.select(*columns)
+            writer = df.write.mode("overwrite").format(fmt)
+            if fmt == "csv":
+                writer = writer.option("header", "true")
+            for k, v in options.items():
+                writer = writer.option(k, v)
+            writer.save(out)
         _CONVERTED[key] = out
     return _CONVERTED[key]
 
@@ -1297,19 +1312,14 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     row tag, so the read parallelizes like CSV. Filter and projection
     still prune parsing work per record (non-projected elements are
     skipped by the pull parser)."""
-    key = (sf_dir, "part.xml")
-    if key not in _CONVERTED:
-        out = cache_dir(sf_dir, "part_xml")
-        if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            (
-                table(spark, sf_dir, "part")
-                .select("p_partkey", "p_name", "p_brand", "p_size")
-                .write.mode("overwrite")
-                .format("xml")
-                .option("rowTag", "part")
-                .save(out)
-            )
-        _CONVERTED[key] = out
+    path = _converted_dir(
+        spark,
+        sf_dir,
+        "part",
+        "xml",
+        columns=["p_partkey", "p_name", "p_brand", "p_size"],
+        rowTag="part",
+    )
     schema = T.StructType(
         [
             T.StructField("p_partkey", T.LongType()),
@@ -1322,7 +1332,7 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("xml")
         .option("rowTag", "part")
         .schema(schema)
-        .load(_CONVERTED[key])
+        .load(path)
         .filter(F.col("p_size") <= 10)
         .select("p_partkey", "p_name", "p_brand", "p_size")
     )
