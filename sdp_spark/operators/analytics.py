@@ -1318,3 +1318,44 @@ def query_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.s_name
         """
     )
+
+
+_DQ_REFERENTIAL = """
+SELECT 'lineitem.l_orderkey->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem.l_partkey->part', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'orders.o_custkey->customer', CAST(COUNT(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+ORDER BY fk
+"""
+
+
+@register("dq_referential_check", oracle=_DQ_REFERENTIAL, section=_SEC)
+def dq_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan count for every foreign-key
+    edge of the star schema in ONE statement. The reference's MySQL 5.6
+    engine enforces FKs transactionally per row; a lakehouse cannot, so
+    the equivalent guarantee is a declarative post-load audit — this is
+    the constraint surface re-expressed for append-only storage, and at
+    100 TB it's also the query you run BEFORE trusting any join result.
+
+    Plan: each NOT EXISTS lowers to a left-anti hash join keyed on the
+    FK (never a null-aware broadcast — the inner sides here are large
+    keys, and NOT EXISTS stays shuffle-safe where NOT IN would demand a
+    broadcast); counts partial-aggregate to one row per branch, and the
+    4-row union is driver-trivial. Identical statement text runs on the
+    oracle."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_DQ_REFERENTIAL)

@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "sdp_spark.operators.fulltext",
     "sdp_spark.operators.catalog",
     "sdp_spark.operators.analytics",
+    "sdp_spark.operators.graphs",
     "sdp_spark.dialect",
 )
 
@@ -133,7 +134,8 @@ _SWEEP_PRIORITY = (
     "query_waiting_suppliers", "query_min_cost_supplier",
     "query_important_stock", "query_dominant_suppliers",
     "scan_xml", "scan_python_datasource", "catalog_sql_script",
-    "cte_recursive",
+    "cte_recursive", "graph_degree", "graph_pagerank",
+    "dq_referential_check",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",

@@ -722,3 +722,46 @@ def test_kmeans_distributed_fit_matches_driver_fit(spark, sf_dir, monkeypatch):
     assert np.allclose(
         np.array(driver_cents), np.array(dist_cents), rtol=1e-9, atol=1e-12
     )
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """graph_pagerank: rank mass conserved (sum == |V| within tolerance
+    — (1-d) base + d-damped redistribution preserves total on a graph
+    with no dangling nodes; bipartite undirected => none), deterministic
+    at the rounded output precision, and every rank positive."""
+    got = REGISTRY["graph_pagerank"].fn(spark, sf_dir).collect()
+    n = len(got)
+    total = sum(r["rank"] for r in got)
+    assert abs(total - n) < 1e-3 * n
+    assert all(r["rank"] > 0 for r in got)
+    again = {r["node"]: r["rank"] for r in REGISTRY["graph_pagerank"].fn(spark, sf_dir).collect()}
+    assert {r["node"]: r["rank"] for r in got} == again
+
+
+def test_pagerank_hub_gets_more_rank(spark, sf_dir):
+    """A supplier connected to more customers must not rank below one
+    with strictly fewer connections (monotone on the fixture's bipartite
+    graph after full propagation)."""
+    from sdp_spark.operators.graphs import _trade_edges
+
+    deg = {
+        r["supp"]: r["d"]
+        for r in _trade_edges(spark, sf_dir)
+        .groupBy("supp")
+        .agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("d"))
+        .collect()
+    }
+    ranks = {
+        r["node"]: r["rank"]
+        for r in REGISTRY["graph_pagerank"].fn(spark, sf_dir).collect()
+        if r["node"].startswith("s:")
+    }
+    ds = sorted(set(deg.values()))
+    if len(ds) >= 2:
+        lo_d, hi_d = ds[0], ds[-1]
+        if hi_d > lo_d:
+            import statistics
+
+            lo_ranks = [ranks[f"s:{k}"] for k, d in deg.items() if d == lo_d]
+            hi_ranks = [ranks[f"s:{k}"] for k, d in deg.items() if d == hi_d]
+            assert statistics.mean(hi_ranks) >= statistics.mean(lo_ranks)
