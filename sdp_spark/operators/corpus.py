@@ -568,12 +568,24 @@ def llm_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_THRESH = 0.35
 
 
+_SEM_BLOCK_TARGET = 1000  # mean vectors per k-means block the default K aims at
+
+
 def _semdedup_frame(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
     """Parameterized core of llm_semdedup — K flows through to the k-means
     fit and to _km_assign's strategy choice (literal columns vs broadcast
-    Arrow matmul), so tests exercise the large-K path at K=64."""
-    from sdp_spark.operators.llm import _emb_normed, _km_assign, _kmeans_fit
+    Arrow matmul), so tests exercise the large-K path at K=64.
 
+    Default K is ADAPTIVE: max(_KM_K, N / _SEM_BLOCK_TARGET), so mean
+    block size stays ~1k as the corpus grows — per-block pairwise cosine
+    is quadratic in block size, and measured at 10x embeddings the fixed
+    K=8 ran 12.8 s where the adaptive K runs ~2.8 s (SCALING.md). The
+    count is one job over the memoized cached frame."""
+    from sdp_spark.operators.llm import _KM_K, _emb_normed, _km_assign, _kmeans_fit
+
+    if k is None:
+        n = _emb_normed(spark, sf_dir).count()
+        k = max(_KM_K, -(-n // _SEM_BLOCK_TARGET))  # ceil div
     cents = _kmeans_fit(spark, sf_dir, k=k)
     emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec")
     # top-2 nearest centroids (lowest-distance-then-lowest-index ties on
