@@ -112,25 +112,30 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd.unionAll(rev)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
     edges = edges.join(outdeg, "src").localCheckpoint(eager=False)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    ranks = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("rank")
+    )
     for _ in range(_PR_ITERS):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.node)
+        # ranks is |V| rows — broadcast it so the edge list NEVER
+        # shuffles: each round is one map-side hash join over edges +
+        # one partial-agg exchange of per-dst sums. Undirected graph ⇒
+        # every node has an inbound edge, so contribs covers ALL nodes
+        # and no dangling-node left join is needed. Eager localCheckpoint
+        # cuts the round's lineage (a lazy one would nest 5 broadcasts
+        # into one action). (|V| outgrowing the broadcast limit means a
+        # web-scale graph — drop the hint then and pre-bucket edges by
+        # src instead.)
+        ranks = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("odeg")).alias("c"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("csum"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node",
+            .agg(
                 (
-                    F.lit(1.0 - _PR_DAMP)
-                    + F.lit(_PR_DAMP) * F.coalesce("csum", F.lit(0.0))
-                ).alias("rank"),
+                    F.lit(1.0 - _PR_DAMP) + F.lit(_PR_DAMP) * F.sum("c")
+                ).alias("rank")
             )
-            .localCheckpoint(eager=False)
+            .select(F.col("dst").alias("node"), "rank")
+            .localCheckpoint(eager=True)
         )
     return ranks.select("node", dround("rank", 6).alias("rank")).orderBy(
         F.col("rank").desc(), "node"
