@@ -398,3 +398,45 @@ def dialect_prepared_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cutoff": "1997-01-01", "min_price": 150000.0},
     )
+
+
+@register(
+    "dialect_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    section="3.2 sql dialect",
+)
+def dialect_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's `|>` operators) — the linear query
+    style where each stage reads top-to-bottom like a DataFrame chain:
+    FROM → WHERE → AGGREGATE ... GROUP BY → ORDER BY. It parses to the
+    IDENTICAL logical plan as the nested SELECT (the DuckDB oracle here
+    is that nested form), so pushdown/pruning/codegen are untouched —
+    this key certifies the parser surface, and that a 5.6-era user
+    migrating hand-built query-builder strings gets a composable syntax
+    with the same plans."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+        |> AGGREGATE COUNT(*) AS n_lines,
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n_lines, revenue
+        |> ORDER BY l_returnflag
+        """
+    )

@@ -746,3 +746,47 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "agg_observe_metrics",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS total_price,
+           CAST(COUNT(CASE WHEN l_discount > 0.08 THEN 1 END) AS BIGINT)
+             AS n_deep_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+      AND l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+    section=_SEC,
+)
+def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed metrics (df.observe + Observation) — data-quality
+    counters that piggyback on a query's ONE pass instead of a second
+    audit scan: the accumulator-backed metrics are collected while the
+    main query streams to its sink (here a noop write standing in for a
+    real export), costing zero extra reads at any scale. This is the
+    lakehouse replacement for the row-count/warning counters a MySQL
+    5.6 client reads after LOAD DATA INFILE. The metrics row itself is
+    the certified output; the oracle recomputes it with a plain
+    aggregate."""
+    from pyspark.sql import Observation
+
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    obs = Observation()
+    observed = l.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+        F.count(F.when(F.col("l_discount") > 0.08, 1)).alias("n_deep_discount"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_price"], m["n_deep_discount"])],
+        "n_rows bigint, total_price double, n_deep_discount bigint",
+    )

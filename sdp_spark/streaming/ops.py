@@ -1235,3 +1235,32 @@ def scan_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("event_id", "user_id", "event_type")
     )
+
+
+@register(
+    "stream_dedup_wm",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    section=_SEC,
+)
+def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark — dedup WITHOUT the event-time
+    column in the key. Plain dropDuplicates(["event_id"]) would hold one
+    state row per id FOREVER (unbounded state — the 100 TB killer);
+    the WithinWatermark variant instead guarantees dedup only among
+    events whose times fall inside the watermark delay and EVICTS state
+    as the watermark advances — the practical at-least-once-source
+    dedup, where duplicates arrive close together in event time (retried
+    writes, replayed batches) and an id may legitimately recur later.
+    event_ids are unique in the fixture, so output == input and the
+    batch oracle pins no row lost or duplicated; the chronological
+    landing dir (maxFilesPerTrigger=2) makes the multi-batch run
+    advance the watermark and exercise eviction for real."""
+    sdf = _events_stream(spark, sf_dir)
+    deduped = (
+        sdf.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_memory(deduped, "append", "dedupwm")
