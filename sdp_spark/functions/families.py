@@ -980,3 +980,54 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.isNotNull().alias("has_k"),
         (k * 2).cast("bigint").alias("k_doubled"),
     )
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 10 THEN NULL
+                ELSE FLOOR(l_extendedprice / (l_quantity - 10) * 100 + 0.5) / 100
+           END AS unit_markup,
+           TRY_CAST(CASE WHEN l_linenumber % 3 = 0 THEN 'n/a'
+                         ELSE CAST(l_linenumber AS VARCHAR) END AS INT) AS parsed,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE FLOOR(l_tax / l_discount * 10000 + 0.5) / 10000
+           END AS tax_ratio
+    FROM lineitem
+    WHERE l_orderkey % 29 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    section=_SEC,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* error-safe arithmetic (try_divide / try_cast) — the ANSI-era
+    answer to MySQL 5.6's SILENT error semantics: 5.6 turns division by
+    zero and bad casts into NULL-plus-warning instead of failing the
+    statement, and a migrating workload depends on that. Under Spark's
+    ANSI mode the plain operators THROW; the try_ family restores
+    null-on-error per-expression — scoped leniency instead of a global
+    sql_mode. Every expression stays whole-stage-codegen (no UDF); the
+    oracle spells the same semantics with CASE guards / TRY_CAST."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 29 == 0)
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            dround(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 10), 2
+            ).alias("unit_markup"),
+            F.try_to_number(
+                F.when(F.col("l_linenumber") % 3 == 0, "n/a").otherwise(
+                    F.col("l_linenumber").cast("string")
+                ),
+                F.lit("999"),
+            )
+            .cast("int")
+            .alias("parsed"),
+            dround(F.try_divide(F.col("l_tax"), F.col("l_discount")), 4).alias(
+                "tax_ratio"
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -500,3 +500,35 @@ def project_set_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask.cast("bigint").alias("set_mask"),
         F.forall(toks, lambda x: F.array_contains(domain_arr, x)).alias("all_valid"),
     )
+
+
+@register(
+    "filter_collation_native",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE lower(p_name) = lower('SMALL Gizmo')
+    ORDER BY p_partkey
+    """,
+    section=_SEC,
+)
+def filter_collation_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native collation comparison (COLLATE UTF8_LCASE, Spark 4) — the
+    engine-level case-insensitive equality MySQL 5.6 gives every
+    utf8_general_ci column by DEFAULT, which is the single most common
+    porting trap for its workloads. Where `filter_collation_ci` emulates
+    with lower() (the pre-collation idiom), this key certifies the real
+    collation surface: the predicate stays a plain equality whose
+    COMPARISON rule changes, so it remains codegen-compiled and — unlike
+    a lower()-wrapped column — still eligible for pruning/stats on
+    engines that index collated columns. The oracle spells the same
+    semantics with lower() (DuckDB's collation syntax differs; the
+    SEMANTICS, equality under case folding, is what must match)."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.expr("p_name COLLATE UTF8_LCASE = 'SMALL Gizmo' COLLATE UTF8_LCASE")
+        )
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )

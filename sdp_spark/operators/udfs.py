@@ -272,3 +272,60 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInArrow(batches, "vec_id long, l2_norm double")
+
+
+@register(
+    "udf_grouped_arrow",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_nation,
+           MAX(s_acctbal) OVER w AS max_bal_in_nation
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey)
+    ORDER BY s_suppkey
+    """,
+    section=_SEC,
+)
+def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over raw Arrow tables (applyInArrow, Spark 4) — the
+    zero-copy sibling of applyInPandas: each nation's suppliers arrive
+    as ONE pyarrow.Table (no pandas conversion, no index machinery) and
+    the transform appends group-level columns computed with Arrow
+    compute kernels. This is the right shape when the per-group logic is
+    columnar (kernel-vectorizable) and the pandas layer would only add
+    copies — at 100 TB the conversion tax is real. Only
+    order-independent group stats (count, max) are emitted, so the
+    result is insensitive to intra-group row order and matches the
+    window-function oracle exactly. Nested function: cloudpickle ships
+    it by value (workers never import the repo)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_group_stats(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        mx = pc.max(t.column("s_acctbal")).as_py()
+        return t.append_column(
+            "n_in_nation", pa.array([n] * n, pa.int64())
+        ).append_column("max_bal_in_nation", pa.array([mx] * n, pa.float64()))
+
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    return (
+        s.groupBy("s_nationkey")
+        .applyInArrow(
+            add_group_stats,
+            schema=(
+                "s_suppkey bigint, s_nationkey int, s_acctbal double,"
+                " n_in_nation bigint, max_bal_in_nation double"
+            ),
+        )
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            "s_acctbal",
+            "n_in_nation",
+            "max_bal_in_nation",
+        )
+        .orderBy("s_suppkey")
+    )

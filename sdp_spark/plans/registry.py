@@ -136,7 +136,8 @@ _SWEEP_PRIORITY = (
     "scan_xml", "scan_python_datasource", "catalog_sql_script",
     "cte_recursive", "graph_degree", "graph_pagerank",
     "dq_referential_check", "dialect_pipe_syntax", "agg_observe_metrics",
-    "stream_dedup_wm",
+    "stream_dedup_wm", "fn_try_arith", "udf_grouped_arrow",
+    "filter_collation_native",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",
