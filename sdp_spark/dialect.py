@@ -440,3 +440,31 @@ def dialect_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "dialect_identifier_param",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    section="3.2 sql dialect",
+)
+def dialect_identifier_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER(:param) — parameterized TABLE NAMES, the second half
+    of the PREPARE/EXECUTE story: 5.6 users build dynamic table
+    references with CONCAT into PREPARE (string-splicing SQL injection
+    with extra steps); IDENTIFIER binds the name as an identifier, not
+    as text, so it can never escape into syntax. The resolved plan is
+    identical to the static query — catalog resolution happens at
+    analysis with the bound value."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM IDENTIFIER(:tbl) GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        args={"tbl": "orders"},
+    )

@@ -1405,3 +1405,54 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(SupplierDataSource)
     return spark.read.format("sdp_rowgroups").option("path", path).load()
+
+
+@register(
+    "scan_file_metadata",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files
+    FROM lineitem GROUP BY flag ORDER BY flag
+    """,
+    section=_SEC,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden _metadata columns (file_path / file_name) — per-file
+    lineage surfaced as ordinary columns, read from the reader's task
+    context at zero I/O cost. This is how a lakehouse answers "which
+    file did this row come from" (skew forensics, bad-file quarantine,
+    incremental reconciliation) where MySQL users would query the
+    binlog. The fixture stage writes lineitem partitioned by returnflag
+    with ONE file per partition (repartition on the partition key), so
+    the partition value recovered by regexp from _metadata.file_path and
+    the per-dir distinct file count are both deterministic — and the
+    oracle states them from the source table directly."""
+    key = (sf_dir, "lineitem.meta_part")
+    if key not in _CONVERTED:
+        out = cache_dir(sf_dir, "lineitem_meta_part")
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            (
+                table(spark, sf_dir, "lineitem")
+                .select("l_orderkey", "l_quantity", "l_returnflag")
+                .repartition("l_returnflag")
+                .write.mode("overwrite")
+                .partitionBy("l_returnflag")
+                .parquet(out)
+            )
+        _CONVERTED[key] = out
+    df = spark.read.parquet(_CONVERTED[key])
+    return (
+        df.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"l_returnflag=([A-Z])", 1
+            ).alias("flag"),
+            F.col("_metadata.file_name").alias("fname"),
+        )
+        .groupBy("flag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count_distinct("fname").cast("bigint").alias("n_files"),
+        )
+        .orderBy("flag")
+    )

@@ -644,3 +644,51 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         dround(F.col("o_totalprice") / total, 8).alias("share"),
     )
+
+
+@register(
+    "win_fill_forward",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase'
+                           THEN FLOOR(value * 100 + 0.5) / 100 END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS last_purchase
+    FROM events
+    WHERE user_id % 97 = 0
+    ORDER BY user_id, CAST(ts AS TIMESTAMP), event_id
+    """,
+    section=_SEC,
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-forward / LOCF (last observation carried forward): each
+    event carries the most recent purchase value seen so far for its
+    user — `last_value(... IGNORE NULLS)` over an ordered per-user
+    window, the canonical sparse→dense propagation (sensor readings,
+    price marks, session attributes). MySQL 5.6 needs the
+    session-variable trick for this; here it's one window with a
+    growing frame whose state is O(1) per partition (the last non-null),
+    and the partition key distributes users across the cluster.
+    Deterministic: (ts, event_id) is a total order per user, and the
+    carried value is rounded BEFORE propagation so both engines carry
+    the identical double."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = F.when(
+        F.col("event_type") == "purchase", dround(F.col("value"), 2)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.last(marked, ignorenulls=True).over(w).alias("last_purchase"),
+            "ts",
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )
