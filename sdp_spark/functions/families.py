@@ -1031,3 +1031,51 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id % 50 AS VARCHAR)
+               || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, 'id=([0-9]+)', 1) AS id_param
+    FROM u ORDER BY doc_id
+    """,
+    section=_SEC,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured URL parsing via parse_url — PROTOCOL / HOST / PATH and
+    per-key QUERY extraction as engine primitives, where MySQL 5.6
+    workloads stack SUBSTRING_INDEX calls four deep. Pure codegen (the
+    Spark side uses the real java.net-backed parser); the DuckDB oracle
+    recovers the identical components with anchored regexps, which is
+    exactly the equivalence being certified: the parser must agree with
+    the grammar on well-formed URLs. Complements llm_url_normalize
+    (corpus.py), which handles the DIRTY side — tracking-param strips
+    and trailing-separator trims for dedup blocking keys."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    ).orderBy("doc_id")

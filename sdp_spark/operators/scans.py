@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from sdp_spark.functions.num import dround
+from sdp_spark.functions.num import DEC, dround
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import cache_dir, table
 
@@ -1455,4 +1455,47 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("fname").cast("bigint").alias("n_files"),
         )
         .orderBy("flag")
+    )
+
+
+@register(
+    "sink_compressed",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,8))), 2)
+                AS DOUBLE) AS total
+    FROM lineitem WHERE l_orderkey % 13 = 0
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    section=_SEC,
+)
+def sink_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-controlled parquet write (zstd) + read-back aggregate — the
+    storage-efficiency dial that matters more than any query knob at
+    100 TB (zstd typically halves footprint vs snappy at similar scan
+    speed, and scan cost IS the workload). The round-trip is the
+    certification: rows, grouping, and exact decimal totals survive the
+    codec; the parquet footer carries the codec per column chunk so
+    readers need no configuration. MySQL analogue: ROW_FORMAT=COMPRESSED,
+    but chosen per-write here, not per-table."""
+    out = cache_dir(sf_dir, "lineitem_zstd")
+    sample = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 13 == 0)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            sample.select("l_orderkey", "l_returnflag", "l_extendedprice")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("l_returnflag")
     )

@@ -138,7 +138,8 @@ _SWEEP_PRIORITY = (
     "dq_referential_check", "dialect_pipe_syntax", "agg_observe_metrics",
     "stream_dedup_wm", "fn_try_arith", "udf_grouped_arrow",
     "filter_collation_native", "dialect_identifier_param",
-    "win_fill_forward", "scan_file_metadata",
+    "win_fill_forward", "scan_file_metadata", "fn_url_parse",
+    "sink_compressed",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",
