@@ -790,3 +790,42 @@ def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["total_price"], m["n_deep_discount"])],
         "n_rows bigint, total_price double, n_deep_discount bigint",
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    section=_SEC,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps (bitmap_bucket_number /
+    bitmap_construct_agg / bitmap_count, Spark 4) — the OLAP technique
+    for distinct-count at 100 TB when COUNT(DISTINCT)'s expand+shuffle
+    of raw keys is the bottleneck: keys fold into fixed 4 KB bucket
+    bitmaps DURING the partial aggregate, so the exchange carries
+    (group, bucket, bitmap) — bounded by bucket count, not by row count
+    — and bitmaps OR-merge associatively (the same property that makes
+    them materializable into a rollup cube; agg_sketch_rollup is the
+    approximate cousin). The result is EXACT, so the oracle is plain
+    COUNT(DISTINCT)."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               SUM(bitmap_count(b)) AS n_customers
+        FROM (
+          SELECT o_orderpriority,
+                 bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b
+          FROM orders
+          GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey)
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )

@@ -139,7 +139,7 @@ _SWEEP_PRIORITY = (
     "stream_dedup_wm", "fn_try_arith", "udf_grouped_arrow",
     "filter_collation_native", "dialect_identifier_param",
     "win_fill_forward", "scan_file_metadata", "fn_url_parse",
-    "sink_compressed",
+    "sink_compressed", "agg_bitmap_distinct",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",
