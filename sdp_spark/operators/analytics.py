@@ -1187,40 +1187,42 @@ def query_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "query_important_stock",
     oracle="""
-    SELECT l.l_partkey AS partkey,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))), 2)
-                AS DOUBLE) AS part_value
-    FROM lineitem l
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN nation n   ON n.n_nationkey = s.s_nationkey
-    WHERE n.n_name = 'NATION_3'
-    GROUP BY partkey
-    HAVING SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))) > (
-      SELECT 0.001 * SUM(CAST(l2.l_extendedprice AS DECIMAL(30,8)))
-      FROM lineitem l2
-      JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
-      JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
-      WHERE n2.n_name = 'NATION_3'
+    WITH base AS (
+      SELECT l.l_partkey AS partkey,
+             CAST(l.l_extendedprice AS DECIMAL(30,8)) AS p
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
     )
+    SELECT partkey,
+           CAST(ROUND(SUM(p), 2) AS DOUBLE) AS part_value
+    FROM base
+    GROUP BY partkey
+    HAVING CAST(SUM(p) AS DECIMAL(25,2))
+             * CAST((SELECT COUNT(DISTINCT partkey) FROM base) AS INT)
+           > 3 * CAST((SELECT SUM(p) FROM base) AS DECIMAL(25,2))
     ORDER BY part_value DESC, partkey
     """,
     section=_SEC,
 )
 def query_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock identification): parts whose
-    inventory value from NATION_3's suppliers exceeds a fraction of the
-    nation's TOTAL inventory value — a grouped HAVING whose threshold is
-    an uncorrelated scalar subquery over the same join. Value is
-    SUM(l_extendedprice) per part from lineitem (no partsupp in the
-    fixture); both the per-part value and the grand total aggregate in
-    exact DECIMAL, so the > threshold comparison happens on identical
-    exact quantities in both engines — a boundary part cannot flip.
+    inventory value from NATION_3's suppliers exceeds a multiple of the
+    nation's MEAN per-part value — a grouped HAVING whose threshold is
+    built from uncorrelated scalar subqueries over the same join. Value
+    is SUM(l_extendedprice) per part from lineitem (no partsupp in the
+    fixture). The threshold is SCALE-FREE (value > 3 x mean ⇔ value x
+    n_parts > 3 x total — TPC-H itself scales Q11's fraction by 1/SF;
+    a fixed fraction returns an EMPTY result at 10x rows, caught by the
+    sf0.1 sweep). Both comparison sides stay exact DECIMAL: values are
+    2 dp so DECIMAL(25,2) sums are exact, and (25,2) x INT = (36,2)
+    fits precision 38 on BOTH engines with no rounding — a boundary
+    part cannot flip.
 
-    Plan: the scalar subquery runs once (two-row broadcast result
-    reused as a literal); Catalyst does NOT rescan for it per group. The
-    main branch shuffles the nation-filtered fact once on partkey;
-    supplier and nation broadcast. The HAVING evaluates post-aggregation
-    against the broadcast scalar. At 100 TB both branches share the same
+    Plan: the two scalar aggregates run once and broadcast; the main
+    branch shuffles the nation-filtered fact once on partkey; supplier
+    and nation broadcast. At 100 TB all branches share the same
     nation-pruned scan shape — an optimizer could CSE them; expressing
     them separately keeps each side's partial-agg pipeline intact."""
     l = table(spark, sf_dir, "lineitem")
@@ -1233,18 +1235,16 @@ def query_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = F.sum(F.col("l_extendedprice").cast(DEC))
     per_part = base.groupBy("partkey").agg(
-        exact.alias("value_exact"),
+        exact.cast("decimal(25,2)").alias("value_exact"),
         F.round(exact, 2).cast("double").alias("part_value"),
     )
-    # DECIMAL literal: a double 0.001 would make the product (and the
-    # HAVING comparison) double while the oracle compares exact decimals —
-    # the boundary-flip class num.py exists to prevent
-    total = base.agg(
-        (F.expr("CAST(0.001 AS DECIMAL(4,3))") * exact).alias("threshold")
+    totals = base.agg(
+        (F.lit(3) * exact.cast("decimal(25,2)")).alias("threshold3"),
+        F.count_distinct("partkey").cast("int").alias("n_parts"),
     )
     return (
-        per_part.join(F.broadcast(total))
-        .filter(F.col("value_exact") > F.col("threshold"))
+        per_part.join(F.broadcast(totals))
+        .filter(F.col("value_exact") * F.col("n_parts") > F.col("threshold3"))
         .select("partkey", "part_value")
         .orderBy(F.col("part_value").desc(), "partkey")
     )

@@ -430,7 +430,9 @@ _CAPSTONE_EXCHANGE_BUDGET = {
     # Q2/Q20 scan the offer/fact CTE twice by decorrelation design — the
     # per-group aggregate and its correlated threshold share a shuffle key.
     "query_min_cost_supplier": 5,
-    "query_important_stock": 2,
+    # Q11's scale-free threshold needs COUNT(DISTINCT partkey) — the
+    # distinct-expand adds one exchange to the totals branch.
+    "query_important_stock": 3,
     "query_dominant_suppliers": 5,
 }
 
