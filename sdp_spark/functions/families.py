@@ -1017,13 +1017,12 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(
                 F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 10), 2
             ).alias("unit_markup"),
-            F.try_to_number(
-                F.when(F.col("l_linenumber") % 3 == 0, "n/a").otherwise(
-                    F.col("l_linenumber").cast("string")
-                ),
-                F.lit("999"),
-            )
-            .cast("int")
+            # try_cast, not try_to_number('999'): a format mask caps the
+            # parse domain at 3 digits while the oracle's TRY_CAST has no
+            # width limit — the two must share one domain (ADVICE r5).
+            F.when(F.col("l_linenumber") % 3 == 0, "n/a")
+            .otherwise(F.col("l_linenumber").cast("string"))
+            .try_cast("int")
             .alias("parsed"),
             dround(F.try_divide(F.col("l_tax"), F.col("l_discount")), 4).alias(
                 "tax_ratio"

@@ -80,6 +80,10 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
+# Broadcast-hint gate for the per-round rank join: past this many nodes the
+# hinted broadcast would OOM the driver instead of degrading gracefully
+# (ADVICE r5) — fall back to an un-hinted (shuffle) join above it.
+_PR_BCAST_MAX_NODES = 2_000_000
 
 
 @register("graph_pagerank", oracle=None, section=_SEC)
@@ -115,18 +119,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("rank")
     )
+    # Broadcast only while |V| is broadcast-safe (~16 bytes/row of rank
+    # state, so 2M nodes ≈ tens of MB). Above the gate, fall back to an
+    # un-hinted join: AQE/stats pick shuffle-hash, and the eager
+    # checkpoint means edges re-shuffle per round — correct, just the
+    # web-scale price (pre-bucketing edges by src would amortize it).
+    use_bcast = ranks.count() <= _PR_BCAST_MAX_NODES
     for _ in range(_PR_ITERS):
-        # ranks is |V| rows — broadcast it so the edge list NEVER
-        # shuffles: each round is one map-side hash join over edges +
-        # one partial-agg exchange of per-dst sums. Undirected graph ⇒
-        # every node has an inbound edge, so contribs covers ALL nodes
-        # and no dangling-node left join is needed. Eager localCheckpoint
-        # cuts the round's lineage (a lazy one would nest 5 broadcasts
-        # into one action). (|V| outgrowing the broadcast limit means a
-        # web-scale graph — drop the hint then and pre-bucket edges by
-        # src instead.)
+        # ranks is |V| rows — broadcast (gated above) so the edge list
+        # NEVER shuffles: each round is one map-side hash join over
+        # edges + one partial-agg exchange of per-dst sums. Undirected
+        # graph ⇒ every node has an inbound edge, so contribs covers
+        # ALL nodes and no dangling-node left join is needed. Eager
+        # localCheckpoint cuts the round's lineage (a lazy one would
+        # nest 5 broadcasts into one action).
+        rhs = F.broadcast(ranks) if use_bcast else ranks
         ranks = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            edges.join(rhs, edges.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("odeg")).alias("c"))
             .groupBy("dst")
             .agg(

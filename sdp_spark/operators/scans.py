@@ -45,10 +45,21 @@ def _converted_dir(
 ) -> str:
     """One cache policy for every converted-copy format (csv/json/xml):
     per-process memo + an on-disk _SUCCESS guard so a partially-written
-    dir from a killed process is rewritten, never trusted."""
-    key = (sf_dir, f"{name}.{fmt}")
+    dir from a killed process is rewritten, never trusted.
+
+    The staging *spec* — column subset and writer options — is folded into
+    both the memo key and the directory name (ADVICE r5): two operators
+    staging the same table/format with different columns or options get
+    distinct dirs, and a staged copy written by an older code version is
+    invalidated the moment the spec changes.
+    """
+    import hashlib
+
+    spec = repr((list(columns) if columns else None, sorted(options.items())))
+    digest = hashlib.sha256(spec.encode()).hexdigest()[:8]
+    key = (sf_dir, f"{name}.{fmt}.{digest}")
     if key not in _CONVERTED:
-        out = cache_dir(sf_dir, f"{name}_{fmt}")
+        out = cache_dir(sf_dir, f"{name}_{fmt}_{digest}")
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             df = table(spark, sf_dir, name)
             if columns:

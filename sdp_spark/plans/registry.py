@@ -84,41 +84,19 @@ def register(key: str, oracle: str | None = None, section: str = ""):
     return deco
 
 
-# Driver-sweep priority (round 5): the budget-capped sweep (~50 keys/round)
-# ran r1 = first 50, r2 = next 50, r3 = the 45-key unverified backlog + 5,
-# r4 = the 21-key backlog + re-certifies + most round-4 keys — but the
-# 50-key cap cut off before the LAST 8 round-4 keys, so those lead round 5
-# (ADVICE r4 + VERDICT r4 next-round #1: "do not add new keys ahead of
-# them"). Behind them: keys whose CODE changed this round (re-certify),
-# then round-5 NEW keys, then all driver-green keys newest-round-first.
-# An unlisted key sorts before everything (rank -1) and would displace the
-# backlog past the cap — to deprioritize, list it; test_entry enforces
-# registry == list exactly.
+# Driver-sweep priority (round 6): the budget-capped sweep (~50 keys/round)
+# certified ~50 keys per round r1-r5; CORRECTNESS_r05 landed verdicts for
+# the first 50 list entries, leaving a 62-key never-verified backlog (the
+# round-5 keys past the cap). VERDICT r5 next-round #1: that backlog leads
+# round 6 — the sweep's 50-key cap takes exactly its first 50; the ~12
+# stragglers queue for r7. Behind them: round-6 NEW keys, then all
+# driver-green keys newest-round-first. An unlisted key sorts before
+# everything (rank -1) and would displace the backlog past the cap — to
+# deprioritize, list it; test_entry enforces registry == list exactly.
 _SWEEP_PRIORITY = (
-    # --- unverified block: 8 round-4 keys the r4 sweep's cap cut off ---
-    "scan_csv_malformed", "llm_perplexity_proxy", "llm_sample_stratified",
-    "llm_chunk_windows", "scan_multiformat_union", "agg_percentile_disc",
-    "fn_trig", "dml_truncate_partition",
-    # --- changed since last verdict (re-certify) ---
-    "llm_url_normalize",      # r4 pass, but rtrim trim-set fixed (ADVICE r4)
-    "llm_shard_export",       # r4 pass; tmp-dir lifecycle reworked (ADVICE r4)
-    "llm_semdedup",           # r4 rows-only; K-ceiling lift reworked assignment
-    "llm_cluster_kmeans",     # r4 rows-only; same K parameterization
-    # --- round-5 NEW keys: always append here, never leave unlisted ---
-    "fulltext_bm25", "llm_inverted_index", "limit_found_rows",
-    "agg_ohlc_resample", "ts_gap_fill", "llm_dedup_substring",
-    "llm_embed_normalize", "llm_embed_pca", "sink_zorder",
-    "llm_embed_quantize", "llm_bpe_pair_counts", "llm_mix_epochs",
-    "join_scd2_pointintime", "subq_not_in_null", "fn_convert_tz",
-    "query_cust_order_counts", "stream_ohlc", "stream_stateful_timeout",
-    "dialect_mysql_query", "llm_dedup_url_docs", "llm_vocab_oov",
-    "agg_approx_topk", "query_large_volume_cust",
-    "query_local_supplier_volume", "query_volume_shipping",
-    "query_promo_effect", "query_top_supplier", "query_disjunctive_parts",
-    "query_dormant_customers", "dialect_user_var_rownum", "sink_odku",
-    "llm_hybrid_search_rrf", "llm_dedup_incremental", "join_runtime_bloom",
-    "stream_topk_windowed", "llm_bpe_apply", "sink_sized_files",
-    "join_dpp", "win_sliding_median", "win_ewma", "llm_blocklist_filter",
+    # --- unverified backlog: 62 round-5 keys the r5 sweep's cap cut off
+    #     (all locally oracle-green at sf0.01 AND sf0.1, SCALING.md) ---
+    "win_sliding_median", "win_ewma", "llm_blocklist_filter",
     "subq_correlated_scalar", "filter_row_constructor", "agg_regression",
     "query_forecast_revenue", "join_existence", "scan_recursive_glob",
     "fn_week_modes", "llm_cdc_chunk", "fn_mysql_string2", "fn_inet",
@@ -140,6 +118,26 @@ _SWEEP_PRIORITY = (
     "filter_collation_native", "dialect_identifier_param",
     "win_fill_forward", "scan_file_metadata", "fn_url_parse",
     "sink_compressed", "agg_bitmap_distinct",
+    # --- round-6 NEW keys: always append here, never leave unlisted ---
+    # --- r5-green keys (driver verdicts in CORRECTNESS_r05.json) ---
+    "scan_csv_malformed", "llm_perplexity_proxy", "llm_sample_stratified",
+    "llm_chunk_windows", "scan_multiformat_union", "agg_percentile_disc",
+    "fn_trig", "dml_truncate_partition", "llm_url_normalize",
+    "llm_shard_export", "llm_semdedup", "llm_cluster_kmeans",
+    "fulltext_bm25", "llm_inverted_index", "limit_found_rows",
+    "agg_ohlc_resample", "ts_gap_fill", "llm_dedup_substring",
+    "llm_embed_normalize", "llm_embed_pca", "sink_zorder",
+    "llm_embed_quantize", "llm_bpe_pair_counts", "llm_mix_epochs",
+    "join_scd2_pointintime", "subq_not_in_null", "fn_convert_tz",
+    "query_cust_order_counts", "stream_ohlc", "stream_stateful_timeout",
+    "dialect_mysql_query", "llm_dedup_url_docs", "llm_vocab_oov",
+    "agg_approx_topk", "query_large_volume_cust",
+    "query_local_supplier_volume", "query_volume_shipping",
+    "query_promo_effect", "query_top_supplier", "query_disjunctive_parts",
+    "query_dormant_customers", "dialect_user_var_rownum", "sink_odku",
+    "llm_hybrid_search_rrf", "llm_dedup_incremental", "join_runtime_bloom",
+    "stream_topk_windowed", "llm_bpe_apply", "sink_sized_files",
+    "join_dpp",
     # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
     "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
     "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",

@@ -5,6 +5,8 @@ multimodal decode determinism."""
 
 from __future__ import annotations
 
+import pytest
+
 from sdp_spark.plans.registry import load_all
 
 REGISTRY = load_all()
@@ -757,11 +759,14 @@ def test_pagerank_hub_gets_more_rank(spark, sf_dir):
         if r["node"].startswith("s:")
     }
     ds = sorted(set(deg.values()))
-    if len(ds) >= 2:
-        lo_d, hi_d = ds[0], ds[-1]
-        if hi_d > lo_d:
-            import statistics
+    if len(ds) < 2:
+        pytest.skip(
+            "degenerate fixture: uniform supplier degree distribution — "
+            "hub-monotonicity has nothing to assert"
+        )
+    import statistics
 
-            lo_ranks = [ranks[f"s:{k}"] for k, d in deg.items() if d == lo_d]
-            hi_ranks = [ranks[f"s:{k}"] for k, d in deg.items() if d == hi_d]
-            assert statistics.mean(hi_ranks) >= statistics.mean(lo_ranks)
+    lo_d, hi_d = ds[0], ds[-1]
+    lo_ranks = [ranks[f"s:{k}"] for k, d in deg.items() if d == lo_d]
+    hi_ranks = [ranks[f"s:{k}"] for k, d in deg.items() if d == hi_d]
+    assert statistics.mean(hi_ranks) >= statistics.mean(lo_ranks)
