@@ -33,6 +33,7 @@ def unpersist_all() -> int:
         ("sdp_spark.operators.llm", "_SIG_CACHE"),
         ("sdp_spark.operators.llm", "_EMB_CACHE"),
         ("sdp_spark.operators.llm", "_CAPPED_CACHE"),
+        ("sdp_spark.operators.llm", "_CLUSTER_CACHE"),
         ("sdp_spark.operators.llm", "_RESOLVE_CACHE"),
         ("sdp_spark.operators.corpus", "_GRAMS_CACHE"),
         ("sdp_spark.operators.fulltext", "_TF_CACHE"),

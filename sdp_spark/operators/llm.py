@@ -152,11 +152,62 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+# Exact-duplicate cluster map for the near-dedup collapse prefix, memoized
+# per (app, sf_dir) like the shingle/signature caches it sits beside.
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ck, rep): exact-duplicate cluster id (text hash) and the
+    min-doc_id representative, restricted to docs that are in the MinHash
+    pipeline at all (>= 3 tokens, i.e. present in the signature table).
+    One shuffle keyed on the 64-bit ck — text itself never shuffles."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLUSTER_CACHE:
+        sig = _cached_signatures(spark, sf_dir)
+        clusters = (
+            _docs_tokens(spark, sf_dir, wide=True)
+            .select("doc_id", F.xxhash64("text").alias("ck"))
+            .join(sig.select("doc_id"), "doc_id")
+        )
+        _CLUSTER_CACHE[key] = clusters.withColumn(
+            "rep", F.min("doc_id").over(Window.partitionBy("ck"))
+        ).cache()
+    return _CLUSTER_CACHE[key]
+
+
+# Duplicate-density gate for the exact-collapse prefix: below this fraction
+# of non-representative docs the collapse's extra join stages cost more than
+# the O(copies²) candidate rows they avoid (measured both ways, SCALING.md
+# round-6). Decision memoized per (app, sf_dir) — one 1-row aggregate over
+# the cached cluster map, then free.
+_NEAR_COLLAPSE_MIN_DUP_FRAC = 0.05
+_COLLAPSE_DECISION: dict[tuple[str, str], bool] = {}
+
+
 @register("llm_dedup_near", oracle=None, section=_SEC)
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection: 3-word shingles → 16-permutation MinHash →
     8 bands of 2 → bucket self-join for candidates → exact-Jaccard verify
     (>= 0.5) on candidates only.
+
+    Adaptive exact-collapse prefix (round 6): when exact duplicates are
+    dense (≥ 5% of docs), identical texts collapse to one min-doc_id
+    representative BEFORE banding, the LSH pipeline runs on representatives
+    only, and pairs re-expand afterward. Cross-cluster pairs inherit the
+    representatives' jaccard (identical text ⇒ identical shingle set ⇒
+    identical jaccard vs any third doc); within-cluster pairs are jaccard
+    1.0 by definition and always band-collide — so both branches emit the
+    IDENTICAL pair set, pinned by
+    test_near_dedup_collapse_equals_uncollapsed. The point is the 100 TB
+    shape: a web crawl carries million-copy boilerplate clusters, and an
+    uncollapsed bucket self-join emits O(copies²) candidate rows per
+    cluster — the collapse bounds the self-join by UNIQUE texts, turning
+    the duplicate density that melts LSH into the thing that makes it
+    cheaper (measured: 10×-replicated corpus 5.1 → 2.9 s; SCALING.md). On a
+    low-dup corpus the collapse's ~5 extra join stages are pure overhead
+    (measured 0.85 → 2.7 s at sf0.1), hence the density gate — the same
+    bounded-driver-state adaptivity as the k-means sampled fit.
 
     rows-only oracle: LSH is probabilistic (banding may miss a true pair);
     tests assert precision=1 (every emitted pair really has j >= 0.5) and
@@ -166,6 +217,79 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature: min over xxhash64(perm, shingle) per permutation; shingle
     # count piggybacks on the same groupBy (one shuffle, not two)
     sig = _cached_signatures(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COLLAPSE_DECISION:
+        stats = (
+            _cached_clusters(spark, sf_dir)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("doc_id") != F.col("rep")).cast("long")).alias("dups"),
+            )
+            .first()
+        )
+        _COLLAPSE_DECISION[key] = (
+            stats["n"] > 0
+            and stats["dups"] / stats["n"] >= _NEAR_COLLAPSE_MIN_DUP_FRAC
+        )
+    if _COLLAPSE_DECISION[key]:
+        return _near_dedup_collapsed(spark, sf_dir)
+    return _minhash_band_verify(sig, sh)
+
+
+def _near_dedup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The collapse branch of llm_dedup_near (see its docstring): band +
+    verify over exact-dup representatives, then re-expansion to member
+    pairs. Callable directly so the equality test can exercise it on a
+    corpus below the density gate."""
+    members = _cached_clusters(spark, sf_dir)
+    rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    # BOTH pipeline inputs restrict to representatives here: this branch
+    # only runs when dups are dense (the gate), and then the shingle
+    # pre-filter pays for itself — the verify stage shuffles the whole
+    # posting table into its candidate joins, and dropping the ≥ 5%
+    # (often 90%) duplicate postings first shrinks that shuffle by the
+    # duplication factor. (On a SPARSE corpus the same pre-filter is pure
+    # overhead — measured 3× the pipeline cost — which is exactly why the
+    # sparse branch never does it.)
+    sig = _cached_signatures(spark, sf_dir)
+    sh = _cached_shingles(spark, sf_dir)
+    rep_pairs = _minhash_band_verify(
+        sig.join(rep_ids, "doc_id"), sh.join(rep_ids, "doc_id")
+    )
+    # re-expand: rep-level pairs → all member pairs (output-size-bounded
+    # joins), plus within-cluster pairs at jaccard 1.0. Disjoint clusters ⇒
+    # no pair is emitted twice.
+    ma = members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("m_a"))
+    mb = members.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    within = (
+        x.join(
+            y,
+            (F.col("x.ck") == F.col("y.ck"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionAll(within)
+
+
+def _minhash_band_verify(sig: DataFrame, sh: DataFrame) -> DataFrame:
+    """Band → bucket self-join → exact-Jaccard verify (>= 0.5) over whatever
+    doc population ``sig``/``sh`` carry. llm_dedup_near feeds it exact-dup
+    representatives; the collapse-equality test feeds it the full corpus."""
     # bands: hash r consecutive signature slots together
     bands = sig.select(
         "doc_id",

@@ -5,6 +5,8 @@ multimodal decode determinism."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from sdp_spark.plans.registry import load_all
@@ -30,6 +32,70 @@ def test_minhash_near_dedup_precision_and_recall(spark, sf_dir):
     if truth:
         recall = len(lsh_pairs & truth) / len(truth)
         assert recall >= 0.6, f"recall {recall:.2f} < 0.6 ({len(truth)} true pairs)"
+
+
+def test_near_dedup_collapse_equals_uncollapsed(spark, sf_dir):
+    """The exact-collapse prefix must be a pure optimization: running the
+    band+verify core over the FULL corpus (no collapse) and over exact-dup
+    representatives + re-expansion must emit the identical (doc_a, doc_b,
+    jaccard) set — calling the collapse branch DIRECTLY, below the density
+    gate, so the expansion itself is what's compared. If the expansion ever
+    drops or invents a pair, this fails."""
+    from sdp_spark.operators.llm import (
+        _cached_shingles,
+        _cached_signatures,
+        _minhash_band_verify,
+        _near_dedup_collapsed,
+    )
+
+    uncollapsed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in _minhash_band_verify(
+            _cached_signatures(spark, sf_dir), _cached_shingles(spark, sf_dir)
+        ).collect()
+    }
+    collapsed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in _near_dedup_collapsed(spark, sf_dir).collect()
+    }
+    assert collapsed == uncollapsed, {
+        "missing": sorted(set(uncollapsed) - set(collapsed))[:5],
+        "extra": sorted(set(collapsed) - set(uncollapsed))[:5],
+        "jaccard_diffs": [
+            (k, uncollapsed[k], collapsed[k])
+            for k in list(set(uncollapsed) & set(collapsed))
+            if uncollapsed[k] != collapsed[k]
+        ][:5],
+    }
+    # The default sf0.001 fixture has zero exact raw-text duplicates (every
+    # cluster is a singleton → collapse is an identity there), so exercise
+    # the POSITIVE path — clusters really collapsing and the expansion
+    # reproducing their pairs — at sf0.1, which carries 8 exact dups.
+    sf01 = "/root/testdata/sf0.1"
+    if os.path.isdir(sf01):
+        from sdp_spark.operators.llm import _cached_clusters
+
+        m = _cached_clusters(spark, sf01)
+        assert m.filter("doc_id != rep").count() > 0, (
+            "sf0.1 lost its exact duplicates — collapse path untested"
+        )
+        full = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in _minhash_band_verify(
+                _cached_signatures(spark, sf01), _cached_shingles(spark, sf01)
+            ).collect()
+        }
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in _near_dedup_collapsed(spark, sf01).collect()
+        }
+        assert got == full
+        # and the registered op (whichever branch the gate picks) agrees too
+        via_op = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in REGISTRY["llm_dedup_near"].fn(spark, sf01).collect()
+        }
+        assert via_op == full
 
 
 def test_minhash_deterministic(spark, sf_dir):
