@@ -43,6 +43,13 @@ Rules (each unit-tested in tests/test_dialect.py):
   ORDER BY exists the 5.6 implicit group-key sort is materialized as
   one (8.0 removed the syntax; an explicit ORDER BY overrides it,
   matching 5.6).
+- statement forms (round 6): CREATE TABLE x [ENGINE=..] SELECT (AS
+  optional in MySQL) -> CREATE TABLE x AS SELECT; ENGINE/CHARSET/
+  COLLATE/AUTO_INCREMENT table options dropped; SHOW TABLES [FROM db]
+  LIKE '%p%' -> SHOW TABLES [IN db] LIKE '*p*'; SHOW [FULL] COLUMNS
+  FROM t -> SHOW COLUMNS IN t / DESCRIBE TABLE t. `execute_mysql` runs
+  a multi-statement script (literal-safe ';' split) and returns the
+  last statement's result — see dialect_dml_roundtrip.
 """
 
 from __future__ import annotations
@@ -135,6 +142,28 @@ def _group_concat(m: re.Match, lits: list[str]) -> str:
 
 def translate_mysql(sql: str) -> str:
     """Rewrite MySQL 5.6 SQL text into Spark SQL (see module docstring)."""
+    # whole-statement SHOW forms first (their LIKE pattern lives inside a
+    # string literal, so they are handled before the carve): MySQL SHOW
+    # TABLES/COLUMNS route onto Spark's catalog statements — the same
+    # surface the catalog_ddl / catalog_show_describe operators drive.
+    sm = re.match(
+        r"\s*SHOW\s+TABLES\s+(?:(?:FROM|IN)\s+([`\w.]+)\s+)?LIKE\s+'([^']*)'\s*;?\s*$",
+        sql,
+        re.I,
+    )
+    if sm:
+        db = f" IN {sm.group(1).replace('`', '')}" if sm.group(1) else ""
+        # MySQL LIKE wildcards -> the glob style Spark's SHOW accepts
+        pat = sm.group(2).replace("%", "*").replace("_", "*")
+        return f"SHOW TABLES{db} LIKE '{pat}'"
+    sm = re.match(
+        r"\s*SHOW\s+(FULL\s+)?COLUMNS\s+(?:FROM|IN)\s+([`\w.]+)\s*;?\s*$", sql, re.I
+    )
+    if sm:
+        t = sm.group(2).replace("`", "")
+        # FULL wants types/nullability -> DESCRIBE; plain form maps 1:1
+        return f"DESCRIBE TABLE {t}" if sm.group(1) else f"SHOW COLUMNS IN {t}"
+
     # string literals (both quote styles) carve out first — rules below can
     # never fire inside them; double-quoted strings normalize to
     # single-quoted inside the carve
@@ -142,6 +171,23 @@ def translate_mysql(sql: str) -> str:
 
     # 1) backticks drop entirely (identifiers are already sane)
     body = body.replace("`", "")
+    # 1b) DML/DDL statement forms (5.6 clients paste these verbatim):
+    #     InnoDB-era table options drop FIRST (they have no Spark meaning
+    #     and may sit between the table name and SELECT), then
+    #     CREATE TABLE x SELECT ... (MySQL lets AS be omitted) -> CTAS.
+    body = re.sub(r"\b(?:ENGINE|AUTO_INCREMENT)\s*=\s*\w+", "", body, flags=re.I)
+    body = re.sub(
+        r"\b(?:DEFAULT\s+)?(?:CHARSET|CHARACTER\s+SET|COLLATE)\s*=\s*\w+",
+        "",
+        body,
+        flags=re.I,
+    )
+    body = re.sub(
+        r"(\bCREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s+)(SELECT\b)",
+        r"\1AS \2",
+        body,
+        flags=re.I,
+    )
     # 2) '#' comments -> '--' (to end of line)
     body = re.sub(r"#+\s?", "-- ", body)
     # 3) SQL_CALC_FOUND_ROWS has no Spark analogue (see limit_found_rows)
@@ -267,6 +313,36 @@ def sql_mysql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     return spark.sql(translate_mysql(sql))
+
+
+def split_mysql_script(script: str) -> list[str]:
+    """Split a multi-statement MySQL script on ';' — literal-safe (a ';'
+    inside a string never splits), via the same carve the rewriter uses."""
+    body, lits = _carve_literals(script)
+    return [
+        _restore_literals(part, lits).strip()
+        for part in body.split(";")
+        if part.strip()
+    ]
+
+
+def execute_mysql(spark: SparkSession, sf_dir: str, script: str) -> DataFrame:
+    """Execute a multi-statement MySQL script (DDL + DML + query) statement
+    by statement through the rewriter, returning the LAST statement's
+    result — the session shape a 5.6 client actually produces (CREATE
+    TABLE ... SELECT, INSERT ... SELECT, SHOW, then a read). Each statement
+    routes onto the same Spark surface the dedicated operators use: CTAS →
+    the catalog_ctas path, INSERT INTO ... SELECT → the sink_append path,
+    SHOW TABLES/COLUMNS → the catalog_show_describe path."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    df = None
+    for stmt in split_mysql_script(script):
+        df = spark.sql(translate_mysql(stmt))
+    if df is None:
+        raise ValueError("empty MySQL script")
+    return df
 
 
 from sdp_spark.plans.registry import register  # noqa: E402
@@ -468,3 +544,56 @@ def dialect_identifier_param(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders"},
     )
+
+
+# A 5.6 client session verbatim: CTAS without AS (MySQL lets you omit it)
+# with an ENGINE option, INSERT ... SELECT appending a second slice, SHOW
+# statements inspecting the result, then the read-back aggregate. The two
+# SHOW statements execute (their results are discarded — the contract is
+# that they parse and route, covered further by unit tests).
+_DML_SCRIPT = """
+CREATE TABLE sampledb.dialect_dml_rt ENGINE=InnoDB
+  SELECT `c_mktsegment` AS segment, c_acctbal
+  FROM `customer` WHERE c_acctbal > 9000;   # high-balance snapshot
+INSERT INTO sampledb.dialect_dml_rt
+  SELECT c_mktsegment, c_acctbal FROM `customer` WHERE c_acctbal < 0;
+SHOW TABLES FROM sampledb LIKE '%dml%';
+SHOW COLUMNS FROM sampledb.dialect_dml_rt;
+SELECT segment, COUNT(*) AS n_accts,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_bal
+FROM sampledb.dialect_dml_rt
+GROUP BY segment ORDER BY segment
+"""
+
+
+@register(
+    "dialect_dml_roundtrip",
+    oracle="""
+    WITH rt AS (
+      SELECT c_mktsegment AS segment, c_acctbal FROM customer WHERE c_acctbal > 9000
+      UNION ALL
+      SELECT c_mktsegment, c_acctbal FROM customer WHERE c_acctbal < 0
+    )
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_accts,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_bal
+    FROM rt GROUP BY segment ORDER BY segment
+    """,
+    section="3.2 sql dialect",
+)
+def dialect_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statement-form MySQL shim (VERDICT r5 next-round #6): the script
+    above — CREATE TABLE ... SELECT (no AS, ENGINE= option), INSERT ...
+    SELECT, SHOW TABLES LIKE / SHOW COLUMNS, final aggregate read-back —
+    executes via execute_mysql() statement by statement. The oracle
+    replays the same data flow as a pure query (CTAS slice UNION ALL
+    insert slice), so the round-trip through a real managed table is
+    hash-checked end to end.
+
+    Scale note: the CTAS and INSERT land as parquet writes through the
+    exact planner paths of catalog_ctas / sink_append (AQE-coalesced
+    file sizing applies); nothing about the shim constrains table size."""
+    from sdp_spark.operators.catalog import _drop_table, ensure_sampledb
+
+    ensure_sampledb(spark, sf_dir)
+    _drop_table(spark, sf_dir, "dialect_dml_rt")
+    return execute_mysql(spark, sf_dir, _DML_SCRIPT)

@@ -269,3 +269,64 @@ def test_group_by_binds_toplevel_not_derived():
     # inner GROUP BY a ASC is nested; outer has no direction -> rule 10
     # must not touch the outer, and must not mis-bind the inner
     assert "GROUP BY a" in out
+
+
+# --- round-6 statement-form rules (DML/DDL/SHOW routing) ---
+
+
+def test_ctas_without_as_gets_as():
+    out = t("CREATE TABLE db.t SELECT a FROM u")
+    assert "CREATE TABLE db.t AS SELECT" in out
+
+
+def test_ctas_with_as_not_doubled():
+    out = t("CREATE TABLE db.t AS SELECT a FROM u")
+    assert out.count(" AS SELECT") == 1
+
+
+def test_ctas_if_not_exists():
+    out = t("CREATE TABLE IF NOT EXISTS t2 SELECT a FROM u")
+    assert "CREATE TABLE IF NOT EXISTS t2 AS SELECT" in out
+
+
+def test_engine_and_charset_options_dropped():
+    out = t(
+        "CREATE TABLE t ENGINE=InnoDB DEFAULT CHARSET=utf8 "
+        "AUTO_INCREMENT=100 SELECT a FROM u"
+    )
+    assert "ENGINE" not in out and "CHARSET" not in out
+    assert "AUTO_INCREMENT" not in out
+    assert "CREATE TABLE t" in out and "AS SELECT" in out
+
+
+def test_show_tables_like_pattern():
+    out = t("SHOW TABLES LIKE '%ord%'")
+    assert out == "SHOW TABLES LIKE '*ord*'"
+
+
+def test_show_tables_from_db_like():
+    out = t("SHOW TABLES FROM `sampledb` LIKE 'cust_';")
+    assert out == "SHOW TABLES IN sampledb LIKE 'cust*'"
+
+
+def test_show_columns_maps_to_spark():
+    assert t("SHOW COLUMNS FROM orders") == "SHOW COLUMNS IN orders"
+    assert t("SHOW FULL COLUMNS FROM db.orders") == "DESCRIBE TABLE db.orders"
+
+
+def test_split_script_literal_safe():
+    from sdp_spark.dialect import split_mysql_script
+
+    stmts = split_mysql_script(
+        "INSERT INTO t VALUES ('a;b');  SELECT * FROM t;"
+    )
+    assert len(stmts) == 2
+    assert stmts[0] == "INSERT INTO t VALUES ('a;b')"
+    assert stmts[1] == "SELECT * FROM t"
+
+
+def test_like_inside_where_untouched():
+    # the SHOW rule is whole-statement: a WHERE ... LIKE '%x%' query must
+    # keep its MySQL-style % wildcards (valid in Spark LIKE too)
+    out = t("SELECT * FROM t WHERE a LIKE '%x%'")
+    assert "'%x%'" in out
