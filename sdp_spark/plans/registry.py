@@ -98,7 +98,7 @@ _SWEEP_PRIORITY = (
     #     (all locally oracle-green at sf0.01 AND sf0.1, SCALING.md) ---
     "win_sliding_median", "win_ewma", "llm_blocklist_filter",
     "subq_correlated_scalar", "filter_row_constructor", "agg_regression",
-    "query_forecast_revenue", "join_existence", "scan_recursive_glob",
+    "query_forecast_revenue", "join_existence", "fn_try_arith",
     "fn_week_modes", "llm_cdc_chunk", "fn_mysql_string2", "fn_inet",
     "fn_aes_roundtrip", "join_null_safe", "win_ratio_to_report",
     "stream_approx_distinct", "mm_modality_stats", "llm_pipeline_multimodal",
@@ -114,7 +114,7 @@ _SWEEP_PRIORITY = (
     "scan_xml", "scan_python_datasource", "catalog_sql_script",
     "cte_recursive", "graph_degree", "graph_pagerank",
     "dq_referential_check", "dialect_pipe_syntax", "agg_observe_metrics",
-    "stream_dedup_wm", "fn_try_arith", "udf_grouped_arrow",
+    "stream_dedup_wm", "scan_recursive_glob", "udf_grouped_arrow",
     "filter_collation_native", "dialect_identifier_param",
     "win_fill_forward", "scan_file_metadata", "fn_url_parse",
     "sink_compressed", "agg_bitmap_distinct",
