@@ -213,10 +213,17 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests assert precision=1 (every emitted pair really has j >= 0.5) and
     high recall vs the brute-force pairs at sf0.001.
     """
-    sh = _cached_shingles(spark, sf_dir)
-    # signature: min over xxhash64(perm, shingle) per permutation; shingle
-    # count piggybacks on the same groupBy (one shuffle, not two)
-    sig = _cached_signatures(spark, sf_dir)
+    if _collapse_dense(spark, sf_dir):
+        return _near_dedup_collapsed(spark, sf_dir)
+    return _minhash_band_verify(
+        _cached_signatures(spark, sf_dir), _cached_shingles(spark, sf_dir)
+    )
+
+
+def _collapse_dense(spark: SparkSession, sf_dir: str) -> bool:
+    """The shared duplicate-density gate for the exact-collapse prefixes
+    (MinHash and n-gram paths): one memoized 1-row aggregate over the
+    cached cluster map per (app, sf_dir)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _COLLAPSE_DECISION:
         stats = (
@@ -231,9 +238,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats["n"] > 0
             and stats["dups"] / stats["n"] >= _NEAR_COLLAPSE_MIN_DUP_FRAC
         )
-    if _COLLAPSE_DECISION[key]:
-        return _near_dedup_collapsed(spark, sf_dir)
-    return _minhash_band_verify(sig, sh)
+    return _COLLAPSE_DECISION[key]
 
 
 def _near_dedup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,8 +427,27 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-boilerplate shingle (df <= _NGRAM_DF_CAP; the Jaccard universe is the
     capped shingle set on both sides). The shingle equi-join IS the candidate
     pruning — disjoint docs never pair; the df cap bounds per-shingle fan-out
-    at cap². Deterministic → full SQL oracle (unlike the MinHash variant)."""
-    sh = _cached_capped(spark, sf_dir)
+    at cap². Deterministic → full SQL oracle (unlike the MinHash variant).
+
+    Dup-dense corpora take the same adaptive exact-collapse prefix as
+    llm_dedup_near (shared density gate): the shingle self-join runs over
+    exact-dup representatives only, pairs re-expand to members afterward.
+    IMPORTANT exactness detail: the df cap stays computed on the FULL
+    corpus (matching the SQL oracle) — only the self-join population
+    collapses, so the shingle universe, every jaccard value, and the
+    emitted pair set are identical to the uncollapsed plan (pinned by
+    test_ngram_collapse_equals_uncollapsed; oracle-checked at the dense
+    10× fixture, SCALING.md). The collapse flows through to
+    llm_dedup_near_resolve / llm_pipeline_train_corpus_nd, which consume
+    this pair plan."""
+    if _collapse_dense(spark, sf_dir):
+        return _ngram_pairs_collapsed(spark, sf_dir)
+    return _ngram_pair_core(_cached_capped(spark, sf_dir))
+
+
+def _ngram_pair_core(sh: DataFrame) -> DataFrame:
+    """The capped-postings self-join + Jaccard filter over whatever doc
+    population ``sh`` carries (full corpus, or exact-dup reps)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -442,6 +466,48 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.3)
         .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
     )
+
+
+def _ngram_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse branch of llm_dedup_ngram_jaccard: identical texts have
+    identical capped shingle sets (the df cap is a full-corpus property,
+    shared by all copies), so the self-join runs on min-doc_id reps and
+    pairs re-expand exactly — cross pairs inherit the reps' jaccard,
+    within-cluster pairs are 1.0. Membership is restricted to docs with at
+    least one capped shingle (a cluster whose shingles were all df-capped
+    away is absent from BOTH plans — all-or-none per cluster, since copies
+    share one shingle set)."""
+    sh = _cached_capped(spark, sf_dir)
+    members = _cached_clusters(spark, sf_dir).join(
+        sh.select("doc_id").distinct(), "doc_id"
+    )
+    rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    rep_pairs = _ngram_pair_core(sh.join(rep_ids, "doc_id"))
+    ma = members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("m_a"))
+    mb = members.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    within = (
+        x.join(
+            y,
+            (F.col("x.ck") == F.col("y.ck"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 # DuckDB twin of the connected-components resolution: symmetrize the pair
@@ -487,49 +553,94 @@ def _propagate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        pairs = llm_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-        edges = (
-            pairs.unionAll(
-                pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        if _collapse_dense(spark, sf_dir):
+            # Collapse-aware resolution: propagate over the REP-level pair
+            # graph (the collapsed plan BEFORE expansion — smaller than the
+            # member graph by the duplication factor squared), then project
+            # labels onto members. Exact because cluster members form a
+            # clique (within-pairs at jaccard 1.0) whose minimum is the rep,
+            # and reps are cluster minima — so min-label over the member
+            # graph == min-label over the rep graph, projected. Members of
+            # size-1 clusters with no cross pair are non-nodes in BOTH
+            # formulations; size>=2 clusters with no cross pair label as
+            # their own rep.
+            sh = _cached_capped(spark, sf_dir)
+            members = _cached_clusters(spark, sf_dir).join(
+                sh.select("doc_id").distinct(), "doc_id"
             )
-            .toDF("src", "dst")
-            .localCheckpoint()
-        )
-        labels = (
-            edges.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("label", F.col("node"))
-            .localCheckpoint()
-        )
-        for _ in range(_MAX_CC_ITERS):
-            nbr = (
-                edges.join(labels, F.col("dst") == F.col("node"))
-                .groupBy("src")
-                .agg(F.min("label").alias("nbr_label"))
-                .withColumnRenamed("src", "node")
+            rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select(
+                "doc_id"
             )
-            merged = (
-                labels.withColumnRenamed("label", "old_label")
-                .join(nbr, "node", "left")
-                .select(
-                    "node",
-                    "old_label",
-                    F.least(
-                        F.col("old_label"),
-                        F.coalesce(F.col("nbr_label"), F.col("old_label")),
-                    ).alias("label"),
+            pairs = _ngram_pair_core(sh.join(rep_ids, "doc_id")).select(
+                "doc_a", "doc_b"
+            )
+            rep_labels = _propagate_loop(pairs)
+            w = Window.partitionBy("ck")
+            return (
+                members.withColumn("sz", F.count(F.lit(1)).over(w))
+                .join(
+                    rep_labels.select(
+                        F.col("node").alias("rep"), F.col("label").alias("rl")
+                    ),
+                    "rep",
+                    "left",
                 )
-                .localCheckpoint()
+                .filter(F.col("rl").isNotNull() | (F.col("sz") >= 2))
+                .select(
+                    F.col("doc_id").alias("node"),
+                    F.coalesce("rl", "rep").alias("label"),
+                )
             )
-            changed = merged.filter(F.col("label") != F.col("old_label")).count()
-            labels = merged.select("node", "label")
-            if changed == 0:
-                return labels
-        raise RuntimeError(
-            f"near-dup label propagation did not converge in {_MAX_CC_ITERS} rounds"
-        )
+        pairs = llm_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        return _propagate_loop(pairs)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def _propagate_loop(pairs: DataFrame) -> DataFrame:
+    """The min-label propagation loop over an undirected pair list;
+    see _propagate_labels for the convergence/width discipline (the caller
+    owns the scoped shuffle-width conf)."""
+    edges = (
+        pairs.unionAll(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(_MAX_CC_ITERS):
+        nbr = (
+            edges.join(labels, F.col("dst") == F.col("node"))
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        merged = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(nbr, "node", "left")
+            .select(
+                "node",
+                "old_label",
+                F.least(
+                    F.col("old_label"),
+                    F.coalesce(F.col("nbr_label"), F.col("old_label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = merged.filter(F.col("label") != F.col("old_label")).count()
+        labels = merged.select("node", "label")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"near-dup label propagation did not converge in {_MAX_CC_ITERS} rounds"
+    )
 
 
 @register("llm_dedup_near_resolve", oracle=_NEAR_RESOLVE_SQL, section=_SEC)

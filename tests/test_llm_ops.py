@@ -98,6 +98,63 @@ def test_near_dedup_collapse_equals_uncollapsed(spark, sf_dir):
         assert via_op == full
 
 
+def test_ngram_collapse_equals_uncollapsed(spark, sf_dir):
+    """Same pin for the deterministic n-gram pair plan: the collapse branch
+    (reps-only self-join + expansion, full-corpus df cap) must emit exactly
+    the pairs of the uncollapsed plan — and since this key IS oracled, any
+    divergence would also be a driver hash mismatch."""
+    from sdp_spark.operators.llm import (
+        _cached_capped,
+        _ngram_pair_core,
+        _ngram_pairs_collapsed,
+    )
+
+    def as_map(df):
+        return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in df.collect()}
+
+    for sf in (sf_dir, "/root/testdata/sf0.1"):
+        if not os.path.isdir(sf):
+            continue
+        full = as_map(_ngram_pair_core(_cached_capped(spark, sf)))
+        got = as_map(_ngram_pairs_collapsed(spark, sf))
+        assert got == full, {
+            "sf": sf,
+            "missing": sorted(set(full) - set(got))[:5],
+            "extra": sorted(set(got) - set(full))[:5],
+        }
+
+
+def test_resolve_collapse_equals_uncollapsed(spark):
+    """Keeper resolution must be branch-invariant: forcing the density gate
+    dense vs sparse at sf0.1 must produce the identical (doc_id, keeper_doc,
+    cluster_size, is_keeper) set. Covers the rep-graph propagation +
+    member-projection rewrite (round 6)."""
+    from sdp_spark.operators import llm
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.1 fixture absent")
+
+    def run(force_dense):
+        key = (spark.sparkContext.applicationId, sf)
+        llm._COLLAPSE_DECISION[key] = force_dense
+        llm._RESOLVE_CACHE.pop(key, None)
+        try:
+            return {
+                tuple(r)
+                for r in REGISTRY["llm_dedup_near_resolve"].fn(spark, sf).collect()
+            }
+        finally:
+            llm._COLLAPSE_DECISION.pop(key, None)
+            llm._RESOLVE_CACHE.pop(key, None)
+
+    sparse, dense = run(False), run(True)
+    assert dense == sparse, {
+        "only_sparse": sorted(sparse - dense)[:5],
+        "only_dense": sorted(dense - sparse)[:5],
+    }
+
+
 def test_minhash_deterministic(spark, sf_dir):
     a = REGISTRY["llm_dedup_near"].fn(spark, sf_dir)
     b = REGISTRY["llm_dedup_near"].fn(spark, sf_dir)
