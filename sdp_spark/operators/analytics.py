@@ -1359,3 +1359,60 @@ def dq_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     return spark.sql(_DQ_REFERENTIAL)
+
+
+# ---------------------------------------------------------------------------
+# Data-quality: numeric outlier detection (Tukey IQR fences)
+# ---------------------------------------------------------------------------
+
+_DQ_IQR = """
+    WITH q AS (
+      SELECT o_orderpriority,
+             {P25} AS q1,
+             {P75} AS q3
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_outliers,
+           FLOOR((q.q1 - 1.5 * (q.q3 - q.q1)) * 100 + 0.5) / 100 AS lo_fence,
+           FLOOR((q.q3 + 1.5 * (q.q3 - q.q1)) * 100 + 0.5) / 100 AS hi_fence,
+           MAX(o.o_totalprice) AS max_outlier
+    FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
+    WHERE o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+       OR o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+    GROUP BY o.o_orderpriority, q.q1, q.q3
+    ORDER BY o.o_orderpriority
+"""
+
+
+@register(
+    "dq_anomaly_iqr",
+    oracle=_DQ_IQR.format(
+        P25="quantile_disc(o_totalprice, 0.25)",
+        P75="quantile_disc(o_totalprice, 0.75)",
+    ),
+    section=_SEC,
+)
+def dq_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality numeric outlier detection: Tukey IQR fences per group
+    (outlier ⟺ value outside [q1 − 1.5·IQR, q3 + 1.5·IQR]) — the standard
+    first-pass anomaly scan a load-validation pipeline runs per partition
+    of every fact load. DISCRETE quartiles on purpose: PERCENTILE_DISC
+    returns actual observed values (identical in both engines — same trick
+    as agg_percentile_disc), so the fences are IEEE-deterministic
+    expressions of identical doubles and the outlier row SET is exact
+    cross-engine; fences are floor-form rounded only for display.
+
+    Scale: one grouped quantile pass (at 100 TB swap PERCENTILE_DISC for
+    approx_percentile — same plan shape, sketch-mergeable partials) + a
+    broadcast join of the tiny per-group fence table back onto the fact
+    scan — the outlier filter runs map-side."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _DQ_IQR.format(
+            P25="PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice)",
+            P75="PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY o_totalprice)",
+        )
+    )

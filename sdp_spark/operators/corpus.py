@@ -1845,3 +1845,94 @@ def llm_corpus_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("dropped_by")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level quality filtering (Raffel et al. 2020, §2.2)
+# ---------------------------------------------------------------------------
+
+# A line survives C4 if it ends in terminal punctuation AND has >= 5 words.
+_C4_LINE_MIN_WORDS = 5
+_C4_MIN_SENTENCES = 3
+
+
+@register(
+    "llm_quality_c4",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines,
+             CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS INTEGER)
+               AS n_sentences,
+             contains(text, '{{') AS has_brace,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(lower(text), 'javascript') AS has_js
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_sentences, has_brace, has_lorem, has_js,
+             CAST(len(lines) AS INTEGER) AS n_lines,
+             CAST(len(list_filter(lines,
+                  x -> regexp_matches(x, '[.!?"]$')
+                       AND len(string_split(x, ' ')) >= {_C4_LINE_MIN_WORDS}))
+                  AS INTEGER) AS n_kept_lines,
+             COALESCE(array_to_string(list_filter(lines,
+                  x -> regexp_matches(x, '[.!?"]$')
+                       AND len(string_split(x, ' ')) >= {_C4_LINE_MIN_WORDS}),
+                  chr(10)), '') AS clean_text
+      FROM t
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+           has_brace, has_lorem, has_js,
+           (n_sentences >= {_C4_MIN_SENTENCES})
+             AND NOT has_brace AND NOT has_lorem AND NOT has_js
+             AND n_kept_lines > 0 AS keep,
+           clean_text
+    FROM m
+    """,
+    section=_SEC,
+)
+def llm_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style (Raffel et al. 2020) line-level quality filter as a single
+    scan: per-document line metrics (terminal-punctuation + min-word line
+    rule), sentence count, boilerplate flags (curly brace / lorem ipsum /
+    javascript), the page-level keep verdict, AND the cleaned text (only
+    surviving lines, rejoined) — C4 is a TRANSFORM, not just a filter, so
+    the cleaned column is part of the contract. All array-lambda codegen
+    (split/filter/array_join) — no explode, no shuffle, no Python; at
+    100 TB this is a map-only pass like llm_quality_gopher, and the two
+    together give the Gopher-rules + C4-rules pair every web-corpus
+    pipeline runs. (The synthetic fixture has no punctuation or newlines,
+    so the line rules mostly reject — the SQL oracle pins that behavior
+    exactly; the rules fire for real on punctuated corpora.)"""
+    lines = F.split("text", "\n")
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike('[.!?"]$')
+        & (F.size(F.split(x, " ")) >= _C4_LINE_MIN_WORDS),
+    )
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.length(F.regexp_replace("text", "[^.!?]", "")).alias("n_sentences"),
+        F.col("text").contains("{").alias("has_brace"),
+        F.lower("text").contains("lorem ipsum").alias("has_lorem"),
+        F.lower("text").contains("javascript").alias("has_js"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+    return t.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_brace",
+        "has_lorem",
+        "has_js",
+        (
+            (F.col("n_sentences") >= _C4_MIN_SENTENCES)
+            & ~F.col("has_brace")
+            & ~F.col("has_lorem")
+            & ~F.col("has_js")
+            & (F.col("n_kept_lines") > 0)
+        ).alias("keep"),
+        "clean_text",
+    )

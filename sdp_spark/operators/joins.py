@@ -979,3 +979,95 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .select("cust_a", "cust_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (bin-and-verify — the scalable range-join pattern)
+# ---------------------------------------------------------------------------
+
+# bucket width (days) for interval binning; >= the longest interval so each
+# interval spans at most 2 buckets (fan-out <= 2 per row).
+_IV_BUCKET_DAYS = 14
+_IV_EPOCH = "DATE '1992-01-01'"
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH bookings AS (
+      SELECT o_orderkey AS book_key, o_orderdate AS b_start,
+             o_orderdate + INTERVAL 6 DAY AS b_end
+      FROM orders WHERE o_orderkey % 89 = 0
+    ), promos AS (
+      SELECT o_orderkey AS promo_key, o_orderdate AS p_start,
+             o_orderdate + INTERVAL 13 DAY AS p_end
+      FROM orders WHERE o_orderkey % 997 = 0
+    )
+    SELECT b.book_key, p.promo_key,
+           CAST(date_diff('day',
+                GREATEST(b.b_start, p.p_start),
+                LEAST(b.b_end, p.p_end)) + 1 AS BIGINT) AS overlap_days
+    FROM bookings b JOIN promos p
+      ON b.b_start <= p.p_end AND p.p_start <= b.b_end
+    ORDER BY b.book_key, p.promo_key
+    """,
+    section=_SEC,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — two interval sets (order 'bookings', 7-day
+    spans; sampled 'promos', 14-day spans) paired wherever the intervals
+    intersect, with the overlap length. MySQL writes this as the theta
+    join `a.start <= b.end AND b.start <= a.end` (the oracle does exactly
+    that) — a nested-loop at any scale. Here: **bin-and-verify** — every
+    interval explodes to the 14-day buckets it touches (fan-out <= 2, the
+    bucket width covers the longest interval), buckets equi-join (a plain
+    hash shuffle — Catalyst never sees a cartesian), duplicates from
+    multi-bucket spans collapse with distinct, and the exact overlap
+    predicate verifies candidates. At 100 TB the shuffle key is the bucket
+    id: time-local data stays together, and skew (a hot fortnight) is
+    AQE-splittable. Same pattern as join_spatial_grid, one dimension."""
+    o = table(spark, sf_dir, "orders")
+    day0 = F.to_date(F.expr(_IV_EPOCH))
+
+    def intervals(modulus: int, span_days: int, key: str, lo: str, hi: str):
+        return (
+            o.filter(F.col("o_orderkey") % modulus == 0)
+            .select(
+                F.col("o_orderkey").alias(key),
+                F.col("o_orderdate").alias(lo),
+                F.date_add("o_orderdate", span_days).alias(hi),
+            )
+            .withColumn(
+                "bucket",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.datediff(F.col(lo), day0) / _IV_BUCKET_DAYS),
+                        F.floor(F.datediff(F.col(hi), day0) / _IV_BUCKET_DAYS),
+                    )
+                ),
+            )
+        )
+
+    b = intervals(89, 6, "book_key", "b_start", "b_end")
+    p = intervals(997, 13, "promo_key", "p_start", "p_end")
+    return (
+        b.join(p, "bucket")
+        .filter(
+            (F.col("b_start") <= F.col("p_end"))
+            & (F.col("p_start") <= F.col("b_end"))
+        )
+        .select(
+            "book_key",
+            "promo_key",
+            (
+                F.datediff(
+                    F.least("b_end", "p_end"), F.greatest("b_start", "p_start")
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("overlap_days"),
+        )
+        .distinct()
+        .orderBy("book_key", "promo_key")
+    )

@@ -119,7 +119,8 @@ _SWEEP_PRIORITY = (
     "win_fill_forward", "scan_file_metadata", "fn_url_parse",
     "sink_compressed", "agg_bitmap_distinct",
     # --- round-6 NEW keys: always append here, never leave unlisted ---
-    "dialect_dml_roundtrip",
+    "dialect_dml_roundtrip", "llm_quality_c4", "dq_anomaly_iqr",
+    "join_interval_overlap",
     # --- r5-green keys (driver verdicts in CORRECTNESS_r05.json) ---
     "scan_csv_malformed", "llm_perplexity_proxy", "llm_sample_stratified",
     "llm_chunk_windows", "scan_multiformat_union", "agg_percentile_disc",

@@ -457,3 +457,29 @@ def test_capstone_exchange_budget(spark, sf_dir, key, budget):
     )
     assert n <= budget, f"{key}: {n} exchanges (budget {budget}) — lost a broadcast?"
     assert "CartesianProduct" not in plan, key
+
+
+def test_interval_overlap_join_not_cartesian(spark, sf_dir):
+    """The bin-and-verify interval join's whole point: Catalyst must see an
+    EQUI join on the bucket key (hash shuffle or broadcast), never a
+    nested-loop over the interval theta predicate."""
+    plan = _plan(
+        spark, REGISTRY["join_interval_overlap"].fn(spark, sf_dir), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dq_anomaly_iqr_broadcasts_fences(spark, sf_dir):
+    """The per-group fence table is tiny (one row per priority) — it must
+    join back onto the orders scan as a broadcast, keeping the outlier
+    filter map-side."""
+    plan = _plan(spark, REGISTRY["dq_anomaly_iqr"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_c4_single_scan_no_shuffle(spark, sf_dir):
+    """C4 filtering is per-row lambda codegen: no Exchange, no Python."""
+    plan = _plan(spark, REGISTRY["llm_quality_c4"].fn(spark, sf_dir), "simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
