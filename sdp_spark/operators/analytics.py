@@ -1416,3 +1416,105 @@ def dq_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             P75="PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY o_totalprice)",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality: one-pass column profiling
+# ---------------------------------------------------------------------------
+
+# (table, column, is_numeric) — the profile surface. Numeric min/max land in
+# min_num/max_num, strings in min_str/max_str; the other pair is NULL.
+_DQ_PROFILE_COLS = {
+    "lineitem": [
+        ("l_quantity", True),
+        ("l_extendedprice", True),
+        ("l_discount", True),
+        ("l_tax", True),
+        ("l_returnflag", False),
+        ("l_linestatus", False),
+    ],
+    "orders": [("o_totalprice", True), ("o_orderpriority", False)],
+    "events": [("value", True), ("event_type", False)],
+    "documents": [("n_chars", True), ("lang", False)],
+}
+
+
+def _dq_profile_oracle() -> str:
+    branches = []
+    for tbl, cols in _DQ_PROFILE_COLS.items():
+        for col, is_num in cols:
+            if is_num:
+                mins = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+                strs = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
+            else:
+                mins = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+                strs = f"MIN({col})", f"MAX({col})"
+            branches.append(
+                f"SELECT '{tbl}.{col}' AS col_name,"
+                f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+                f" CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,"
+                f" CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,"
+                f" {mins[0]} AS min_num, {mins[1]} AS max_num,"
+                f" {strs[0]} AS min_str, {strs[1]} AS max_str"
+                f" FROM {tbl}"
+            )
+    return " UNION ALL ".join(branches) + " ORDER BY col_name"
+
+
+@register("dq_profile_table", oracle=_dq_profile_oracle(), section=_SEC)
+def dq_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile — row count, null count, exact distinct
+    count, min/max — for the audited columns of four fixture tables, in a
+    single long-format result (one row per column). This is the
+    load-validation report every warehouse runs after ingest (the
+    reference platform's per-row MySQL constraints, re-expressed as a
+    declarative post-load audit, same rationale as dq_referential_check).
+
+    Spark-first plan: ONE aggregate pass per table computes every metric
+    for all of that table's columns simultaneously (multiple
+    COUNT(DISTINCT) lower to a single Expand + two-phase agg — still one
+    scan), then the 1-row wide agg explodes into per-column struct rows
+    and the four tiny long tables union. The oracle replays it as
+    per-column UNION ALL branches — same answer, DuckDB's planner's
+    problem. At 100 TB swap the exact COUNT(DISTINCT) for
+    approx_count_distinct (same plan minus the Expand multiplier); min/max
+    /null-count partials are already sketch-cheap map-side aggregates."""
+    parts = []
+    for tbl, cols in _DQ_PROFILE_COLS.items():
+        t = table(spark, sf_dir, tbl)
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+        for col, _ in cols:
+            aggs.append((F.count(F.lit(1)) - F.count(col)).cast("bigint").alias(f"nn_{col}"))
+            aggs.append(F.count_distinct(F.col(col)).cast("bigint").alias(f"nd_{col}"))
+            aggs.append(F.min(col).alias(f"mn_{col}"))
+            aggs.append(F.max(col).alias(f"mx_{col}"))
+        wide = t.agg(*aggs)
+        structs = []
+        for col, is_num in cols:
+            if is_num:
+                mn = F.col(f"mn_{col}").cast("double")
+                mx = F.col(f"mx_{col}").cast("double")
+                ms, xs = F.lit(None).cast("string"), F.lit(None).cast("string")
+            else:
+                mn = F.lit(None).cast("double")
+                mx = F.lit(None).cast("double")
+                ms, xs = F.col(f"mn_{col}"), F.col(f"mx_{col}")
+            structs.append(
+                F.struct(
+                    F.lit(f"{tbl}.{col}").alias("col_name"),
+                    F.col("n_rows"),
+                    F.col(f"nn_{col}").alias("n_nulls"),
+                    F.col(f"nd_{col}").alias("n_distinct"),
+                    mn.alias("min_num"),
+                    mx.alias("max_num"),
+                    ms.alias("min_str"),
+                    xs.alias("max_str"),
+                )
+            )
+        parts.append(
+            wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name")

@@ -1936,3 +1936,76 @@ def llm_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep"),
         "clean_text",
     )
+
+
+@register(
+    "llm_repetition_ngram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, toks,
+        CASE WHEN len(toks) < 2 THEN []
+             ELSE list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])
+        END AS bigrams
+      FROM t
+    )
+    SELECT doc_id,
+      CAST(len(bigrams) AS INTEGER) AS n_bigrams,
+      FLOOR((CASE WHEN len(bigrams) = 0 THEN 0.0
+        ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+      END) * 10000 + 0.5) / 10000 AS dup_bigram_frac,
+      FLOOR((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+            * 10000 + 0.5) / 10000 AS dup_word_frac,
+      (CASE WHEN len(bigrams) = 0 THEN 0.0
+        ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+      END) < 0.2 AS passes
+    FROM g
+    """,
+    section=_SEC,
+)
+def llm_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rule (Rae et al. 2021 §A1.1): the fraction of
+    DUPLICATE word bigrams (and duplicate words) per document — the signal
+    that catches boilerplate loops and keyboard-mash that the
+    distinct-token fraction in llm_quality_gopher under-weights (a doc can
+    have high distinct-word fraction yet repeat one phrase hundreds of
+    times; the duplicate-bigram fraction sees the phrase). Documents pass
+    at dup_bigram_frac < 0.2, Gopher's published threshold band.
+
+    Pure-codegen array pipeline: split → `transform(sequence(...))` builds
+    the bigram array in place → `array_distinct` sizes give the duplicate
+    fractions. One scan, zero shuffles, zero Python — the cheapest kind of
+    100 TB filter (runs map-side inside the ingest scan, like
+    llm_quality_c4). Guards: a <2-token doc has no bigrams (Spark
+    `sequence(0,-1)` would count DOWN, so the branch is explicit) and a
+    0-bigram doc scores 0.0 (clean), not NULL."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    g = t.withColumn(
+        "bigrams",
+        F.when(
+            F.size("toks") < 2, F.expr("CAST(array() AS ARRAY<STRING>)")
+        ).otherwise(
+            F.expr(
+                "transform(sequence(0, size(toks)-2),"
+                " i -> concat(toks[i], ' ', toks[i+1]))"
+            )
+        ),
+    )
+    n_big = F.size("bigrams")
+    dup_big = F.when(n_big == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct("bigrams")).cast("double") / n_big
+    )
+    dup_word = F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / F.size(
+        "toks"
+    )
+    return g.select(
+        "doc_id",
+        n_big.cast("int").alias("n_bigrams"),
+        dround(dup_big, 4).alias("dup_bigram_frac"),
+        dround(dup_word, 4).alias("dup_word_frac"),
+        (dup_big < 0.2).alias("passes"),
+    )

@@ -149,3 +149,187 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", dround("rank", 6).alias("rank")).orderBy(
         F.col("rank").desc(), "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (min-label propagation) + triangle counting
+# ---------------------------------------------------------------------------
+
+# One calendar week of trade keeps the graph sparse enough that its
+# component structure is non-trivial (the full-history bipartite graph is
+# a single giant component at every fixture scale — a useless answer).
+_CC_LO, _CC_HI = "1995-03-01", "1995-03-08"
+_CC_MAX_ROUNDS = 50
+
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT 's:' || l.l_suppkey AS src, 'c:' || o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= DATE '{_CC_LO}' AND o.o_orderdate < DATE '{_CC_HI}'
+    ), e2 AS (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+    ), nodes AS (SELECT DISTINCT src AS node FROM e2),
+    walk(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e2.dst, walk.lab FROM walk JOIN e2 ON e2.src = walk.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS comp FROM walk GROUP BY node),
+    sizes AS (
+      SELECT comp, CAST(COUNT(*) AS BIGINT) AS comp_size FROM comp GROUP BY comp
+    )
+    SELECT comp_size, CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY comp_size ORDER BY comp_size
+    """,
+    section=_SEC,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of one week's trade graph — the contact-tracing
+    primitive of the reference's surveillance mission (CDCgov/SDP README.md:2:
+    which cases/suppliers form one transmission cluster?) and the same
+    fixpoint this engine's near-dup keeper resolution runs (llm.py
+    `llm_dedup_near_resolve`): label = min reachable node id, propagated
+    until no label changes, then a component-size histogram.
+
+    Plan per round: comp (|V| rows, orders smaller than edges) hash-joins
+    onto the edge list, one partial-agg MIN per node, eager localCheckpoint
+    to pin lineage depth; the convergence probe is a |V|-row join + count.
+    Rounds = component eccentricity (graph diameter bound). At 100 TB the
+    round count — not the per-round cost — is the risk; the published fix
+    is large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce", SoCC'14) which converges in O(log n) rounds with the same
+    join+min building blocks; the fixture graphs converge in < 15 rounds,
+    so the straightforward propagation is the better plan here (fewer
+    shuffles per round, no re-orientation pass).
+
+    The DuckDB oracle replays the fixpoint as a recursive CTE (transitive
+    min-label closure) — tractable because the one-week graph is sparse;
+    components are certified exactly, not just their count."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        l.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(_CC_LO))
+                & (F.col("o_orderdate") < F.lit(_CC_HI))
+            ),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .select(
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    e2 = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    comp = (
+        e2.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CC_MAX_ROUNDS):
+        # propagate each node's label across its out-edges, keep the min of
+        # (own label, every inbound neighbour label); comp is the small side.
+        prop = e2.join(comp, e2.src == comp.node).select(
+            F.col("dst").alias("node"), "comp"
+        )
+        new_comp = (
+            comp.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_comp.withColumnRenamed("comp", "new")
+            .join(comp, "node")
+            .filter(F.col("new") != F.col("comp"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    sizes = comp.groupBy("comp").agg(F.count("*").cast("bigint").alias("comp_size"))
+    return (
+        sizes.groupBy("comp_size")
+        .agg(F.count("*").cast("bigint").alias("n_components"))
+        .orderBy("comp_size")
+    )
+
+
+# One month bounds the co-supply graph's density: the full-history graph is
+# near-complete at every fixture scale (every supplier eventually co-ships
+# with every other), which makes wedge enumeration quadratic-in-|V| AND the
+# answer trivially ~C(|V|,3).
+_TRI_LO, _TRI_HI = "1995-03-01", "1995-04-01"
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      JOIN orders o ON a.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= DATE '{_TRI_LO}' AND o.o_orderdate < DATE '{_TRI_HI}'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges
+    FROM pairs ab
+    JOIN pairs bc ON ab.s2 = bc.s1
+    JOIN pairs ac ON ac.s1 = ab.s1 AND ac.s2 = bc.s2
+    """,
+    section=_SEC,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the one-month supplier co-shipment graph (edge =
+    two suppliers on the same order) — the clustering/cohesion metric
+    outbreak analysts read as "how interlocked is this supply cluster".
+    Classic two-join wedge-close enumeration on an oriented edge list:
+    orienting every edge s1 < s2 counts each triangle exactly once and
+    halves the wedge space for free.
+
+    Plan: the pair build is a self-join co-located on l_orderkey (one
+    shuffle both sides share) + a distinct; the close is pairs⋈pairs on
+    s2=s1 (wedges) then a hash semi-lookup of the closing edge. At 100 TB
+    the published refinement is degree-ordering the orientation (highest-
+    degree node last, Schank & Wagner 2005) so hub wedges collapse —
+    same plan shape, different orientation key; the calendar bound already
+    caps density here. No broadcast hints: the sides are same-order-of-
+    magnitude, AQE picks the strategy."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    month = o.filter(
+        (F.col("o_orderdate") >= F.lit(_TRI_LO)) & (F.col("o_orderdate") < F.lit(_TRI_HI))
+    )
+    lm = li.join(month, li.l_orderkey == month.o_orderkey).select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = lm.alias("a"), lm.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ab, bc, ac = pairs.alias("ab"), pairs.alias("bc"), pairs.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.s2") == F.col("bc.s1"))
+        .join(
+            ac,
+            (F.col("ac.s1") == F.col("ab.s1")) & (F.col("ac.s2") == F.col("bc.s2")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    edges = pairs.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return tri.crossJoin(edges)

@@ -692,3 +692,123 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "ts", "event_id")
         .drop("ts")
     )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS day_sum
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(d) AS mind, MAX(d) AS maxd FROM daily GROUP BY 1
+    ), scaffold AS (
+      SELECT user_id, UNNEST(generate_series(mind, maxd, INTERVAL 1 DAY)) AS d
+      FROM span
+    ), j AS (
+      SELECT s.user_id, s.d, daily.day_sum
+      FROM scaffold s
+      LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+    ), anch AS (
+      SELECT user_id, d, day_sum,
+        LAST_VALUE(day_sum IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_sum,
+        LAST_VALUE(CASE WHEN day_sum IS NOT NULL THEN d END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+        FIRST_VALUE(day_sum IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_sum,
+        FIRST_VALUE(CASE WHEN day_sum IS NOT NULL THEN d END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+      FROM j
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day, day_sum,
+      FLOOR((CASE
+        WHEN day_sum IS NOT NULL THEN day_sum
+        WHEN prev_sum IS NULL THEN next_sum
+        WHEN next_sum IS NULL THEN prev_sum
+        ELSE prev_sum + (next_sum - prev_sum)
+             * (CAST(date_diff('day', prev_d, d) AS DOUBLE)
+                / CAST(date_diff('day', prev_d, next_d) AS DOUBLE))
+      END) * 10000 + 0.5) / 10000 AS interp_sum
+    FROM anch
+    """,
+    section=_SEC,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densify + LINEAR interpolation — the companion to
+    `ts_gap_fill`'s step-function LOCF: silent days get the straight line
+    between the neighbouring observed daily bars (the estimate every
+    epi-curve / rate chart actually wants), observed days pass through
+    unchanged. Same scaffold as ts_gap_fill (per-user `sequence` explode,
+    no global calendar join), then TWO anchored windows per user — last
+    non-null (value, date) looking back, first non-null looking forward —
+    and a pure-codegen lerp expression.
+
+    Determinism: the daily bars are exact decimal sums (num.dsum), so both
+    engines lerp IDENTICAL doubles with the identical expression tree;
+    dround(4) floors the result so the hash can't see association order.
+
+    Plan: one partial+final hash agg (bars), narrow per-user explode, one
+    shuffle on user_id that BOTH window directions reuse (forward frame is
+    the same partitioning, Spark sorts once ascending and evaluates the
+    following-frame window on the same sorted run). State per user is
+    calendar-bounded — series length, not event count — so a 100 TB event
+    log with a 10-year span is ≤3,653 rows per user in the window stage."""
+    from sdp_spark.functions.num import dsum
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.date_trunc("day", "ts").alias("d")).agg(
+        dsum("value").alias("day_sum")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("mind"), F.max("d").alias("maxd")
+    )
+    scaffold = span.select(
+        "user_id",
+        F.explode(F.sequence("mind", "maxd", F.expr("interval 1 day"))).alias("d"),
+    )
+    j = scaffold.join(daily, ["user_id", "d"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("day_sum").isNotNull(), F.col("d"))
+    anch = j.select(
+        "user_id",
+        "d",
+        "day_sum",
+        F.last("day_sum", ignorenulls=True).over(back).alias("prev_sum"),
+        F.last(obs_d, ignorenulls=True).over(back).alias("prev_d"),
+        F.first("day_sum", ignorenulls=True).over(fwd).alias("next_sum"),
+        F.first(obs_d, ignorenulls=True).over(fwd).alias("next_d"),
+    )
+    lerp = (
+        F.when(F.col("day_sum").isNotNull(), F.col("day_sum"))
+        .when(F.col("prev_sum").isNull(), F.col("next_sum"))
+        .when(F.col("next_sum").isNull(), F.col("prev_sum"))
+        .otherwise(
+            F.col("prev_sum")
+            + (F.col("next_sum") - F.col("prev_sum"))
+            * (
+                F.datediff("d", "prev_d").cast("double")
+                / F.datediff("next_d", "prev_d").cast("double")
+            )
+        )
+    )
+    return anch.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "day_sum",
+        dround(lerp, 4).alias("interp_sum"),
+    )

@@ -121,6 +121,8 @@ _SWEEP_PRIORITY = (
     # --- round-6 NEW keys: always append here, never leave unlisted ---
     "dialect_dml_roundtrip", "llm_quality_c4", "dq_anomaly_iqr",
     "join_interval_overlap",
+    "graph_connected_components", "graph_triangle_count",
+    "ts_interpolate_linear", "dq_profile_table", "llm_repetition_ngram",
     # --- r5-green keys (driver verdicts in CORRECTNESS_r05.json) ---
     "scan_csv_malformed", "llm_perplexity_proxy", "llm_sample_stratified",
     "llm_chunk_windows", "scan_multiformat_union", "agg_percentile_disc",

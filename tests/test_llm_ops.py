@@ -893,3 +893,117 @@ def test_pagerank_hub_gets_more_rank(spark, sf_dir):
     lo_ranks = [ranks[f"s:{k}"] for k, d in deg.items() if d == lo_d]
     hi_ranks = [ranks[f"s:{k}"] for k, d in deg.items() if d == hi_d]
     assert statistics.mean(hi_ranks) >= statistics.mean(lo_ranks)
+
+
+def test_connected_components_partition_of_nodes(spark, sf_dir):
+    """graph_connected_components: the histogram is a partition of the
+    node set — Σ(comp_size × n_components) == |V| of the one-week graph —
+    and the fixpoint is deterministic run-to-run."""
+    from pyspark.sql import functions as F
+
+    from sdp_spark.operators.graphs import _CC_HI, _CC_LO
+    from sdp_spark.sources.fixtures import table
+
+    got = REGISTRY["graph_connected_components"].fn(spark, sf_dir).collect()
+    assert got, "no components found"
+    covered = sum(r["comp_size"] * r["n_components"] for r in got)
+
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    e = (
+        l.join(
+            o.filter((F.col("o_orderdate") >= _CC_LO) & (F.col("o_orderdate") < _CC_HI)),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .select("l_suppkey", "o_custkey")
+        .distinct()
+    )
+    n_nodes = (
+        e.select(F.col("l_suppkey").alias("k")).distinct().count()
+        + e.select(F.col("o_custkey").alias("k")).distinct().count()
+    )
+    assert covered == n_nodes
+    again = REGISTRY["graph_connected_components"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_triangle_count_bounds(spark, sf_dir):
+    """graph_triangle_count: 0 ≤ triangles ≤ C(n_edges, 3) and the count
+    is stable across runs (pure relational plan, no sampling)."""
+    row = REGISTRY["graph_triangle_count"].fn(spark, sf_dir).collect()[0]
+    t, e = row["n_triangles"], row["n_edges"]
+    assert 0 <= t <= e * (e - 1) * (e - 2) / 6
+    again = REGISTRY["graph_triangle_count"].fn(spark, sf_dir).collect()[0]
+    assert (t, e) == (again["n_triangles"], again["n_edges"])
+
+
+def test_interpolate_linear_bounds_and_passthrough(spark, sf_dir):
+    """ts_interpolate_linear: observed days pass through exactly; every
+    interpolated value lies within [min(prev,next), max(prev,next)] of its
+    user's neighbouring observed bars (lerp never extrapolates)."""
+    rows = REGISTRY["ts_interpolate_linear"].fn(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_interp = 0
+    for series in by_user.values():
+        series.sort(key=lambda r: r["day"])
+        observed = [(i, r["day_sum"]) for i, r in enumerate(series) if r["day_sum"] is not None]
+        obs_idx = [i for i, _ in observed]
+        for i, r in enumerate(series):
+            if r["day_sum"] is not None:
+                assert abs(r["interp_sum"] - r["day_sum"]) < 1e-9
+                continue
+            n_interp += 1
+            import bisect
+
+            j = bisect.bisect_left(obs_idx, i)
+            prev_v = observed[j - 1][1] if j > 0 else None
+            next_v = observed[j][1] if j < len(observed) else None
+            cands = [v for v in (prev_v, next_v) if v is not None]
+            assert cands, "gap with no neighbours"
+            assert min(cands) - 1e-9 <= r["interp_sum"] <= max(cands) + 1e-9
+    # the fixture has real gaps at every sf — the lerp branch must be hit
+    assert n_interp > 0
+
+
+def test_dq_profile_metric_sanity(spark, sf_dir):
+    """dq_profile_table: per-table n_rows consistent across that table's
+    columns, n_nulls/n_distinct within [0, n_rows], and exactly one of the
+    (num, str) min/max pairs populated per column."""
+    rows = REGISTRY["dq_profile_table"].fn(spark, sf_dir).collect()
+    by_table = {}
+    for r in rows:
+        tbl = r["col_name"].split(".")[0]
+        by_table.setdefault(tbl, []).append(r)
+    for tbl, cols in by_table.items():
+        assert len({r["n_rows"] for r in cols}) == 1, f"{tbl}: n_rows drift"
+        for r in cols:
+            assert 0 <= r["n_nulls"] <= r["n_rows"]
+            assert 0 < r["n_distinct"] <= r["n_rows"]
+            has_num = r["min_num"] is not None
+            has_str = r["min_str"] is not None
+            assert has_num != has_str, f"{r['col_name']}: min/max pair mixup"
+            if has_num:
+                assert r["min_num"] <= r["max_num"]
+            else:
+                assert r["min_str"] <= r["max_str"]
+
+
+def test_repetition_ngram_detects_loops(spark, tmp_path):
+    """llm_repetition_ngram on constructed docs: a phrase-looped doc fails
+    the Gopher gate, a distinct-text doc passes, and a single-token doc is
+    handled (0 bigrams, clean score) — the sequence(0,-1) guard."""
+    docs = [
+        (1, "spam ham " * 50, "en", "w", 400),          # pure loop
+        (2, " ".join(f"w{i}" for i in range(100)), "en", "w", 400),
+        (3, "solo", "en", "w", 4),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r for r in REGISTRY["llm_repetition_ngram"].fn(spark, sf).collect()}
+    assert not out[1]["passes"] and out[1]["dup_bigram_frac"] > 0.9
+    assert out[2]["passes"] and out[2]["dup_bigram_frac"] == 0.0
+    assert out[3]["n_bigrams"] == 0 and out[3]["passes"]
