@@ -829,3 +829,53 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority ORDER BY o_orderpriority
         """
     )
+
+
+_HIST_NBINS = 20
+
+
+@register(
+    "agg_histogram_equiwidth",
+    oracle=f"""
+    WITH mm AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
+    SELECT CAST(LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / {_HIST_NBINS}.0)) AS INTEGER),
+                 {_HIST_NBINS - 1}) AS INTEGER) AS bin,
+           {sql_dround(f"mn + LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / {_HIST_NBINS}.0)) AS INTEGER), {_HIST_NBINS - 1}) * ((mx - mn) / {_HIST_NBINS}.0)", 2)} AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders, mm
+    GROUP BY bin, bin_lo ORDER BY bin
+    """,
+    section=_SEC,
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of o_totalprice ({_HIST_NBINS} bins over the
+    observed [min, max]) — the profile every BI layer and every query
+    optimizer's column statistics build; MySQL 5.6 users emulate it with a
+    CASE ladder, here it is two aggregate passes. The max lands in the
+    last bin (LEAST clamp), matching the closed upper bound convention.
+
+    Plan: pass 1 is a 2-double global agg; its 1-row result broadcasts
+    into the binning expression so pass 2 is a map-side FLOOR + one
+    partial-agg shuffle of ≤ {_HIST_NBINS} groups. The bin expression is
+    identical IEEE arithmetic on identical doubles in both engines, so
+    bin assignment is exact cross-engine even at boundaries. At 100 TB
+    both passes stream; the only state is the bin table."""
+    o = table(spark, sf_dir, "orders").select("o_totalprice")
+    mm = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(_HIST_NBINS))
+    bin_ = F.least(
+        F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("int"),
+        F.lit(_HIST_NBINS - 1),
+    )
+    return (
+        o.crossJoin(F.broadcast(mm))
+        .select(
+            bin_.alias("bin"),
+            dround(F.col("mn") + bin_ * width, 2).alias("bin_lo"),
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("bin")
+    )

@@ -1518,3 +1518,54 @@ def dq_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col_name")
+
+
+_DQ_WINSOR = """
+    WITH q AS (
+      SELECT o_orderpriority,
+             {P05} AS p05,
+             {P95} AS p95
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+      CAST(COUNT(*) FILTER (WHERE o_totalprice < p05) AS BIGINT) AS n_lo,
+      CAST(COUNT(*) FILTER (WHERE o_totalprice > p95) AS BIGINT) AS n_hi,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_raw,
+      CAST(ROUND(SUM(CAST(GREATEST(LEAST(o_totalprice, p95), p05) AS DECIMAL(30,8))), 2)
+           AS DOUBLE) AS sum_wins
+    FROM orders o JOIN q USING (o_orderpriority)
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
+@register(
+    "dq_winsorize",
+    oracle=_DQ_WINSOR.format(
+        P05="quantile_disc(o_totalprice, 0.05)",
+        P95="quantile_disc(o_totalprice, 0.95)",
+    ),
+    section=_SEC,
+)
+def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregation: clamp each group's o_totalprice into its
+    own [p05, p95] band before summing — the robust-statistics companion
+    to dq_anomaly_iqr (that one REPORTS outliers; this one bounds their
+    influence so a fat-fingered load can't move the topline). Emits raw
+    vs winsorized sums plus clamp counts per priority so the damping is
+    auditable. PERCENTILE_DISC for the fences — observed values, exact
+    cross-engine (same contract as dq_anomaly_iqr); decimal sums for
+    order-independent totals (num.dsum rationale).
+
+    Plan: one grouped discrete-quantile pass, then the 5-row fence table
+    broadcast-joins back onto the scan and the clamp + both sums run
+    map-side into a single partial agg. At 100 TB: approx_percentile
+    fences, same shape."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _DQ_WINSOR.format(
+            P05="PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY o_totalprice)",
+            P95="PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY o_totalprice)",
+        )
+    )

@@ -2009,3 +2009,49 @@ def llm_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(dup_word, 4).alias("dup_word_frac"),
         (dup_big < 0.2).alias("passes"),
     )
+
+
+@register(
+    "llm_dup_cluster_stats",
+    oracle="""
+    WITH g AS (
+      SELECT substr(text, 1, 64) AS pfx, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM documents GROUP BY pfx HAVING COUNT(*) >= 2
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM g GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    section=_SEC,
+)
+def llm_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution under the 64-char-prefix
+    relation (llm_dedup_prefix's key) — the dedup DIAGNOSTIC every corpus
+    report needs before anyone runs removal: how many clusters, how big,
+    and how many docs a keep-one policy would delete (n_removable). Web
+    crawls follow a power law here; a sudden spike in large clusters is
+    the canonical symptom of a crawler trap or a mirror site entering the
+    crawl, which makes this histogram a data-quality alarm, not just a
+    curiosity.
+
+    Plan: group by the 64-byte prefix — the full text column never
+    shuffles, only the fixed-width key (the same trick every dedup key in
+    llm.py uses, here it IS the whole job) — then a second ≤|distinct
+    sizes| partial agg. Two map-combined exchanges, no joins, no Python;
+    at 100 TB this runs as a side output of the ingest scan."""
+    d = table(spark, sf_dir, "documents")
+    g = (
+        d.groupBy(F.substring("text", 1, 64).alias("pfx"))
+        .agg(F.count("*").cast("bigint").alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+    )
+    return (
+        g.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+            F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -333,3 +333,92 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.agg(F.count("*").cast("bigint").alias("n_edges"))
     return tri.crossJoin(edges)
+
+
+_BFS_MAX_HOPS = 12
+
+
+@register(
+    "graph_shortest_path_bfs",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT 's:' || l.l_suppkey AS src, 'c:' || o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= DATE '{_CC_LO}' AND o.o_orderdate < DATE '{_CC_HI}'
+    ), e2 AS (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+    ), s0 AS (
+      SELECT MIN(src) AS source FROM e2 WHERE src LIKE 's:%'
+    ),
+    walk(node, d) AS (
+      SELECT source, 0 FROM s0
+      UNION
+      SELECT e2.dst, walk.d + 1
+      FROM walk JOIN e2 ON e2.src = walk.node
+      WHERE walk.d < {_BFS_MAX_HOPS}
+    ),
+    dist AS (SELECT node, CAST(MIN(d) AS INTEGER) AS hops FROM walk GROUP BY node)
+    SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM dist GROUP BY hops ORDER BY hops
+    """,
+    section=_SEC,
+)
+def graph_shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted single-source shortest paths (BFS radius ≤
+    {_BFS_MAX_HOPS}) from the lexically-first supplier of the one-week
+    trade graph — "how many intermediaries between this source and each
+    counterparty", the reachability question contact tracing asks around
+    an index case. Output is the distance histogram (hops → node count);
+    nodes beyond the radius are out of scope BY CONTRACT in both engines,
+    so the bound is part of the semantics, not an approximation.
+
+    Plan per round: the frontier (new nodes at distance d, strictly
+    shrinking after the graph's effective diameter) hash-joins the edge
+    list, an anti-join against visited keeps first-discovery only, eager
+    localCheckpoint pins lineage; rounds stop early when the frontier
+    empties. visited is |V|-bounded — at 100 TB it's the same
+    orders-smaller-than-edges rank table PageRank carries; the oracle
+    replays the fixpoint as a depth-bounded recursive closure with MIN(d)
+    (same exactness argument as graph_connected_components)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        l.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(_CC_LO))
+                & (F.col("o_orderdate") < F.lit(_CC_HI))
+            ),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .select(
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    e2 = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    source = e2.filter(F.col("src").startswith("s:")).agg(
+        F.min("src").alias("node")
+    )
+    visited = source.withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            e2.join(frontier, e2.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.groupBy(F.col("hops").cast("int").alias("hops"))
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("hops")
+    )

@@ -812,3 +812,96 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_sum",
         dround(lerp, 4).alias("interp_sum"),
     )
+
+
+@register(
+    "win_rolling_corr",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, user_id, ts,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS DECIMAL(10,0)) AS x,
+             CAST(value AS DECIMAL(18,4)) AS y
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id,
+        CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+        SUM(x) OVER fr AS sx, SUM(y) OVER fr AS sy,
+        SUM(x*y) OVER fr AS sxy, SUM(x*x) OVER fr AS sxx, SUM(y*y) OVER fr AS syy
+      FROM b
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, n,
+      FLOOR((
+        (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / NULLIF(SQRT(
+            (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+          ), 0.0)
+      ) * 1000000 + 0.5) / 1000000 AS trend_corr
+    FROM w
+    """,
+    section=_SEC,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between a user's event values and
+    calendar time over a trailing 30-event frame — the windowed trend-
+    strength detector (corr → +1: values climbing day over day; → −1:
+    decaying) behind change-point monitors. Neither engine exposes CORR
+    as a window function over an arbitrary frame with exact semantics, so
+    it is lowered to its five sufficient statistics — Σx, Σy, Σxy, Σx²,
+    Σy² — each a DECIMAL window sum (exact ⇒ order-independent ⇒ immune
+    to the segment-tree vs running-sum evaluation difference between
+    engines), combined by one double-precision expression on identical
+    inputs. Zero variance (constant frame) yields NULL via NULLIF.
+
+    Plan: ONE user_id shuffle + per-user sort evaluates all five sliding
+    sums in a single Window operator; everything else is map-side
+    expression codegen. Decimal types are sized so no product exceeds
+    p=38 in either engine (x ≤ 4 digits as days-since-2024, y is a
+    2-dp measure). At 100 TB the frame state is 30 rows/user — constant."""
+    e = table(spark, sf_dir, "events")
+    b = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("decimal(10,0)")
+        .alias("x"),
+        F.col("value").cast("decimal(18,4)").alias("y"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-29, Window.currentRow)
+    )
+    w = b.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(fr).cast("bigint").alias("n"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum("y").over(fr).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(fr).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(fr).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        "n",
+        dround(num / F.nullif(den, F.lit(0.0)), 6).alias("trend_corr"),
+    )

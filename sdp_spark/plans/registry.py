@@ -123,6 +123,8 @@ _SWEEP_PRIORITY = (
     "join_interval_overlap",
     "graph_connected_components", "graph_triangle_count",
     "ts_interpolate_linear", "dq_profile_table", "llm_repetition_ngram",
+    "agg_histogram_equiwidth", "dq_winsorize", "graph_shortest_path_bfs",
+    "win_rolling_corr", "llm_dup_cluster_stats",
     # --- r5-green keys (driver verdicts in CORRECTNESS_r05.json) ---
     "scan_csv_malformed", "llm_perplexity_proxy", "llm_sample_stratified",
     "llm_chunk_windows", "scan_multiformat_union", "agg_percentile_disc",

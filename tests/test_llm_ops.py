@@ -1007,3 +1007,82 @@ def test_repetition_ngram_detects_loops(spark, tmp_path):
     assert not out[1]["passes"] and out[1]["dup_bigram_frac"] > 0.9
     assert out[2]["passes"] and out[2]["dup_bigram_frac"] == 0.0
     assert out[3]["n_bigrams"] == 0 and out[3]["passes"]
+
+
+def test_histogram_partitions_rows(spark, sf_dir):
+    """agg_histogram_equiwidth: bins cover every row exactly once, ids in
+    [0, 19], and bin_lo is strictly increasing with bin id."""
+    from sdp_spark.sources.fixtures import table
+
+    rows = sorted(
+        REGISTRY["agg_histogram_equiwidth"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert sum(r["n"] for r in rows) == table(spark, sf_dir, "orders").count()
+    assert all(0 <= r["bin"] <= 19 for r in rows)
+    los = [r["bin_lo"] for r in rows]
+    assert los == sorted(los) and len(set(los)) == len(los)
+
+
+def test_winsorize_clamp_fractions(spark, sf_dir):
+    """dq_winsorize: PERCENTILE_DISC fences clamp at most ~5% of each
+    group per side (discrete percentile guarantee) and never go negative."""
+    from pyspark.sql import functions as F
+
+    from sdp_spark.sources.fixtures import table
+
+    sizes = {
+        r["o_orderpriority"]: r["c"]
+        for r in table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    for r in REGISTRY["dq_winsorize"].fn(spark, sf_dir).collect():
+        n = sizes[r["o_orderpriority"]]
+        assert 0 <= r["n_lo"] <= 0.05 * n + 1
+        assert 0 <= r["n_hi"] <= 0.05 * n + 1
+        assert r["sum_wins"] is not None and r["sum_raw"] is not None
+
+
+def test_bfs_distance_histogram_shape(spark, sf_dir):
+    """graph_shortest_path_bfs: exactly one node at hops 0; hop levels are
+    contiguous from 0 (a BFS frontier can't skip a level); reachable total
+    never exceeds the one-week node universe."""
+    rows = sorted(
+        REGISTRY["graph_shortest_path_bfs"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["hops"],
+    )
+    assert rows[0]["hops"] == 0 and rows[0]["n_nodes"] == 1
+    assert [r["hops"] for r in rows] == list(range(len(rows)))
+    cc = REGISTRY["graph_connected_components"].fn(spark, sf_dir).collect()
+    n_universe = sum(r["comp_size"] * r["n_components"] for r in cc)
+    assert sum(r["n_nodes"] for r in rows) <= n_universe
+
+
+def test_rolling_corr_range_and_frame(spark, sf_dir):
+    """win_rolling_corr: coefficient in [-1, 1] when defined, frame count
+    in [1, 30], and each user's first event (n == 1) has NULL corr (zero
+    variance in a single-row frame)."""
+    rows = REGISTRY["win_rolling_corr"].fn(spark, sf_dir).collect()
+    assert rows
+    defined = 0
+    for r in rows:
+        assert 1 <= r["n"] <= 30
+        if r["trend_corr"] is not None:
+            defined += 1
+            assert -1.0 - 1e-9 <= r["trend_corr"] <= 1.0 + 1e-9
+        if r["n"] == 1:
+            assert r["trend_corr"] is None
+    assert defined > 0
+
+
+def test_dup_cluster_stats_identity(spark, sf_dir):
+    """llm_dup_cluster_stats: per histogram row n_docs == size×clusters
+    and n_removable == n_docs − n_clusters (keep-one accounting)."""
+    rows = REGISTRY["llm_dup_cluster_stats"].fn(spark, sf_dir).collect()
+    assert rows, "fixture should contain prefix-duplicate clusters"
+    for r in rows:
+        assert r["cluster_size"] >= 2
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["n_removable"] == r["n_docs"] - r["n_clusters"]
