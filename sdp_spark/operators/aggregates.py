@@ -879,3 +879,116 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("bin")
     )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT user_id, SUM(c) AS n FROM c GROUP BY 1
+    )
+    SELECT c.user_id,
+      FLOOR((-SUM((c.c / t.n) * LN(c.c / t.n) / LN(2.0))) * 1000000 + 0.5)
+        / 1000000 AS entropy_bits,
+      CAST(COUNT(*) AS INTEGER) AS n_types
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id
+    """,
+    section=_SEC,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each user's event-type distribution — the
+    behavioural-diversity / anomaly feature (a bot hammering one endpoint
+    scores ~0; a uniform browser scores log2(k)). Two-level aggregation:
+    exact (user, type) counts, per-user totals, then −Σ p·log2 p.
+
+    Determinism note: p = c/n is a quotient of exact integer-derived
+    doubles, identical in both engines; LN on identical doubles is
+    correctly rounded on both runtimes, and the few-term sum is floored at
+    6 dp — verified exact-hash at all three fixture scales. The entropy
+    SUM itself has ≤ |event_type| terms per user (single-digit), so
+    association order can't accumulate drift.
+
+    Plan: both aggs key on user_id, so ONE shuffle serves the pair (the
+    second agg and the join reuse the first's hash partitioning —
+    Catalyst elides the extra exchanges); the log/divide arithmetic is
+    map-side codegen. At 100 TB: counts partial-aggregate map-side, and
+    per-user state is the type histogram, k-bounded."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    t = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            dround(-F.sum(p * F.log(p) / F.log(F.lit(2.0))), 6).alias(
+                "entropy_bits"
+            ),
+            F.count("*").cast("int").alias("n_types"),
+        )
+    )
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_quantity,
+        SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
+          OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cumw,
+        SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
+          OVER (PARTITION BY l_returnflag) AS totw
+      FROM lineitem
+    )
+    SELECT l_returnflag, MIN(l_quantity) AS w_median
+    FROM w WHERE cumw * 2 >= totw
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    section=_SEC,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the smallest l_quantity at which the cumulative
+    l_extendedprice weight reaches half the group's total — "the quantity
+    below which half the revenue sits", the revenue-weighted center every
+    pricing analysis wants where an unweighted median misleads. Neither
+    engine has a weighted PERCENTILE_*, so it lowers to the definition:
+    a RANGE-framed cumulative DECIMAL sum (default frame includes ORDER
+    BY peers, making ties deterministic in both engines — the selected
+    value is the whole tie-run's), the partition total from the same
+    window spec, and MIN over the qualifying rows. Weights sum in DECIMAL
+    so the crossing point is exact, never a float-order artifact.
+
+    Plan: ONE l_returnflag shuffle + sort serves both window functions
+    (same partitioning, the frame difference is evaluation-only), then a
+    map-side filter and a tiny final agg. Per-group window state is the
+    running decimal — constant memory at 100 TB."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    wdec = F.col("l_extendedprice").cast("decimal(30,8)")
+    cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum(wdec).over(cum).alias("cumw"),
+        F.sum(wdec).over(tot).alias("totw"),
+    )
+    return (
+        w.filter(F.col("cumw") * 2 >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("w_median"))
+        .orderBy("l_returnflag")
+    )

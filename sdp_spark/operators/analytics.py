@@ -1569,3 +1569,60 @@ def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             P95="PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY o_totalprice)",
         )
     )
+
+
+_DQ_MAD = """
+    WITH med AS (
+      SELECT o_orderpriority, {P50_RAW} AS med
+      FROM orders GROUP BY o_orderpriority
+    ), dev AS (
+      SELECT o.o_orderpriority, ABS(o_totalprice - med) AS adev, med
+      FROM orders o JOIN med USING (o_orderpriority)
+    ), mad AS (
+      SELECT o_orderpriority, {P50_DEV} AS mad, {ANYMED} AS med
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority, m.med, m.mad,
+      CAST(COUNT(*) FILTER (WHERE d.adev > 2.0 * m.mad) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY d.o_orderpriority, m.med, m.mad
+    ORDER BY d.o_orderpriority
+"""
+
+
+@register(
+    "dq_mad_outlier",
+    oracle=_DQ_MAD.format(
+        P50_RAW="quantile_disc(o_totalprice, 0.5)",
+        P50_DEV="quantile_disc(adev, 0.5)",
+        ANYMED="ANY_VALUE(med)",
+    ),
+    section=_SEC,
+)
+def dq_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier scan per group — the robust
+    third member of the dq trio (IQR fences report tail points, winsorize
+    bounds their influence, MAD flags them against a scale estimate that
+    50% contamination cannot move, which is why monitoring systems prefer
+    it when the data may ALREADY be corrupt). Outlier ⟺ |x − median| >
+    k·MAD with k = 2.0, chosen so the fixture's bounded totalprice
+    distribution (max deviation ≈ 2.9×MAD) exercises both sides of the
+    fence; production monitors tune k (the classical modified-z cut is
+    3.5·MAD/1.4826). Both medians are PERCENTILE_DISC — observed values,
+    exact cross-engine (dq_anomaly_iqr contract).
+
+    Plan: two grouped discrete-quantile passes (the second over the
+    |x − med| projection of a broadcast-joined 5-row fence table) and a
+    final map-side count — three scans today; at 100 TB the quantiles
+    become approx_percentile sketches and it's one pass per level with
+    mergeable state."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _DQ_MAD.format(
+            P50_RAW="PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice)",
+            P50_DEV="PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY adev)",
+            ANYMED="ANY_VALUE(med)",
+        )
+    )

@@ -905,3 +905,84 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         dround(num / F.nullif(den, F.lit(0.0)), 6).alias("trend_corr"),
     )
+
+
+@register(
+    "ts_seasonal_error",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS day_sum
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(d) AS mind, MAX(d) AS maxd FROM daily GROUP BY 1
+    ), scaffold AS (
+      SELECT user_id, UNNEST(generate_series(mind, maxd, INTERVAL 1 DAY)) AS d
+      FROM span
+    ), j AS (
+      SELECT s.user_id, s.d, daily.day_sum
+      FROM scaffold s
+      LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+    ), p AS (
+      SELECT user_id, d, day_sum,
+             LAG(day_sum, 7) OVER (PARTITION BY user_id ORDER BY d) AS pred
+      FROM j
+    )
+    SELECT user_id,
+      CAST(COUNT(*) FILTER (WHERE day_sum IS NOT NULL AND pred IS NOT NULL)
+           AS BIGINT) AS n_scored,
+      CAST(ROUND(SUM(CAST(ABS(day_sum - pred) AS DECIMAL(30,8))), 2) AS DOUBLE)
+        AS total_abs_err,
+      FLOOR(CAST(SUM(CAST(ABS(day_sum - pred) AS DECIMAL(30,8))) AS DOUBLE)
+            / NULLIF(COUNT(*) FILTER (WHERE day_sum IS NOT NULL
+                                        AND pred IS NOT NULL), 0)
+            * 10000 + 0.5) / 10000 AS mae
+    FROM p GROUP BY user_id
+    """,
+    section=_SEC,
+)
+def ts_seasonal_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest: predict each day's per-user total with the
+    value from 7 days earlier and score the mean absolute error — the
+    baseline every real forecaster must beat, and the weekly-seasonality
+    strength probe (low MAE ⟹ strong weekly cycle). LAG(7) runs over the
+    CALENDAR scaffold (ts_gap_fill's densify), so "7 rows back" is
+    exactly "7 days back" even across silent days; days where either side
+    is unobserved simply don't score (SUM/COUNT skip the NULL pairs —
+    no imputation leaks into the error).
+
+    Determinism: actual and prediction are exact decimal day-bars, the
+    |a−p| projection re-enters DECIMAL before summing, and MAE divides
+    two exact quantities — the engines see identical doubles end to end.
+
+    Plan: same single-user_id-shuffle shape as ts_interpolate_linear (bars
+    agg → narrow explode → one window sort), finishing in a per-user
+    partial agg. Window state is one 7-slot lag buffer per user."""
+    from sdp_spark.functions.num import DEC, dsum
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.date_trunc("day", "ts").alias("d")).agg(
+        dsum("value").alias("day_sum")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("mind"), F.max("d").alias("maxd")
+    )
+    scaffold = span.select(
+        "user_id",
+        F.explode(F.sequence("mind", "maxd", F.expr("interval 1 day"))).alias("d"),
+    )
+    j = scaffold.join(daily, ["user_id", "d"], "left")
+    w = Window.partitionBy("user_id").orderBy("d")
+    p = j.select(
+        "user_id", "day_sum", F.lag("day_sum", 7).over(w).alias("pred")
+    )
+    scored = F.col("day_sum").isNotNull() & F.col("pred").isNotNull()
+    abs_dec = F.abs(F.col("day_sum") - F.col("pred")).cast(DEC)
+    n_scored = F.count(F.when(scored, F.lit(1))).cast("bigint")
+    return p.groupBy("user_id").agg(
+        n_scored.alias("n_scored"),
+        F.round(F.sum(abs_dec), 2).cast("double").alias("total_abs_err"),
+        dround(
+            F.sum(abs_dec).cast("double") / F.nullif(n_scored, F.lit(0)), 4
+        ).alias("mae"),
+    )

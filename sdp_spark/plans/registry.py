@@ -125,6 +125,8 @@ _SWEEP_PRIORITY = (
     "ts_interpolate_linear", "dq_profile_table", "llm_repetition_ngram",
     "agg_histogram_equiwidth", "dq_winsorize", "graph_shortest_path_bfs",
     "win_rolling_corr", "llm_dup_cluster_stats",
+    "catalog_matview_incremental", "agg_entropy", "dq_mad_outlier",
+    "agg_weighted_percentile", "ts_seasonal_error",
     # --- r5-green keys (driver verdicts in CORRECTNESS_r05.json) ---
     "scan_csv_malformed", "llm_perplexity_proxy", "llm_sample_stratified",
     "llm_chunk_windows", "scan_multiformat_union", "agg_percentile_disc",

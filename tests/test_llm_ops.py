@@ -1086,3 +1086,94 @@ def test_dup_cluster_stats_identity(spark, sf_dir):
         assert r["cluster_size"] >= 2
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
         assert r["n_removable"] == r["n_docs"] - r["n_clusters"]
+
+
+def test_matview_incremental_reruns_and_totals(spark, sf_dir):
+    """catalog_matview_incremental: rerunning in one session is idempotent
+    (DROP+rebuild semantics) and the merged view accounts for every order
+    exactly once — the IVM invariant the oracle certifies, restated as a
+    row-count identity."""
+    from sdp_spark.sources.fixtures import table
+
+    r1 = REGISTRY["catalog_matview_incremental"].fn(spark, sf_dir).collect()
+    r2 = REGISTRY["catalog_matview_incremental"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    assert sum(r["n_orders"] for r in r1) == table(spark, sf_dir, "orders").count()
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """agg_entropy: 0 ≤ H ≤ log2(n_types) per user (uniform upper bound)."""
+    import math
+
+    rows = REGISTRY["agg_entropy"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["entropy_bits"] <= math.log2(r["n_types"]) + 1e-6
+
+
+def test_mad_outlier_fences(spark, sf_dir):
+    """dq_mad_outlier: med/mad positive on the price column, outlier count
+    below the group size, and at least one group flags something (the
+    k=2.0 threshold is chosen to be live on this fixture)."""
+    from pyspark.sql import functions as F
+
+    from sdp_spark.sources.fixtures import table
+
+    sizes = {
+        r["o_orderpriority"]: r["c"]
+        for r in table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    rows = REGISTRY["dq_mad_outlier"].fn(spark, sf_dir).collect()
+    assert any(r["n_outliers"] > 0 for r in rows)
+    for r in rows:
+        assert r["med"] > 0 and r["mad"] > 0
+        assert 0 <= r["n_outliers"] < sizes[r["o_orderpriority"]]
+
+
+def test_weighted_percentile_is_weighted(spark, sf_dir):
+    """agg_weighted_percentile: the revenue-weighted median is a real
+    observed quantity in [1, 50], and recomputing it driver-side from the
+    raw rows gives the same value (definition check, one small group)."""
+    rows = {r["l_returnflag"]: r["w_median"] for r in
+            REGISTRY["agg_weighted_percentile"].fn(spark, sf_dir).collect()}
+    assert rows and all(1 <= v <= 50 for v in rows.values())
+    from sdp_spark.sources.fixtures import table
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter("l_returnflag = 'A'")
+        .select("l_quantity", "l_extendedprice")
+        .collect()
+    )
+    pairs = sorted((r["l_quantity"], r["l_extendedprice"]) for r in li)
+    tot = sum(w for _, w in pairs)
+    # cumulative including ties (RANGE frame): group by value first
+    from itertools import groupby
+
+    cum = 0.0
+    expect = None
+    for q, grp in groupby(pairs, key=lambda p: p[0]):
+        cum += sum(w for _, w in grp)
+        if cum * 2 >= tot:
+            expect = q
+            break
+    assert rows["A"] == expect
+
+
+def test_seasonal_error_accounting(spark, sf_dir):
+    """ts_seasonal_error: mae × n_scored ≈ total_abs_err (within display
+    rounding) and nothing scores before day 8 of a user's span."""
+    rows = REGISTRY["ts_seasonal_error"].fn(spark, sf_dir).collect()
+    assert rows
+    scored_any = False
+    for r in rows:
+        if r["n_scored"] == 0:
+            assert r["mae"] is None
+            continue
+        scored_any = True
+        assert r["mae"] >= 0
+        assert abs(r["mae"] * r["n_scored"] - r["total_abs_err"]) <= 0.0002 * r["n_scored"] + 0.01
+    assert scored_any
