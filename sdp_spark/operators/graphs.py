@@ -196,18 +196,26 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan per round: comp (|V| rows, orders smaller than edges) hash-joins
     onto the edge list, one partial-agg MIN per node, eager localCheckpoint
-    to pin lineage depth; the convergence probe is a |V|-row join + count.
-    Rounds = component eccentricity (graph diameter bound). At 100 TB the
-    round count — not the per-round cost — is the risk; the published fix
-    is large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce", SoCC'14) which converges in O(log n) rounds with the same
-    join+min building blocks; the fixture graphs converge in < 15 rounds,
-    so the straightforward propagation is the better plan here (fewer
-    shuffles per round, no re-orientation pass).
+    to pin lineage depth. Node ids are packed to BIGINT (2·suppkey /
+    2·custkey+1 — the bipartite key spaces interleave without collision)
+    so every shuffle carries fixed-width keys, and the convergence probe
+    exploits monotonicity: min-label propagation only ever DECREASES a
+    label, so Σ(labels) is strictly decreasing until the fixpoint — one
+    cheap global agg over the just-checkpointed state replaces a
+    |V|-row join + diff count per round. Rounds = component eccentricity
+    (graph diameter bound). At 100 TB the round count — not the per-round
+    cost — is the risk; the published fix is large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce", SoCC'14) which
+    converges in O(log n) rounds with the same join+min building blocks;
+    the fixture graphs converge in < 15 rounds, so the straightforward
+    propagation is the better plan here (fewer shuffles per round, no
+    re-orientation pass).
 
     The DuckDB oracle replays the fixpoint as a recursive CTE (transitive
-    min-label closure) — tractable because the one-week graph is sparse;
-    components are certified exactly, not just their count."""
+    min-label closure) over string-namespaced nodes — the labelings are
+    bijective relabelings of each other, so the component-size histogram
+    is identical; components are certified exactly, not just their
+    count. Tractable because the one-week graph is sparse."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e = (
@@ -219,8 +227,8 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             l.l_orderkey == o.o_orderkey,
         )
         .select(
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("dst"),
+            (F.col("l_suppkey") * 2).cast("bigint").alias("src"),
+            (F.col("o_custkey") * 2 + 1).cast("bigint").alias("dst"),
         )
         .distinct()
     )
@@ -233,27 +241,23 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    mass = comp.agg(F.sum("comp")).collect()[0][0]
     for _ in range(_CC_MAX_ROUNDS):
         # propagate each node's label across its out-edges, keep the min of
         # (own label, every inbound neighbour label); comp is the small side.
         prop = e2.join(comp, e2.src == comp.node).select(
             F.col("dst").alias("node"), "comp"
         )
-        new_comp = (
+        comp = (
             comp.unionByName(prop)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_comp.withColumnRenamed("comp", "new")
-            .join(comp, "node")
-            .filter(F.col("new") != F.col("comp"))
-            .count()
-        )
-        comp = new_comp
-        if changed == 0:
+        new_mass = comp.agg(F.sum("comp")).collect()[0][0]
+        if new_mass == mass:
             break
+        mass = new_mass
     sizes = comp.groupBy("comp").agg(F.count("*").cast("bigint").alias("comp_size"))
     return (
         sizes.groupBy("comp_size")
