@@ -72,6 +72,10 @@ EXTRA = [
     "query_waiting_suppliers",      # Q21-shape triple-fact semi/anti (r5)
     "query_min_cost_supplier",      # Q2-shape correlated-MIN capstone (r5)
     "cte_recursive",                # WITH RECURSIVE level-join loop (r5)
+    "graph_connected_components",   # min-label fixpoint, mass-sum probe (r6)
+    "catalog_matview_incremental",  # O(delta) matview refresh (r6)
+    "agg_weighted_percentile",      # RANGE-framed cumulative decimal (r6)
+    "win_rolling_corr",             # 5 exact sufficient-stat windows (r6)
 ]
 
 
