@@ -126,7 +126,7 @@ _SWEEP_PRIORITY = (
     "agg_histogram_equiwidth", "dq_winsorize", "graph_shortest_path_bfs",
     "win_rolling_corr", "llm_dup_cluster_stats",
     "catalog_matview_incremental", "agg_entropy", "dq_mad_outlier",
-    "agg_weighted_percentile", "ts_seasonal_error",
+    "agg_weighted_percentile", "ts_seasonal_error", "stream_matview_upkeep",
     # --- r5-green keys (driver verdicts in CORRECTNESS_r05.json) ---
     "scan_csv_malformed", "llm_perplexity_proxy", "llm_sample_stratified",
     "llm_chunk_windows", "scan_multiformat_union", "agg_percentile_disc",

@@ -463,3 +463,15 @@ def test_stream_approx_distinct_batch_equivalent(spark, sf_dir):
         assert n == r["n"]
         assert a == r["a"], "streaming sketch != batch sketch"
         assert abs(a - r["exact"]) <= max(3, 0.1 * r["exact"])
+
+
+def test_stream_matview_upkeep_rerun_and_multibatch(spark, sf_dir):
+    """stream_matview_upkeep: result is stable across reruns (fresh state
+    dir per invocation) and the operator itself asserts the fold ran as a
+    genuine multi-batch execution (it raises otherwise)."""
+    from sdp_spark.plans.registry import load_all
+
+    R = load_all()
+    a = sorted(map(tuple, R["stream_matview_upkeep"].fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, R["stream_matview_upkeep"].fn(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
