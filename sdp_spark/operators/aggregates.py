@@ -992,3 +992,71 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("l_quantity").alias("w_median"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+             AS DOUBLE) AS s2,
+        CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+        CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+             AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      FLOOR(((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+             / ((s2/n - (s1/n)*(s1/n)) * SQRT(s2/n - (s1/n)*(s1/n))))
+            * 1000000 + 0.5) / 1000000 AS skewness,
+      FLOOR(((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+              - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+             / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3)
+            * 1000000 + 0.5) / 1000000 AS kurtosis_excess
+    FROM m ORDER BY l_returnflag
+    """,
+    section=_SEC,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness (g1) and excess kurtosis (g2) per group,
+    lowered to raw power sums — NOT the built-in skewness()/kurtosis()
+    (Spark and DuckDB disagree on bias correction, so the built-ins can
+    never hash-match). l_quantity is integral, so Σx..Σx⁴ accumulate as
+    exact BIGINTs (x⁴ ≤ 6.25e6 — no overflow until ~10^6 TB of rows per
+    group) and every engine sees identical doubles; the one fractional
+    power is m2·√m2 rather than pow(m2, 1.5) because SQRT is
+    IEEE-correctly-rounded while pow carries no such guarantee.
+
+    Plan: a single partial+final hash agg carrying 5 integer partials per
+    group — the cheapest possible shape (same class as agg_stats), and
+    the textbook sketch-mergeable moment aggregation that scales to any
+    partition count without a second pass."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("x")
+    )
+    x = F.col("x")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(x * x * x).cast("double").alias("s3"),
+        F.sum(x * x * x * x).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m1 = s1 / n
+    m2 = s2 / n - m1 * m1
+    skew = (s3 / n - 3 * m1 * (s2 / n) + 2 * m1 * m1 * m1) / (m2 * F.sqrt(m2))
+    kurt = (
+        s4 / n - 4 * m1 * (s3 / n) + 6 * m1 * m1 * (s2 / n) - 3 * m1 * m1 * m1 * m1
+    ) / (m2 * m2) - 3
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        dround(skew, 6).alias("skewness"),
+        dround(kurt, 6).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")

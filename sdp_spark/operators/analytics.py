@@ -1626,3 +1626,77 @@ def dq_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ANYMED="ANY_VALUE(med)",
         )
     )
+
+
+# CUSUM surveillance: 10-day baseline, then score the rest of the month.
+_CUSUM_SPLIT = "2024-01-11"
+_CUSUM_K = 0.5  # slack, in sigmas
+_CUSUM_H = 2.0  # decision threshold, in sigmas
+
+_CUSUM_SQL = """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), base AS (
+      SELECT event_type, SUM(c) / COUNT(*) AS mu,
+             SQRT((COUNT(*) * SUM(c*c) - SUM(c) * SUM(c))
+                  / (CAST(COUNT(*) AS DOUBLE) * COUNT(*))) AS sigma
+      FROM daily WHERE d < DATE '{SPLIT}' GROUP BY event_type
+    ), scored AS (
+      SELECT daily.event_type, d, c,
+             CAST(c - mu - {K} * sigma AS DECIMAL(20,8)) AS u, sigma
+      FROM daily JOIN base USING (event_type)
+      WHERE d >= DATE '{SPLIT}'
+    ), cum AS (
+      SELECT event_type, d, c, sigma,
+        SUM(u) OVER (PARTITION BY event_type ORDER BY d) AS cu
+      FROM scored
+    ), lo AS (
+      SELECT event_type, d, c, sigma, cu,
+        LEAST(CAST(0 AS DECIMAL(38,8)),
+              MIN(cu) OVER (PARTITION BY event_type ORDER BY d)) AS floor_cu
+      FROM cum
+    )
+    SELECT event_type, {DAYFMT} AS day, CAST(c AS BIGINT) AS n_events,
+      FLOOR(CAST(cu - floor_cu AS DOUBLE) * 10000 + 0.5) / 10000 AS cusum,
+      CAST(cu - floor_cu AS DOUBLE) > {H} * sigma AS alert
+    FROM lo
+"""
+
+
+@register(
+    "query_outbreak_cusum",
+    oracle=_CUSUM_SQL.format(
+        SPLIT=_CUSUM_SPLIT, K=_CUSUM_K, H=_CUSUM_H,
+        DAYFMT="strftime(d, '%Y-%m-%d')",
+    ),
+    section=_SEC,
+)
+def query_outbreak_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM aberration detection — the second classical surveillance
+    method beside EARS C2 (query_outbreak_ears): S_t = max(0, S_{t-1} +
+    (c_t − μ − kσ)), alarm when S_t > hσ, with (μ, σ) frozen from a
+    10-day baseline (CDC practice: the detector never learns from the
+    outbreak it is scoring). k=0.5σ slack / h=2σ threshold.
+
+    The recurrence looks iterative but lowers to ONE declarative pass via
+    the reflection identity S_t = cum_t − min(0, min_{j≤t} cum_j): a
+    running sum and a running min over the same (type, day) window — no
+    loop, no UDF, no recursion. The increments enter DECIMAL before the
+    running sums, so both engines accumulate exactly (σ itself is exact:
+    integer daily counts give exact Σc/Σc² in doubles below 2^53).
+
+    Plan: baseline and scoring are two aggs over the same tiny daily
+    table (one partial+final agg over raw events feeds both); the two
+    window functions share one (event_type) partition sort. At 100 TB the
+    raw-events agg is the only pass over data, identical to EARS — state
+    is |types × days|."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _CUSUM_SQL.format(
+            SPLIT=_CUSUM_SPLIT, K=_CUSUM_K, H=_CUSUM_H,
+            DAYFMT="date_format(d, 'yyyy-MM-dd')",
+        )
+    )

@@ -1177,3 +1177,64 @@ def test_seasonal_error_accounting(spark, sf_dir):
         assert r["mae"] >= 0
         assert abs(r["mae"] * r["n_scored"] - r["total_abs_err"]) <= 0.0002 * r["n_scored"] + 0.01
     assert scored_any
+
+
+def test_cusum_reflection_identity(spark, sf_dir):
+    """query_outbreak_cusum: the window lowering must equal the literal
+    recurrence S_t = max(0, S_{t-1} + u_t) replayed driver-side, and both
+    alert branches must be live on the fixture."""
+    rows = REGISTRY["query_outbreak_cusum"].fn(spark, sf_dir).collect()
+    assert rows
+    assert any(r["alert"] for r in rows) and any(not r["alert"] for r in rows)
+    for r in rows:
+        assert r["cusum"] >= -1e-9
+    # replay the recurrence per type from daily counts and baseline stats
+    from collections import defaultdict
+
+    from sdp_spark.operators.analytics import _CUSUM_K, _CUSUM_SPLIT
+    from sdp_spark.sources.fixtures import table
+    from pyspark.sql import functions as F
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("c"))
+        .collect()
+    )
+    base, score = defaultdict(list), defaultdict(list)
+    for r in daily:
+        (base if str(r["d"].date()) < _CUSUM_SPLIT else score)[r["event_type"]].append(
+            (r["d"], r["c"])
+        )
+    got = {(r["event_type"], r["day"]): r["cusum"] for r in rows}
+    for et, obs in score.items():
+        b = [c for _, c in base[et]]
+        n = len(b)
+        mu = sum(b) / n
+        sigma = (sum(x * x for x in b) / n - mu * mu) ** 0.5
+        s = 0.0
+        for d, c in sorted(obs):
+            s = max(0.0, s + (c - mu - _CUSUM_K * sigma))
+            assert abs(got[(et, str(d.date()))] - s) < 1e-3, (et, d, s)
+
+
+def test_skew_kurtosis_matches_numpy_moments(spark, sf_dir):
+    """agg_skew_kurtosis: population g1/g2 agree with a direct numpy
+    moment computation per group (the built-ins are NOT the contract —
+    they bias-correct differently per engine)."""
+    import numpy as np
+
+    from sdp_spark.sources.fixtures import table
+
+    got = {r["l_returnflag"]: r for r in
+           REGISTRY["agg_skew_kurtosis"].fn(spark, sf_dir).collect()}
+    pdf = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity").toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = grp["l_quantity"].to_numpy(dtype=np.float64)
+        m1 = x.mean()
+        m2 = ((x - m1) ** 2).mean()
+        g1 = ((x - m1) ** 3).mean() / m2**1.5
+        g2 = ((x - m1) ** 4).mean() / m2**2 - 3
+        assert abs(got[flag]["skewness"] - g1) < 1e-4
+        assert abs(got[flag]["kurtosis_excess"] - g2) < 1e-4
+        assert got[flag]["n_rows"] == len(x)
