@@ -1690,13 +1690,63 @@ def query_outbreak_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (one partial+final agg over raw events feeds both); the two
     window functions share one (event_type) partition sort. At 100 TB the
     raw-events agg is the only pass over data, identical to EARS — state
-    is |types × days|."""
-    from sdp_spark.sources.fixtures import load_tables
+    is |types × days|. Scoring runs through `cusum_scored`, the SAME core
+    the streaming twin (`stream_cusum_alerts`) calls — the stream==batch
+    guarantee is structural, as with EARS."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("c"))
+    return cusum_scored(daily)
 
-    load_tables(spark, sf_dir)
-    return spark.sql(
-        _CUSUM_SQL.format(
-            SPLIT=_CUSUM_SPLIT, K=_CUSUM_K, H=_CUSUM_H,
-            DAYFMT="date_format(d, 'yyyy-MM-dd')",
+
+def cusum_scored(daily: DataFrame) -> DataFrame:
+    """CUSUM scoring over a (event_type, d, c) daily-count frame: frozen
+    10-day baseline (μ, σ from exact integer moments), DECIMAL increments,
+    and the reflection identity S_t = cum_t − min(0, running_min cum) in
+    place of the recurrence. Shared by the batch capstone and the
+    streaming twin."""
+    from pyspark.sql.window import Window
+
+    base = (
+        daily.filter(F.col("d") < F.lit(_CUSUM_SPLIT).cast("date"))
+        .groupBy("event_type")
+        .agg(
+            (F.sum("c") / F.count("*")).alias("mu"),
+            F.sqrt(
+                (F.count("*") * F.sum(F.col("c") * F.col("c")) - F.sum("c") * F.sum("c"))
+                / (F.count("*").cast("double") * F.count("*"))
+            ).alias("sigma"),
         )
+    )
+    # daily feeds both join sides; rename the base's grouping key so the
+    # aggregate side carries a fresh attribute — a memory-sink-backed frame
+    # (the streaming twin) otherwise trips self-join ambiguity resolution
+    base = base.withColumnRenamed("event_type", "base_type")
+    scored = (
+        daily.filter(F.col("d") >= F.lit(_CUSUM_SPLIT).cast("date"))
+        .join(base, F.col("event_type") == F.col("base_type"))
+        .select(
+            "event_type",
+            "d",
+            "c",
+            "sigma",
+            (F.col("c") - F.col("mu") - _CUSUM_K * F.col("sigma"))
+            .cast("decimal(20,8)")
+            .alias("u"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cum = scored.withColumn("cu", F.sum("u").over(w))
+    lo = cum.withColumn(
+        "floor_cu",
+        F.least(F.lit(0).cast("decimal(38,8)"), F.min("cu").over(w)),
+    )
+    s = (F.col("cu") - F.col("floor_cu")).cast("double")
+    return lo.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("c").cast("bigint").alias("n_events"),
+        dround(s, 4).alias("cusum"),
+        (s > _CUSUM_H * F.col("sigma")).alias("alert"),
     )

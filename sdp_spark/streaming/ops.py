@@ -1345,3 +1345,49 @@ def stream_matview_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("sum_dec"), 2).cast("double").alias("sum_value"),
     )
+
+
+from sdp_spark.operators.analytics import _CUSUM_H as _CUSUM_H_SHARED  # noqa: E402
+from sdp_spark.operators.analytics import _CUSUM_K as _CUSUM_K_SHARED  # noqa: E402
+from sdp_spark.operators.analytics import _CUSUM_SPLIT as _CUSUM_SPLIT_SHARED  # noqa: E402
+from sdp_spark.operators.analytics import _CUSUM_SQL  # noqa: E402
+
+
+@register(
+    "stream_cusum_alerts",
+    oracle=f"""
+    SELECT event_type, day, n_events, cusum
+    FROM ({_CUSUM_SQL.format(SPLIT=_CUSUM_SPLIT_SHARED, K=_CUSUM_K_SHARED,
+                             H=_CUSUM_H_SHARED,
+                             DAYFMT="strftime(d, '%Y-%m-%d')")}) t
+    WHERE alert
+    ORDER BY event_type, day
+    """,
+    section=_SEC,
+)
+def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE CUSUM monitoring — the streaming twin of
+    `query_outbreak_cusum`, completing the surveillance pair (EARS C2 has
+    `stream_ears_alerts`; CUSUM is the drift-sensitive complement that
+    accumulates small sustained excess instead of reacting to one spike).
+    Same split as every windowed-scoring stream here: the STREAM
+    incrementally maintains per-(type, day) counts — bounded state, one
+    row per type × day — and the `cusum_scored` core (the SAME function
+    the batch capstone calls, so stream==batch is structural) runs over
+    the materialized daily table after each trigger, emitting firing
+    alerts. At 100 TB/day the stream shuffles grouped day-states, never
+    events; scoring is |types × days| metadata. The DuckDB oracle pins
+    the live alerts to the batch recurrence end-to-end."""
+    from sdp_spark.operators.analytics import cusum_scored
+
+    sdf = _events_stream(spark, sf_dir)
+    daily = sdf.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("c"))
+    snap = _run_to_memory(daily, "complete", "cusumdaily")
+    return (
+        cusum_scored(snap)
+        .filter(F.col("alert"))
+        .select("event_type", "day", "n_events", "cusum")
+        .orderBy("event_type", "day")
+    )
