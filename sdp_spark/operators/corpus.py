@@ -2055,3 +2055,104 @@ def llm_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "llm_dataset_card",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents)
+    SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM documents
+    UNION ALL
+    SELECT 'total_chars', CAST(SUM(n_chars) AS DOUBLE) FROM documents
+    UNION ALL
+    SELECT 'mean_chars',
+           FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+    FROM documents
+    UNION ALL
+    SELECT 'p50_chars', CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) FROM documents
+    UNION ALL
+    SELECT 'lang_frac:' || lang, FLOOR(COUNT(*) / nd * 10000 + 0.5) / 10000
+    FROM documents, n GROUP BY lang, nd
+    UNION ALL
+    SELECT 'source_frac:' || source, FLOOR(COUNT(*) / nd * 10000 + 0.5) / 10000
+    FROM documents, n GROUP BY source, nd
+    UNION ALL
+    SELECT 'prefix_dup_frac',
+           FLOOR(COALESCE(SUM(cs), 0) / MIN(nd) * 10000 + 0.5) / 10000
+    FROM (SELECT substr(text, 1, 64) AS p, COUNT(*) AS cs
+          FROM documents GROUP BY p HAVING COUNT(*) >= 2), n
+    ORDER BY metric
+    """,
+    section=_SEC,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card ("datasheets for datasets", Gebru et al. 2021 — the
+    release artifact every published corpus ships): one long-format
+    report with the headline composition numbers — volume (docs, chars,
+    mean/median length), language and source mixes, and the
+    prefix-duplicate rate — each a (metric, value) row so downstream
+    tooling diffs cards across corpus versions mechanically. Composes the
+    same metrics llm_corpus_stats / llm_dup_cluster_stats expose
+    individually into the single publishable summary.
+
+    Plan: one global agg (volume block), two tiny group-bys sharing the
+    documents scan, the prefix-dup agg (fixed-width key shuffle only),
+    and a broadcast of the 1-row total for the fractions; the unions are
+    metadata-sized. Every number is exact (integer counts, integral
+    char sums) — a card must be reproducible bit-for-bit or version
+    diffs are noise. At 100 TB each block is a partial+final agg; the
+    card costs one pass over doc METADATA (text touched only for the
+    64-byte prefix)."""
+    d = table(spark, sf_dir, "documents")
+    nd = d.agg(F.count("*").cast("double").alias("nd"))
+    vol = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.expr("percentile_disc(0.5) within group (order by n_chars)")
+        .cast("double")
+        .alias("p50_chars"),
+    )
+    card_rows = vol.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("n_docs").alias("metric"), F.col("n_docs").alias("value")),
+                F.struct(F.lit("total_chars").alias("metric"), F.col("total_chars").alias("value")),
+                F.struct(
+                    F.lit("mean_chars").alias("metric"),
+                    dround(F.col("total_chars") / F.col("n_docs"), 4).alias("value"),
+                ),
+                F.struct(F.lit("p50_chars").alias("metric"), F.col("p50_chars").alias("value")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    lang = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.concat(F.lit("lang_frac:"), F.col("lang")).alias("metric"),
+            dround(F.col("c") / F.col("nd"), 4).alias("value"),
+        )
+    )
+    src = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.concat(F.lit("source_frac:"), F.col("source")).alias("metric"),
+            dround(F.col("c") / F.col("nd"), 4).alias("value"),
+        )
+    )
+    dup = (
+        d.groupBy(F.substring("text", 1, 64).alias("p"))
+        .agg(F.count("*").alias("cs"))
+        .filter(F.col("cs") >= 2)
+        .crossJoin(F.broadcast(nd))
+        .agg(
+            dround(
+                F.coalesce(F.sum("cs"), F.lit(0)).cast("double") / F.min("nd"), 4
+            ).alias("value")
+        )
+        .select(F.lit("prefix_dup_frac").alias("metric"), "value")
+    )
+    return card_rows.unionByName(lang).unionByName(src).unionByName(dup).orderBy("metric")
