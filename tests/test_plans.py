@@ -483,3 +483,60 @@ def test_quality_c4_single_scan_no_shuffle(spark, sf_dir):
     plan = _plan(spark, REGISTRY["llm_quality_c4"].fn(spark, sf_dir), "simple")
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_repetition_ngram_zero_shuffle_no_python(spark, sf_dir):
+    """llm_repetition_ngram claims a pure map-side codegen pipeline: no
+    exchange, no Python evaluation anywhere in the plan."""
+    plan = _plan(spark, REGISTRY["llm_repetition_ngram"].fn(spark, sf_dir), "simple")
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_interpolate_single_window_shared_sort(spark, sf_dir):
+    """ts_interpolate_linear: both window directions (backward fill anchor,
+    forward fill anchor) must evaluate in ONE Window operator over one
+    user_id sort — not two sorts or two shuffles."""
+    plan = _plan(spark, REGISTRY["ts_interpolate_linear"].fn(spark, sf_dir), "simple")
+    assert plan.count("Window") == 1
+    import re
+
+    # exactly one single-key user_id exchange feeds the window (the daily
+    # aggregate's (user_id, day) exchange is a different, compound key)
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id#\d+L, \d+\)", plan)) == 1
+
+
+def test_rolling_corr_single_window(spark, sf_dir):
+    """win_rolling_corr: all five sufficient-statistic sliding sums plus
+    the frame count share one Window operator / one user_id shuffle."""
+    plan = _plan(spark, REGISTRY["win_rolling_corr"].fn(spark, sf_dir), "simple")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_histogram_broadcasts_minmax(spark, sf_dir):
+    """agg_histogram_equiwidth: the 1-row min/max aggregate must broadcast
+    into the binning pass (BroadcastNestedLoopJoin over a single row), and
+    the binning side must not shuffle before its partial aggregate."""
+    plan = _plan(spark, REGISTRY["agg_histogram_equiwidth"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_weighted_percentile_one_shuffle_for_both_windows(spark, sf_dir):
+    """agg_weighted_percentile: the cumulative RANGE window and the
+    partition-total window must share one l_returnflag exchange."""
+    plan = _plan(spark, REGISTRY["agg_weighted_percentile"].fn(spark, sf_dir), "simple")
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning\(l_returnflag", plan)) == 1
+
+
+def test_cusum_windows_share_sort(spark, sf_dir):
+    """query_outbreak_cusum: the running sum and running min share one
+    (event_type, d) window sort — the reflection identity costs one
+    shuffle, not two."""
+    plan = _plan(spark, REGISTRY["query_outbreak_cusum"].fn(spark, sf_dir), "simple")
+    # two cascaded Window nodes (min(cu) depends on cu) over ONE Sort — no
+    # exchange or re-sort between them
+    assert plan.count("Window") == 2
+    assert plan.count("Sort") == 1
