@@ -348,3 +348,38 @@ def llm_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality", "lang")
     )
+
+
+@register(
+    "mm_payload_dedup",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    """,
+    section=_SEC,
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over OPAQUE binary payloads — the first pass every
+    multimodal ingest runs (identical images/audio re-crawled under
+    different names): digest each payload (md5 over the raw bytes; the
+    bytes here are the UTF-8 text payloads mm_pack ships), count
+    distinct digests, report the dedup headroom and total byte volume.
+    The payload itself never shuffles — only the 16-byte digest — which
+    is the entire point at 100 TB of media: dedup cost is metadata cost.
+
+    Oracle note: DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes,
+    which are byte-identical to Spark's md5(encode(text, 'UTF-8')) —
+    same digest domain, no casts needed."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_payloads"),
+        F.count_distinct(F.md5(payload)).cast("bigint").alias("n_unique"),
+        (F.count("*") - F.count_distinct(F.md5(payload)))
+        .cast("bigint")
+        .alias("n_dup"),
+        F.sum(F.length(payload)).cast("bigint").alias("total_bytes"),
+    )

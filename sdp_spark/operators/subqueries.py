@@ -248,3 +248,59 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics (UNION ALL = bag semantics, no cycle detection needed on
     a tree)."""
     return _sql(spark, sf_dir, _RECURSIVE)
+
+
+@register(
+    "subq_any_all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > ALL (
+      SELECT o_totalprice FROM orders
+      WHERE o_orderpriority = '5-LOW' AND o_custkey % 100 = 7
+        AND o_totalprice < 400000
+    )
+    AND o_totalprice < ANY (
+      SELECT o_totalprice FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_custkey % 500 = 3
+    )
+    ORDER BY o_orderkey
+    """,
+    section=_SEC,
+)
+def subq_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL/ANSI quantified comparisons — `> ALL (subq)` / `< ANY
+    (subq)` — which Spark SQL does not parse. The engine lowers them to
+    their algebraic normal forms: x > ALL S ⟺ x > MAX(S) and
+    x < ANY S ⟺ x < MAX(S) (for non-empty S with no NULLs, which the
+    predicates here guarantee; the NULL-bearing general case lowers to
+    the NOT IN/EXISTS forms subq_not_in_null covers). The oracle runs
+    the NATIVE quantifiers in DuckDB, so the rewrite is certified against
+    real ALL/ANY semantics, not against itself.
+
+    Plan: each scalar MAX is a 1-row aggregate broadcast into the scan's
+    filter — the quantified comparisons cost two tiny pre-aggregations
+    and zero joins; at 100 TB both reduce map-side to one number."""
+    from pyspark.sql import functions as F
+
+    from sdp_spark.sources.fixtures import table
+
+    o = table(spark, sf_dir, "orders")
+    all_max = o.filter(
+        (F.col("o_orderpriority") == "5-LOW")
+        & (F.col("o_custkey") % 100 == 7)
+        & (F.col("o_totalprice") < 400000)
+    ).agg(F.max("o_totalprice").alias("all_max"))
+    any_max = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_custkey") % 500 == 3)
+    ).agg(F.max("o_totalprice").alias("any_max"))
+    return (
+        o.crossJoin(F.broadcast(all_max))
+        .crossJoin(F.broadcast(any_max))
+        .filter(
+            (F.col("o_totalprice") > F.col("all_max"))
+            & (F.col("o_totalprice") < F.col("any_max"))
+        )
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

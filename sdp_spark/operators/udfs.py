@@ -8,6 +8,8 @@ alternative is. All pandas variants cross Python↔JVM via Arrow batches.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -328,4 +330,49 @@ def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_bal_in_nation",
         )
         .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT event_id,
+           FLOOR((1.0 / (1.0 + EXP(-(value - 100.0) / 50.0))) * 1000000 + 0.5)
+             / 1000000 AS score
+    FROM events
+    """,
+    section=_SEC,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (Iterator[pd.Series] → Iterator[pd.Series])
+    — the Arrow batch shape every model-scoring pipeline needs: expensive
+    per-worker setup (loading a tokenizer / ONNX session / embedding
+    model) runs ONCE before the batch loop instead of once per batch,
+    then every Arrow batch streams through the warmed state. Here the
+    "model" is a calibrated logistic scorer (deterministic stand-in —
+    real model libs aren't in this environment, mm_decode_pipeline
+    rationale); the structure, not the arithmetic, is the operator.
+
+    The oracle replays the same expression in SQL: EXP on identical
+    doubles is consistent across both runtimes at the floored 6-dp
+    output, proven at all three fixture scales like agg_entropy's LN.
+
+    Scale: Arrow-vectorized (one Python crossing per batch, not per row);
+    setup cost amortizes over the partition — the difference between a
+    scalar pandas_udf and this form is exactly the N_batches× re-load a
+    10 TB scoring pass cannot afford."""
+    @F.pandas_udf("double")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-worker setup (stands in for a model load)
+        import numpy as np
+
+        mid, scale = 100.0, 50.0
+        for s in batches:
+            yield pd.Series(1.0 / (1.0 + np.exp(-(s.to_numpy() - mid) / scale)))
+
+    e = table(spark, sf_dir, "events")
+    from sdp_spark.functions.num import dround
+
+    return e.select(
+        "event_id", dround(score(F.col("value")), 6).alias("score")
     )

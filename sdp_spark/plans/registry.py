@@ -128,7 +128,8 @@ _SWEEP_PRIORITY = (
     "catalog_matview_incremental", "agg_entropy", "dq_mad_outlier",
     "agg_weighted_percentile", "ts_seasonal_error", "stream_matview_upkeep",
     "query_outbreak_cusum", "agg_skew_kurtosis", "stream_cusum_alerts",
-    "llm_dataset_card",
+    "llm_dataset_card", "subq_any_all", "udf_pandas_iter",
+    "mm_payload_dedup",
     # --- r5-green keys (driver verdicts in CORRECTNESS_r05.json) ---
     "scan_csv_malformed", "llm_perplexity_proxy", "llm_sample_stratified",
     "llm_chunk_windows", "scan_multiformat_union", "agg_percentile_disc",
