@@ -980,11 +980,18 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tot = Window.partitionBy("l_returnflag")
-    w = li.select(
+    # collapse to per-(group, value) weight partials FIRST: the RANGE frame
+    # sums whole tie-runs anyway, so cumulating the collapsed partials is
+    # value-identical — and the window sort now runs over |distinct values|
+    # rows (≤50/group here) instead of every lineitem row. At 100 TB this
+    # is the difference between sorting the fact table and sorting its
+    # value histogram; the heavy pass is a map-combined hash aggregate.
+    wv = li.groupBy("l_returnflag", "l_quantity").agg(F.sum(wdec).alias("w"))
+    w = wv.select(
         "l_returnflag",
         "l_quantity",
-        F.sum(wdec).over(cum).alias("cumw"),
-        F.sum(wdec).over(tot).alias("totw"),
+        F.sum("w").over(cum).alias("cumw"),
+        F.sum("w").over(tot).alias("totw"),
     )
     return (
         w.filter(F.col("cumw") * 2 >= F.col("totw"))

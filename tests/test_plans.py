@@ -522,13 +522,22 @@ def test_histogram_broadcasts_minmax(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_weighted_percentile_one_shuffle_for_both_windows(spark, sf_dir):
-    """agg_weighted_percentile: the cumulative RANGE window and the
-    partition-total window must share one l_returnflag exchange."""
+def test_weighted_percentile_collapses_before_window(spark, sf_dir):
+    """agg_weighted_percentile: the fact rows collapse to per-(group,
+    value) weight partials BEFORE any window — the sort runs over the
+    value histogram, never the fact table — and both window specs share
+    one single-key l_returnflag exchange (the other l_returnflag
+    exchanges are the collapse aggregate's and the final min's)."""
     plan = _plan(spark, REGISTRY["agg_weighted_percentile"].fn(spark, sf_dir), "simple")
     import re
 
-    assert len(re.findall(r"Exchange hashpartitioning\(l_returnflag", plan)) == 1
+    # the collapse: a hash aggregate keyed on (l_returnflag, l_quantity)
+    # sits below the window's sort
+    win_at = plan.index("Window")
+    assert re.search(
+        r"HashAggregate\(keys=\[l_returnflag#\d+, l_quantity#\d+\]", plan[win_at:]
+    ), "window must consume the collapsed (group, value) partials"
+    assert len(re.findall(r"Exchange hashpartitioning\(l_returnflag#\d+, \d+\)", plan)) <= 2
 
 
 def test_cusum_windows_share_sort(spark, sf_dir):
