@@ -1750,3 +1750,127 @@ def cusum_scored(daily: DataFrame) -> DataFrame:
         dround(s, 4).alias("cusum"),
         (s > _CUSUM_H * F.col("sigma")).alias("alert"),
     )
+
+
+# Freshness reference instant: fixtures are static, so "now" is pinned —
+# a live deployment passes the wall clock here.
+_FRESH_ASOF = "2024-02-15 00:00:00"
+_FRESH_SLA_DAYS = 30
+
+
+@register(
+    "dq_freshness_check",
+    oracle=f"""
+    SELECT 'events' AS tbl,
+           strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS latest,
+           CAST(date_diff('day', MAX(CAST(ts AS TIMESTAMP)),
+                          TIMESTAMP '{_FRESH_ASOF}') AS BIGINT) AS staleness_days,
+           date_diff('day', MAX(CAST(ts AS TIMESTAMP)),
+                     TIMESTAMP '{_FRESH_ASOF}') <= {_FRESH_SLA_DAYS} AS within_sla
+    FROM events
+    UNION ALL
+    SELECT 'orders',
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           CAST(date_diff('day', MAX(o_orderdate),
+                          TIMESTAMP '{_FRESH_ASOF}') AS BIGINT),
+           date_diff('day', MAX(o_orderdate),
+                     TIMESTAMP '{_FRESH_ASOF}') <= {_FRESH_SLA_DAYS}
+    FROM orders
+    ORDER BY tbl
+    """,
+    section=_SEC,
+)
+def dq_freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit — latest watermark per fact table vs an SLA
+    against a reference instant ("is yesterday's feed actually here?"),
+    the first alarm any surveillance pipeline wires (a silent dead feed
+    looks exactly like zero disease activity — the most dangerous failure
+    mode the reference platform has). The reference instant is pinned
+    because fixtures are static; production passes now().
+
+    Plan: MAX over each table is a map-side partial reduced to one row —
+    at 100 TB this reads parquet footer statistics when the scan supports
+    it, and is otherwise one streaming pass with no shuffle beyond the
+    1-row final."""
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    asof = F.lit(_FRESH_ASOF).cast("timestamp")
+
+    def fresh(df: DataFrame, name: str, col: str) -> DataFrame:
+        mx = F.max(F.col(col).cast("timestamp"))
+        stale = F.datediff(asof.cast("date"), mx.cast("date")).cast("bigint")
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.date_format(mx, "yyyy-MM-dd HH:mm:ss").alias("latest"),
+            stale.alias("staleness_days"),
+            (stale <= _FRESH_SLA_DAYS).alias("within_sla"),
+        ).select("tbl", "latest", "staleness_days", "within_sla")
+
+    return fresh(e, "events", "ts").unionByName(fresh(o, "orders", "o_orderdate")).orderBy("tbl")
+
+
+@register(
+    "dq_duplicate_pk_check",
+    oracle="""
+    SELECT 'customer.c_custkey' AS pk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS n_dup_rows
+    FROM customer
+    UNION ALL
+    SELECT 'events.event_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT event_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT l_orderkey * 16 + l_linenumber) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 16 + l_linenumber) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.o_orderkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    ORDER BY pk
+    """,
+    section=_SEC,
+)
+def dq_duplicate_pk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit for every fact/dim PK, including the
+    composite lineitem key (packed as orderkey·16+linenumber — linenumber
+    ≤ 7 in TPC-H, so the packing is collision-free and keeps the distinct
+    a fixed-width integer). The reference's MySQL engine enforces PKs
+    transactionally; append-only storage can't, so — like
+    dq_referential_check — the equivalent guarantee is this declarative
+    post-load audit, and together with referential/profile/freshness/
+    anomaly keys it completes the constraint surface re-expressed for a
+    lakehouse.
+
+    Plan: one exact COUNT(DISTINCT) pass per table (two-phase, Expand-
+    free since each branch has a single distinct); at 100 TB swap in
+    approx_count_distinct for a monitoring-grade answer or keep exact for
+    a gating answer — same plan shape either way."""
+    parts = []
+    for name, tbl, expr in [
+        ("customer.c_custkey", "customer", F.col("c_custkey")),
+        ("events.event_id", "events", F.col("event_id")),
+        (
+            "lineitem.(l_orderkey,l_linenumber)",
+            "lineitem",
+            F.col("l_orderkey") * 16 + F.col("l_linenumber"),
+        ),
+        ("orders.o_orderkey", "orders", F.col("o_orderkey")),
+    ]:
+        t = table(spark, sf_dir, tbl)
+        parts.append(
+            t.agg(
+                F.lit(name).alias("pk"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.count_distinct(expr).cast("bigint").alias("n_keys"),
+                (F.count("*") - F.count_distinct(expr)).cast("bigint").alias("n_dup_rows"),
+            ).select("pk", "n_rows", "n_keys", "n_dup_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("pk")

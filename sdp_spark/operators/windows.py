@@ -986,3 +986,41 @@ def ts_seasonal_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(abs_dec).cast("double") / F.nullif(n_scored, F.lit(0)), 4
         ).alias("mae"),
     )
+
+
+@register(
+    "win_cumulative_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS INTEGER) AS n_types_seen
+    FROM events
+    """,
+    section=_SEC,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count — how many distinct event types each user
+    has touched as of each event (the coverage/exploration curve behind
+    activation metrics and API-surface-abuse detection). Spark has no
+    DISTINCT window aggregate, so the lowering is collect_set over the
+    running frame → size: the set is the distinct state made explicit.
+    DuckDB runs its native windowed COUNT(DISTINCT) as the oracle.
+
+    Plan: one user_id shuffle + sort. State per row is the accumulated
+    set, bounded by |event_type| (single digits here) — NOT by frame
+    length, which is what makes this safe at 100 TB where a
+    running-distinct over a high-cardinality column would instead call
+    for a windowed HLL sketch (same plan, sketch state)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("int").alias("n_types_seen"),
+    )

@@ -129,7 +129,8 @@ _SWEEP_PRIORITY = (
     "agg_weighted_percentile", "ts_seasonal_error", "stream_matview_upkeep",
     "query_outbreak_cusum", "agg_skew_kurtosis", "stream_cusum_alerts",
     "llm_dataset_card", "subq_any_all", "udf_pandas_iter",
-    "mm_payload_dedup",
+    "mm_payload_dedup", "dq_freshness_check", "dq_duplicate_pk_check",
+    "win_cumulative_distinct",
     # --- r5-green keys (driver verdicts in CORRECTNESS_r05.json) ---
     "scan_csv_malformed", "llm_perplexity_proxy", "llm_sample_stratified",
     "llm_chunk_windows", "scan_multiformat_union", "agg_percentile_disc",
