@@ -415,3 +415,77 @@ def test_dynamic_overwrite_touches_only_restated_partition(spark, sf_dir):
         .count()
     )
     assert df.filter(F.col("m") == _RESTATE_MONTH).count() == n_src
+
+
+def test_cusum_reflection_identity_property():
+    """The algebraic identity query_outbreak_cusum's lowering rests on:
+    for ANY real sequence u, max(0, S_{t-1} + u_t) == cum_t − min(0,
+    min_{j≤t} cum_j). Pure-python hypothesis check, no Spark needed —
+    this is the proof obligation of the declarative CUSUM."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=60))
+    def check(us):
+        # integer arithmetic: the engine runs the same identity in DECIMAL
+        s = 0
+        cum = 0
+        lo = 0
+        for u in us:
+            s = max(0, s + u)
+            cum += u
+            lo = min(lo, cum)
+            assert s == cum - min(0, lo)
+
+    check()
+
+
+def test_weighted_median_collapse_property():
+    """The tie-run collapse agg_weighted_percentile rests on: cumulating
+    per-value weight totals (RANGE-frame semantics) selects the same
+    weighted median as cumulating raw rows with peers included. Random
+    multisets with duplicate values and integer weights."""
+    from collections import defaultdict
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 10), st.integers(1, 100)),
+            min_size=1,
+            max_size=50,
+        ),
+        st.randoms(use_true_random=False),
+    )
+    def check(pairs, rng):
+        tot = sum(w for _, w in pairs)
+        # RAW form, literally per row in an ARBITRARY tie order: each row's
+        # RANGE-frame cum is the weight of every row whose value <= its own
+        # (peers included); qualifying rows have 2*cum >= tot; the operator
+        # takes MIN(value) over them
+        rows = list(pairs)
+        rng.shuffle(rows)
+        raw_qualifying = []
+        for v, _ in rows:
+            cum = sum(w2 for v2, w2 in rows if v2 <= v)
+            if 2 * cum >= tot:
+                raw_qualifying.append(v)
+        raw_median = min(raw_qualifying)
+        # COLLAPSED form (what the operator now executes): cumulate the
+        # per-value weight histogram
+        by_v = defaultdict(int)
+        for v, w in pairs:
+            by_v[v] += w
+        cum2 = 0
+        col_median = None
+        for v in sorted(by_v):
+            cum2 += by_v[v]
+            if 2 * cum2 >= tot:
+                col_median = v
+                break
+        assert raw_median == col_median is not None
+
+    check()
