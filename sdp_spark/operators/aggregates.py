@@ -838,8 +838,9 @@ _HIST_NBINS = 20
     "agg_histogram_equiwidth",
     oracle=f"""
     WITH mm AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
-    SELECT CAST(LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / {_HIST_NBINS}.0)) AS INTEGER),
-                 {_HIST_NBINS - 1}) AS INTEGER) AS bin,
+    SELECT CAST(CASE WHEN mn = mx THEN 0
+                ELSE LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / {_HIST_NBINS}.0)) AS INTEGER),
+                           {_HIST_NBINS - 1}) END AS INTEGER) AS bin,
            {sql_dround(f"mn + LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / {_HIST_NBINS}.0)) AS INTEGER), {_HIST_NBINS - 1}) * ((mx - mn) / {_HIST_NBINS}.0)", 2)} AS bin_lo,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders, mm
@@ -865,9 +866,13 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
     width = (F.col("mx") - F.col("mn")) / F.lit(float(_HIST_NBINS))
-    bin_ = F.least(
-        F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("int"),
-        F.lit(_HIST_NBINS - 1),
+    # a constant column gives width 0 and (x-mn)/0 = NaN — the degenerate
+    # input a profiling histogram must tolerate, not crash on: one bin
+    bin_ = F.when(F.col("mn") == F.col("mx"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("int"),
+            F.lit(_HIST_NBINS - 1),
+        )
     )
     return (
         o.crossJoin(F.broadcast(mm))

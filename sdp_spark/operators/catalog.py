@@ -467,6 +467,29 @@ def catalog_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
+def merge_count_sum_partials(prev, delta, key: str, n_col: str, sum_col: str):
+    """Fold two (COUNT, exact DECIMAL SUM) partial frames keyed on ``key``
+    — the one incremental-view-maintenance merge both the batch matview
+    (catalog_matview_incremental) and its streaming twin
+    (stream_matview_upkeep) execute, kept in ONE place so a precision or
+    null-handling fix can never diverge the pair. Full-outer join,
+    coalesce-to-zero add, exact decimal algebra (num.dsum rationale)."""
+    from pyspark.sql import functions as F
+
+    zero = F.lit(0).cast("decimal(30,8)")
+    a = prev.select(key, F.col(n_col).alias("_p_n"), F.col(sum_col).alias("_p_s"))
+    b = delta.select(key, F.col(n_col).alias("_d_n"), F.col(sum_col).alias("_d_s"))
+    return a.join(b, key, "full_outer").select(
+        key,
+        (F.coalesce("_p_n", F.lit(0)) + F.coalesce("_d_n", F.lit(0)))
+        .cast("bigint")
+        .alias(n_col),
+        (F.coalesce("_p_s", zero) + F.coalesce("_d_s", zero))
+        .cast("decimal(30,8)")
+        .alias(sum_col),
+    )
+
+
 _MV_CUTOVER = "1998-01-01"
 
 
@@ -518,30 +541,9 @@ def catalog_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     _drop_table(spark, sf_dir, name)
     partials(hist).write.format("parquet").saveAsTable(tbl)
 
-    mv = spark.table(tbl).select(
-        "o_orderpriority",
-        F.col("n_orders").alias("mv_n"),
-        F.col("sum_dec").alias("mv_sum"),
-    )
-    d = partials(delta).select(
-        "o_orderpriority",
-        F.col("n_orders").alias("d_n"),
-        F.col("sum_dec").alias("d_sum"),
-    )
-    zero = F.lit(0).cast("decimal(30,8)")
-    merged = (
-        mv.join(d, "o_orderpriority", "full_outer")
-        .select(
-            "o_orderpriority",
-            (F.coalesce("mv_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
-            .cast("bigint")
-            .alias("n_orders"),
-            (F.coalesce("mv_sum", zero) + F.coalesce("d_sum", zero))
-            .cast("decimal(30,8)")
-            .alias("sum_dec"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    merged = merge_count_sum_partials(
+        spark.table(tbl), partials(delta), "o_orderpriority", "n_orders", "sum_dec"
+    ).localCheckpoint(eager=True)
     merged.write.format("parquet").mode("overwrite").saveAsTable(tbl)
     return (
         spark.table(tbl)

@@ -2078,7 +2078,7 @@ def llm_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents, n GROUP BY source, nd
     UNION ALL
     SELECT 'prefix_dup_frac',
-           FLOOR(COALESCE(SUM(cs), 0) / MIN(nd) * 10000 + 0.5) / 10000
+           COALESCE(FLOOR(SUM(cs) / MIN(nd) * 10000 + 0.5) / 10000, 0.0)
     FROM (SELECT substr(text, 1, 64) AS p, COUNT(*) AS cs
           FROM documents GROUP BY p HAVING COUNT(*) >= 2), n
     ORDER BY metric
@@ -2149,8 +2149,11 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cs") >= 2)
         .crossJoin(F.broadcast(nd))
         .agg(
-            dround(
-                F.coalesce(F.sum("cs"), F.lit(0)).cast("double") / F.min("nd"), 4
+            # a duplicate-free corpus leaves this agg with zero input rows:
+            # MIN(nd) is then NULL and the quotient NULL — coalesce the
+            # WHOLE metric to 0.0 (clean corpus), never emit a NULL card row
+            F.coalesce(
+                dround(F.sum("cs").cast("double") / F.min("nd"), 4), F.lit(0.0)
             ).alias("value")
         )
         .select(F.lit("prefix_dup_frac").alias("metric"), "value")

@@ -162,6 +162,34 @@ _CC_LO, _CC_HI = "1995-03-01", "1995-03-08"
 _CC_MAX_ROUNDS = 50
 
 
+def _week_edges_packed(spark: SparkSession, sf_dir: str):
+    """Shared one-week trade edge list with BIGINT-packed node ids
+    (2·suppkey even / 2·custkey+1 odd — the bipartite key spaces
+    interleave without collision), both directions, lazily checkpointed.
+    Used by graph_connected_components AND graph_shortest_path_bfs so the
+    date window and the packing can never drift apart; fixed-width keys
+    are half of CC's measured 2.1× probe win (SCALING.md)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        l.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(_CC_LO))
+                & (F.col("o_orderdate") < F.lit(_CC_HI))
+            ),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .select(
+            (F.col("l_suppkey") * 2).cast("bigint").alias("src"),
+            (F.col("o_custkey") * 2 + 1).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+
+
 @register(
     "graph_connected_components",
     oracle=f"""
@@ -216,25 +244,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     bijective relabelings of each other, so the component-size histogram
     is identical; components are certified exactly, not just their
     count. Tractable because the one-week graph is sparse."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e = (
-        l.join(
-            o.filter(
-                (F.col("o_orderdate") >= F.lit(_CC_LO))
-                & (F.col("o_orderdate") < F.lit(_CC_HI))
-            ),
-            l.l_orderkey == o.o_orderkey,
-        )
-        .select(
-            (F.col("l_suppkey") * 2).cast("bigint").alias("src"),
-            (F.col("o_custkey") * 2 + 1).cast("bigint").alias("dst"),
-        )
-        .distinct()
-    )
-    e2 = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    e2 = _week_edges_packed(spark, sf_dir)
     comp = (
         e2.select(F.col("src").alias("node"))
         .distinct()
@@ -258,6 +268,15 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_mass == mass:
             break
         mass = new_mass
+    else:
+        # falling through without the mass stabilizing means labels are
+        # still moving — emitting the histogram would be silently WRONG
+        # (unlike BFS, no bounded-radius contract exists here)
+        raise RuntimeError(
+            f"graph_connected_components: no fixpoint in {_CC_MAX_ROUNDS} "
+            "rounds — graph diameter exceeds the bound; raise "
+            "_CC_MAX_ROUNDS or switch to large-star/small-star"
+        )
     sizes = comp.groupBy("comp").agg(F.count("*").cast("bigint").alias("comp_size"))
     return (
         sizes.groupBy("comp_size")
@@ -352,7 +371,9 @@ _BFS_MAX_HOPS = 12
     ), e2 AS (
       SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
     ), s0 AS (
-      SELECT MIN(src) AS source FROM e2 WHERE src LIKE 's:%'
+      SELECT 's:' || MIN(l.l_suppkey) AS source
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= DATE '{_CC_LO}' AND o.o_orderdate < DATE '{_CC_HI}'
     ),
     walk(node, d) AS (
       SELECT source, 0 FROM s0
@@ -369,7 +390,7 @@ _BFS_MAX_HOPS = 12
 )
 def graph_shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unweighted single-source shortest paths (BFS radius ≤
-    {_BFS_MAX_HOPS}) from the lexically-first supplier of the one-week
+    {_BFS_MAX_HOPS}) from the lowest-numbered supplier of the one-week
     trade graph — "how many intermediaries between this source and each
     counterparty", the reachability question contact tracing asks around
     an index case. Output is the distance histogram (hops → node count);
@@ -384,28 +405,11 @@ def graph_shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders-smaller-than-edges rank table PageRank carries; the oracle
     replays the fixpoint as a depth-bounded recursive closure with MIN(d)
     (same exactness argument as graph_connected_components)."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e = (
-        l.join(
-            o.filter(
-                (F.col("o_orderdate") >= F.lit(_CC_LO))
-                & (F.col("o_orderdate") < F.lit(_CC_HI))
-            ),
-            l.l_orderkey == o.o_orderkey,
-        )
-        .select(
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    e2 = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
-    source = e2.filter(F.col("src").startswith("s:")).agg(
-        F.min("src").alias("node")
-    )
+    e2 = _week_edges_packed(spark, sf_dir)
+    # source = numerically-smallest supplier: even packed ids are the
+    # supplier namespace, so min(even src) = 2 * min suppkey (the oracle's
+    # s0 picks MIN(l_suppkey) over the same week-filtered population)
+    source = e2.filter(F.col("src") % 2 == 0).agg(F.min("src").alias("node"))
     visited = source.withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
     frontier = visited
     for d in range(1, _BFS_MAX_HOPS + 1):

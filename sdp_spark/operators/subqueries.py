@@ -272,11 +272,15 @@ def subq_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MySQL/ANSI quantified comparisons — `> ALL (subq)` / `< ANY
     (subq)` — which Spark SQL does not parse. The engine lowers them to
     their algebraic normal forms: x > ALL S ⟺ x > MAX(S) and
-    x < ANY S ⟺ x < MAX(S) (for non-empty S with no NULLs, which the
-    predicates here guarantee; the NULL-bearing general case lowers to
-    the NOT IN/EXISTS forms subq_not_in_null covers). The oracle runs
-    the NATIVE quantifiers in DuckDB, so the rewrite is certified against
-    real ALL/ANY semantics, not against itself.
+    x < ANY S ⟺ x < MAX(S), with the EMPTY-set edge handled explicitly:
+    each MAX is coalesced to −∞, so x > ALL(∅) stays vacuously TRUE and
+    x < ANY(∅) stays FALSE — without the coalesce an empty subset's NULL
+    max would silently drop every row. (S is NULL-free here by
+    construction; the NULL-bearing general case lowers to the
+    NOT IN/EXISTS forms subq_not_in_null covers.) The oracle runs
+    the NATIVE quantifiers in DuckDB, so the rewrite — including the
+    empty edge — is certified against real ALL/ANY semantics, not
+    against itself.
 
     Plan: each scalar MAX is a 1-row aggregate broadcast into the scan's
     filter — the quantified comparisons cost two tiny pre-aggregations
@@ -298,8 +302,8 @@ def subq_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.crossJoin(F.broadcast(all_max))
         .crossJoin(F.broadcast(any_max))
         .filter(
-            (F.col("o_totalprice") > F.col("all_max"))
-            & (F.col("o_totalprice") < F.col("any_max"))
+            (F.col("o_totalprice") > F.coalesce("all_max", F.lit(float("-inf"))))
+            & (F.col("o_totalprice") < F.coalesce("any_max", F.lit(float("-inf"))))
         )
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")

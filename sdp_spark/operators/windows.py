@@ -448,6 +448,29 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_scaffold(e):
+    """Shared calendar-densify core for the per-user time-series ops
+    (ts_gap_fill / ts_interpolate_linear / ts_seasonal_error): exact
+    decimal daily bars + per-user count, a per-user min..max day span,
+    the exploded calendar scaffold, and the left join back — so silent
+    days appear as NULL-bar rows. One partial+final hash agg, a narrow
+    per-user explode, one join; any fix to the scaffold (tz, interval,
+    span semantics) lands in every consumer at once."""
+    from sdp_spark.functions.num import dsum
+
+    daily = e.groupBy("user_id", F.date_trunc("day", "ts").alias("d")).agg(
+        dsum("value").alias("day_sum"), F.count("*").cast("int").alias("n_events")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("mind"), F.max("d").alias("maxd")
+    )
+    scaffold = span.select(
+        "user_id",
+        F.explode(F.sequence("mind", "maxd", F.expr("interval 1 day"))).alias("d"),
+    )
+    return scaffold.join(daily, ["user_id", "d"], "left")
+
+
 @register(
     "ts_gap_fill",
     oracle="""
@@ -491,22 +514,8 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles by user_id once and sorts each user's ≤|days| rows. At 100 TB
     state per user stays calendar-bounded — the series length, not the
     event count."""
-    from sdp_spark.functions.num import dsum
-
     e = table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
-        .agg(dsum("value").alias("day_sum"), F.count("*").cast("int").alias("n_events"))
-    )
-    span = daily.groupBy("user_id").agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
-    scaffold = span.select(
-        "user_id",
-        F.explode(F.sequence("mind", "maxd", F.expr("interval 1 day"))).alias("d"),
-    )
-    j = (
-        scaffold.join(daily, ["user_id", "d"], "left")
-        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
-    )
+    j = _daily_scaffold(e).withColumn("n_events", F.coalesce("n_events", F.lit(0)))
     w = (
         Window.partitionBy("user_id")
         .orderBy("d")
@@ -759,20 +768,8 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     following-frame window on the same sorted run). State per user is
     calendar-bounded — series length, not event count — so a 100 TB event
     log with a 10-year span is ≤3,653 rows per user in the window stage."""
-    from sdp_spark.functions.num import dsum
-
     e = table(spark, sf_dir, "events")
-    daily = e.groupBy("user_id", F.date_trunc("day", "ts").alias("d")).agg(
-        dsum("value").alias("day_sum")
-    )
-    span = daily.groupBy("user_id").agg(
-        F.min("d").alias("mind"), F.max("d").alias("maxd")
-    )
-    scaffold = span.select(
-        "user_id",
-        F.explode(F.sequence("mind", "maxd", F.expr("interval 1 day"))).alias("d"),
-    )
-    j = scaffold.join(daily, ["user_id", "d"], "left")
+    j = _daily_scaffold(e)
     back = (
         Window.partitionBy("user_id")
         .orderBy("d")
@@ -958,20 +955,10 @@ def ts_seasonal_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: same single-user_id-shuffle shape as ts_interpolate_linear (bars
     agg → narrow explode → one window sort), finishing in a per-user
     partial agg. Window state is one 7-slot lag buffer per user."""
-    from sdp_spark.functions.num import DEC, dsum
+    from sdp_spark.functions.num import DEC
 
     e = table(spark, sf_dir, "events")
-    daily = e.groupBy("user_id", F.date_trunc("day", "ts").alias("d")).agg(
-        dsum("value").alias("day_sum")
-    )
-    span = daily.groupBy("user_id").agg(
-        F.min("d").alias("mind"), F.max("d").alias("maxd")
-    )
-    scaffold = span.select(
-        "user_id",
-        F.explode(F.sequence("mind", "maxd", F.expr("interval 1 day"))).alias("d"),
-    )
-    j = scaffold.join(daily, ["user_id", "d"], "left")
+    j = _daily_scaffold(e)
     w = Window.partitionBy("user_id").orderBy("d")
     p = j.select(
         "user_id", "day_sum", F.lag("day_sum", 7).over(w).alias("pred")

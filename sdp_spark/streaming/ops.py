@@ -1307,25 +1307,18 @@ def stream_matview_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_events"),
             F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
         ).withColumn("last_batch", F.lit(batch_id).cast("bigint"))
-        if os.path.isdir(os.path.join(state_dir)) and os.path.exists(
-            os.path.join(state_dir, "_SUCCESS")
-        ):
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
             prev = df.sparkSession.read.parquet(state_dir)
             # redelivery guard: a batch already folded into the ledger is
             # dropped whole (availableNow never redelivers; restarts can)
             seen = prev.agg(F.max("last_batch")).collect()[0][0]
             if seen is not None and batch_id <= seen:
                 return
-            zero = F.lit(0).cast(DEC)
+            from sdp_spark.operators.catalog import merge_count_sum_partials
+
             merged = (
-                prev.select("user_id", F.col("n_events").alias("p_n"), F.col("sum_dec").alias("p_s"))
-                .join(part.select("user_id", F.col("n_events").alias("b_n"), F.col("sum_dec").alias("b_s")), "user_id", "full_outer")
-                .select(
-                    "user_id",
-                    (F.coalesce("p_n", F.lit(0)) + F.coalesce("b_n", F.lit(0))).cast("bigint").alias("n_events"),
-                    (F.coalesce("p_s", zero) + F.coalesce("b_s", zero)).cast(DEC).alias("sum_dec"),
-                    F.lit(batch_id).cast("bigint").alias("last_batch"),
-                )
+                merge_count_sum_partials(prev, part, "user_id", "n_events", "sum_dec")
+                .withColumn("last_batch", F.lit(batch_id).cast("bigint"))
                 .localCheckpoint(eager=True)
             )
         else:
