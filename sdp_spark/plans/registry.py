@@ -94,8 +94,30 @@ def register(key: str, oracle: str | None = None, section: str = ""):
 # everything (rank -1) and would displace the backlog past the cap — to
 # deprioritize, list it; test_entry enforces registry == list exactly.
 _SWEEP_PRIORITY = (
-    # --- unverified backlog: 62 round-5 keys the r5 sweep's cap cut off
-    #     (all locally oracle-green at sf0.01 AND sf0.1, SCALING.md) ---
+    # --- r7 certification head (exactly 50 = driver sweep budget):
+    #     the 42 never-verified keys (12 r5 stragglers + 30 round-6 keys),
+    #     then llm_dedup_near (oracle PROMOTED rows-only -> brute-force
+    #     hash this round, so its verdict must be re-earned under the new
+    #     contract), then 7 oldest-r1 core keys re-proved per VERDICT r6
+    #     #1's 'spend leftover slots on the oldest r1 keys'. ---
+    "dialect_pipe_syntax", "agg_observe_metrics", "stream_dedup_wm",
+    "scan_recursive_glob", "udf_grouped_arrow", "filter_collation_native",
+    "dialect_identifier_param", "win_fill_forward", "scan_file_metadata",
+    "fn_url_parse", "sink_compressed", "agg_bitmap_distinct",
+    "dialect_dml_roundtrip", "llm_quality_c4", "dq_anomaly_iqr",
+    "join_interval_overlap", "graph_connected_components",
+    "graph_triangle_count", "ts_interpolate_linear", "dq_profile_table",
+    "llm_repetition_ngram", "agg_histogram_equiwidth", "dq_winsorize",
+    "graph_shortest_path_bfs", "win_rolling_corr", "llm_dup_cluster_stats",
+    "catalog_matview_incremental", "agg_entropy", "dq_mad_outlier",
+    "agg_weighted_percentile", "ts_seasonal_error", "stream_matview_upkeep",
+    "query_outbreak_cusum", "agg_skew_kurtosis", "stream_cusum_alerts",
+    "llm_dataset_card", "subq_any_all", "udf_pandas_iter", "mm_payload_dedup",
+    "dq_freshness_check", "dq_duplicate_pk_check", "win_cumulative_distinct",
+    # --- promoted oracle + r1 re-proves (fills the 50) ---
+    "llm_dedup_near", "scan_parquet", "scan_csv", "scan_json",
+    "project_select", "filter_basic", "join_inner", "agg_groupby",
+    # --- driver-green keys, newest-round-first (r6 ... r1) ---
     "win_sliding_median", "win_ewma", "llm_blocklist_filter",
     "subq_correlated_scalar", "filter_row_constructor", "agg_regression",
     "query_forecast_revenue", "join_existence", "fn_try_arith",
@@ -110,111 +132,78 @@ _SWEEP_PRIORITY = (
     "query_small_qty_orders", "query_market_share", "query_product_profit",
     "query_shipmode_priority", "query_parts_supplier_cnt",
     "query_waiting_suppliers", "query_min_cost_supplier",
-    "query_important_stock", "query_dominant_suppliers",
-    "scan_xml", "scan_python_datasource", "catalog_sql_script",
-    "cte_recursive", "graph_degree", "graph_pagerank",
-    "dq_referential_check", "dialect_pipe_syntax", "agg_observe_metrics",
-    "stream_dedup_wm", "scan_recursive_glob", "udf_grouped_arrow",
-    "filter_collation_native", "dialect_identifier_param",
-    "win_fill_forward", "scan_file_metadata", "fn_url_parse",
-    "sink_compressed", "agg_bitmap_distinct",
-    # --- round-6 NEW keys: always append here, never leave unlisted ---
-    "dialect_dml_roundtrip", "llm_quality_c4", "dq_anomaly_iqr",
-    "join_interval_overlap",
-    "graph_connected_components", "graph_triangle_count",
-    "ts_interpolate_linear", "dq_profile_table", "llm_repetition_ngram",
-    "agg_histogram_equiwidth", "dq_winsorize", "graph_shortest_path_bfs",
-    "win_rolling_corr", "llm_dup_cluster_stats",
-    "catalog_matview_incremental", "agg_entropy", "dq_mad_outlier",
-    "agg_weighted_percentile", "ts_seasonal_error", "stream_matview_upkeep",
-    "query_outbreak_cusum", "agg_skew_kurtosis", "stream_cusum_alerts",
-    "llm_dataset_card", "subq_any_all", "udf_pandas_iter",
-    "mm_payload_dedup", "dq_freshness_check", "dq_duplicate_pk_check",
-    "win_cumulative_distinct",
-    # --- r5-green keys (driver verdicts in CORRECTNESS_r05.json) ---
+    "query_important_stock", "query_dominant_suppliers", "scan_xml",
+    "scan_python_datasource", "catalog_sql_script", "cte_recursive",
+    "graph_degree", "graph_pagerank", "dq_referential_check",
     "scan_csv_malformed", "llm_perplexity_proxy", "llm_sample_stratified",
     "llm_chunk_windows", "scan_multiformat_union", "agg_percentile_disc",
     "fn_trig", "dml_truncate_partition", "llm_url_normalize",
-    "llm_shard_export", "llm_semdedup", "llm_cluster_kmeans",
-    "fulltext_bm25", "llm_inverted_index", "limit_found_rows",
-    "agg_ohlc_resample", "ts_gap_fill", "llm_dedup_substring",
-    "llm_embed_normalize", "llm_embed_pca", "sink_zorder",
-    "llm_embed_quantize", "llm_bpe_pair_counts", "llm_mix_epochs",
-    "join_scd2_pointintime", "subq_not_in_null", "fn_convert_tz",
-    "query_cust_order_counts", "stream_ohlc", "stream_stateful_timeout",
-    "dialect_mysql_query", "llm_dedup_url_docs", "llm_vocab_oov",
-    "agg_approx_topk", "query_large_volume_cust",
-    "query_local_supplier_volume", "query_volume_shipping",
-    "query_promo_effect", "query_top_supplier", "query_disjunctive_parts",
-    "query_dormant_customers", "dialect_user_var_rownum", "sink_odku",
-    "llm_hybrid_search_rrf", "llm_dedup_incremental", "join_runtime_bloom",
-    "stream_topk_windowed", "llm_bpe_apply", "sink_sized_files",
-    "join_dpp",
-    # --- r4-green keys (driver verdicts in CORRECTNESS_r04.json) ---
-    "sink_insert_ignore", "sink_replace", "stream_stream_join_outer",
-    "llm_pii_scrub", "llm_decontaminate", "llm_sample_temperature",
-    "llm_pack_sequences", "llm_quality_gopher", "llm_dedup_embed_lsh",
-    "fn_encode", "join_spatial_grid", "agg_sketch_rollup", "sink_stream_upsert",
-    "scan_binary_files",
-    "fn_spatial", "agg_funnel", "llm_ngram_counts", "sink_outfile_csv",
-    "sink_compact", "llm_doc_len_histogram",
-    "agg_approx_percentile", "mm_decode_pipeline", "scan_jdbc", "join_bucketed",
-    "sink_autoincrement", "scan_text", "agg_filtered", "win_sessionize",
-    "join_range_bucketed", "catalog_ctas", "llm_dedup_softnorm",
-    "llm_dedup_prefix", "llm_domain_mix",
-    "llm_corpus_stats",
-    "query_shipping_priority", "query_returned_items", "query_late_orders",
-    "agg_mode", "sink_jsonl", "fn_json_struct", "win_zscore",
-    "join_asof_tolerance", "llm_cross_split_dedup",
-    "stream_late_metrics",
-    "win_gap_islands", "dml_merge_scd2",
-    # --- r3-green keys (driver verdicts in CORRECTNESS_r03.json) ---
+    "llm_shard_export", "llm_semdedup", "llm_cluster_kmeans", "fulltext_bm25",
+    "llm_inverted_index", "limit_found_rows", "agg_ohlc_resample",
+    "ts_gap_fill", "llm_dedup_substring", "llm_embed_normalize",
+    "llm_embed_pca", "sink_zorder", "llm_embed_quantize",
+    "llm_bpe_pair_counts", "llm_mix_epochs", "join_scd2_pointintime",
+    "subq_not_in_null", "fn_convert_tz", "query_cust_order_counts",
+    "stream_ohlc", "stream_stateful_timeout", "dialect_mysql_query",
+    "llm_dedup_url_docs", "llm_vocab_oov", "agg_approx_topk",
+    "query_large_volume_cust", "query_local_supplier_volume",
+    "query_volume_shipping", "query_promo_effect", "query_top_supplier",
+    "query_disjunctive_parts", "query_dormant_customers",
+    "dialect_user_var_rownum", "sink_odku", "llm_hybrid_search_rrf",
+    "llm_dedup_incremental", "join_runtime_bloom", "stream_topk_windowed",
+    "llm_bpe_apply", "sink_sized_files", "join_dpp", "sink_insert_ignore",
+    "sink_replace", "stream_stream_join_outer", "llm_pii_scrub",
+    "llm_decontaminate", "llm_sample_temperature", "llm_pack_sequences",
+    "llm_quality_gopher", "llm_dedup_embed_lsh", "fn_encode",
+    "join_spatial_grid", "agg_sketch_rollup", "sink_stream_upsert",
+    "scan_binary_files", "fn_spatial", "agg_funnel", "llm_ngram_counts",
+    "sink_outfile_csv", "sink_compact", "llm_doc_len_histogram",
+    "agg_approx_percentile", "mm_decode_pipeline", "scan_jdbc",
+    "join_bucketed", "sink_autoincrement", "scan_text", "agg_filtered",
+    "win_sessionize", "join_range_bucketed", "catalog_ctas",
+    "llm_dedup_softnorm", "llm_dedup_prefix", "llm_domain_mix",
+    "llm_corpus_stats", "query_shipping_priority", "query_returned_items",
+    "query_late_orders", "agg_mode", "sink_jsonl", "fn_json_struct",
+    "win_zscore", "join_asof_tolerance", "llm_cross_split_dedup",
+    "stream_late_metrics", "win_gap_islands", "dml_merge_scd2",
     "source_stream_files", "sink_stream_foreachBatch", "sink_jdbc",
-    "sink_stream_jdbc",
-    "stream_ingest", "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_watermark", "stream_dedup", "stream_stateful", "stream_join_dim",
-    "stream_tumbling_wm", "stream_sliding_wm", "stream_session_wm",
-    "filter_fulltext", "filter_fulltext_bool", "catalog_ddl", "catalog_views",
-    "llm_langid", "llm_quality_score", "llm_fingerprint", "llm_dedup_embed",
-    "llm_dedup_ngram_jaccard", "llm_dedup_simhash", "llm_sim_search_lsh",
-    "llm_sim_search_ivf", "llm_token_count_bpe", "llm_pipeline_e2e",
-    "llm_pipeline_train_corpus",
-    "agg_grouping_sets", "agg_corr",
-    "filter_collation_accent", "sample_systematic", "agg_unpivot",
-    "project_cast_lenient", "catalog_analyze_stats", "fn_fuzzy",
-    "scan_schema_evolution", "catalog_show_describe", "join_hinted",
-    "mm_frame_sample", "stream_stream_join",
-    "llm_dedup_near_resolve", "llm_pipeline_train_corpus_nd",
-    "project_enum_check", "fn_time_year", "project_set_check",
-    # --- r2-green keys (driver verdicts in CORRECTNESS_r02.json) ---
-    "win_row_number", "win_rank", "win_lag_lead", "win_running",
-    "win_sliding_rows", "win_range_frame", "win_topk_group", "win_first_last",
-    "win_cume_dist", "win_nth_value", "win_ntile",
-    "sort_multikey", "limit_offset", "topk",
-    "set_union_all", "set_union", "set_intersect", "set_except",
-    "set_intersect_all", "set_except_all",
+    "sink_stream_jdbc", "stream_ingest", "stream_tumbling", "stream_sliding",
+    "stream_session", "stream_watermark", "stream_dedup", "stream_stateful",
+    "stream_join_dim", "stream_tumbling_wm", "stream_sliding_wm",
+    "stream_session_wm", "filter_fulltext", "filter_fulltext_bool",
+    "catalog_ddl", "catalog_views", "llm_langid", "llm_quality_score",
+    "llm_fingerprint", "llm_dedup_embed", "llm_dedup_ngram_jaccard",
+    "llm_dedup_simhash", "llm_sim_search_lsh", "llm_sim_search_ivf",
+    "llm_token_count_bpe", "llm_pipeline_e2e", "llm_pipeline_train_corpus",
+    "agg_grouping_sets", "agg_corr", "filter_collation_accent",
+    "sample_systematic", "agg_unpivot", "project_cast_lenient",
+    "catalog_analyze_stats", "fn_fuzzy", "scan_schema_evolution",
+    "catalog_show_describe", "join_hinted", "mm_frame_sample",
+    "stream_stream_join", "llm_dedup_near_resolve",
+    "llm_pipeline_train_corpus_nd", "project_enum_check", "fn_time_year",
+    "project_set_check", "win_row_number", "win_rank", "win_lag_lead",
+    "win_running", "win_sliding_rows", "win_range_frame", "win_topk_group",
+    "win_first_last", "win_cume_dist", "win_nth_value", "win_ntile",
+    "sort_multikey", "limit_offset", "topk", "set_union_all", "set_union",
+    "set_intersect", "set_except", "set_intersect_all", "set_except_all",
     "fn_string", "fn_string_regex", "fn_date", "fn_math", "fn_conditional",
     "fn_json", "fn_array_map", "fn_hash", "fn_map", "fn_substring_index",
-    "fn_datetime_arith", "fn_bitwise", "fn_mysql_misc",
-    "subq_scalar", "subq_in_exists", "subq_derived", "cte_with", "subq_lateral",
+    "fn_datetime_arith", "fn_bitwise", "fn_mysql_misc", "subq_scalar",
+    "subq_in_exists", "subq_derived", "cte_with", "subq_lateral",
     "udf_python", "udf_pandas_scalar", "udf_pandas_grouped_agg",
-    "udf_grouped_map", "udtf_explode",
-    "llm_dedup_exact", "llm_dedup_near", "llm_sim_search", "llm_text_stats",
-    "llm_tfidf_topterms", "llm_lang_filter", "llm_multimodal_cols",
-    # --- r1-green keys (driver verdicts in CORRECTNESS_r01.json) ---
-    "scan_parquet", "scan_csv", "scan_json", "sink_append",
-    "sink_overwrite", "sink_partitioned", "scan_partition_pruned",
-    "sink_upsert", "dml_update_delete", "scan_orc",
-    "project_select", "filter_basic", "filter_compound", "filter_between",
+    "udf_grouped_map", "udtf_explode", "llm_dedup_exact", "llm_sim_search",
+    "llm_text_stats", "llm_tfidf_topterms", "llm_lang_filter",
+    "llm_multimodal_cols", "sink_append", "sink_overwrite",
+    "sink_partitioned", "scan_partition_pruned", "sink_upsert",
+    "dml_update_delete", "scan_orc", "filter_compound", "filter_between",
     "filter_in", "filter_like", "filter_regexp", "filter_null",
     "project_case", "project_cast", "dedup_distinct", "filter_collation_ci",
-    "sort_nulls",
-    "join_inner", "join_left", "join_right", "join_full", "join_cross",
+    "sort_nulls", "join_left", "join_right", "join_full", "join_cross",
     "join_semi", "join_anti", "join_theta_range", "join_broadcast",
-    "join_multiway", "join_self", "join_asof", "join_salted",
-    "agg_groupby", "agg_global", "agg_having", "agg_count_distinct",
-    "agg_approx_distinct", "agg_stats", "agg_group_concat", "agg_bool_bit",
-    "agg_rollup", "agg_cube", "agg_pivot", "agg_percentile",
+    "join_multiway", "join_self", "join_asof", "join_salted", "agg_global",
+    "agg_having", "agg_count_distinct", "agg_approx_distinct", "agg_stats",
+    "agg_group_concat", "agg_bool_bit", "agg_rollup", "agg_cube", "agg_pivot",
+    "agg_percentile",
 )
 
 

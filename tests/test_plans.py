@@ -110,11 +110,16 @@ def test_fulltext_natural_single_doc_shuffle(spark, sf_dir):
 
 
 def test_ivf_broadcast_and_topk_pushdown(spark, sf_dir):
-    """IVF: centroids and probes broadcast (candidates never shuffle for the
-    join); per-query top-5 uses the WindowGroupLimit pushdown."""
+    """IVF: probes broadcast (candidates never shuffle for the cell
+    equi-join); per-query top-5 uses the WindowGroupLimit pushdown; and
+    (VERDICT r6 #3) cell ASSIGNMENT is zero-shuffle — the literal-argmax
+    rewrite leaves the final top-k ranking window as the plan's ONLY
+    shuffle (the old crossJoin+row_number shape had a second,
+    N x K-row hashpartitioning(vec_id) exchange just to rank cells)."""
     plan = _plan(spark, REGISTRY["llm_sim_search_ivf"].fn(spark, sf_dir), "simple")
     assert "BroadcastExchange" in plan
     assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
 def test_join_hint_forces_shuffled_hash(spark, sf_dir):
