@@ -5,7 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {key: sec}, "sf": ...}.
 
 Each query executes fully via a noop sink (no driver-side collect cost);
-one uncounted warmup amortizes JVM/codegen startup.
+one uncounted warmup amortizes JVM/codegen startup. Headline keys run 3
+reps and report the MEDIAN per key (plus the per-key min and loadavg, so
+shared-machine noise is adjudicable from the artifact — VERDICT r6 #5;
+prior rounds' best-of-2 makes `vs_prior` vs r6-and-earlier slightly
+pessimistic for this round only).
 """
 
 from __future__ import annotations
@@ -99,15 +103,23 @@ def main() -> None:
     for wk in ("agg_groupby", "llm_dedup_near", "llm_sim_search"):
         run_query(registry[wk].fn(spark, sf_dir))
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # VERDICT r6 #5 (noise-pinning): 3 reps per headline key, report the
+    # MEDIAN (the headline number) plus the min (the machine-independent
+    # floor), and record loadavg so future verdicts can adjudicate shared-
+    # machine noise from the artifact instead of burning a round on it.
+    load_start = os.getloadavg()[0]
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
+    times_min: dict[str, float] = {}
     for key in HEADLINE:
-        best = float("inf")
+        samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
             run_query(registry[key].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        times[key] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        times[key] = round(samples[len(samples) // 2], 3)
+        times_min[key] = round(samples[0], 3)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -135,12 +147,24 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "queries_min": times_min,
+        "min_total_sec": round(sum(times_min.values()), 3),
         "extra_queries": extra,
         "sf": sf,
+        # 1-min loadavg before/after ÷ cores: >1 means the box was shared
+        # while we measured — read regressions with that in hand
+        "load": {
+            "start_1m": round(load_start, 2),
+            "end_1m": round(os.getloadavg()[0], 2),
+            "cores": os.cpu_count(),
+        },
+        "stat": "median_of_%d" % reps,
     }
     # cross-round regression check: compare per-query vs the newest prior
     # BENCH_r{N}.json (same headline keys across rounds); >1.5x is flagged
     prior = _latest_prior_bench()
+    if prior and prior.get("sf") != sf:
+        prior = None  # cross-SF comparison is meaningless
     if prior:
         ref, regressions = prior.get("queries", {}), {}
         for k, t in times.items():

@@ -153,8 +153,19 @@ def translate_mysql(sql: str) -> str:
     )
     if sm:
         db = f" IN {sm.group(1).replace('`', '')}" if sm.group(1) else ""
-        # MySQL LIKE wildcards -> the glob style Spark's SHOW accepts
-        pat = sm.group(2).replace("%", "*").replace("_", "*")
+        # MySQL LIKE wildcards -> the glob style Spark's SHOW accepts.
+        # '%' maps cleanly to '*'; MySQL's '_' (exactly one char) has NO
+        # glob equivalent in Spark's SHOW TABLES — mapping it to '*' would
+        # silently over-match (ADVICE r6: 'cust_' would hit
+        # 'customer_archive'), and passing it through would silently match
+        # a LITERAL underscore. Neither is 5.6 semantics, so reject loudly.
+        if "_" in sm.group(2):
+            raise NotImplementedError(
+                "SHOW TABLES LIKE with the MySQL '_' single-char wildcard "
+                "cannot be translated: Spark's SHOW TABLES glob has no "
+                "single-character wildcard. Use '%' or list and filter."
+            )
+        pat = sm.group(2).replace("%", "*")
         return f"SHOW TABLES{db} LIKE '{pat}'"
     sm = re.match(
         r"\s*SHOW\s+(FULL\s+)?COLUMNS\s+(?:FROM|IN)\s+([`\w.]+)\s*;?\s*$", sql, re.I
@@ -175,13 +186,18 @@ def translate_mysql(sql: str) -> str:
     #     InnoDB-era table options drop FIRST (they have no Spark meaning
     #     and may sit between the table name and SELECT), then
     #     CREATE TABLE x SELECT ... (MySQL lets AS be omitted) -> CTAS.
-    body = re.sub(r"\b(?:ENGINE|AUTO_INCREMENT)\s*=\s*\w+", "", body, flags=re.I)
-    body = re.sub(
-        r"\b(?:DEFAULT\s+)?(?:CHARSET|CHARACTER\s+SET|COLLATE)\s*=\s*\w+",
-        "",
-        body,
-        flags=re.I,
-    )
+    #     The option-strip is ANCHORED to CREATE TABLE statements (ADVICE
+    #     r6): running it over arbitrary bodies would delete an innocent
+    #     identifier comparison like `WHERE engine = other_col` (string
+    #     literals are carve-protected, identifier RHSes are not).
+    if re.match(r"\s*CREATE\s+TABLE\b", body, re.I):
+        body = re.sub(r"\b(?:ENGINE|AUTO_INCREMENT)\s*=\s*\w+", "", body, flags=re.I)
+        body = re.sub(
+            r"\b(?:DEFAULT\s+)?(?:CHARSET|CHARACTER\s+SET|COLLATE)\s*=\s*\w+",
+            "",
+            body,
+            flags=re.I,
+        )
     body = re.sub(
         r"(\bCREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s+)(SELECT\b)",
         r"\1AS \2",

@@ -837,13 +837,18 @@ _HIST_NBINS = 20
 @register(
     "agg_histogram_equiwidth",
     oracle=f"""
-    WITH mm AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
-    SELECT CAST(CASE WHEN mn = mx THEN 0
-                ELSE LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / {_HIST_NBINS}.0)) AS INTEGER),
-                           {_HIST_NBINS - 1}) END AS INTEGER) AS bin,
-           {sql_dround(f"mn + LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / {_HIST_NBINS}.0)) AS INTEGER), {_HIST_NBINS - 1}) * ((mx - mn) / {_HIST_NBINS}.0)", 2)} AS bin_lo,
+    WITH mm AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders),
+    binned AS (
+      SELECT o_totalprice, mn, mx, (mx - mn) / {_HIST_NBINS}.0 AS w,
+             CAST(CASE WHEN mn = mx THEN 0
+                  ELSE LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / {_HIST_NBINS}.0)) AS INTEGER),
+                             {_HIST_NBINS - 1}) END AS INTEGER) AS bin
+      FROM orders, mm
+    )
+    SELECT bin,
+           {sql_dround("mn + bin * w", 2)} AS bin_lo,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM orders, mm
+    FROM binned
     GROUP BY bin, bin_lo ORDER BY bin
     """,
     section=_SEC,

@@ -1299,7 +1299,25 @@ def stream_matview_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge join co-partitions on the view key and overwrites touched
     partitions only (the batch matview's scale note applies verbatim)."""
     out = tempfile.mkdtemp(prefix="sdp_stream_mv_")
-    state_dir = os.path.join(out, "state")
+
+    # Crash-safe state fold (ADVICE r6): every fold writes a NEW versioned
+    # dir (state_v{batch_id}) and readers pick the highest version whose
+    # _SUCCESS marker landed — an interrupted write leaves a markerless
+    # dir that is simply ignored, so state can roll back one batch but can
+    # never be silently lost to a half-overwrite. Obsolete versions are
+    # pruned only AFTER the new version is durable (a crash between the
+    # two leaves harmless garbage, not data loss).
+    def _latest_state() -> str | None:
+        vs = [
+            d
+            for d in os.listdir(out)
+            if d.startswith("state_v")
+            and os.path.exists(os.path.join(out, d, "_SUCCESS"))
+        ]
+        if not vs:
+            return None
+        return os.path.join(out, max(vs, key=lambda d: int(d[len("state_v"):])))
+
     sdf = _events_stream(spark, sf_dir).select("user_id", "value")
 
     def fold_batch(df: DataFrame, batch_id: int) -> None:
@@ -1307,8 +1325,9 @@ def stream_matview_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_events"),
             F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
         ).withColumn("last_batch", F.lit(batch_id).cast("bigint"))
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            prev = df.sparkSession.read.parquet(state_dir)
+        prev_dir = _latest_state()
+        if prev_dir is not None:
+            prev = df.sparkSession.read.parquet(prev_dir)
             # redelivery guard: a batch already folded into the ledger is
             # dropped whole (availableNow never redelivers; restarts can)
             seen = prev.agg(F.max("last_batch")).collect()[0][0]
@@ -1316,18 +1335,22 @@ def stream_matview_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return
             from sdp_spark.operators.catalog import merge_count_sum_partials
 
-            merged = (
-                merge_count_sum_partials(prev, part, "user_id", "n_events", "sum_dec")
-                .withColumn("last_batch", F.lit(batch_id).cast("bigint"))
-                .localCheckpoint(eager=True)
-            )
+            merged = merge_count_sum_partials(
+                prev, part, "user_id", "n_events", "sum_dec"
+            ).withColumn("last_batch", F.lit(batch_id).cast("bigint"))
         else:
             merged = part
-        merged.write.mode("overwrite").parquet(state_dir)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(out, f"state_v{batch_id}")
+        )
+        if prev_dir is not None:  # new version durable -> prune the old
+            import shutil
+
+            shutil.rmtree(prev_dir, ignore_errors=True)
 
     q = sdf.writeStream.foreachBatch(fold_batch).trigger(availableNow=True).start()
     q.awaitTermination()
-    final = spark.read.parquet(state_dir)
+    final = spark.read.parquet(_latest_state())
     # the availableNow run over the 4-file landing dir is 2 micro-batches —
     # prove the fold path actually merged (not one giant batch)
     n_batches = final.agg(F.max("last_batch")).collect()[0][0] + 1

@@ -305,8 +305,30 @@ def test_show_tables_like_pattern():
 
 
 def test_show_tables_from_db_like():
-    out = t("SHOW TABLES FROM `sampledb` LIKE 'cust_';")
+    out = t("SHOW TABLES FROM `sampledb` LIKE 'cust%';")
     assert out == "SHOW TABLES IN sampledb LIKE 'cust*'"
+
+
+def test_show_tables_like_single_char_wildcard_rejected():
+    """MySQL '_' (exactly one char) has no Spark SHOW TABLES glob analogue;
+    the old '_' -> '*' mapping silently over-matched (ADVICE r6) — the shim
+    now refuses rather than changing semantics."""
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="single-char"):
+        t("SHOW TABLES FROM `sampledb` LIKE 'cust_';")
+
+
+def test_option_strip_anchored_to_create_table():
+    """ENGINE/CHARSET option-dropping must only fire on CREATE TABLE
+    statements (ADVICE r6): a predicate comparing an `engine` column to
+    another IDENTIFIER must survive translation untouched."""
+    out = t("SELECT * FROM fleet WHERE engine = backup_engine")
+    assert "engine = backup_engine" in out
+    # and the strip still fires where it should
+    out2 = t("CREATE TABLE t ENGINE=InnoDB DEFAULT CHARSET=utf8 SELECT 1 AS x")
+    assert "ENGINE" not in out2 and "CHARSET" not in out2
+    assert "AS SELECT" in out2
 
 
 def test_show_columns_maps_to_spark():

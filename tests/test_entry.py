@@ -68,8 +68,22 @@ def test_sweep_priority_matches_registry():
     }
     assert len(_SWEEP_PRIORITY) == len(set(_SWEEP_PRIORITY)), "duplicate keys"
     ordered = list(specs)
-    # unverified-after-r2 families come before everything driver-green
-    assert ordered.index("stream_ingest") < ordered.index("win_row_number")
-    assert ordered.index("filter_fulltext") < ordered.index("win_row_number")
-    assert ordered.index("llm_dedup_near_resolve") < ordered.index("win_row_number")
-    assert ordered.index("win_row_number") < ordered.index("scan_parquet")
+    # Round-7 head: the driver's 50-key sweep budget is filled with exactly
+    # (a) every key with NO verdict in CORRECTNESS_r01..r06 (42 of them),
+    # (b) llm_dedup_near, whose oracle was promoted rows-only -> hash this
+    #     round and so must be re-certified under the new contract,
+    # (c) 7 oldest-r1 core re-proves (VERDICT r6 #1's leftover-slot rule).
+    import glob
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    seen: set[str] = set()
+    for f in sorted(glob.glob(str(root / "CORRECTNESS_r0[1-6].json"))):
+        seen |= set(json.load(open(f)))
+    unverified = {k for k in specs if k not in seen}
+    head50 = set(ordered[:50])
+    assert unverified <= head50, unverified - head50
+    assert "llm_dedup_near" in head50
+    reproves = head50 - unverified - {"llm_dedup_near"}
+    assert reproves <= seen, "re-prove slots must hold already-green keys"
