@@ -575,7 +575,7 @@ _EARTH_R_KM = 6371.0
            (lat BETWEEN 0.0 AND 45.0) AND (lon BETWEEN -90.0 AND 0.0) AS in_mbr
     FROM pts
     """,
-    section="2.8 scalar fns",
+    section="2.8 scalar functions",
 )
 def fn_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial scalar functions (MySQL 5.6 ST_Distance / MBRContains, plus
