@@ -166,19 +166,25 @@ def main() -> None:
     if prior and prior.get("sf") != sf:
         prior = None  # cross-SF comparison is meaningless
     if prior:
-        ref, regressions = prior.get("queries", {}), {}
-        for k, t in times.items():
+        # compare like-for-like: prior rounds recorded best-of-2 under
+        # "queries" (r7+ records medians there and mins under
+        # "queries_min") — regression-gate against MINS on both sides so
+        # the median switch doesn't manufacture phantom regressions
+        ref = prior.get("queries_min", prior.get("queries", {}))
+        regressions = {}
+        for k, t in times_min.items():
             if k in ref and ref[k] > 0.05 and t > 1.5 * ref[k]:
-                regressions[k] = {"now": t, "prior": ref[k]}
+                regressions[k] = {"now_min": t, "prior_min": ref[k]}
         shared = [k for k in times if k in ref]
         out["vs_prior"] = {
             "prior_total_sec": prior.get("value"),
             "total_ratio": round(out["value"] / prior["value"], 3)
             if prior.get("value")
             else None,
-            # ratio over the key intersection: robust to headline-set edits
+            # ratio over the key intersection (min vs prior-best): robust
+            # to headline-set edits and to the r7 median switch
             "shared_keys_ratio": round(
-                sum(times[k] for k in shared) / sum(ref[k] for k in shared), 3
+                sum(times_min[k] for k in shared) / sum(ref[k] for k in shared), 3
             )
             if shared and sum(ref[k] for k in shared) > 0
             else None,

@@ -94,8 +94,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks ⋈ edges on src (rank/out_degree), new rank = (1-d) +
     d·Σ contribs per dst, missing-inbound nodes fall back to (1-d) via
     a left join. localCheckpoint per round keeps the plan depth
-    constant. Node namespace prefixes ('s:'/'c:') keep the two key
-    spaces disjoint.
+    constant. Node ids run packed as BIGINTs (even=supplier,
+    odd=customer — disjoint by parity) and render as the public
+    's:'/'c:' labels only in the final projection.
 
     rows-only oracle: 5 chained float joins aren't SQL-replayable at
     exact-hash fidelity; pytest pins the invariants instead —
@@ -104,15 +105,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's near-uniform graph). Output ranks round via dround(6) so
     float-sum association order can't leak into the hash."""
     e = _trade_edges(spark, sf_dir)
-    # undirected: both directions, namespaced ids
+    # undirected: both directions. Node ids are PACKED BIGINTs
+    # (2·suppkey even / 2·custkey+1 odd — the same interleave as
+    # _week_edges_packed): fixed-width join/agg keys instead of
+    # concatenated strings was half of connected-components' measured
+    # 2.1× win (SCALING.md), and every per-round hash join and per-dst
+    # aggregate here hashes these keys 5 times. The namespaced 's:'/'c:'
+    # string renders ONLY in the final projection, so the output contract
+    # is unchanged.
     fwd = e.select(
-        F.concat(F.lit("s:"), F.col("supp")).alias("src"),
-        F.concat(F.lit("c:"), F.col("cust")).alias("dst"),
+        (F.col("supp") * 2).cast("bigint").alias("src"),
+        (F.col("cust") * 2 + 1).cast("bigint").alias("dst"),
     )
-    rev = e.select(
-        F.concat(F.lit("c:"), F.col("cust")).alias("src"),
-        F.concat(F.lit("s:"), F.col("supp")).alias("dst"),
-    )
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     edges = fwd.unionAll(rev)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
     edges = edges.join(outdeg, "src").localCheckpoint(eager=False)
@@ -146,9 +151,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), "rank")
             .localCheckpoint(eager=True)
         )
-    return ranks.select("node", dround("rank", 6).alias("rank")).orderBy(
-        F.col("rank").desc(), "node"
+    # Unpack to the public 's:<suppkey>'/'c:<custkey>' node labels only
+    # here, after all 5 iterative rounds ran on fixed-width BIGINTs.
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("s:"), F.shiftright("node", 1).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("c:"), F.shiftright("node", 1).cast("string"))
     )
+    return ranks.select(
+        label.alias("node"), dround("rank", 6).alias("rank")
+    ).orderBy(F.col("rank").desc(), "node")
 
 
 # ---------------------------------------------------------------------------
