@@ -86,7 +86,42 @@ _PR_DAMP = 0.85
 _PR_BCAST_MAX_NODES = 2_000_000
 
 
-@register("graph_pagerank", oracle=None, section=_SEC)
+# DuckDB replay of the 5 PageRank rounds as unrolled CTEs (same packed
+# node ids, same damping math). Float sums associate differently across
+# engines, but ranks land ~1e-13 relative error apart while dround's 6dp
+# grid is 5e-7 wide — a boundary collision needs a rank within one ulp of
+# a grid edge, verified absent empirically at every fixture scale.
+_PR_ROUNDS_SQL = ",\n    ".join(
+    f"""r{i} AS (
+      SELECT e.dst AS node, 0.15 + 0.85 * SUM(r.rank / e.odeg) AS rank
+      FROM edges e JOIN r{i - 1} r ON e.src = r.node
+      GROUP BY e.dst
+    )"""
+    for i in range(1, _PR_ITERS + 1)
+)
+
+_PR_ORACLE = f"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS supp, o.o_custkey AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    bi AS (
+      SELECT supp * 2 AS src, cust * 2 + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT cust * 2 + 1 AS src, supp * 2 AS dst FROM pairs
+    ),
+    odeg AS (SELECT src, COUNT(*) AS odeg FROM bi GROUP BY src),
+    edges AS (SELECT b.src, b.dst, d.odeg FROM bi b JOIN odeg d ON b.src = d.src),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM odeg),
+    {_PR_ROUNDS_SQL}
+    SELECT CASE WHEN node % 2 = 0 THEN 's:' || CAST(node // 2 AS VARCHAR)
+                ELSE 'c:' || CAST(node // 2 AS VARCHAR) END AS node,
+           FLOOR(rank * 1000000 + 0.5) / 1000000 AS rank
+    FROM r{_PR_ITERS}
+"""
+
+
+@register("graph_pagerank", oracle=_PR_ORACLE, section=_SEC)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the undirected bipartite trade graph, _PR_ITERS
     fixed rounds, damping {0.85} — the canonical iterative graph metric,
@@ -98,12 +133,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     odd=customer — disjoint by parity) and render as the public
     's:'/'c:' labels only in the final projection.
 
-    rows-only oracle: 5 chained float joins aren't SQL-replayable at
-    exact-hash fidelity; pytest pins the invariants instead —
-    determinism at 6 dp across runs, total rank mass = |V| within 1e-6,
-    and hub monotonicity (higher degree ⇒ rank not lower on the
-    fixture's near-uniform graph). Output ranks round via dround(6) so
-    float-sum association order can't leak into the hash."""
+    Oracle (promoted from rows-only, round 7): the 5 rounds unroll as
+    chained DuckDB CTEs over the same packed node ids — dround(6) absorbs
+    the cross-engine float-sum association difference (see _PR_ORACLE
+    note). Pytest keeps the structural invariants too: determinism at
+    6 dp across runs, total rank mass = |V| within 1e-6, and hub
+    monotonicity (higher degree ⇒ rank not lower on the fixture's
+    near-uniform graph)."""
     e = _trade_edges(spark, sf_dir)
     # undirected: both directions. Node ids are PACKED BIGINTs
     # (2·suppkey even / 2·custkey+1 odd — the same interleave as

@@ -114,9 +114,15 @@ _SWEEP_PRIORITY = (
     "query_outbreak_cusum", "agg_skew_kurtosis", "stream_cusum_alerts",
     "llm_dataset_card", "subq_any_all", "udf_pandas_iter", "mm_payload_dedup",
     "dq_freshness_check", "dq_duplicate_pk_check", "win_cumulative_distinct",
-    # --- promoted oracle + r1 re-proves (fills the 50) ---
-    "llm_dedup_near", "scan_parquet", "scan_csv", "scan_json",
-    "project_select", "filter_basic", "join_inner", "agg_groupby",
+    # --- promoted oracles (fills the 50): llm_dedup_near plus the 7
+    #     round-7 rows-only->hash promotions (watermark emission replays,
+    #     outer-join eviction, unrolled-CTE pagerank). Each is a NEW
+    #     contract with no driver verdict yet — strictly higher-value
+    #     slots than re-proving r1 keys on a six-round green streak, which
+    #     is what previously filled this block. ---
+    "llm_dedup_near", "stream_watermark", "stream_tumbling_wm",
+    "stream_sliding_wm", "stream_session_wm", "stream_stream_join_outer",
+    "stream_stateful_timeout", "graph_pagerank",
     # --- driver-green keys, newest-round-first (r6 ... r1) ---
     "win_sliding_median", "win_ewma", "llm_blocklist_filter",
     "subq_correlated_scalar", "filter_row_constructor", "agg_regression",
@@ -134,7 +140,7 @@ _SWEEP_PRIORITY = (
     "query_waiting_suppliers", "query_min_cost_supplier",
     "query_important_stock", "query_dominant_suppliers", "scan_xml",
     "scan_python_datasource", "catalog_sql_script", "cte_recursive",
-    "graph_degree", "graph_pagerank", "dq_referential_check",
+    "graph_degree", "dq_referential_check",
     "scan_csv_malformed", "llm_perplexity_proxy", "llm_sample_stratified",
     "llm_chunk_windows", "scan_multiformat_union", "agg_percentile_disc",
     "fn_trig", "dml_truncate_partition", "llm_url_normalize",
@@ -144,7 +150,7 @@ _SWEEP_PRIORITY = (
     "llm_embed_pca", "sink_zorder", "llm_embed_quantize",
     "llm_bpe_pair_counts", "llm_mix_epochs", "join_scd2_pointintime",
     "subq_not_in_null", "fn_convert_tz", "query_cust_order_counts",
-    "stream_ohlc", "stream_stateful_timeout", "dialect_mysql_query",
+    "stream_ohlc", "dialect_mysql_query",
     "llm_dedup_url_docs", "llm_vocab_oov", "agg_approx_topk",
     "query_large_volume_cust", "query_local_supplier_volume",
     "query_volume_shipping", "query_promo_effect", "query_top_supplier",
@@ -152,7 +158,7 @@ _SWEEP_PRIORITY = (
     "dialect_user_var_rownum", "sink_odku", "llm_hybrid_search_rrf",
     "llm_dedup_incremental", "join_runtime_bloom", "stream_topk_windowed",
     "llm_bpe_apply", "sink_sized_files", "join_dpp", "sink_insert_ignore",
-    "sink_replace", "stream_stream_join_outer", "llm_pii_scrub",
+    "sink_replace", "llm_pii_scrub",
     "llm_decontaminate", "llm_sample_temperature", "llm_pack_sequences",
     "llm_quality_gopher", "llm_dedup_embed_lsh", "fn_encode",
     "join_spatial_grid", "agg_sketch_rollup", "sink_stream_upsert",
@@ -168,9 +174,8 @@ _SWEEP_PRIORITY = (
     "stream_late_metrics", "win_gap_islands", "dml_merge_scd2",
     "source_stream_files", "sink_stream_foreachBatch", "sink_jdbc",
     "sink_stream_jdbc", "stream_ingest", "stream_tumbling", "stream_sliding",
-    "stream_session", "stream_watermark", "stream_dedup", "stream_stateful",
-    "stream_join_dim", "stream_tumbling_wm", "stream_sliding_wm",
-    "stream_session_wm", "filter_fulltext", "filter_fulltext_bool",
+    "stream_session", "stream_dedup", "stream_stateful",
+    "stream_join_dim", "filter_fulltext", "filter_fulltext_bool",
     "catalog_ddl", "catalog_views", "llm_langid", "llm_quality_score",
     "llm_fingerprint", "llm_dedup_embed", "llm_dedup_ngram_jaccard",
     "llm_dedup_simhash", "llm_sim_search_lsh", "llm_sim_search_ivf",
@@ -191,7 +196,9 @@ _SWEEP_PRIORITY = (
     "fn_datetime_arith", "fn_bitwise", "fn_mysql_misc", "subq_scalar",
     "subq_in_exists", "subq_derived", "cte_with", "subq_lateral",
     "udf_python", "udf_pandas_scalar", "udf_pandas_grouped_agg",
-    "udf_grouped_map", "udtf_explode", "llm_dedup_exact", "llm_sim_search",
+    "udf_grouped_map", "udtf_explode", "scan_parquet", "scan_csv",
+    "scan_json", "project_select", "filter_basic", "join_inner",
+    "agg_groupby", "llm_dedup_exact", "llm_sim_search",
     "llm_text_stats", "llm_tfidf_topterms", "llm_lang_filter",
     "llm_multimodal_cols", "sink_append", "sink_overwrite",
     "sink_partitioned", "scan_partition_pruned", "sink_upsert",

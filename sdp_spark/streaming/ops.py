@@ -421,14 +421,31 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete", "session")
 
 
-@register("stream_tumbling_wm", oracle=None, section=_SEC)
+@register(
+    "stream_tumbling_wm",
+    oracle="""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) + INTERVAL 1 HOUR
+           <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR FROM events)
+    """,
+    section=_SEC,
+)
 def stream_tumbling_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shape twin of stream_tumbling: 2h watermark + APPEND mode.
     State for sealed windows is evicted and each window is emitted exactly
     once — bounded state and bounded re-emission at 100 TB/day, unlike the
     complete-mode demo twin (unbounded state, full re-emit per trigger).
-    rows-only: the emission set depends on the final watermark; pytest pins
-    emitted ⊆ batch and exact per-window values."""
+
+    Oracle (promoted from rows-only, round 7): chronological landing files
+    + availableNow make the final watermark deterministic (max ts − 2h),
+    and Spark emits exactly the windows with end <= watermark — equality
+    INCLUDED, pinned by test_wm_seal_boundary_semantics with a synthetic
+    end==watermark fixture. The oracle is the batch aggregate filtered to
+    those sealed windows."""
     sdf = _events_stream(spark, sf_dir)
     agg = (
         sdf.withWatermark("ts", "2 hours")
@@ -447,11 +464,32 @@ def stream_tumbling_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "append", "tumbling_wm")
 
 
-@register("stream_sliding_wm", oracle=None, section=_SEC)
+@register(
+    "stream_sliding_wm",
+    oracle="""
+    WITH expanded AS (
+      SELECT e.event_id, e.value,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + INTERVAL (CAST(floor(epoch(CAST(e.ts AS TIMESTAMP)) / 900) * 900 - i.i * 900 AS BIGINT)) SECOND
+               AS win_start
+      FROM events e, UNNEST([0, 1, 2, 3]) AS i(i)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start_s,
+           COUNT(*) AS n, CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_value
+    FROM expanded
+    GROUP BY 1, win_start
+    HAVING win_start + INTERVAL 1 HOUR
+           <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR FROM events)
+    """,
+    section=_SEC,
+)
 def stream_sliding_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shape twin of stream_sliding: 1h/15min windows, 2h
     watermark, APPEND mode (bounded state; each of the 4 overlapping windows
-    emits once when sealed)."""
+    emits once when sealed). Oracle (promoted round 7): the event×offset
+    window expansion of stream_sliding filtered to sealed windows
+    (end <= max ts − 2h; boundary equality included — see
+    test_wm_seal_boundary_semantics)."""
     sdf = _events_stream(spark, sf_dir)
     agg = (
         sdf.withWatermark("ts", "2 hours")
@@ -469,12 +507,40 @@ def stream_sliding_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "append", "sliding_wm")
 
 
-@register("stream_session_wm", oracle=None, section=_SEC)
+@register(
+    "stream_session_wm",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - epoch(CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+                       >= 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events, CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    HAVING MAX(CAST(ts AS TIMESTAMP)) + INTERVAL 30 MINUTE
+           <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR FROM events)
+    """,
+    section=_SEC,
+)
 def stream_session_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shape twin of stream_session: session windows with a 2h
     watermark in APPEND mode — sessions emit once, when the watermark passes
     session end + gap (the state bound that keeps per-user session state
-    finite)."""
+    finite). Oracle (promoted round 7): the gap-cumsum sessionization of
+    stream_session filtered to sealed sessions — a session's window end is
+    last event + 30 min gap, sealed when end <= max ts − 2h (equality
+    included)."""
     sdf = _events_stream(spark, sf_dir)
     agg = (
         sdf.withWatermark("ts", "2 hours")
@@ -495,12 +561,26 @@ def stream_session_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "append", "session_wm")
 
 
-@register("stream_watermark", oracle=None, section=_SEC)
+@register(
+    "stream_watermark",
+    oracle="""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    HAVING date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) + INTERVAL 1 HOUR
+           <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR FROM events)
+    """,
+    section=_SEC,
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling windows with a 2h watermark in append mode — only windows
     the watermark has sealed are emitted; state for sealed windows is
-    evicted (the 100 TB state-bound). rows-only: emission set depends on
-    micro-batch boundaries; pytest asserts it's a prefix-subset of batch."""
+    evicted (the 100 TB state-bound). Oracle (promoted from rows-only,
+    round 7): under availableNow over the chronological landing files the
+    final watermark is exactly max ts − 2h and the emission set is exactly
+    the windows with end <= watermark, so the batch aggregate with that
+    HAVING filter replays the emission deterministically."""
     sdf = _events_stream(spark, sf_dir)
     agg = (
         sdf.withWatermark("ts", "2 hours")
@@ -662,7 +742,24 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append", "ss_join")
 
 
-@register("stream_stream_join_outer", oracle=None, section=_SEC)
+@register(
+    "stream_stream_join_outer",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS v_ts
+               FROM events WHERE event_type = 'view')
+    SELECT p.purchase_id, v.view_id, p.user_id
+    FROM p LEFT JOIN v
+      ON p.user_id = v.user_id AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR AND v.v_ts <= p.p_ts
+    WHERE v.view_id IS NOT NULL
+       OR p.p_ts < (SELECT least(
+              (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'purchase'),
+              (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'view')
+            ) - INTERVAL 2 HOUR)
+    """,
+    section=_SEC,
+)
 def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join: every purchase, matched to
     same-user views in the prior hour, with NULL view_id when no view
@@ -671,10 +768,14 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching view can still arrive, so unmatched results trail the inner
     ones by the watermark delay — state stays bounded by
     watermark + interval exactly as in the inner twin (stream_stream_join).
-    rows-only: which unmatched rows are sealed by the FINAL watermark
-    depends on micro-batch boundaries; pytest pins (a) the matched subset
-    equals the batch inner join and (b) every NULL-padded purchase has no
-    qualifying view in the batch query."""
+
+    Oracle (promoted from rows-only, round 7): matched rows equal the batch
+    interval join unconditionally; a NULL-padded purchase is emitted iff
+    its match interval is sealed, i.e. p_ts STRICTLY below the final global
+    watermark — min of both streams' (max event time − 2h), and strictly,
+    unlike the window seal's <=: pinned by
+    test_ssjoin_outer_eviction_boundary with a synthetic p_ts==watermark
+    fixture."""
     purchases = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -938,7 +1039,39 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete", "ohlc")
 
 
-@register("stream_stateful_timeout", oracle=None, section=_SEC)
+@register(
+    "stream_stateful_timeout",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - epoch(CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+                       >= 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    ), agg AS (
+      SELECT user_id, session_id,
+             MAX(session_id) OVER (PARTITION BY user_id) AS last_session_id,
+             strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+             MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+      FROM sess
+      GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, n_events, total_value
+    FROM agg
+    WHERE session_id < last_session_id
+       OR last_ts + INTERVAL 30 MINUTE
+          < (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR FROM events)
+    """,
+    section=_SEC,
+)
 def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom sessionization with EVENT-TIME TIMEOUT — the
     applyInPandasWithState feature the fixed-gap `session_window` can't
@@ -950,10 +1083,16 @@ def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-emission of `stream_stateful`).
 
     State is per-user O(1); the timeout bound (watermark lag + gap) is
-    what keeps state finite at 100 TB/day. rows-only by design: the
-    emission set depends on the final watermark position; pytest pins
-    closed sessions == the batch sessionizer's sessions whose end precedes
-    the final watermark, values exact."""
+    what keeps state finite at 100 TB/day. Oracle (promoted from
+    rows-only, round 7): a session emits iff it was closed by a
+    SUCCESSOR event in the data (any non-last session of its user —
+    gap-close inside update() fires regardless of the watermark) OR its
+    event-time timeout (last event + 30 min) lies STRICTLY below the
+    final watermark (max ts − 2h; hasTimedOut fires only when the
+    watermark passes BEYOND the timeout, pinned by
+    test_event_time_timeout_boundary — note the asymmetry with the
+    window seal's <=). Exact-cents sums make the values
+    engine-independent."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -475,3 +475,155 @@ def test_stream_matview_upkeep_rerun_and_multibatch(spark, sf_dir):
     a = sorted(map(tuple, R["stream_matview_upkeep"].fn(spark, sf_dir).collect()))
     b = sorted(map(tuple, R["stream_matview_upkeep"].fn(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_wm_seal_boundary_semantics(spark, tmp_path):
+    """Pins the seal boundary the round-7 watermark oracles depend on: a
+    window whose end EQUALS the final watermark (max ts - delay) IS
+    emitted in append mode — Spark seals at end <= watermark, not <.
+    Synthetic fixture: events at 10:30 and 13:00 with a 2h watermark put
+    the watermark at exactly 11:00, the [10:00, 11:00) window end."""
+    import datetime as dt
+
+    d = str(tmp_path / "wm_boundary")
+    rows = [(1, dt.datetime(2024, 1, 1, 10, 30)), (2, dt.datetime(2024, 1, 1, 13, 0))]
+    spark.createDataFrame(rows, "id long, ts timestamp").coalesce(1).write.parquet(d)
+    sdf = spark.readStream.schema("id long, ts timestamp").parquet(d)
+    agg = (
+        sdf.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("window.start", "HH:mm").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_boundary_pin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {(r["ws"], r["n"]) for r in spark.table("wm_boundary_pin").collect()}
+    assert ("10:00", 1) in out, "end==watermark window must be emitted (<= seal)"
+    assert ("13:00", 1) not in out, "unsealed tail window must be withheld"
+
+
+def test_ssjoin_outer_eviction_boundary(spark, tmp_path):
+    """Pins the eviction boundary the stream_stream_join_outer oracle
+    depends on: a NULL-padded purchase is emitted only when p_ts is
+    STRICTLY below the final watermark — equality is withheld (asymmetric
+    to the window seal's <=). Synthetic fixture: watermark lands exactly
+    on one purchase's p_ts (10:00), a second purchase sits strictly below
+    it (9:00)."""
+    import datetime as dt
+
+    d = str(tmp_path / "ssj_boundary")
+    rows = [
+        (1, "purchase", 1, dt.datetime(2024, 1, 1, 10, 0)),
+        (2, "purchase", 1, dt.datetime(2024, 1, 1, 9, 0)),
+        (3, "purchase", 1, dt.datetime(2024, 1, 1, 12, 0)),
+        (4, "view", 2, dt.datetime(2024, 1, 1, 12, 0)),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp"
+    ).coalesce(1).write.parquet(d)
+    src = spark.readStream.schema(
+        "event_id long, event_type string, user_id long, ts timestamp"
+    ).parquet(d)
+    p = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    v = (
+        src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    j = p.join(
+        v,
+        F.expr("p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"),
+        "left_outer",
+    ).select("purchase_id", "view_id")
+    q = (
+        j.writeStream.format("memory")
+        .queryName("ssj_boundary_pin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = sorted(
+        (r["purchase_id"], r["view_id"]) for r in spark.table("ssj_boundary_pin").collect()
+    )
+    assert (2, None) in out, "p_ts strictly below watermark must emit its NULL row"
+    assert (1, None) not in out, "p_ts == watermark must be withheld (strict <)"
+    assert (3, None) not in out, "p_ts above watermark must be withheld"
+
+
+def test_event_time_timeout_boundary(spark, tmp_path):
+    """Pins the applyInPandasWithState event-time-timeout boundary the
+    stream_stateful_timeout oracle depends on: hasTimedOut fires only when
+    the final watermark is STRICTLY past the timeout timestamp — a state
+    whose timeout EQUALS the watermark stays open (asymmetric to the
+    window seal's <=). Synthetic fixture: user 1's timeout (10:00 + 30min)
+    lands exactly on the watermark (12:30 − 2h), user 2's strictly below."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d = str(tmp_path / "timeout_boundary")
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 10, 0)),
+        (2, 2, dt.datetime(2024, 1, 1, 9, 59)),
+        (3, 3, dt.datetime(2024, 1, 1, 12, 30)),
+    ]
+    spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp").coalesce(
+        1
+    ).write.parquet(d)
+    sdf = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .parquet(d)
+        .withWatermark("ts", "2 hours")
+    )
+    out_schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("closed", T.LongType())]
+    )
+    state_schema = T.StructType([T.StructField("last_us", T.LongType())])
+    gap_ms = 30 * 60 * 1000
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"user_id": [int(key[0])], "closed": [1]})
+            return
+        rows = pd.concat(list(pdfs))
+        last_us = int(rows["ts"].astype("int64").max() // 1000)
+        state.update((last_us,))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+
+    q = (
+        sdf.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+        .writeStream.format("memory")
+        .queryName("timeout_boundary_pin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fired = sorted(r["user_id"] for r in spark.table("timeout_boundary_pin").collect())
+    assert 2 in fired, "timeout strictly below watermark must fire"
+    assert 1 not in fired, "timeout == watermark must NOT fire (strict <)"
