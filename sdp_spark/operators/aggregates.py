@@ -1077,3 +1077,69 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(skew, 6).alias("skewness"),
         dround(kurt, 6).alias("kurtosis_excess"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey, c.c_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, c.c_custkey
+    ), ranked AS (
+      SELECT c_nationkey, revenue,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY revenue, c_custkey) AS i
+      FROM spend
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           FLOOR((2.0 * SUM(i * CAST(revenue AS DECIMAL(30,8)))
+                    / (COUNT(*) * SUM(CAST(revenue AS DECIMAL(30,8))))
+                  - (COUNT(*) + 1.0) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS gini
+    FROM ranked
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    section=_SEC,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of customer revenue per nation — the
+    canonical inequality statistic for data-distribution audits (is 1% of
+    customers 90% of revenue? is one domain dominating a training mix?).
+    Rank-sum identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over revenues ranked
+    ascending; ties break on custkey so the rank (and thus G) is
+    deterministic and engine-independent. Sums run in DECIMAL (exact,
+    order-free), the single final division is double + dround(6).
+
+    Scale shape: one partial-agg exchange for per-customer spend, one
+    hash-partition window per nation (each nation sorts independently —
+    no global sort), one partial-agg reduce. The per-nation sort is the
+    inherent cost of any rank statistic; at 100 TB nations are the
+    natural parallel grain."""
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("revenue", "c_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            dround(
+                2.0
+                * F.sum(F.col("i") * F.col("revenue").cast(DEC)).cast("double")
+                / (F.count("*") * F.sum(F.col("revenue").cast(DEC)).cast("double"))
+                - (F.count("*") + 1.0) / F.count("*"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("c_nationkey")
+    )

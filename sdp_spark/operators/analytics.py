@@ -1874,3 +1874,73 @@ def dq_duplicate_pk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("pk")
+
+
+# Benford first-digit expectations log10(1 + 1/d), precomputed once in
+# Python and injected as identical double literals into BOTH engines —
+# cross-engine libm log10 could differ in the last ulp, a risk literals
+# remove entirely.
+_BENFORD_EXPECTED = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN {p!r}" for d, p in _BENFORD_EXPECTED.items()
+) + " END"
+
+
+@register(
+    "dq_benford",
+    oracle=f"""
+    WITH digits AS (
+      SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS digit
+      FROM orders
+    ), counted AS (
+      SELECT digit, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total
+      FROM digits GROUP BY digit
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           FLOOR(n * 1.0 / total * 1000000 + 0.5) / 1000000 AS observed_pct,
+           FLOOR({_BENFORD_SQL_CASE} * 1000000 + 0.5) / 1000000 AS expected_pct,
+           FLOOR(ABS(n * 1.0 / total - {_BENFORD_SQL_CASE}) * 1000000 + 0.5) / 1000000
+             AS abs_dev
+    FROM counted
+    ORDER BY digit
+    """,
+    section=_SEC,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / corrupted-feed detector (organic multiplicative
+    amounts follow P(d) = log10(1+1/d); synthetic or truncated feeds
+    don't). Emits per digit: count, observed share, Benford expectation,
+    absolute deviation — the table an ingest monitor thresholds on.
+
+    First digit extracted via DECIMAL→string (digit-exact in any engine;
+    a log10/floor derivation would hinge on libm ulps at exact powers of
+    ten). Expectations are Python-computed literals on both sides. Pure
+    scan→map→partial-agg over one digit per row: no join, one exchange of
+    ≤9 groups, trivially 100 TB-safe."""
+    o = table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1).alias(
+            "digit"
+        )
+    )
+    counted = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    expected = F.coalesce(
+        *[
+            F.when(F.col("digit") == str(d), F.lit(p))
+            for d, p in _BENFORD_EXPECTED.items()
+        ]
+    )
+    from pyspark.sql.window import Window
+
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        counted.select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            dround(F.col("n") * 1.0 / total, 6).alias("observed_pct"),
+            dround(expected, 6).alias("expected_pct"),
+            dround(F.abs(F.col("n") * 1.0 / total - expected), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

@@ -479,3 +479,44 @@ def graph_shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_nodes"))
         .orderBy("hops")
     )
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l.l_suppkey AS supp, o.o_custkey AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT a.supp AS supp_a, b.supp AS supp_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_customers
+    FROM edges a JOIN edges b ON a.cust = b.cust AND a.supp < b.supp
+    GROUP BY a.supp, b.supp
+    HAVING COUNT(*) >= 2
+    """,
+    section=_SEC,
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite→unipartite projection: the supplier co-purchase graph
+    (edge weight = number of shared customers, kept at weight ≥ 2 — the
+    co-occurrence graph community detection and recommendation run on).
+    Pure relational lowering: distinct edge list, self-equi-join on the
+    customer side with supp_a < supp_b dedup, partial-agg count.
+
+    Scale note: projection is inherently quadratic in per-customer degree
+    (a customer with d suppliers contributes d·(d−1)/2 pairs), and hub
+    customers are THE blowup risk at 100 TB. The mitigation is standard
+    and composable here: cap or drop hub keys before the self-join (the
+    graph-semantic analogue of skew salting — a customer with thousands
+    of suppliers carries no co-purchase signal anyway), exactly as
+    llm_dedup_near bounds its LSH bucket self-join."""
+    e = _trade_edges(spark, sf_dir)
+    a = e.select(F.col("supp").alias("supp_a"), "cust")
+    b = e.select(F.col("supp").alias("supp_b"), "cust")
+    return (
+        a.join(b, "cust")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count("*").cast("bigint").alias("shared_customers"))
+        .filter(F.col("shared_customers") >= 2)
+    )

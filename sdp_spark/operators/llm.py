@@ -1233,9 +1233,9 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_quality_score",
-    oracle=f"""
+# DuckDB twin of _quality_expr over the documents view — shared by the
+# llm_quality_score and llm_curriculum_order oracles.
+_QUALITY_SQL = f"""
     WITH feat AS (
       SELECT doc_id,
              LEAST(CAST(n_chars AS DOUBLE) / 400, 1.0) AS len_score,
@@ -1249,23 +1249,33 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR((0.4 * len_score + 0.3 * (1 - ABS(stop_ratio - 0.4)) + 0.3 * diversity)
                  * 10000 + 0.5) / 10000 AS quality
     FROM feat
-    """,
+"""
+
+
+@register(
+    "llm_quality_score",
+    oracle=_QUALITY_SQL,
     section=_SEC,
 )
-def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length band + stopword-ratio centering + lexical
-    diversity, one weighted score per doc."""
-    d = _docs_tokens(spark, sf_dir)
+def _quality_expr():
+    """The shared quality formula (length band + stopword-ratio centering
+    + lexical diversity) as a column over _docs_tokens rows — one
+    definition serving llm_quality_score and llm_curriculum_order so the
+    two can never drift."""
     n_tokens = F.size("toks")
     len_score = F.least(F.col("n_chars").cast("double") / 400, F.lit(1.0))
     stop_ratio = F.size(F.expr(f"filter(toks, t -> t IN {_STOPWORDS})")) / n_tokens
     diversity = F.size(F.array_distinct("toks")) / n_tokens
-    return d.select(
-        "doc_id",
-        dround(
-            0.4 * len_score + 0.3 * (1 - F.abs(stop_ratio - 0.4)) + 0.3 * diversity, 4
-        ).alias("quality"),
+    return dround(
+        0.4 * len_score + 0.3 * (1 - F.abs(stop_ratio - 0.4)) + 0.3 * diversity, 4
     )
+
+
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + stopword-ratio centering + lexical
+    diversity, one weighted score per doc."""
+    d = _docs_tokens(spark, sf_dir)
+    return d.select("doc_id", _quality_expr().alias("quality"))
 
 
 @register("llm_fingerprint", oracle=None, section=_SEC)
@@ -1823,4 +1833,108 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prefix_hash")
         .agg(F.min("doc_id").alias("keeper_doc"), F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "llm_hard_negatives",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS negative_id,
+             ROUND(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x)))
+                      * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)))),
+                   4) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.label <> c.label
+      WHERE q.vec_id <= 10
+    )
+    SELECT query_id, query_label, negative_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, negative_id) AS rn
+          FROM scored) t
+    WHERE rn <= 5
+    """,
+    section=_SEC,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k=5 OTHER-labelled vectors most similar to it — the
+    negatives a contrastive loss learns the most from (near-duplicates of
+    the query that must nevertheless be pushed apart). Same brute-force
+    plan family as llm_sim_search (queries broadcast, candidates never
+    shuffle, per-query top-k via row_number on rounded sim) with the
+    label-inequality predicate replacing self-exclusion.
+
+    100 TB path: swap the broadcast-vs-all scoring for the IVF cell join
+    (llm_sim_search_ivf) and apply the label filter AFTER cell probing —
+    mining cost then scales with nprobe/K of the corpus per query, and
+    the per-query top-k is still one partial-agg exchange."""
+    emb = _emb_normed(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") <= 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("dvec").alias("qv"),
+            F.col("norm").alias("qn"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        F.col("dvec").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = (
+        q.join(c, F.col("query_label") != F.col("neg_label"))
+        .withColumn("cos_sim", F.round(dot / (F.col("qn") * F.col("cn")), 4))
+        .select("query_id", "query_label", "negative_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("negative_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+    )
+
+
+@register(
+    "llm_curriculum_order",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL})
+    SELECT doc_id, quality,
+           CAST(NTILE(4) OVER (ORDER BY quality, doc_id) AS INTEGER) AS phase,
+           CAST(ROW_NUMBER() OVER (
+                 PARTITION BY NTILE(4) OVER (ORDER BY quality, doc_id)
+                 ORDER BY (doc_id * {KNUTH}) % {KNUTH_MOD}, doc_id
+               ) AS INTEGER) AS position
+    FROM q
+    """,
+    section=_SEC,
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: documents bucketed into 4
+    quality phases (easy/clean last — phases ascend by the shared
+    _quality_expr score) with a DETERMINISTIC within-phase shuffle. The
+    shuffle is the Knuth multiplicative hash of doc_id, not rand(): the
+    same doc gets the same position on every run, engine, and
+    partitioning — the reproducibility contract a 100 TB curriculum
+    build needs (a backfill must not reorder an epoch already served).
+
+    Scale note: the global NTILE is a single-partition sort over one
+    (score, id) pair per doc — fine for metadata-sized inputs; at true
+    corpus scale swap it for fixed quality thresholds (pure codegen
+    filter, zero exchanges) and keep the same hash positions, which are
+    embarrassingly parallel per phase."""
+    d = _docs_tokens(spark, sf_dir)
+    q = d.select("doc_id", _quality_expr().alias("quality"))
+    w_phase = Window.orderBy(F.col("quality"), F.col("doc_id"))
+    hash_pos = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(KNUTH_MOD)
+    q = q.withColumn("phase", F.ntile(4).over(w_phase))
+    w_pos = Window.partitionBy("phase").orderBy(hash_pos, F.col("doc_id"))
+    return q.select(
+        "doc_id",
+        "quality",
+        "phase",
+        F.row_number().over(w_pos).alias("position"),
     )
