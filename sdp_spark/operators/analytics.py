@@ -1897,9 +1897,9 @@ _BENFORD_SQL_CASE = "CASE digit " + " ".join(
       FROM digits GROUP BY digit
     )
     SELECT digit, CAST(n AS BIGINT) AS n,
-           FLOOR(n * 1.0 / total * 1000000 + 0.5) / 1000000 AS observed_pct,
-           FLOOR({_BENFORD_SQL_CASE} * 1000000 + 0.5) / 1000000 AS expected_pct,
-           FLOOR(ABS(n * 1.0 / total - {_BENFORD_SQL_CASE}) * 1000000 + 0.5) / 1000000
+           FLOOR(CAST(n AS DOUBLE) / total * 1000000 + 0.5) / 1000000 AS observed_pct,
+           FLOOR(CAST({_BENFORD_SQL_CASE} AS DOUBLE) * 1000000 + 0.5) / 1000000 AS expected_pct,
+           FLOOR(ABS(CAST(n AS DOUBLE) / total - CAST({_BENFORD_SQL_CASE} AS DOUBLE)) * 1000000 + 0.5) / 1000000
              AS abs_dev
     FROM counted
     ORDER BY digit

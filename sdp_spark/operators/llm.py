@@ -1252,11 +1252,6 @@ _QUALITY_SQL = f"""
 """
 
 
-@register(
-    "llm_quality_score",
-    oracle=_QUALITY_SQL,
-    section=_SEC,
-)
 def _quality_expr():
     """The shared quality formula (length band + stopword-ratio centering
     + lexical diversity) as a column over _docs_tokens rows — one
@@ -1271,6 +1266,11 @@ def _quality_expr():
     )
 
 
+@register(
+    "llm_quality_score",
+    oracle=_QUALITY_SQL,
+    section=_SEC,
+)
 def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length band + stopword-ratio centering + lexical
     diversity, one weighted score per doc."""
@@ -1842,11 +1842,11 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
       SELECT q.vec_id AS query_id, q.label AS query_label,
              c.vec_id AS negative_id,
-             ROUND(list_sum(list_transform(generate_series(1, 64),
+             FLOOR(list_sum(list_transform(generate_series(1, 64),
                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
                    / (sqrt(list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x)))
-                      * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)))),
-                   4) AS cos_sim
+                      * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x))))
+                   * 10000 + 0.5) / 10000 AS cos_sim
       FROM embeddings q JOIN embeddings c ON q.label <> c.label
       WHERE q.vec_id <= 10
     )
@@ -1889,7 +1889,7 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     scored = (
         q.join(c, F.col("query_label") != F.col("neg_label"))
-        .withColumn("cos_sim", F.round(dot / (F.col("qn") * F.col("cn")), 4))
+        .withColumn("cos_sim", dround(dot / (F.col("qn") * F.col("cn")), 4))
         .select("query_id", "query_label", "negative_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("negative_id"))
@@ -1901,14 +1901,18 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_curriculum_order",
     oracle=f"""
-    WITH q AS ({_QUALITY_SQL})
-    SELECT doc_id, quality,
-           CAST(NTILE(4) OVER (ORDER BY quality, doc_id) AS INTEGER) AS phase,
+    WITH q AS ({_QUALITY_SQL}),
+    phased AS (
+      SELECT doc_id, quality,
+             CAST(NTILE(4) OVER (ORDER BY quality, doc_id) AS INTEGER) AS phase
+      FROM q
+    )
+    SELECT doc_id, quality, phase,
            CAST(ROW_NUMBER() OVER (
-                 PARTITION BY NTILE(4) OVER (ORDER BY quality, doc_id)
+                 PARTITION BY phase
                  ORDER BY (doc_id * {KNUTH}) % {KNUTH_MOD}, doc_id
                ) AS INTEGER) AS position
-    FROM q
+    FROM phased
     """,
     section=_SEC,
 )

@@ -94,12 +94,20 @@ def register(key: str, oracle: str | None = None, section: str = ""):
 # everything (rank -1) and would displace the backlog past the cap — to
 # deprioritize, list it; test_entry enforces registry == list exactly.
 _SWEEP_PRIORITY = (
-    # --- r7 certification head (exactly 50 = driver sweep budget):
-    #     the 42 never-verified keys (12 r5 stragglers + 30 round-6 keys),
-    #     then llm_dedup_near (oracle PROMOTED rows-only -> brute-force
-    #     hash this round, so its verdict must be re-earned under the new
-    #     contract), then 7 oldest-r1 core keys re-proved per VERDICT r6
-    #     #1's 'spend leftover slots on the oldest r1 keys'. ---
+    # --- r8 certification head: the four keys whose r7 verdict is broken
+    #     or whose contract changed this round — dq_benford (oracle
+    #     DECIMAL-overflow fixed), llm_curriculum_order (nested-window
+    #     oracle rewritten as a phased CTE), llm_quality_score (registry
+    #     decorator restored onto the operator after the r7 misplacement),
+    #     llm_hard_negatives (rounding pinned to dround/sql_dround) — then
+    #     every NEW round-8 key, then the r7-certified keys re-proved
+    #     newest-first. ---
+    "dq_benford", "llm_curriculum_order", "llm_quality_score",
+    "llm_hard_negatives",
+    # --- new round-8 keys ---
+    # (inserted here as they land)
+    # --- r7-certified (newest-first re-prove order) ---
+    "agg_gini", "graph_bipartite_projection",
     "dialect_pipe_syntax", "agg_observe_metrics", "stream_dedup_wm",
     "scan_recursive_glob", "udf_grouped_arrow", "filter_collation_native",
     "dialect_identifier_param", "win_fill_forward", "scan_file_metadata",
@@ -176,7 +184,7 @@ _SWEEP_PRIORITY = (
     "sink_stream_jdbc", "stream_ingest", "stream_tumbling", "stream_sliding",
     "stream_session", "stream_dedup", "stream_stateful",
     "stream_join_dim", "filter_fulltext", "filter_fulltext_bool",
-    "catalog_ddl", "catalog_views", "llm_langid", "llm_quality_score",
+    "catalog_ddl", "catalog_views", "llm_langid",
     "llm_fingerprint", "llm_dedup_embed", "llm_dedup_ngram_jaccard",
     "llm_dedup_simhash", "llm_sim_search_lsh", "llm_sim_search_ivf",
     "llm_token_count_bpe", "llm_pipeline_e2e", "llm_pipeline_train_corpus",

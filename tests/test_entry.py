@@ -68,22 +68,24 @@ def test_sweep_priority_matches_registry():
     }
     assert len(_SWEEP_PRIORITY) == len(set(_SWEEP_PRIORITY)), "duplicate keys"
     ordered = list(specs)
-    # Round-7 head: the driver's 50-key sweep budget is filled with exactly
-    # (a) every key with NO verdict in CORRECTNESS_r01..r06 (42 of them),
-    # (b) llm_dedup_near, whose oracle was promoted rows-only -> hash this
-    #     round and so must be re-certified under the new contract,
-    # (c) 7 oldest-r1 core re-proves (VERDICT r6 #1's leftover-slot rule).
+    # Round-8 head: every key with a broken r7 verdict or a contract that
+    # changed this round leads the sweep — dq_benford and
+    # llm_curriculum_order (oracle errors in CORRECTNESS_r07, now fixed),
+    # llm_quality_score (registry decorator restored), llm_hard_negatives
+    # (rounding convention pinned). New round-8 keys follow, then
+    # re-proves. All must fit inside the driver's 50-key budget.
     import glob
     import json
     from pathlib import Path
 
     root = Path(__file__).parent.parent
     seen: set[str] = set()
-    for f in sorted(glob.glob(str(root / "CORRECTNESS_r0[1-6].json"))):
+    for f in sorted(glob.glob(str(root / "CORRECTNESS_r0[1-7].json"))):
         seen |= set(json.load(open(f)))
     unverified = {k for k in specs if k not in seen}
     head50 = set(ordered[:50])
+    # never-certified keys (new this round) must all be in the head
     assert unverified <= head50, unverified - head50
-    assert "llm_dedup_near" in head50
-    reproves = head50 - unverified - {"llm_dedup_near"}
-    assert reproves <= seen, "re-prove slots must hold already-green keys"
+    recerts = {"dq_benford", "llm_curriculum_order", "llm_quality_score",
+               "llm_hard_negatives"}
+    assert recerts <= set(ordered[:4]), "re-cert keys must lead the sweep"
