@@ -716,23 +716,89 @@ def llm_dedup_near_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_dedup_simhash", oracle=None, section=_SEC)
+def _md5_hex_fold_sql(expr: str, start: int, length: int) -> str:
+    """DuckDB: integer value of md5(expr)[start:start+length] (hex)."""
+    return (
+        f"list_reduce(list_transform("
+        f"string_split(substring(md5({expr}), {start}, {length}), ''),"
+        f" c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+        f" (a, b) -> a * 16 + b)"
+    )
+
+
+# SimHash oracle: the 64 per-bit vote sums and signature-assembly terms are
+# generated here (the same loop the Spark side runs) so the two can't drift.
+# Bit 63's power of two is Long.MIN_VALUE — emitted as the literal because
+# DuckDB range-checks 1<<63 while two's-complement assembly needs it.
+_SIMHASH_BITSUMS = ",\n             ".join(
+    f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{b}"
+    for b in range(64)
+)
+_SIMHASH_SIG_TERMS = " + ".join(
+    (
+        f"CASE WHEN b{b} > 0 THEN CAST(-9223372036854775808 AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        if b == 63
+        else f"CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+    for b in range(64)
+)
+_SIMHASH_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, t AS token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY doc_id, t
+    ), th AS (
+      SELECT doc_id, cnt,
+             (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+               * 4294967296 + lo AS th
+      FROM (SELECT doc_id, cnt,
+                   {_md5_hex_fold_sql("token", 1, 8)} AS hi,
+                   {_md5_hex_fold_sql("token", 9, 8)} AS lo
+            FROM tok)
+    ), sums AS (
+      SELECT doc_id,
+             {_SIMHASH_BITSUMS}
+      FROM th GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {_SIMHASH_SIG_TERMS} AS simhash FROM sums
+    ), bands AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * 16)) & 65535 AS chunk
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+                              AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+@register("llm_dedup_simhash", oracle=_SIMHASH_SQL, section=_SEC)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dedup: 64-bit signature from token-hash bit votes, then
     4×16-bit band blocking and Hamming-distance (<= 8) verification via
     bit_count(xor). The 64 per-bit vote sums are 64 conditional-sum
     aggregate expressions over the token rows — ONE groupBy(doc_id) with no
     row blow-up (an earlier shape exploded tokens×64; same signatures,
-    pinned by the determinism test). rows-only oracle (banding is exact but
-    DuckDB lacks a 64-wide conditional-sum twin worth maintaining; tests pin
-    signature determinism + hamming symmetry)."""
+    pinned by the determinism test). Per-token 64-bit hash = md5 bits 0-63
+    assembled two's-complement from two 32-bit hex halves — engine-portable
+    (unlike xxhash64), which is what lets the full band-join pipeline carry
+    a generated DuckDB hash oracle. Promoted from rows-only in round 8."""
     toks = _docs_tokens(spark, sf_dir).select(
         "doc_id", F.explode("toks").alias("token")
     )
+    hi = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("bigint")
+    th64 = (
+        hi - F.when(hi >= F.lit(2147483648), F.lit(4294967296)).otherwise(F.lit(0))
+    ) * F.lit(4294967296) + lo
     tok_w = (
         toks.groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("th", F.xxhash64("token"))
+        .withColumn("th", th64)
     )
     bit_sums = tok_w.groupBy("doc_id").agg(
         *[
@@ -1278,7 +1344,35 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", _quality_expr().alias("quality"))
 
 
-@register("llm_fingerprint", oracle=None, section=_SEC)
+_FP_P = (1 << 31) - 1  # Mersenne prime M31
+
+# Portable per-token 48-bit hash: integer value of the first 12 hex chars
+# of md5(token). md5 is bit-identical in every engine (unlike xxhash64,
+# whose seed/variant is Spark-private), which is what lets the ordered
+# Karp-Rabin fold below carry a DuckDB list_reduce oracle.
+_FP_TOKHASH_SQL = (
+    "list_reduce(list_transform(string_split(substring(md5(t), 1, 12), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+    " (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "llm_fingerprint",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            t -> {_FP_TOKHASH_SQL} % {_FP_P}) AS ths
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(ths, (a, b) -> (a * 131 + b) % {_FP_P}) * {_FP_P}
+           + list_reduce(ths, (a, b) -> (a * 1031 + b) % {_FP_P}) AS fingerprint
+    FROM th
+    """,
+    section=_SEC,
+)
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: polynomial rolling hash over the token
     stream (Karp-Rabin style), folded with a higher-order aggregate —
@@ -1287,16 +1381,19 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two independent (multiplier, Mersenne-prime) folds are combined so the
     fingerprint space is ~2^62 (a single 2^31 residue would birthday-collide
     at corpus scale) while every intermediate stays well under int64
-    (ANSI-mode overflow-safe). rows-only (DuckDB lacks an ordered fold);
-    tests pin determinism and fingerprint-equality ⇔ text-equality."""
+    (ANSI-mode overflow-safe). Per-token hash = first 48 bits of md5 —
+    engine-portable, so the ordered fold (Spark higher-order aggregate ==
+    DuckDB list_reduce; both seed acc with the first pre-modded element)
+    carries a full hash oracle. Promoted from rows-only in round 8."""
     d = _docs_tokens(spark, sf_dir)
-    p = (1 << 31) - 1  # Mersenne prime M31
+    p = _FP_P
+    th = lambda t: F.pmod(F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint"), p)
 
     def fold(mult: int):
         return F.aggregate(
             "toks",
             F.lit(0).cast("bigint"),
-            lambda acc, t: F.pmod(acc * mult + F.pmod(F.xxhash64(t), p), p),
+            lambda acc, t: F.pmod(acc * mult + th(t), p),
         )
 
     fp = fold(131) * F.lit(p) + fold(1031)

@@ -104,6 +104,10 @@ _SWEEP_PRIORITY = (
     #     newest-first. ---
     "dq_benford", "llm_curriculum_order", "llm_quality_score",
     "llm_hard_negatives",
+    # --- rows-only -> hash promotions (new contracts, re-earn verdicts):
+    #     llm_fingerprint (portable md5 Karp-Rabin + list_reduce oracle),
+    #     llm_dedup_simhash (portable md5 64-bit votes + generated oracle) ---
+    "llm_fingerprint", "llm_dedup_simhash",
     # --- new round-8 keys ---
     # (inserted here as they land)
     # --- r7-certified (newest-first re-prove order) ---
@@ -185,8 +189,8 @@ _SWEEP_PRIORITY = (
     "stream_session", "stream_dedup", "stream_stateful",
     "stream_join_dim", "filter_fulltext", "filter_fulltext_bool",
     "catalog_ddl", "catalog_views", "llm_langid",
-    "llm_fingerprint", "llm_dedup_embed", "llm_dedup_ngram_jaccard",
-    "llm_dedup_simhash", "llm_sim_search_lsh", "llm_sim_search_ivf",
+    "llm_dedup_embed", "llm_dedup_ngram_jaccard",
+    "llm_sim_search_lsh", "llm_sim_search_ivf",
     "llm_token_count_bpe", "llm_pipeline_e2e", "llm_pipeline_train_corpus",
     "agg_grouping_sets", "agg_corr", "filter_collation_accent",
     "sample_systematic", "agg_unpivot", "project_cast_lenient",
