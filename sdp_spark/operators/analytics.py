@@ -1944,3 +1944,251 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: distribution drift, changepoint detection, market-basket affinity
+# ---------------------------------------------------------------------------
+
+# PSI bucket layout: 8 fixed-width price buckets. Fixed edges (not
+# quantiles) so the bucket map is a pure codegen expression on both
+# engines and historical PSI series stay comparable as data arrives.
+_PSI_BUCKET_W = 62500
+_PSI_SPLIT = "1998-01-01"
+
+
+@register(
+    "dq_drift_psi",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT CAST(LEAST(FLOOR(o_totalprice / {_PSI_BUCKET_W}), 7) AS INTEGER) AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+      FROM orders
+    ), counted AS (
+      SELECT bucket,
+             SUM(is_ref) AS ref_n,
+             SUM(1 - is_ref) AS cur_n
+      FROM bucketed GROUP BY bucket
+    ), pct AS (
+      SELECT bucket,
+             GREATEST(CAST(ref_n AS DOUBLE) / SUM(ref_n) OVER (), 1e-6) AS ref_pct,
+             GREATEST(CAST(cur_n AS DOUBLE) / SUM(cur_n) OVER (), 1e-6) AS cur_pct
+      FROM counted
+    )
+    SELECT bucket,
+           {sql_dround("ref_pct", 6)} AS ref_pct,
+           {sql_dround("cur_pct", 6)} AS cur_pct,
+           {sql_dround("(cur_pct - ref_pct) * LN(cur_pct / ref_pct)", 6)} AS psi_term
+    FROM pct
+    ORDER BY bucket
+    """,
+    section=_SEC,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference period (orders before
+    1998) and the current period, over fixed-width price buckets — the
+    standard production monitor for 'has the input distribution shifted
+    since the model/report was built'. Emits per-bucket shares and PSI
+    terms (sum > 0.2 is the conventional alarm).
+
+    One scan, conditional partial aggregation into <=8 groups, a single-row
+    window for the totals: no join, one tiny exchange — the whole monitor
+    is a map-side pass at any scale. Fixed bucket edges keep the bucket map
+    a codegen expression (quantile edges would need a separate pass and
+    make historical PSI series incomparable)."""
+    o = table(spark, sf_dir, "orders")
+    bucketed = o.select(
+        F.least(F.floor(F.col("o_totalprice") / _PSI_BUCKET_W), F.lit(7))
+        .cast("int")
+        .alias("bucket"),
+        F.when(F.col("o_orderdate") < _PSI_SPLIT, 1).otherwise(0).alias("is_ref"),
+    )
+    counted = bucketed.groupBy("bucket").agg(
+        F.sum("is_ref").alias("ref_n"), F.sum(1 - F.col("is_ref")).alias("cur_n")
+    )
+    from pyspark.sql.window import Window
+
+    all_w = Window.partitionBy()
+    ref_pct = F.greatest(
+        F.col("ref_n").cast("double") / F.sum("ref_n").over(all_w), F.lit(1e-6)
+    )
+    cur_pct = F.greatest(
+        F.col("cur_n").cast("double") / F.sum("cur_n").over(all_w), F.lit(1e-6)
+    )
+    pct = counted.select("bucket", ref_pct.alias("ref_pct"), cur_pct.alias("cur_pct"))
+    return pct.select(
+        "bucket",
+        dround("ref_pct", 6).alias("ref_pct"),
+        dround("cur_pct", 6).alias("cur_pct"),
+        dround(
+            (F.col("cur_pct") - F.col("ref_pct"))
+            * F.log(F.col("cur_pct") / F.col("ref_pct")),
+            6,
+        ).alias("psi_term"),
+    ).orderBy("bucket")
+
+
+_CP_W = 40  # changepoint window width (rows each side)
+
+
+@register(
+    "ts_changepoint_meanshift",
+    oracle=f"""
+    WITH framed AS (
+      SELECT event_type, ts, event_id, value,
+             SUM(CAST(value AS DECIMAL(30,8))) OVER w_b AS sum_b,
+             SUM(CAST(value * value AS DECIMAL(30,8))) OVER w_b AS sumsq_b,
+             COUNT(*) OVER w_b AS n_b,
+             SUM(CAST(value AS DECIMAL(30,8))) OVER w_a AS sum_a,
+             SUM(CAST(value * value AS DECIMAL(30,8))) OVER w_a AS sumsq_a,
+             COUNT(*) OVER w_a AS n_a
+      FROM events
+      WINDOW
+        w_b AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN {_CP_W} PRECEDING AND 1 PRECEDING),
+        w_a AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND {_CP_W - 1} FOLLOWING)
+    ), stats AS (
+      SELECT event_type, ts, event_id,
+             CAST(sum_b AS DOUBLE) / n_b AS mean_b,
+             CAST(sum_a AS DOUBLE) / n_a AS mean_a,
+             (CAST(sumsq_b AS DOUBLE) - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE) / n_b) / (n_b - 1) AS var_b,
+             (CAST(sumsq_a AS DOUBLE) - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE) / n_a) / (n_a - 1) AS var_a,
+             n_b, n_a
+      FROM framed
+      WHERE n_b = {_CP_W} AND n_a = {_CP_W}
+    )
+    SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+           {sql_dround("mean_b", 4)} AS mean_before,
+           {sql_dround("mean_a", 4)} AS mean_after,
+           {sql_dround("(mean_a - mean_b) / sqrt(var_b / n_b + var_a / n_a)", 4)} AS z
+    FROM stats
+    WHERE ABS((mean_a - mean_b) / sqrt(var_b / n_b + var_a / n_a)) >= 2.5
+    """,
+    section=_SEC,
+)
+def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift changepoint detection (two-sample z over adjacent sliding
+    windows): for every event, compare the mean of the 40 rows before it
+    against the 40 rows from it onward within its event_type stream; emit
+    points where the standardized shift |z| >= 2.5 — level changes a global
+    mean or seasonal model would smear. The surveillance complement to the
+    CUSUM/EARS detectors (those find sustained drifts; this localizes the
+    jump row).
+
+    Cross-engine determinism: window moments are DECIMAL-exact sums (value
+    and value² cast to DECIMAL(30,8) before summation), so mean/variance
+    are derived from identical inputs on both engines — no fp-association
+    drift between Spark's streaming frames and DuckDB's segment trees.
+    Scale: one hash-partition by event_type, two row frames over the same
+    sort — a single window exchange; per-key state is the 81-row frame."""
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    order = [F.col("ts"), F.col("event_id")]
+    w_b = Window.partitionBy("event_type").orderBy(*order).rowsBetween(-_CP_W, -1)
+    w_a = Window.partitionBy("event_type").orderBy(*order).rowsBetween(0, _CP_W - 1)
+    v_dec = F.col("value").cast(DEC)
+    v2_dec = (F.col("value") * F.col("value")).cast(DEC)
+    framed = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(v_dec).over(w_b).alias("sum_b"),
+        F.sum(v2_dec).over(w_b).alias("sumsq_b"),
+        F.count(F.lit(1)).over(w_b).alias("n_b"),
+        F.sum(v_dec).over(w_a).alias("sum_a"),
+        F.sum(v2_dec).over(w_a).alias("sumsq_a"),
+        F.count(F.lit(1)).over(w_a).alias("n_a"),
+    ).filter((F.col("n_b") == _CP_W) & (F.col("n_a") == _CP_W))
+    mean_b = F.col("sum_b").cast("double") / F.col("n_b")
+    mean_a = F.col("sum_a").cast("double") / F.col("n_a")
+    var_b = (
+        F.col("sumsq_b").cast("double")
+        - F.col("sum_b").cast("double") * F.col("sum_b").cast("double") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    var_a = (
+        F.col("sumsq_a").cast("double")
+        - F.col("sum_a").cast("double") * F.col("sum_a").cast("double") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    z = (mean_a - mean_b) / F.sqrt(var_b / F.col("n_b") + var_a / F.col("n_a"))
+    return framed.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        dround(mean_b, 4).alias("mean_before"),
+        dround(mean_a, 4).alias("mean_after"),
+        dround(z, 4).alias("z"),
+    ).filter(F.abs(z) >= 2.5)
+
+
+@register(
+    "agg_market_basket",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), item_n AS (
+      SELECT l_partkey, COUNT(*) AS n_i FROM baskets GROUP BY l_partkey
+    ), pair_n AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ), n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets
+    )
+    SELECT part_a, part_b, n_ab,
+           {sql_dround("CAST(n_ab AS DOUBLE) * n.n / (ia.n_i * ib.n_i)", 4)} AS lift
+    FROM pair_n
+    JOIN item_n ia ON ia.l_partkey = part_a
+    JOIN item_n ib ON ib.l_partkey = part_b
+    CROSS JOIN n_orders n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 100
+    """,
+    section=_SEC,
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-purchased in the same order,
+    scored by lift = P(a,b) / (P(a)·P(b)), minimum support 2, top-100 —
+    the association-rule shape behind recommenders and fraud co-occurrence
+    screens.
+
+    Scale design: the pair generation is a SELF-JOIN WITHIN l_orderkey
+    (co-partitioned after one shuffle of the deduped basket table — never
+    an all-pairs item join), so cost is sum over orders of |basket|², not
+    |items|². Item totals are broadcast back onto the pair aggregate, the
+    order count rides a broadcast single-row cross join, and the final
+    top-100 is TakeOrderedAndProject — no global sort. Min-support on the
+    GROUP BY output prunes before the lift join."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    item_n = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_i"))
+    a = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pair_n = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    n_orders = baskets.agg(F.countDistinct("l_orderkey").alias("n"))
+    ia = item_n.select(F.col("l_partkey").alias("part_a"), F.col("n_i").alias("n_a"))
+    ib = item_n.select(F.col("l_partkey").alias("part_b"), F.col("n_i").alias("n_b"))
+    return (
+        pair_n.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            dround(
+                F.col("n_ab").cast("double") * F.col("n") / (F.col("n_a") * F.col("n_b")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(100)
+    )

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sdp_spark.functions.num import DEC, KNUTH, KNUTH_MOD, dround
-from sdp_spark.operators.llm import _emb_normed, _hyperplanes
+from sdp_spark.operators.llm import _docs_tokens, _emb_normed, _hyperplanes
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table, wide_table
 
@@ -2159,3 +2159,198 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("prefix_dup_frac").alias("metric"), "value")
     )
     return card_rows.unionByName(lang).unionByName(src).unionByName(dup).orderBy("metric")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: cross-doc boilerplate detection, importance sampling, winnowing
+# ---------------------------------------------------------------------------
+
+_BOILER_K = 8  # gram width for cross-doc boilerplate detection
+
+
+@register(
+    "llm_boilerplate_ngrams",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - {_BOILER_K - 1}),
+               i -> array_to_string(list_slice(string_split(text, ' '),
+                                               i, i + {_BOILER_K - 1}), ' ')))) AS gram
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {_BOILER_K}
+    ), boiler AS (
+      SELECT source, gram
+      FROM g GROUP BY source, gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+      FROM g LEFT JOIN boiler b ON g.source = b.source AND g.gram = b.gram
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_boiler AS BIGINT) AS n_boiler,
+           FLOOR(CAST(n_boiler AS DOUBLE) / n_grams * 10000 + 0.5) / 10000
+             AS boiler_ratio
+    FROM per_doc
+    WHERE n_boiler > 0
+    """,
+    section=_SEC,
+)
+def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: word 8-grams shared by >=2
+    distinct docs of the SAME source are 'boilerplate' (headers, footers,
+    licence blocks, template text — the shared spans that survive exact
+    dedup because the surrounding doc differs); emits per-doc boilerplate
+    counts and ratio for docs carrying any. The curation signal C4/Gopher
+    filters don't give you: repetition ACROSS documents, localized to a
+    source.
+
+    Scale design: grams are per-doc DISTINCT before the explode (bounds the
+    shuffle by unique spans, not positions); the boilerplate set is a
+    groupBy(source, gram) with an early HAVING; the tag-back join is keyed
+    (source, gram) — co-partitioned with the gram explode, never all-pairs.
+    At 100 TB the gram strings would shuffle as 64-bit hashes instead
+    (identical plan, digest keys), per the dedup family's convention."""
+    d = _docs_tokens(spark, sf_dir).filter(F.size("toks") >= _BOILER_K)
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_BOILER_K - 1}),"
+                    f" i -> array_join(slice(toks, i, {_BOILER_K}), ' '))"
+                )
+            )
+        ).alias("gram"),
+    )
+    boiler = (
+        grams.groupBy("source", "gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("source", "gram", F.lit(1).alias("is_boiler"))
+    )
+    per_doc = (
+        grams.join(boiler, ["source", "gram"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler"),
+        )
+    )
+    return per_doc.filter(F.col("n_boiler") > 0).select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_boiler").cast("bigint").alias("n_boiler"),
+        dround(F.col("n_boiler").cast("double") / F.col("n_grams"), 4).alias(
+            "boiler_ratio"
+        ),
+    )
+
+
+@register(
+    "llm_sample_importance",
+    oracle=f"""
+    SELECT doc_id,
+           FLOOR(LEAST(CAST(n_chars AS DOUBLE) / 400, 1.0) * 10000 + 0.5) / 10000
+             AS weight
+    FROM documents
+    WHERE CAST((doc_id * {KNUTH}) % {KNUTH_MOD} AS DOUBLE) / {KNUTH_MOD}
+          < LEAST(CAST(n_chars AS DOUBLE) / 400, 1.0)
+    """,
+    section=_SEC,
+)
+def llm_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document importance sampling: keep doc i with probability equal
+    to its weight (here a capped length prior — longer docs carry more
+    training signal per scan), decided by comparing the Knuth multiplicative
+    hash of doc_id against the weight. Row-level weighted sampling, the
+    per-doc complement of llm_sample_temperature's per-LANGUAGE rates.
+
+    Deterministic (same doc → same verdict on every run/engine/partition —
+    a reproducible corpus build can't use rand()), zero-shuffle (pure
+    codegen row predicate), and unbiased: hash(doc_id)/2^32 is uniform on
+    [0,1) across the key space."""
+    d = table(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars").cast("double") / 400, F.lit(1.0))
+    u = (
+        F.pmod(F.col("doc_id") * F.lit(KNUTH), F.lit(KNUTH_MOD)).cast("double")
+        / F.lit(KNUTH_MOD)
+    )
+    return d.filter(u < weight).select("doc_id", dround(weight, 4).alias("weight"))
+
+
+_WINNOW_K = 5  # gram width (tokens per k-gram)
+_WINNOW_W = 4  # winnowing window (k-gram hashes per window)
+
+# Portable 48-bit k-gram hash (md5 prefix), same scheme as llm_fingerprint.
+_WN_HASH_SPARK = "CAST(conv(substring(md5({g}), 1, 12), 16, 10) AS BIGINT)"
+
+
+@register(
+    "llm_winnow_fingerprint",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= {_WINNOW_K + _WINNOW_W - 1}
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - {_WINNOW_K - 1}),
+               i -> list_reduce(list_transform(
+                      string_split(substring(md5(array_to_string(
+                        list_slice(toks, i, i + {_WINNOW_K - 1}), ' ')), 1, 12), ''),
+                      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                    (a, b) -> a * 16 + b)) AS gh
+      FROM tok
+    ), pos AS (
+      SELECT doc_id, gh,
+             unnest(generate_series(1, len(gh) - {_WINNOW_W - 1})) AS p
+      FROM g
+    )
+    SELECT DISTINCT doc_id,
+           p + list_max(list_transform(generate_series(1, {_WINNOW_W}),
+                 i -> CASE WHEN gh[p + i - 1] =
+                             list_min(list_slice(gh, p, p + {_WINNOW_W - 1}))
+                      THEN i ELSE 0 END)) - 1 AS pos,
+           list_min(list_slice(gh, p, p + {_WINNOW_W - 1})) AS fp
+    FROM pos
+    """,
+    section=_SEC,
+)
+def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every 5-token k-gram, slide a 4-hash window, keep the
+    window minimum (rightmost on ties), dedupe — the guaranteed-coverage
+    fingerprint subset (every match of >= k+w-1 tokens shares a selected
+    fingerprint) at ~1/w the storage of full k-gram sets. The
+    position-aware complement of MinHash: survives partial overlap and
+    localizes WHERE docs overlap.
+
+    Engine-portable per-gram hash (md5 48-bit prefix, the llm_fingerprint
+    scheme) makes the whole selection carry a full hash oracle. All work is
+    per-row higher-order array expressions — zero shuffle until the final
+    distinct, whose input is already ~|doc|/w rows. At 100 TB the selected
+    (fp, doc, pos) rows feed a groupBy(fp) to find cross-doc matches —
+    postings-sized, never all-pairs."""
+    d = _docs_tokens(spark, sf_dir).filter(
+        F.size("toks") >= _WINNOW_K + _WINNOW_W - 1
+    )
+    gram = f"array_join(slice(toks, i, {_WINNOW_K}), ' ')"
+    gh = (
+        f"transform(sequence(1, size(toks) - {_WINNOW_K - 1}),"
+        f" i -> {_WN_HASH_SPARK.format(g=gram)})"
+    )
+    sel = (
+        f"transform(sequence(1, size(gh) - {_WINNOW_W - 1}), p -> named_struct("
+        f"'pos', CAST(p + aggregate(sequence(1, {_WINNOW_W}), 0,"
+        f" (acc, i) -> IF(element_at(gh, p + i - 1) ="
+        f"   array_min(slice(gh, p, {_WINNOW_W})), i, acc)) - 1 AS BIGINT),"
+        f" 'fp', array_min(slice(gh, p, {_WINNOW_W}))))"
+    )
+    return (
+        d.withColumn("gh", F.expr(gh))
+        .select("doc_id", F.explode(F.expr(sel)).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+        .distinct()
+    )

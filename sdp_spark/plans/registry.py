@@ -109,7 +109,9 @@ _SWEEP_PRIORITY = (
     #     llm_dedup_simhash (portable md5 64-bit votes + generated oracle) ---
     "llm_fingerprint", "llm_dedup_simhash",
     # --- new round-8 keys ---
-    # (inserted here as they land)
+    "dq_drift_psi", "ts_changepoint_meanshift", "agg_market_basket",
+    "llm_boilerplate_ngrams", "llm_sample_importance",
+    "llm_winnow_fingerprint",
     # --- r7-certified (newest-first re-prove order) ---
     "agg_gini", "graph_bipartite_projection",
     "dialect_pipe_syntax", "agg_observe_metrics", "stream_dedup_wm",
