@@ -1546,3 +1546,133 @@ def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n_events", "cusum")
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: live distribution-drift monitoring (streaming PSI)
+# ---------------------------------------------------------------------------
+
+_PSI_EV_W = 25  # value-bucket width (8 buckets: 0-25 ... 175+)
+_PSI_EV_SPLIT = "2024-01-15"  # days before = reference distribution
+
+
+@register(
+    "stream_drift_psi",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             CAST(LEAST(FLOOR(value / {_PSI_EV_W}), 7) AS INTEGER) AS bucket
+      FROM events
+    ), ref AS (
+      SELECT bucket, COUNT(*) AS n FROM bucketed
+      WHERE d < DATE '{_PSI_EV_SPLIT}' GROUP BY bucket
+    ), days AS (
+      SELECT DISTINCT d FROM bucketed WHERE d >= DATE '{_PSI_EV_SPLIT}'
+    ), grid AS (
+      SELECT days.d, b.bucket
+      FROM days, (SELECT unnest(generate_series(0, 7)) AS bucket) b
+    ), cur AS (
+      SELECT d, bucket, COUNT(*) AS n FROM bucketed
+      WHERE d >= DATE '{_PSI_EV_SPLIT}' GROUP BY d, bucket
+    ), pct AS (
+      SELECT grid.d, grid.bucket,
+             GREATEST(CAST(COALESCE(ref.n, 0) AS DOUBLE)
+                      / SUM(COALESCE(ref.n, 0)) OVER (PARTITION BY grid.d), 1e-6)
+               AS ref_pct,
+             GREATEST(CAST(COALESCE(cur.n, 0) AS DOUBLE)
+                      / SUM(COALESCE(cur.n, 0)) OVER (PARTITION BY grid.d), 1e-6)
+               AS cur_pct,
+             COALESCE(cur.n, 0) AS n
+      FROM grid
+      LEFT JOIN ref ON ref.bucket = grid.bucket
+      LEFT JOIN cur ON cur.d = grid.d AND cur.bucket = grid.bucket
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(SUM(CAST(FLOOR((cur_pct - ref_pct) * LN(cur_pct / ref_pct)
+                                * 100000000 + 0.5) / 100000000
+                         AS DECIMAL(30,8))) AS DOUBLE) AS psi,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM pct
+    GROUP BY d
+    ORDER BY day
+    """,
+    section=_SEC,
+)
+def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE input-drift monitoring — the streaming twin of `dq_drift_psi`:
+    the stream incrementally maintains per-(day, value-bucket) counts
+    (bounded state: 8 buckets × days, never raw events), and after each
+    trigger the PSI of every post-split day against the frozen pre-split
+    reference distribution is scored on the materialized snapshot. The
+    monitor a feature store runs beside every model: 'did today's input
+    distribution drift from what we trained/calibrated on?'.
+
+    Cross-engine determinism: the 8 per-bucket PSI terms are rounded to 8
+    decimals and summed as DECIMAL — the per-day total is order-free, so Spark's
+    partial aggregation and DuckDB's sequential sum cannot diverge in the
+    last ulp. Missing buckets enter at the 1e-6 epsilon on both sides via a
+    dense day×bucket grid. At 100 TB/day the shuffle carries grouped
+    (day, bucket) states only; scoring is |days × 8| metadata."""
+    sdf = _events_stream(spark, sf_dir)
+    bucketed = sdf.select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.least(F.floor(F.col("value") / _PSI_EV_W), F.lit(7))
+        .cast("int")
+        .alias("bucket"),
+    )
+    counts = bucketed.groupBy("d", "bucket").agg(F.count("*").alias("n"))
+    snap = _run_to_memory(counts, "complete", "driftpsi")
+
+    split = F.lit(_PSI_EV_SPLIT).cast("timestamp")
+    ref = (
+        snap.filter(F.col("d") < split)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("ref_n"))
+    )
+    cur = snap.filter(F.col("d") >= split)
+    days = cur.select("d").distinct()
+    buckets = spark.range(8).select(F.col("id").cast("int").alias("bucket"))
+    grid = days.crossJoin(F.broadcast(buckets))
+    # rename cur's keys before the join: grid and cur share the snapshot's
+    # lineage, and duplicate exprIds in a self-join confuse the resolver
+    cur_r = cur.select(
+        F.col("d").alias("cd"), F.col("bucket").alias("cb"), "n"
+    )
+    joined = (
+        grid.join(F.broadcast(ref), "bucket", "left")
+        .join(
+            cur_r,
+            (F.col("d") == F.col("cd")) & (F.col("bucket") == F.col("cb")),
+            "left",
+        )
+        .select(
+            "d",
+            "bucket",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    day_w = Window.partitionBy("d")
+    ref_pct = F.greatest(
+        F.col("ref_n").cast("double") / F.sum("ref_n").over(day_w), F.lit(1e-6)
+    )
+    cur_pct = F.greatest(
+        F.col("n").cast("double") / F.sum("n").over(day_w), F.lit(1e-6)
+    )
+    term = F.floor(
+        (cur_pct - ref_pct) * F.log(cur_pct / ref_pct) * F.lit(100000000) + F.lit(0.5)
+    ) / F.lit(100000000)
+    scored = joined.select(
+        "d", "n", term.cast(DEC).alias("term")
+    )
+    return (
+        scored.groupBy("d")
+        .agg(
+            F.sum("term").cast("double").alias("psi"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "psi", "n_events")
+        .orderBy("day")
+    )
