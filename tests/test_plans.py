@@ -554,3 +554,53 @@ def test_cusum_windows_share_sort(spark, sf_dir):
     # exchange or re-sort between them
     assert plan.count("Window") == 2
     assert plan.count("Sort") == 1
+
+
+# --- round 8 additions -----------------------------------------------------
+
+
+def test_drift_psi_single_scan_no_join(spark, sf_dir):
+    """PSI is one conditional-agg pass: exactly one parquet scan of orders,
+    no join operator anywhere in the plan."""
+    plan = _plan(spark, REGISTRY["dq_drift_psi"].fn(spark, sf_dir), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_changepoint_windows_share_one_sort(spark, sf_dir):
+    """Both changepoint frames ride the same (event_type, ts, event_id)
+    sort: one window exchange, one sort."""
+    plan = _plan(spark, REGISTRY["ts_changepoint_meanshift"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 1
+
+
+def test_market_basket_broadcasts_dims_no_cartesian(spark, sf_dir):
+    """Pair generation must stay keyed on l_orderkey (never all-pairs); the
+    item totals and the single-row order count ride broadcasts; top-100 is
+    TakeOrdered, not a global sort."""
+    plan = _plan(spark, REGISTRY["agg_market_basket"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_importance_zero_shuffle_no_python(spark, sf_dir):
+    """Importance sampling is a pure codegen row predicate."""
+    plan = _plan(spark, REGISTRY["llm_sample_importance"].fn(spark, sf_dir), "simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_winnow_zero_join_single_shuffle(spark, sf_dir):
+    """Winnowing is per-row array work; the only exchange is the final
+    distinct over the already-thinned fingerprints."""
+    plan = _plan(spark, REGISTRY["llm_winnow_fingerprint"].fn(spark, sf_dir), "simple")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_boilerplate_join_keyed_not_cartesian(spark, sf_dir):
+    plan = _plan(spark, REGISTRY["llm_boilerplate_ngrams"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
