@@ -80,6 +80,11 @@ EXTRA = [
     "catalog_matview_incremental",  # O(delta) matview refresh (r6)
     "agg_weighted_percentile",      # RANGE-framed cumulative decimal (r6)
     "win_rolling_corr",             # 5 exact sufficient-stat windows (r6)
+    "agg_market_basket",            # within-order pair self-join + lift (r8)
+    "llm_winnow_fingerprint",       # MOSS winnowing k-gram selection (r8)
+    "llm_boilerplate_ngrams",       # cross-doc shared-gram detection (r8)
+    "ts_changepoint_meanshift",     # two-frame mean-shift z detector (r8)
+    "stream_drift_psi",             # live PSI drift monitor (r8)
 ]
 
 

@@ -2192,3 +2192,73 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(100)
     )
+
+
+_COHORT_MAX_OFFSET = 7
+
+
+@register(
+    "agg_retention_cohort",
+    oracle=f"""
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ), cohorts AS (
+      SELECT user_id, MIN(d) AS cohort_day FROM activity GROUP BY user_id
+    ), cohort_n AS (
+      SELECT cohort_day, COUNT(*) AS n_users FROM cohorts GROUP BY cohort_day
+    ), ret AS (
+      SELECT c.cohort_day,
+             date_diff('day', c.cohort_day, a.d) AS offset_days,
+             COUNT(DISTINCT a.user_id) AS n_active
+      FROM cohorts c JOIN activity a ON a.user_id = c.user_id
+      WHERE date_diff('day', c.cohort_day, a.d) BETWEEN 0 AND {_COHORT_MAX_OFFSET}
+      GROUP BY 1, 2
+    )
+    SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(offset_days AS INTEGER) AS offset_days,
+           CAST(n_active AS BIGINT) AS n_active,
+           {sql_dround("CAST(n_active AS DOUBLE) / n.n_users", 4)} AS retention
+    FROM ret r JOIN cohort_n n ON n.cohort_day = r.cohort_day
+    ORDER BY cohort_day, offset_days
+    """,
+    section=_SEC,
+)
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity day,
+    tracked for {_COHORT_MAX_OFFSET} days — retention(cohort, k) = share of
+    the cohort active k days later. The canonical product-analytics rollup
+    (and, in surveillance terms, a re-presentation-rate table).
+
+    Scale design: activity collapses to DISTINCT (user, day) first (the
+    only event-volume shuffle); cohort assignment is a groupBy(user) min;
+    the retention join is user-keyed (co-partitioned with activity), and
+    the final divide joins a cohort-sized (days × 1) table — broadcast.
+    Offsets are capped so output is |cohorts| × {_COHORT_MAX_OFFSET + 1}
+    rows regardless of data scale."""
+    e = table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    cohort_n = cohorts.groupBy("cohort_day").agg(F.count("*").alias("n_users"))
+    ret = (
+        activity.join(cohorts, "user_id")
+        .withColumn("offset_days", F.datediff("d", "cohort_day"))
+        .filter(F.col("offset_days").between(0, _COHORT_MAX_OFFSET))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        ret.join(F.broadcast(cohort_n), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("offset_days").cast("int").alias("offset_days"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            dround(F.col("n_active").cast("double") / F.col("n_users"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_day", "offset_days")
+    )

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sdp_spark.functions.num import DEC, KNUTH, KNUTH_MOD, dround
-from sdp_spark.operators.llm import _docs_tokens, _emb_normed, _hyperplanes
+from sdp_spark.operators.llm import _docs_tokens, _emb_normed, _hyperplanes, _shingles
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table, wide_table
 
@@ -2207,11 +2207,11 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     source.
 
     Scale design: grams are per-doc DISTINCT before the explode (bounds the
-    shuffle by unique spans, not positions); the boilerplate set is a
-    groupBy(source, gram) with an early HAVING; the tag-back join is keyed
-    (source, gram) — co-partitioned with the gram explode, never all-pairs.
-    At 100 TB the gram strings would shuffle as 64-bit hashes instead
-    (identical plan, digest keys), per the dedup family's convention."""
+    shuffle by unique spans, not positions) and shuffle as 64-bit xxhash
+    DIGESTS, never the 8-word strings — the dedup family's convention; the
+    boilerplate set is a groupBy(source, digest) with an early HAVING; the
+    tag-back join is keyed (source, digest) — co-partitioned with the gram
+    explode, never all-pairs."""
     d = _docs_tokens(spark, sf_dir).filter(F.size("toks") >= _BOILER_K)
     grams = d.select(
         "doc_id",
@@ -2220,19 +2220,19 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(
                 F.expr(
                     f"transform(sequence(1, size(toks) - {_BOILER_K - 1}),"
-                    f" i -> array_join(slice(toks, i, {_BOILER_K}), ' '))"
+                    f" i -> xxhash64(array_join(slice(toks, i, {_BOILER_K}), ' ')))"
                 )
             )
-        ).alias("gram"),
+        ).alias("gh"),
     )
     boiler = (
-        grams.groupBy("source", "gram")
+        grams.groupBy("source", "gh")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= 2)
-        .select("source", "gram", F.lit(1).alias("is_boiler"))
+        .select("source", "gh", F.lit(1).alias("is_boiler"))
     )
     per_doc = (
-        grams.join(boiler, ["source", "gram"], "left")
+        grams.join(boiler, ["source", "gh"], "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
@@ -2353,4 +2353,86 @@ def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(sel)).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
         .distinct()
+    )
+
+
+_CONTAIN_DF_CAP = 50  # stop-shingle cap: postings longer than this are dropped
+_CONTAIN_T = 0.9  # containment threshold
+
+
+@register(
+    "llm_dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text, ' '),
+                                               i, i + 2), ' '))) AS shingle
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), capped AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh) t
+      WHERE df <= {_CONTAIN_DF_CAP}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           FLOOR(CAST(n_common AS DOUBLE) / sa.n_sh * 10000 + 0.5) / 10000
+             AS containment
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE CAST(n_common AS DOUBLE) / sa.n_sh >= {_CONTAIN_T}
+    """,
+    section=_SEC,
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: emit (doc_a, doc_b) where >= 90% of
+    doc_a's distinct 3-shingles also occur in doc_b — the 'A is embedded in
+    B' relation Jaccard misses (a short doc quoted inside a long one has low
+    Jaccard but containment ~1). The quote/excerpt detector a crawl dedup
+    needs beside symmetric near-dup.
+
+    Scale design: pair generation is a POSTINGS join on shingle (docs
+    sharing a shingle meet; never all-pairs), with a document-frequency cap
+    of {_CONTAIN_DF_CAP} dropping stop-shingles BEFORE the join — the
+    standard bound that keeps a hot shingle ('in the the') from exploding
+    the self-join quadratically; the cap is applied identically on both
+    sides and in the denominator, so containment stays well-defined. At
+    100 TB shingles shuffle as 64-bit digests, postings-partitioned."""
+    d = _docs_tokens(spark, sf_dir)
+    sh = _shingles(d, 3)
+    df_w = Window.partitionBy("shingle")
+    capped = (
+        sh.withColumn("df", F.count("*").over(df_w))
+        .filter(F.col("df") <= _CONTAIN_DF_CAP)
+        .select("doc_id", "shingle")
+    )
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh"))
+    contain = F.col("n_common").cast("double") / F.col("n_sh")
+    return (
+        pairs.join(sa, "doc_a")
+        .filter(contain >= _CONTAIN_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            dround(contain, 4).alias("containment"),
+        )
     )
