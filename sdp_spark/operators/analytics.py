@@ -2063,7 +2063,8 @@ _CP_W = 40  # changepoint window width (rows each side)
            {sql_dround("mean_a", 4)} AS mean_after,
            {sql_dround("(mean_a - mean_b) / sqrt(var_b / n_b + var_a / n_a)", 4)} AS z
     FROM stats
-    WHERE ABS((mean_a - mean_b) / sqrt(var_b / n_b + var_a / n_a)) >= 2.5
+    WHERE var_b / n_b + var_a / n_a > 0
+      AND ABS((mean_a - mean_b) / sqrt(var_b / n_b + var_a / n_a)) >= 2.5
     """,
     section=_SEC,
 )
@@ -2119,7 +2120,9 @@ def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(mean_b, 4).alias("mean_before"),
         dround(mean_a, 4).alias("mean_after"),
         dround(z, 4).alias("z"),
-    ).filter(F.abs(z) >= 2.5)
+        # guard: two constant equal-variance-zero windows make z = x/0
+        # (±Inf / NaN); a zero pooled variance can never be a changepoint
+    ).filter((var_b / F.col("n_b") + var_a / F.col("n_a") > 0) & (F.abs(z) >= 2.5))
 
 
 @register(

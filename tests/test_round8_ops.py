@@ -1,0 +1,202 @@
+"""Invariant tests for the round-8 operators — the algorithmic guarantees
+the DuckDB hash oracle can't express: winnowing's coverage theorem,
+containment's embedding semantics, PSI's zero identity, changepoint recall
+on a planted shift, market-basket lift on a hand-computable basket set."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from sdp_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _write_docs(spark, tmp_path, texts):
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    return sf
+
+
+def test_winnow_coverage_guarantee(spark, tmp_path):
+    """The winnowing theorem (k=5, w=4): any shared token run of length
+    >= k + w - 1 = 8 between two docs guarantees at least one SELECTED
+    fingerprint in common. Plant a 12-token shared run inside otherwise
+    disjoint docs and require fp-set intersection; a fully disjoint doc
+    must share nothing."""
+    shared = " ".join(f"shared{i}" for i in range(12))
+    texts = [
+        "alpha bravo charlie delta echo " + shared + " foxtrot golf hotel india",
+        "nov oscar papa quebec romeo sierra tango " + shared + " uniform victor",
+        " ".join(f"uniq{i}" for i in range(30)),
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    rows = REGISTRY["llm_winnow_fingerprint"].fn(spark, sf).collect()
+    fps = {1: set(), 2: set(), 3: set()}
+    for r in rows:
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2], "shared 12-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # selection thins: selected fingerprints < total k-grams
+    n_grams_1 = len(texts[0].split()) - 5 + 1
+    assert 0 < len(fps[1]) < n_grams_1
+
+
+def test_winnow_deterministic(spark, sf_dir):
+    a = sorted(
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in REGISTRY["llm_winnow_fingerprint"].fn(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in REGISTRY["llm_winnow_fingerprint"].fn(spark, sf_dir).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_containment_detects_embedded_doc(spark, tmp_path):
+    """A short doc verbatim-embedded in a long one: containment(short ->
+    long) = 1.0 must be emitted; the reverse direction is far below the
+    0.9 threshold and must NOT appear."""
+    short = " ".join(f"core{i}" for i in range(20))
+    long_doc = (
+        " ".join(f"pre{i}" for i in range(40))
+        + " "
+        + short
+        + " "
+        + " ".join(f"post{i}" for i in range(40))
+    )
+    sf = _write_docs(spark, tmp_path, [short, long_doc])
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in REGISTRY["llm_dedup_containment"].fn(spark, sf).collect()
+    }
+    assert rows.get((1, 2)) == 1.0
+    assert (2, 1) not in rows
+
+
+def test_drift_psi_zero_when_distributions_match(spark, tmp_path):
+    """PSI identity: identical price multisets before and after the split
+    date give psi_term == 0 in every bucket."""
+    prices = [1000.0, 50000.0, 80000.0, 120000.0, 200000.0, 400000.0] * 10
+    n = len(prices)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(1, 2 * n + 1)),
+            "o_custkey": [1] * (2 * n),
+            "o_orderstatus": ["F"] * (2 * n),
+            "o_totalprice": prices + prices,
+            "o_orderdate": (
+                [pd.Timestamp("1997-06-01")] * n + [pd.Timestamp("1999-06-01")] * n
+            ),
+            "o_orderpriority": ["1-URGENT"] * (2 * n),
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(orders).write.mode("overwrite").parquet(
+        f"{sf}/orders.parquet"
+    )
+    rows = REGISTRY["dq_drift_psi"].fn(spark, sf).collect()
+    assert len(rows) > 0
+    assert all(r["psi_term"] == 0.0 for r in rows)
+    assert all(r["ref_pct"] == r["cur_pct"] for r in rows)
+
+
+def test_changepoint_detects_planted_shift(spark, tmp_path):
+    """A level shift of +40 with ±0.5 jitter must fire at (and only near)
+    the boundary; the same series without the shift must stay silent."""
+    n = 200
+    shift_at = 100
+
+    def mk(shift: float):
+        return pd.DataFrame(
+            {
+                "event_id": list(range(n)),
+                "ts": pd.date_range("2024-01-01", periods=n, freq="min"),
+                "user_id": [1] * n,
+                "event_type": ["m"] * n,
+                "value": [
+                    (10.0 + (0.5 if i % 2 else -0.5)) + (shift if i >= shift_at else 0)
+                    for i in range(n)
+                ],
+                "props": ["{}"] * n,
+            }
+        )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(mk(40.0)).write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+    fired = REGISTRY["ts_changepoint_meanshift"].fn(spark, sf).collect()
+    assert fired, "planted +40 shift must fire"
+    # the maximal |z| row sits exactly at the shift boundary
+    top = max(fired, key=lambda r: abs(r["z"]))
+    assert top["event_id"] == shift_at
+    spark.createDataFrame(mk(0.0)).write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+    quiet = REGISTRY["ts_changepoint_meanshift"].fn(spark, sf).collect()
+    assert not quiet, "no-shift series must not fire"
+
+
+def test_market_basket_lift_hand_computed(spark, tmp_path):
+    """20 baskets: {1,2} in ten, {3,4} in the other ten. lift(1,2) =
+    N·n12/(n1·n2) = 20·10/100 = 2.0; cross pairs never co-occur."""
+    rows = []
+    for o in range(1, 11):
+        rows += [(o, 1), (o, 2)]
+    for o in range(11, 21):
+        rows += [(o, 3), (o, 4)]
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    sf = str(tmp_path)
+    spark.createDataFrame(li).write.mode("overwrite").parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    out = {
+        (r["part_a"], r["part_b"]): r
+        for r in REGISTRY["agg_market_basket"].fn(spark, sf).collect()
+    }
+    assert out[(1, 2)]["lift"] == 2.0 and out[(1, 2)]["n_ab"] == 10
+    assert out[(3, 4)]["lift"] == 2.0
+    assert (1, 3) not in out and (2, 4) not in out
+
+
+def test_retention_cohort_offset_zero_is_one(spark, sf_dir):
+    """By construction every user is active on their cohort day: retention
+    at offset 0 is exactly 1.0 for every cohort."""
+    rows = REGISTRY["agg_retention_cohort"].fn(spark, sf_dir).collect()
+    day0 = [r for r in rows if r["offset_days"] == 0]
+    assert day0, "must emit offset-0 rows"
+    assert all(r["retention"] == 1.0 for r in day0)
+    assert all(0.0 < r["retention"] <= 1.0 for r in rows)
+
+
+def test_importance_sampling_keeps_weight_one_docs(spark, sf_dir):
+    """Docs at the weight cap (n_chars >= 400 -> weight 1.0) are always
+    kept; output weights are within (0, 1]; the decision is deterministic."""
+    from sdp_spark.sources.fixtures import table
+
+    d = table(spark, sf_dir, "documents")
+    full = {r["doc_id"] for r in d.filter("n_chars >= 400").collect()}
+    kept = {
+        r["doc_id"]: r["weight"]
+        for r in REGISTRY["llm_sample_importance"].fn(spark, sf_dir).collect()
+    }
+    assert full <= set(kept)
+    assert all(0.0 < w <= 1.0 for w in kept.values())
+    again = {
+        r["doc_id"]: r["weight"]
+        for r in REGISTRY["llm_sample_importance"].fn(spark, sf_dir).collect()
+    }
+    assert kept == again
