@@ -2039,3 +2039,52 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase",
         F.row_number().over(w_pos).alias("position"),
     )
+
+
+@register("llm_ann_recall_eval", oracle=None, section=_SEC)
+def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN self-evaluation: recall@5 of each approximate index (IVF-Flat,
+    multi-probe hyperplane LSH) against the exact brute-force top-5, per
+    query, plus the macro average — the monitor a production vector
+    platform runs after every index rebuild ('did the ANN quality
+    regress?'), shipped as a first-class operator instead of a test-only
+    assertion.
+
+    Composes the three registry operators (no reimplementation can drift);
+    the comparison is a (query_id, neighbor_id) semi-join + per-query
+    count — metadata-sized regardless of corpus scale, since every input
+    is already a top-k. rows-only oracle (the IVF/LSH results are Spark
+    plans DuckDB cannot replay); tests pin recall bounds and method
+    coverage."""
+    exact = llm_sim_search(spark, sf_dir).select("query_id", "neighbor_id")
+    k = 5
+
+    def recall_of(method: str, df: DataFrame) -> DataFrame:
+        hit = exact.join(
+            df.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "semi"
+        )
+        return (
+            exact.select("query_id")
+            .distinct()
+            .join(
+                hit.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+                "query_id",
+                "left",
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                dround(
+                    F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / k, 4
+                ).alias("recall_at_5"),
+            )
+        )
+
+    per_q = recall_of("ivf", llm_sim_search_ivf(spark, sf_dir)).unionAll(
+        recall_of("lsh", llm_sim_search_lsh(spark, sf_dir))
+    )
+    macro = per_q.groupBy("method").agg(
+        F.lit(0).cast("bigint").alias("query_id"),
+        dround(F.avg("recall_at_5"), 4).alias("recall_at_5"),
+    ).select("method", "query_id", "recall_at_5")
+    return per_q.unionAll(macro).orderBy("method", "query_id")

@@ -112,7 +112,7 @@ _SWEEP_PRIORITY = (
     "dq_drift_psi", "ts_changepoint_meanshift", "agg_market_basket",
     "llm_boilerplate_ngrams", "llm_sample_importance",
     "llm_winnow_fingerprint", "stream_drift_psi",
-    "llm_dedup_containment", "agg_retention_cohort",
+    "llm_dedup_containment", "agg_retention_cohort", "llm_ann_recall_eval",
     # --- r7-certified (newest-first re-prove order) ---
     "agg_gini", "graph_bipartite_projection",
     "dialect_pipe_syntax", "agg_observe_metrics", "stream_dedup_wm",
