@@ -113,6 +113,12 @@ _SWEEP_PRIORITY = (
     "llm_boilerplate_ngrams", "llm_sample_importance",
     "llm_winnow_fingerprint", "stream_drift_psi",
     "llm_dedup_containment", "agg_retention_cohort", "llm_ann_recall_eval",
+    # --- r7 promotions the r7 sweep budget did NOT reach (their oracles
+    #     are new contracts, still without a driver hash verdict): the
+    #     remaining watermark-emission pair, the outer-join eviction, the
+    #     stateful-timeout sessionizer, and unrolled-CTE pagerank ---
+    "stream_sliding_wm", "stream_session_wm", "stream_stream_join_outer",
+    "stream_stateful_timeout", "graph_pagerank",
     # --- r7-certified (newest-first re-prove order) ---
     "agg_gini", "graph_bipartite_projection",
     "dialect_pipe_syntax", "agg_observe_metrics", "stream_dedup_wm",
@@ -129,15 +135,8 @@ _SWEEP_PRIORITY = (
     "query_outbreak_cusum", "agg_skew_kurtosis", "stream_cusum_alerts",
     "llm_dataset_card", "subq_any_all", "udf_pandas_iter", "mm_payload_dedup",
     "dq_freshness_check", "dq_duplicate_pk_check", "win_cumulative_distinct",
-    # --- promoted oracles (fills the 50): llm_dedup_near plus the 7
-    #     round-7 rows-only->hash promotions (watermark emission replays,
-    #     outer-join eviction, unrolled-CTE pagerank). Each is a NEW
-    #     contract with no driver verdict yet — strictly higher-value
-    #     slots than re-proving r1 keys on a six-round green streak, which
-    #     is what previously filled this block. ---
+    # --- r7-certified promotions (hash-green in CORRECTNESS_r07) ---
     "llm_dedup_near", "stream_watermark", "stream_tumbling_wm",
-    "stream_sliding_wm", "stream_session_wm", "stream_stream_join_outer",
-    "stream_stateful_timeout", "graph_pagerank",
     # --- driver-green keys, newest-round-first (r6 ... r1) ---
     "win_sliding_median", "win_ewma", "llm_blocklist_filter",
     "subq_correlated_scalar", "filter_row_constructor", "agg_regression",
