@@ -489,3 +489,86 @@ def test_weighted_median_collapse_property():
         assert raw_median == col_median is not None
 
     check()
+
+
+def test_winnowing_selection_property():
+    """The window-argmin lowering llm_winnow_fingerprint rests on: for ANY
+    hash sequence, the Spark/DuckDB expression — per window p, (min of the
+    window, rightmost position attaining it), then dedup — equals the
+    reference winnowing algorithm (Schleimer et al. §4: slide, pick
+    rightmost minimal hash, record once). Also re-proves the coverage
+    theorem on random pairs: two sequences sharing a run of >= w
+    consecutive equal hashes share a selected (value) fingerprint."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    W = 4
+
+    def reference(gh):
+        sel = set()
+        for p in range(len(gh) - W + 1):
+            win = gh[p : p + W]
+            m = min(win)
+            # rightmost index attaining the min
+            idx = max(i for i, v in enumerate(win) if v == m)
+            sel.add((p + idx, m))
+        return sel
+
+    def lowered(gh):
+        sel = set()
+        for p in range(1, len(gh) - W + 2):
+            win = gh[p - 1 : p - 1 + W]
+            m = min(win)
+            arg = 0
+            for i in range(1, W + 1):
+                if gh[p + i - 2] == m:
+                    arg = i
+            sel.add((p + arg - 1 - 1, m))  # back to 0-based
+        return sel
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(0, 50), min_size=W, max_size=60))
+    def check(gh):
+        assert lowered(gh) == reference(gh)
+
+    check()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(0, 50), min_size=0, max_size=20),
+        st.lists(st.integers(0, 50), min_size=W, max_size=10),
+        st.lists(st.integers(0, 50), min_size=0, max_size=20),
+        st.lists(st.integers(0, 50), min_size=0, max_size=20),
+    )
+    def coverage(pre_a, shared, post_a, pre_b):
+        a = pre_a + shared + post_a
+        b = pre_b + shared
+        if len(a) < W or len(b) < W:
+            return
+        fps_a = {v for _, v in reference(a)}
+        fps_b = {v for _, v in reference(b)}
+        assert fps_a & fps_b, "shared >=w-run must share a fingerprint value"
+
+    coverage()
+
+
+def test_psi_term_sign_property():
+    """PSI terms are individually non-negative — (c-r)·ln(c/r) >= 0 for any
+    positive shares — so a per-day PSI sum can never hide drift through
+    cancellation. This is the property that makes emitting per-bucket
+    terms (dq_drift_psi) and a summed total (stream_drift_psi) equally
+    alarm-safe."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        st.floats(min_value=1e-6, max_value=1.0),
+        st.floats(min_value=1e-6, max_value=1.0),
+    )
+    def check(r, c):
+        assert (c - r) * math.log(c / r) >= 0.0
+
+    check()
