@@ -2084,7 +2084,8 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_of("lsh", llm_sim_search_lsh(spark, sf_dir))
     )
     macro = per_q.groupBy("method").agg(
-        F.lit(0).cast("bigint").alias("query_id"),
+        # query_id -1 = the macro-average row (real vec_ids start at 0)
+        F.lit(-1).cast("bigint").alias("query_id"),
         dround(F.avg("recall_at_5"), 4).alias("recall_at_5"),
     ).select("method", "query_id", "recall_at_5")
     return per_q.unionAll(macro).orderBy("method", "query_id")
