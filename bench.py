@@ -181,9 +181,14 @@ def main() -> None:
             if k in ref and ref[k] > 0.05 and t > 1.5 * ref[k]:
                 regressions[k] = {"now_min": t, "prior_min": ref[k]}
         shared = [k for k in times if k in ref]
+        # when the prior was regex-recovered from a truncated tail, its
+        # only trustworthy total is min_total_sec — compare min-vs-min
+        now_total = (
+            out["min_total_sec"] if prior.get("recovered_from_tail") else out["value"]
+        )
         out["vs_prior"] = {
             "prior_total_sec": prior.get("value"),
-            "total_ratio": round(out["value"] / prior["value"], 3)
+            "total_ratio": round(now_total / prior["value"], 3)
             if prior.get("value")
             else None,
             # ratio over the key intersection (min vs prior-best): robust
@@ -213,8 +218,30 @@ def _latest_prior_bench() -> dict | None:
     try:
         with open(max(rounds)[1]) as f:
             data = json.load(f)
-        # the driver wraps our JSON line under "parsed"
-        return data.get("parsed", data)
+        # the driver wraps our JSON line under "parsed"; when that is null
+        # (the line outgrew the driver's capture, so "tail" holds a
+        # TRUNCATED suffix) recover the per-key minimum map and totals by
+        # regex — enough for the min-vs-min regression gate even without
+        # the full document
+        parsed = data.get("parsed", data)
+        if parsed is None and isinstance(data.get("tail"), str):
+            tail = data["tail"]
+            try:
+                return json.loads(tail.strip().splitlines()[-1])
+            except (json.JSONDecodeError, IndexError):
+                pass
+            qmin = re.search(r'"queries_min": (\{[^{}]*\})', tail)
+            mtot = re.search(r'"min_total_sec": ([0-9.]+)', tail)
+            msf = re.search(r'"sf": ([0-9.]+)', tail)
+            if qmin:
+                return {
+                    "queries_min": json.loads(qmin.group(1)),
+                    "value": float(mtot.group(1)) if mtot else None,
+                    "min_total_sec": float(mtot.group(1)) if mtot else None,
+                    "sf": float(msf.group(1)) if msf else None,
+                    "recovered_from_tail": True,
+                }
+        return parsed
     except (OSError, json.JSONDecodeError):
         return None
 
