@@ -1723,9 +1723,13 @@ def _cdc_chunks(docs: DataFrame) -> DataFrame:
     boundaries depend only on LOCAL content — inserting a sentence at the
     front shifts fixed-stride chunks everywhere but re-synchronizes CDC
     chunks at the next content boundary (the FastCDC/rsync principle).
-    Pure column expressions: window hashes via transform+xxhash64, cut
-    positions via filter, chunk extraction via slice."""
+    Pure column expressions: window hashes via transform + a portable
+    md5-prefix hash (engine-reproducible, so the whole chunker carries a
+    DuckDB oracle), cut positions via filter, chunk extraction via slice."""
     w, m = _CDC_W, _CDC_MASK
+    h = "CAST(conv(substring(md5({x}), 1, 12), 16, 10) AS BIGINT)"
+    win_txt = f"concat_ws(' ', slice(toks, i - {w}, {w}))"
+    win_hash = h.format(x=win_txt)
     return (
         docs.withColumn("toks", F.split("text", " "))
         .withColumn("n", F.size("toks"))
@@ -1739,7 +1743,7 @@ def _cdc_chunks(docs: DataFrame) -> DataFrame:
             F.expr(
                 f"IF(n <= {w}, cast(array() as array<int>), "
                 f"filter(transform(sequence({w} + 1, n), "
-                f"  i -> IF(pmod(xxhash64(concat_ws(' ', slice(toks, i - {w}, {w}))), {m}) = 0, "
+                f"  i -> IF(pmod({win_hash}, {m}) = 0, "
                 f"          i - 1, -1)), x -> x > 0))"
             ),
         )
@@ -1760,13 +1764,61 @@ def _cdc_chunks(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "chunk_idx",
-            F.xxhash64("chunk_text").alias("chunk_hash"),
+            F.expr(h.format(x="chunk_text")).alias("chunk_hash"),
             F.size(F.split("chunk_text", " ")).alias("chunk_tokens"),
         )
     )
 
 
-@register("llm_cdc_chunk", oracle=None, section=_SEC)
+# DuckDB twin of the md5-48 token hash (same fold as llm_fingerprint's)
+_CDC_H_SQL = (
+    "list_reduce(list_transform(string_split(substring(md5({x}), 1, 12), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+    " (a, b) -> a * 16 + b)"
+)
+
+_CDC_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE len(string_split(text, ' ')) >= {_CDC_W}
+    ), cuts AS (
+      SELECT doc_id, toks, n,
+             CASE WHEN n <= {_CDC_W} THEN CAST([] AS BIGINT[]) ELSE
+               list_filter(list_transform(generate_series({_CDC_W} + 1, n),
+                 i -> CASE WHEN ({_CDC_H_SQL.format(
+                        x=f"array_to_string(list_slice(toks, i - {_CDC_W}, i - 1), ' ')")})
+                             % {_CDC_MASK} = 0
+                      THEN i - 1 ELSE -1 END), x -> x > 0)
+             END AS cuts
+      FROM t
+    ), bounds AS (
+      SELECT doc_id, toks,
+             list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+                         [CAST(n AS BIGINT)]) AS bounds
+      FROM cuts
+    ), chunks AS (
+      SELECT doc_id,
+             list_filter(list_transform(generate_series(1, len(bounds) - 1),
+               j -> array_to_string(
+                      list_slice(toks, bounds[j] + 1, bounds[j + 1]), ' ')),
+               c -> c <> '') AS chunks
+      FROM bounds
+    ), ex AS (
+      SELECT doc_id,
+             unnest(list_transform(chunks,
+               (c, i) -> struct_pack(idx := i - 1, txt := c))) AS s
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(s.idx AS INTEGER) AS chunk_idx,
+           {_CDC_H_SQL.format(x="s.txt")} AS chunk_hash,
+           CAST(len(string_split(s.txt, ' ')) AS INTEGER) AS chunk_tokens
+    FROM ex
+"""
+
+
+@register("llm_cdc_chunk", oracle=_CDC_ORACLE, section=_SEC)
 def llm_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (the rsync/FastCDC boundary rule applied
     to tokens): chunks end where the trailing 4-token window's hash ≡ 0
@@ -1776,7 +1828,10 @@ def llm_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDC: an edit near the start changes only the chunks it touches.
     tests/test_properties.py pins (a) chunk reconstruction == document
     and (b) re-synchronization: a prefix-shifted copy shares every chunk
-    hash beyond the first boundary after the edit.
+    hash beyond the first boundary after the edit. The boundary and chunk
+    hashes are portable md5-48 prefixes (round 8), so the full chunker —
+    boundary detection, slicing, posexplode — carries a DuckDB hash
+    oracle; promoted from rows-only.
 
     Plan: everything is map-side array arithmetic per document (no
     shuffle until the consumer groups by chunk_hash for dedup); at

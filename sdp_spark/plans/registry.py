@@ -106,8 +106,9 @@ _SWEEP_PRIORITY = (
     "llm_hard_negatives",
     # --- rows-only -> hash promotions (new contracts, re-earn verdicts):
     #     llm_fingerprint (portable md5 Karp-Rabin + list_reduce oracle),
-    #     llm_dedup_simhash (portable md5 64-bit votes + generated oracle) ---
-    "llm_fingerprint", "llm_dedup_simhash",
+    #     llm_dedup_simhash (portable md5 64-bit votes + generated oracle),
+    #     llm_cdc_chunk (portable md5 boundary/chunk hashes + list oracle) ---
+    "llm_fingerprint", "llm_dedup_simhash", "llm_cdc_chunk",
     # --- new round-8 keys ---
     "dq_drift_psi", "ts_changepoint_meanshift", "agg_market_basket",
     "llm_boilerplate_ngrams", "llm_sample_importance",
@@ -141,7 +142,7 @@ _SWEEP_PRIORITY = (
     "win_sliding_median", "win_ewma", "llm_blocklist_filter",
     "subq_correlated_scalar", "filter_row_constructor", "agg_regression",
     "query_forecast_revenue", "join_existence", "fn_try_arith",
-    "fn_week_modes", "llm_cdc_chunk", "fn_mysql_string2", "fn_inet",
+    "fn_week_modes", "fn_mysql_string2", "fn_inet",
     "fn_aes_roundtrip", "join_null_safe", "win_ratio_to_report",
     "stream_approx_distinct", "mm_modality_stats", "llm_pipeline_multimodal",
     "query_outbreak_ears", "join_fuzzy_blocked", "stream_ears_alerts",
