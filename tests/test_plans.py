@@ -604,3 +604,16 @@ def test_winnow_zero_join_single_shuffle(spark, sf_dir):
 def test_boilerplate_join_keyed_not_cartesian(spark, sf_dir):
     plan = _plan(spark, REGISTRY["llm_boilerplate_ngrams"].fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_chunk_no_generator_filter_pushdown(spark, sf_dir):
+    """The chunker's heavy array pipeline must evaluate ONCE, above the
+    parallelizing exchange: an inner posexplode lets Catalyst infer a
+    size(chunks) > 0 filter and push the whole chunk expression below the
+    repartition onto the single scan split (a measured 36x slowdown at
+    sf0.1). posexplode_outer + explicit null filter keeps the scan-side
+    Filter free of the md5 window hashing."""
+    plan = _plan(spark, REGISTRY["llm_cdc_chunk"].fn(spark, sf_dir), "simple")
+    scan_side = plan.split("Exchange")[-1]  # everything below the exchange
+    assert "md5" not in scan_side, "chunk hashing leaked below the exchange"
+    assert "Generate posexplode" in plan
