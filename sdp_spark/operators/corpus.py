@@ -2280,7 +2280,7 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate set is a groupBy(source, digest) with an early HAVING; the
     tag-back join is keyed (source, digest) — co-partitioned with the gram
     explode, never all-pairs."""
-    d = _docs_tokens(spark, sf_dir).filter(F.size("toks") >= _BOILER_K)
+    d = _docs_tokens(spark, sf_dir, wide=True).filter(F.size("toks") >= _BOILER_K)
     grams = d.select(
         "doc_id",
         "source",
@@ -2401,7 +2401,7 @@ def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct, whose input is already ~|doc|/w rows. At 100 TB the selected
     (fp, doc, pos) rows feed a groupBy(fp) to find cross-doc matches —
     postings-sized, never all-pairs."""
-    d = _docs_tokens(spark, sf_dir).filter(
+    d = _docs_tokens(spark, sf_dir, wide=True).filter(
         F.size("toks") >= _WINNOW_K + _WINNOW_W - 1
     )
     gram = f"array_join(slice(toks, i, {_WINNOW_K}), ' ')"

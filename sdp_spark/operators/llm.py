@@ -1384,8 +1384,10 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ANSI-mode overflow-safe). Per-token hash = first 48 bits of md5 —
     engine-portable, so the ordered fold (Spark higher-order aggregate ==
     DuckDB list_reduce; both seed acc with the first pre-modded element)
-    carries a full hash oracle. Promoted from rows-only in round 8."""
-    d = _docs_tokens(spark, sf_dir)
+    carries a full hash oracle. Promoted from rows-only in round 8.
+    Rides wide_table: the per-token md5 fold is heavy per-row map work
+    before any shuffle — a single parquet split would serialize it."""
+    d = _docs_tokens(spark, sf_dir, wide=True)
     p = _FP_P
     th = lambda t: F.pmod(F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint"), p)
 
