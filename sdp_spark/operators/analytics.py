@@ -2087,21 +2087,48 @@ def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     order = [F.col("ts"), F.col("event_id")]
-    w_b = Window.partitionBy("event_type").orderBy(*order).rowsBetween(-_CP_W, -1)
-    w_a = Window.partitionBy("event_type").orderBy(*order).rowsBetween(0, _CP_W - 1)
+    # O(1)-per-row plan: ONE running cumulative DECIMAL sum per moment,
+    # then both 40-row frames fall out as cumsum differences via lag/lead
+    # over the SAME sort — instead of two O(w) sliding frames per row.
+    # DECIMAL sums are exact, so difference-of-cumsums == frame-sum to the
+    # bit, and the DuckDB oracle (which keeps the direct frame form) still
+    # hash-matches. Window parallelism is capped by event_type cardinality
+    # either way; this cuts the per-row constant by ~2w decimal adds.
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_ord = Window.partitionBy("event_type").orderBy(*order)
     v_dec = F.col("value").cast(DEC)
     v2_dec = (F.col("value") * F.col("value")).cast(DEC)
-    framed = e.select(
+    cum = e.select(
         "event_type",
         "ts",
         "event_id",
-        F.sum(v_dec).over(w_b).alias("sum_b"),
-        F.sum(v2_dec).over(w_b).alias("sumsq_b"),
-        F.count(F.lit(1)).over(w_b).alias("n_b"),
-        F.sum(v_dec).over(w_a).alias("sum_a"),
-        F.sum(v2_dec).over(w_a).alias("sumsq_a"),
-        F.count(F.lit(1)).over(w_a).alias("n_a"),
-    ).filter((F.col("n_b") == _CP_W) & (F.col("n_a") == _CP_W))
+        F.sum(v_dec).over(w_run).alias("cs"),
+        F.sum(v2_dec).over(w_run).alias("cs2"),
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("cnt"),
+    )
+    zero = F.lit(0).cast(DEC)
+    prev = F.coalesce(F.lag("cs", 1).over(w_ord), zero)
+    prev_w = F.coalesce(F.lag("cs", _CP_W + 1).over(w_ord), zero)
+    prev2 = F.coalesce(F.lag("cs2", 1).over(w_ord), zero)
+    prev2_w = F.coalesce(F.lag("cs2", _CP_W + 1).over(w_ord), zero)
+    lead_a = F.lead("cs", _CP_W - 1).over(w_ord)
+    lead2_a = F.lead("cs2", _CP_W - 1).over(w_ord)
+    framed = cum.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (prev - prev_w).alias("sum_b"),
+        (prev2 - prev2_w).alias("sumsq_b"),
+        F.lit(_CP_W).alias("n_b"),
+        (lead_a - prev).alias("sum_a"),
+        (lead2_a - prev2).alias("sumsq_a"),
+        F.lit(_CP_W).alias("n_a"),
+    ).filter((F.col("rn") > _CP_W) & (F.col("cnt") - F.col("rn") + 1 >= _CP_W))
     mean_b = F.col("sum_b").cast("double") / F.col("n_b")
     mean_a = F.col("sum_a").cast("double") / F.col("n_a")
     var_b = (

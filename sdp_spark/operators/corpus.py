@@ -2475,7 +2475,7 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-join quadratically; the cap is applied identically on both
     sides and in the denominator, so containment stays well-defined. At
     100 TB shingles shuffle as 64-bit digests, postings-partitioned."""
-    d = _docs_tokens(spark, sf_dir)
+    d = _docs_tokens(spark, sf_dir, wide=True)
     sh = _shingles(d, 3)
     df_w = Window.partitionBy("shingle")
     capped = (
