@@ -2292,3 +2292,130 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "offset_days")
     )
+
+
+@register(
+    "agg_period_growth",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)), '%Y-%m') AS month,
+             {sql_dsum("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           {sql_dround("revenue - LAG(revenue, 1) OVER (ORDER BY month)", 2)} AS mom_delta,
+           {sql_dround(
+               "(revenue - LAG(revenue, 1) OVER (ORDER BY month))"
+               " / LAG(revenue, 1) OVER (ORDER BY month) * 100", 4)} AS mom_pct,
+           {sql_dround(
+               "(revenue - LAG(revenue, 12) OVER (ORDER BY month))"
+               " / LAG(revenue, 12) OVER (ORDER BY month) * 100", 4)} AS yoy_pct
+    FROM monthly
+    ORDER BY month
+    """,
+    section=_SEC,
+)
+def agg_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: monthly revenue with month-over-month
+    delta/percent and year-over-year percent via 1-lag and 12-lag over the
+    month series — the canonical BI trend table (and, for surveillance,
+    the same-period seasonal comparison). NULL for months without a
+    comparison period (the first month / first year), matching SQL LAG
+    semantics on both engines.
+
+    Scale: the month rollup is one partial-agg exchange down to |months|
+    rows; the growth windows then run on metadata-sized input (a global
+    sort of dozens of rows). Revenue is DECIMAL-exact before rounding."""
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    mom = F.col("revenue") - F.lag("revenue", 1).over(w)
+    mom_pct = mom / F.lag("revenue", 1).over(w) * 100
+    yoy_pct = (
+        (F.col("revenue") - F.lag("revenue", 12).over(w))
+        / F.lag("revenue", 12).over(w)
+        * 100
+    )
+    return monthly.select(
+        "month",
+        "revenue",
+        dround(mom, 2).alias("mom_delta"),
+        dround(mom_pct, 4).alias("mom_pct"),
+        dround(yoy_pct, 4).alias("yoy_pct"),
+    ).orderBy("month")
+
+
+@register(
+    "agg_pareto_abc",
+    oracle=f"""
+    WITH part_rev AS (
+      SELECT l_partkey, {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / SUM(revenue) OVER () AS cum_share
+      FROM part_rev
+    ), classed AS (
+      SELECT CASE WHEN cum_share <= 0.5 THEN 'A'
+                  WHEN cum_share <= 0.8 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             revenue
+      FROM ranked
+    )
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {sql_dsum("revenue")} AS class_revenue
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    section=_SEC,
+)
+def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: parts ranked by revenue, classified by
+    cumulative revenue share (A = the head that makes the first 50%,
+    B = to 80%, C = the tail) — the inventory-analytics standard for
+    'which 20% of items carry 80% of value'. Deterministic tie-break on
+    partkey; DECIMAL-exact sums so the cumulative shares are identical
+    across engines.
+
+    Scale: per-part rollup is one hash exchange; the ranked cumulative
+    share is a single-partition window over |parts| rows — at true scale
+    swap it for a two-pass quantile-threshold classification (compute the
+    revenue thresholds from a 3-point percentile of per-part revenue,
+    then classify map-side); the output contract (3 rows) is unchanged."""
+    li = table(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    part_rev = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    w_cum = (
+        Window.orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    ranked = part_rev.select(
+        "revenue",
+        (F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all)).alias(
+            "cum_share"
+        ),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_share") <= 0.5, "A")
+        .when(F.col("cum_share") <= 0.8, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "revenue",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            dsum("revenue").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
