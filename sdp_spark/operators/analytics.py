@@ -2419,3 +2419,46 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+_KANON_K = 5
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH groups AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey, c_mktsegment,
+           CAST(group_size AS BIGINT) AS group_size,
+           group_size < {_KANON_K} AS violates_k
+    FROM groups
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    section=_SEC,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation, market
+    segment): every equivalence class with fewer than k=5 members
+    is a re-identification risk — the check a privacy review runs before a
+    customer table (or a training-data export joined against one) leaves
+    the boundary. Emits every class with its size and violation flag, so
+    the consumer can suppress or generalize the violating rows.
+
+    One hash aggregation to |QI classes| rows — trivially scale-safe; at
+    100 TB the class count, not the row count, bounds the output, and the
+    aggregation is the same one partial-agg exchange as any groupBy."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            "c_mktsegment",
+            F.col("group_size").cast("bigint").alias("group_size"),
+            (F.col("group_size") < _KANON_K).alias("violates_k"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
