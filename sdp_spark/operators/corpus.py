@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sdp_spark.functions.num import DEC, KNUTH, KNUTH_MOD, dround
-from sdp_spark.operators.llm import _docs_tokens, _emb_normed, _hyperplanes, _shingles
+from sdp_spark.operators.llm import (
+    _docs_tokens,
+    _emb_normed,
+    _hyperplanes,
+    _md5_hex_fold_sql,
+    _shingles,
+)
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table, wide_table
 
@@ -2503,4 +2509,76 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common").cast("bigint").alias("n_common"),
             dround(contain, 4).alias("containment"),
         )
+    )
+
+
+_FH_DIMS = 64  # feature-hashing target dimensionality
+
+
+@register(
+    "llm_embed_feature_hash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             {_md5_hex_fold_sql("t", 1, 12)} % {_FH_DIMS} AS dim,
+             CASE WHEN ({_md5_hex_fold_sql("t", 1, 12)} // {_FH_DIMS}) % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM tok
+    ), sparse AS (
+      SELECT doc_id, dim, SUM(sign) AS raw
+      FROM hashed GROUP BY doc_id, dim
+      HAVING SUM(sign) <> 0
+    ), normed AS (
+      SELECT doc_id, dim, raw,
+             sqrt(SUM(CAST(raw * raw AS DOUBLE)) OVER (PARTITION BY doc_id)) AS l2
+      FROM sparse
+    )
+    SELECT doc_id, CAST(dim AS INTEGER) AS dim, CAST(raw AS BIGINT) AS raw,
+           FLOOR(raw / l2 * 1000000 + 0.5) / 1000000 AS weight
+    FROM normed
+    """,
+    section=_SEC,
+)
+def llm_embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (the hashing trick, Weinberger et al.
+    2009 / sklearn HashingVectorizer): each token hashes to one of 64
+    dimensions with a ±1 sign hash (the sign unbiases collisions), per-doc
+    sums are L2-normalized — a deterministic, vocabulary-free document
+    embedding computed entirely inside the engine. The stand-in (and the
+    classical baseline) for the GPU encoder a 100 TB embedding job would
+    plug in at this exact point in the pipeline; downstream ANN/dedup
+    operators consume either.
+
+    Output is SPARSE (doc, dim, weight) rows — only non-zero dims — so the
+    shuffle carries O(nnz), not docs × dims. Per-token hash is the
+    portable md5-48 fold, so the whole vectorizer (bucketing, sign,
+    normalization) carries a DuckDB hash oracle. One explode + one
+    (doc, dim) partial agg + one per-doc window: two exchanges total."""
+    d = _docs_tokens(spark, sf_dir, wide=True)
+    toks = d.select("doc_id", F.explode("toks").alias("t"))
+    h = F.conv(F.substring(F.md5("t"), 1, 12), 16, 10).cast("bigint")
+    hashed = toks.select(
+        "doc_id",
+        F.pmod(h, F.lit(_FH_DIMS)).alias("dim"),
+        F.when(F.pmod(F.floor(h / _FH_DIMS), 2) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    sparse = (
+        hashed.groupBy("doc_id", "dim")
+        .agg(F.sum("sign").alias("raw"))
+        .filter(F.col("raw") != 0)
+    )
+    l2 = F.sqrt(
+        F.sum((F.col("raw") * F.col("raw")).cast("double")).over(
+            Window.partitionBy("doc_id")
+        )
+    )
+    return sparse.select(
+        "doc_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("raw").cast("bigint").alias("raw"),
+        dround(F.col("raw") / l2, 6).alias("weight"),
     )
