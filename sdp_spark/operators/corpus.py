@@ -413,6 +413,48 @@ _EMB_PLANES = 6  # 64 buckets per table
 _EMB_THRESH = 0.4
 
 
+# Exact-duplicate VECTOR cluster map + density gate for the embed-LSH
+# collapse prefix — the embedding twin of the text chain's
+# _cached_clusters/_collapse_dense (llm.py): identical vectors collapse to
+# one representative before bucketing, bounding the bucket self-join by
+# UNIQUE vectors on dup-dense corpora.
+_EMB_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EMB_COLLAPSE_DECISION: dict[tuple[str, str], bool] = {}
+_EMB_COLLAPSE_MIN_DUP_FRAC = 0.05
+
+
+def _emb_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, ck, rep): exact-duplicate vector cluster (hash of the raw
+    double array) and its min-vec_id representative. One shuffle keyed on
+    the 64-bit ck — vectors never shuffle for clustering."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_CLUSTER_CACHE:
+        emb = _emb_normed(spark, sf_dir)
+        clusters = emb.select("vec_id", F.xxhash64("dvec").alias("ck"))
+        _EMB_CLUSTER_CACHE[key] = clusters.withColumn(
+            "rep", F.min("vec_id").over(Window.partitionBy("ck"))
+        ).cache()
+    return _EMB_CLUSTER_CACHE[key]
+
+
+def _emb_collapse_dense(spark: SparkSession, sf_dir: str) -> bool:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_COLLAPSE_DECISION:
+        stats = (
+            _emb_clusters(spark, sf_dir)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("vec_id") != F.col("rep")).cast("long")).alias("dups"),
+            )
+            .first()
+        )
+        _EMB_COLLAPSE_DECISION[key] = (
+            stats["n"] > 0
+            and stats["dups"] / stats["n"] >= _EMB_COLLAPSE_MIN_DUP_FRAC
+        )
+    return _EMB_COLLAPSE_DECISION[key]
+
+
 @register("llm_dedup_embed_lsh", oracle=None, section=_SEC)
 def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: multi-probe random-hyperplane LSH
@@ -423,9 +465,59 @@ def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe fan-out (x7) rides the LEFT side of the self-join only; emitted
     pairs are exact-rescored, so precision is 1.0 by construction and
     tests pin recall against the brute-force pair set (rows-only oracle:
-    bucketing is sign-pattern-dependent, not SQL-expressible sanely)."""
-    planes = _hyperplanes(_EMB_TABLES * _EMB_PLANES)
+    bucketing is sign-pattern-dependent, not SQL-expressible sanely).
+
+    Adaptive exact-collapse prefix (round 8, mirroring the text near-dup
+    chain): when >= 5% of vectors are exact duplicates, identical vectors
+    collapse to one representative before bucketing, the LSH+verify runs
+    over UNIQUE vectors, and rep-level pairs re-expand to member pairs
+    (same cosine — the vectors are identical) plus within-cluster pairs at
+    cos 1.0. On the 90%-dup 10x fixture the uncollapsed bucket join emits
+    O(copies²) candidates per bucket (it spilled out of disk before the
+    id-only-candidates fix, and costs ~54 s after it); the collapse bounds
+    it by unique vectors. Equality of the two branches is pytest-pinned
+    (test_embed_lsh_collapse_equals_uncollapsed)."""
+    if _emb_collapse_dense(spark, sf_dir):
+        return _embed_lsh_collapsed(spark, sf_dir)
+    return _embed_lsh_pairs(_emb_normed(spark, sf_dir))
+
+
+def _embed_lsh_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse branch: LSH over exact-dup representatives, then expand
+    rep pairs to member pairs and add within-cluster pairs at cos 1.0.
+    Callable directly so the equality test can force it below the gate."""
+    members = _emb_clusters(spark, sf_dir)
+    rep_ids = members.filter(F.col("vec_id") == F.col("rep")).select("vec_id")
     emb = _emb_normed(spark, sf_dir)
+    rep_pairs = _embed_lsh_pairs(emb.join(rep_ids, "vec_id"))
+    ma = members.select(F.col("rep").alias("vec_a"), F.col("vec_id").alias("m_a"))
+    mb = members.select(F.col("rep").alias("vec_b"), F.col("vec_id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "vec_a")
+        .join(mb, "vec_b")
+        .select(
+            F.least("m_a", "m_b").alias("vec_a"),
+            F.greatest("m_a", "m_b").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+    within = (
+        members.alias("x")
+        .join(members.alias("y"), F.col("x.ck") == F.col("y.ck"))
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.lit(1.0).alias("cos_sim"),
+        )
+    )
+    return cross.unionAll(within)
+
+
+def _embed_lsh_pairs(emb: DataFrame) -> DataFrame:
+    """The LSH bucket → id-pair candidates → exact-rescore core, over any
+    (vec_id, dvec, norm) frame."""
+    planes = _hyperplanes(_EMB_TABLES * _EMB_PLANES)
     buckets = []
     for t in range(_EMB_TABLES):
         bucket = F.lit(0)
@@ -444,25 +536,37 @@ def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bkt"),
         *[F.col("bkt").bitwiseXOR(F.lit(2**i)) for i in range(_EMB_PLANES)],
     )
+    # Candidate generation on BARE IDS: the (tbl, bkt) self-join and the
+    # pair-dedup shuffle carry 16-byte id pairs, not the 64-dim vectors —
+    # a pair can surface up to tables x (probes+1) times, and on a
+    # dup-dense corpus buckets are packed, so dragging ~1 KB of vector
+    # payload through that multiset was the spill that killed the 10x
+    # fixture run (SPILL_OUT_OF_MEMORY). Vectors re-join by id only for
+    # the exact rescore of the DEDUPED candidates.
     left = hashed.select(
+        F.col("vec_id").alias("vec_a"), "tbl", F.explode(probes).alias("bkt")
+    )
+    right = hashed.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
+    cand = (
+        left.join(right, ["tbl", "bkt"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("dvec").alias("va"),
         F.col("norm").alias("na"),
-        "tbl",
-        F.explode(probes).alias("bkt"),
     )
-    right = hashed.select(
+    vb = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("dvec").alias("vb"),
         F.col("norm").alias("nb"),
-        "tbl",
-        "bkt",
     )
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     return (
-        left.join(right, ["tbl", "bkt"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .withColumn("cos", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= _EMB_THRESH)
         .select("vec_a", "vec_b", dround(F.col("cos"), 4).alias("cos_sim"))

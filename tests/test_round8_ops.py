@@ -219,3 +219,24 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
         assert abs(macro[m] - sum(per_q) / len(per_q)) < 1e-3
     assert macro["lsh"] >= 0.8
     assert macro["ivf"] >= 0.6
+
+
+def test_embed_lsh_collapse_equals_uncollapsed(spark, sf_dir):
+    """The embed-LSH exact-collapse prefix must be output-invisible: on the
+    (below-gate) fixture, forcing the collapse branch yields exactly the
+    uncollapsed pair set — same pairs, same rounded cosines."""
+    from sdp_spark.operators.corpus import (
+        _embed_lsh_collapsed,
+        _embed_lsh_pairs,
+    )
+    from sdp_spark.operators.llm import _emb_normed
+
+    plain = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in _embed_lsh_pairs(_emb_normed(spark, sf_dir)).collect()
+    }
+    collapsed = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in _embed_lsh_collapsed(spark, sf_dir).collect()
+    }
+    assert plain == collapsed and len(plain) > 0
