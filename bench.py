@@ -85,6 +85,9 @@ EXTRA = [
     "llm_boilerplate_ngrams",       # cross-doc shared-gram detection (r8)
     "ts_changepoint_meanshift",     # two-frame mean-shift z detector (r8)
     "stream_drift_psi",             # live PSI drift monitor (r8)
+    "llm_dedup_containment",        # df-capped asymmetric containment (r8)
+    "llm_embed_feature_hash",       # hashing-trick sparse vectorizer (r8)
+    "llm_cdc_chunk",                # CDC chunker, post-pushdown-fix (r8)
 ]
 
 
