@@ -2695,3 +2695,99 @@ def llm_embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("raw").cast("bigint").alias("raw"),
         dround(F.col("raw") / l2, 6).alias("weight"),
     )
+
+
+# Deterministic "trained" weights for the linear quality classifier: one
+# weight per feature-hash dimension, derived from the Knuth hash so both
+# engines materialize the identical literal vector. Stands in for the
+# coefficients a real fasttext/logistic quality model would ship; the
+# serving plan (sparse-feature dot product + sigmoid) is the production
+# shape either way.
+_QCLF_W = [((d * KNUTH) % 1000) / 1000.0 - 0.5 for d in range(_FH_DIMS)]
+_QCLF_BIAS = 0.1
+_QCLF_THRESH = 0.5
+
+
+@register(
+    "llm_quality_classifier_linear",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             {_md5_hex_fold_sql("t", 1, 12)} % {_FH_DIMS} AS dim,
+             CASE WHEN ({_md5_hex_fold_sql("t", 1, 12)} // {_FH_DIMS}) % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM tok
+    ), sparse AS (
+      SELECT doc_id, dim, SUM(sign) AS raw
+      FROM hashed GROUP BY doc_id, dim
+      HAVING SUM(sign) <> 0
+    ), normed AS (
+      SELECT doc_id, dim,
+             raw / sqrt(SUM(CAST(raw * raw AS DOUBLE)) OVER (PARTITION BY doc_id))
+               AS weight
+      FROM sparse
+    ), scored AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-({_QCLF_BIAS} + SUM(weight *
+               CASE dim {" ".join(f"WHEN {d} THEN {w!r}" for d, w in enumerate(_QCLF_W))} END))))
+               AS score
+      FROM normed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           FLOOR(score * 1000000 + 0.5) / 1000000 AS score,
+           score >= {_QCLF_THRESH} AS keep
+    FROM scored
+    """,
+    section=_SEC,
+)
+def llm_quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the fasttext/logistic pattern the
+    big-corpus builds use (score every document with a trained linear
+    classifier over hashed features; keep above threshold): sigmoid(b +
+    w·x) over the L2-normalized feature-hash vector, weights shipped as a
+    64-literal broadcast expression. The deterministic stand-in for a real
+    model's coefficients — swapping in trained weights changes ONE literal
+    list, not the plan.
+
+    Serving plan: reuses the feature-hash vectorizer's sparse rows; the
+    dot product is a per-(doc, dim) multiply against a CASE-literal weight
+    lookup folded into the same (doc) aggregation — zero extra shuffles
+    beyond the vectorizer's own two, no weight table to join. At 100 TB
+    weights stay a codegen literal (64 floats) regardless of corpus
+    size."""
+    d = _docs_tokens(spark, sf_dir, wide=True)
+    toks = d.select("doc_id", F.explode("toks").alias("t"))
+    h = F.conv(F.substring(F.md5("t"), 1, 12), 16, 10).cast("bigint")
+    hashed = toks.select(
+        "doc_id",
+        F.pmod(h, F.lit(_FH_DIMS)).alias("dim"),
+        F.when(F.pmod(F.floor(h / _FH_DIMS), 2) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    sparse = (
+        hashed.groupBy("doc_id", "dim")
+        .agg(F.sum("sign").alias("raw"))
+        .filter(F.col("raw") != 0)
+    )
+    l2 = F.sqrt(
+        F.sum((F.col("raw") * F.col("raw")).cast("double")).over(
+            Window.partitionBy("doc_id")
+        )
+    )
+    w_expr = F.coalesce(
+        *[F.when(F.col("dim") == d_, F.lit(w)) for d_, w in enumerate(_QCLF_W)]
+    )
+    contrib = (F.col("raw") / l2) * w_expr
+    scored = (
+        sparse.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg((1.0 / (1.0 + F.exp(-(F.lit(_QCLF_BIAS) + F.sum("c"))))).alias("score"))
+    )
+    return scored.select(
+        "doc_id",
+        dround(F.col("score"), 6).alias("score"),
+        (F.col("score") >= _QCLF_THRESH).alias("keep"),
+    )
