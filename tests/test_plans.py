@@ -617,3 +617,23 @@ def test_cdc_chunk_no_generator_filter_pushdown(spark, sf_dir):
     scan_side = plan.split("Exchange")[-1]  # everything below the exchange
     assert "md5" not in scan_side, "chunk hashing leaked below the exchange"
     assert "Generate posexplode" in plan
+
+
+def test_feature_hash_two_exchanges_no_join(spark, sf_dir):
+    """The hashing-trick vectorizer is explode + one (doc, dim) partial
+    agg + one per-doc window: exactly two hash exchanges beyond the
+    wide_table repartition, no join, no Python."""
+    plan = _plan(spark, REGISTRY["llm_embed_feature_hash"].fn(spark, sf_dir), "simple")
+    assert "Join" not in plan and "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_quality_classifier_weights_are_literals(spark, sf_dir):
+    """The classifier's weights must fold into the aggregation as codegen
+    literals — no weight-table join, no extra shuffle beyond the
+    vectorizer's own two."""
+    plan = _plan(
+        spark, REGISTRY["llm_quality_classifier_linear"].fn(spark, sf_dir), "simple"
+    )
+    assert "Join" not in plan and "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
