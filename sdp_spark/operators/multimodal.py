@@ -383,3 +383,87 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dup"),
         F.sum(F.length(payload)).cast("bigint").alias("total_bytes"),
     )
+
+
+_PCDC_MIN = 16   # min chunk bytes (boundary test suppressed below this)
+_PCDC_MAX = 128  # max chunk bytes (forced cut)
+_PCDC_MASK = 31  # boundary when gear-hash & 31 == 0 -> ~32-byte chunks
+
+_PCDC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("chunk_hash", T.LongType()),
+        T.StructField("chunk_len", T.IntegerType()),
+    ]
+)
+
+
+@register("mm_payload_cdc", oracle=None, section=_SEC)
+def mm_payload_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level content-defined chunking over BINARY payloads (the
+    FastCDC/gear-hash shape storage and transfer dedup uses): a rolling
+    gear hash over the payload bytes cuts chunks at content-determined
+    boundaries (min {min}B / target ~32B / max {max}B), emitting
+    (doc_id, chunk_idx, chunk_hash, chunk_len) — the index a partial-dup
+    detector (shared-chunk join) or a delta-transfer layer builds on.
+    The byte-level complement of `llm_cdc_chunk`'s token windows: robust
+    to whitespace/encoding edits tokens can't see, and applicable to any
+    modality's payload, not just text.
+
+    Per-byte rolling state is inherently sequential per document, so this
+    is the prompt's sanctioned Pandas-UDF path: an Arrow-batched
+    mapInPandas over (doc_id, payload) with all helpers nested (pickled
+    by value — workers may not have the repo importable). Each input row
+    is independent, so the operator scales embarrassingly with
+    partitions; the shuffle-facing output carries 8-byte chunk hashes,
+    never payload bytes. rows-only oracle (DuckDB cannot fold over BLOB
+    bytes); tests pin length reconstruction, determinism, and the
+    re-synchronization property on a prefix-edited copy.""".format(
+        min=_PCDC_MIN, max=_PCDC_MAX
+    )
+    from sdp_spark.sources.fixtures import wide_table
+
+    d = wide_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    min_len, max_len, mask = _PCDC_MIN, _PCDC_MAX, _PCDC_MASK
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        # deterministic 256-entry gear table (Knuth multiplicative hash of
+        # the byte value) — identical on every worker/run/engine
+        gear = [(b * 2654435761) % (1 << 31) for b in range(256)]
+
+        def h64(chunk: bytes) -> int:
+            return int.from_bytes(hashlib.md5(chunk).digest()[:8], "big") - (1 << 63)
+
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "chunk_hash": [], "chunk_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                h = 0
+                start = 0
+                idx = 0
+                for i, byte in enumerate(b):
+                    h = ((h << 1) + gear[byte]) & 0xFFFFFFFF
+                    ln = i - start + 1
+                    if (ln >= min_len and (h & mask) == 0) or ln >= max_len:
+                        chunk = b[start : i + 1]
+                        out["doc_id"].append(int(doc_id))
+                        out["chunk_idx"].append(idx)
+                        out["chunk_hash"].append(h64(chunk))
+                        out["chunk_len"].append(ln)
+                        idx += 1
+                        start = i + 1
+                        h = 0
+                if start < len(b):
+                    chunk = b[start:]
+                    out["doc_id"].append(int(doc_id))
+                    out["chunk_idx"].append(idx)
+                    out["chunk_hash"].append(h64(chunk))
+                    out["chunk_len"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(chunk_batches, _PCDC_SCHEMA)

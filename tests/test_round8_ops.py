@@ -240,3 +240,44 @@ def test_embed_lsh_collapse_equals_uncollapsed(spark, sf_dir):
         for r in _embed_lsh_collapsed(spark, sf_dir).collect()
     }
     assert plain == collapsed and len(plain) > 0
+
+
+def test_payload_cdc_reconstruction_and_resync(spark, sf_dir, tmp_path):
+    """mm_payload_cdc: (a) chunk lengths reconstruct every payload exactly;
+    (b) determinism; (c) re-synchronization — a payload with an edited
+    PREFIX shares every chunk hash from the first boundary after the edit
+    (the delta-transfer property fixed-stride chunking lacks)."""
+    from sdp_spark.sources.fixtures import table
+
+    rows = REGISTRY["mm_payload_cdc"].fn(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: len(r["text"].encode())
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert set(by_doc) == {d for d, n in docs.items() if n > 0}
+    for doc_id, chunks in by_doc.items():
+        assert sum(c["chunk_len"] for c in chunks) == docs[doc_id]
+        assert sorted(c["chunk_idx"] for c in chunks) == list(range(len(chunks)))
+
+    again = REGISTRY["mm_payload_cdc"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # resync: same tail, different prefix -> shared chunk-hash suffix
+    base = " ".join(f"tok{i}" for i in range(120))
+    edited = "XXXX YYYY " + base
+    sf = _write_docs(spark, tmp_path, [base, edited])
+    out = REGISTRY["mm_payload_cdc"].fn(spark, sf).collect()
+    h1 = [r["chunk_hash"] for r in sorted(
+        (r for r in out if r["doc_id"] == 1), key=lambda r: r["chunk_idx"])]
+    h2 = [r["chunk_hash"] for r in sorted(
+        (r for r in out if r["doc_id"] == 2), key=lambda r: r["chunk_idx"])]
+    shared_tail = 0
+    while (shared_tail < min(len(h1), len(h2))
+           and h1[-1 - shared_tail] == h2[-1 - shared_tail]):
+        shared_tail += 1
+    assert shared_tail >= max(1, len(h1) - 3), (
+        f"prefix edit must re-sync: tail overlap {shared_tail} of {len(h1)}"
+    )
