@@ -89,3 +89,19 @@ def test_sweep_priority_matches_registry():
     recerts = {"dq_benford", "llm_curriculum_order", "llm_quality_score",
                "llm_hard_negatives"}
     assert recerts <= set(ordered[:4]), "re-cert keys must lead the sweep"
+
+
+def test_catalog_in_sync():
+    """docs/CATALOG.md is generated from the registry (tools/gen_catalog.py)
+    and must match it exactly — a stale catalog misleads exactly the user
+    the repo exists for."""
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    sys.path.insert(0, str(root / "tools"))
+    import gen_catalog
+
+    expected = gen_catalog.render()
+    actual = (root / "docs" / "CATALOG.md").read_text()
+    assert actual == expected, "stale docs/CATALOG.md — rerun tools/gen_catalog.py"
