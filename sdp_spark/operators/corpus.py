@@ -2791,3 +2791,78 @@ def llm_quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         dround(F.col("score"), 6).alias("score"),
         (F.col("score") >= _QCLF_THRESH).alias("keep"),
     )
+
+
+@register(
+    "llm_corpus_diff",
+    oracle="""
+    WITH bounds AS (
+      SELECT MAX(doc_id) AS mx FROM documents
+    ), snap_a AS (
+      SELECT doc_id, source, md5(text) AS h
+      FROM documents, bounds WHERE doc_id <= mx * 3 / 4
+    ), snap_b AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END) AS h
+      FROM documents, bounds WHERE doc_id > mx / 4
+    ), joined AS (
+      SELECT COALESCE(a.source, b.source) AS source,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.h <> b.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+    )
+    SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM joined GROUP BY source, status
+    ORDER BY source, status
+    """,
+    section=_SEC,
+)
+def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the release-notes table every dataset version
+    bump publishes: per source, how many documents were added, removed,
+    changed (same id, different content hash), or unchanged between two
+    snapshots. Snapshots here are overlapping id-range slices of the
+    fixture (with a deterministic in-place edit on every 7th doc so the
+    'changed' class is exercised); a real deployment passes two real
+    snapshot frames to the same plan.
+
+    Plan: one FULL OUTER JOIN on doc_id between the two snapshots'
+    (id, source, content-hash) projections — the join carries 16-byte
+    hashes, never text — then a tiny (source, status) rollup. At 100 TB
+    both sides prune to the id/hash projection at the scan and the join
+    is the only data-sized exchange."""
+    d = table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id")).first()[0]
+    snap_a = d.filter(F.col("doc_id") <= mx * 3 // 4).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    snap_b = d.filter(F.col("doc_id") > mx // 4).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0, F.reverse("text")).otherwise(
+                F.col("text")
+            )
+        ).alias("h"),
+    )
+    a = snap_a.select(
+        F.col("doc_id").alias("aid"), F.col("source").alias("asrc"), F.col("h").alias("ah")
+    )
+    b = snap_b.select(
+        F.col("doc_id").alias("bid"), F.col("source").alias("bsrc"), F.col("h").alias("bh")
+    )
+    joined = a.join(b, a.aid == b.bid, "full_outer").select(
+        F.coalesce("asrc", "bsrc").alias("source"),
+        F.when(F.col("aid").isNull(), "added")
+        .when(F.col("bid").isNull(), "removed")
+        .when(F.col("ah") != F.col("bh"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        joined.groupBy("source", "status")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("source", "status")
+    )

@@ -116,7 +116,7 @@ _SWEEP_PRIORITY = (
     "llm_dedup_containment", "agg_retention_cohort", "llm_ann_recall_eval",
     "agg_period_growth", "agg_pareto_abc", "dq_k_anonymity",
     "llm_embed_feature_hash", "llm_quality_classifier_linear",
-    "mm_payload_cdc",
+    "mm_payload_cdc", "llm_corpus_diff",
     # --- r7 promotions the r7 sweep budget did NOT reach (their oracles
     #     are new contracts, still without a driver hash verdict): the
     #     remaining watermark-emission pair, the outer-join eviction, the
