@@ -88,6 +88,9 @@ EXTRA = [
     "llm_dedup_containment",        # df-capped asymmetric containment (r8)
     "llm_embed_feature_hash",       # hashing-trick sparse vectorizer (r8)
     "llm_cdc_chunk",                # CDC chunker, post-pushdown-fix (r8)
+    "graph_common_neighbors",       # neighbor-set Jaccard co-occurrence (r8)
+    "agg_rfm_segmentation",         # triple-NTILE behavioral quintiles (r8)
+    "query_outbreak_histlimits",    # CDC historical-limits detector (r8)
 ]
 
 

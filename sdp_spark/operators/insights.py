@@ -1,0 +1,805 @@
+"""Insight analytics — round-8 batch 19: surveillance baselines, time-series
+diagnostics, behavioral segmentation, categorical statistics, declarative
+data-quality expectations, and graph node similarity.
+
+Capability rationale (reference = CDCgov/SDP, an OpenShift/Ansible IaC
+deployment of a MySQL-backed surveillance platform — SURVEY.md §0): the
+platform's job is public-health surveillance analytics over an event
+stream plus star-schema context tables. This module adds the remaining
+classical surveillance/BI layers a MySQL analyst would hand-write:
+
+- `query_outbreak_histlimits` — CDC's *historical limits* aberration
+  method (the third classical detector beside EARS C2
+  `analytics.py:query_outbreak_ears` and CUSUM
+  `analytics.py:query_outbreak_cusum`): today's count vs mean+2σ of the
+  SAME-WEEKDAY baseline from prior weeks, i.e. a seasonal baseline where
+  EARS uses a moving one.
+- `ts_autocorr` / `ts_decompose_seasonal` — the series diagnostics run
+  before choosing any detector (how periodic is the signal; what is the
+  trend/weekday-season/residual split).
+- `ts_max_drawdown` — running peak-to-trough of a cumulative measure.
+- `agg_rfm_segmentation` / `agg_chi2_independence` — behavioral quintile
+  segmentation and the χ² contingency audit between categoricals.
+- `dq_expectations_suite` — a Great-Expectations-style declarative
+  expectation pass (not-null / unique / in-set / range / regex) evaluated
+  in ONE aggregate over the table.
+- `graph_common_neighbors` — neighbor-set Jaccard similarity over the
+  trade graph (`graphs.py:_trade_edges`).
+- `sample_hash_group` — deterministic per-group top-k sampling by
+  portable hash order (the reproducible substitute for reservoir
+  sampling at cluster scale).
+
+Cross-engine determinism: every score is derived from EXACT integer or
+DECIMAL window/group sums and divided/rounded once at the end
+(`num.py` dround convention), so Spark and DuckDB emit bit-identical
+doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sdp_spark.functions.num import DEC, dround, dsum, sql_dround, sql_dsum
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import table
+
+_SEC = "2.16 insight analytics"
+
+# Shared daily-count CTE (same shape as analytics.py EARS_SCORED_SQL's
+# `daily`): one (type, day) partial+final count collapses the event
+# stream to metadata scale before any window work. dow is a portable
+# epoch-day mod-7 (Spark dayofweek is 1=Sun..7, DuckDB's is 0=Sun..6 —
+# the mod avoids both).
+_DAILY_SQL = """
+    SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+_HL_Z = 2.0
+_HL_MIN_BASE = 3
+
+
+@register(
+    "query_outbreak_histlimits",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    keyed AS (
+      SELECT event_type, day, n,
+             date_diff('day', DATE '1970-01-01', day) % 7 AS dow
+      FROM daily
+    ), based AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER w AS sum_b,
+             SUM(n * n) OVER w AS sumsq_b,
+             COUNT(*) OVER w AS n_base
+      FROM keyed
+      WINDOW w AS (PARTITION BY event_type, dow ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), stats AS (
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, n,
+             CAST(n_base AS BIGINT) AS n_base,
+             CAST(sum_b AS DOUBLE) / n_base AS mu,
+             (CAST(sumsq_b AS DOUBLE)
+              - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE) / n_base)
+               / (n_base - 1) AS var
+      FROM based WHERE n_base >= {_HL_MIN_BASE}
+    )
+    SELECT event_type, day_s, n, n_base,
+           {sql_dround("(n - mu) / sqrt(var)", 4)} AS hl_score,
+           {sql_dround("(n - mu) / sqrt(var)", 4)} > {_HL_Z} AS alert
+    FROM stats WHERE var > 0
+    ORDER BY event_type, day_s
+    """,
+    section=_SEC,
+)
+def query_outbreak_histlimits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC *historical limits* aberration detection: each day's event count
+    is z-scored against the mean/sd of the SAME WEEKDAY over all prior
+    weeks (a seasonal baseline, vs EARS C2's moving 7-day one — the
+    published method compares against comparable historical periods so a
+    weekly cycle never masquerades as an outbreak). Requires >= 3 baseline
+    points and nonzero variance; alerts above 2σ.
+
+    Determinism: baseline moments are exact BIGINT window sums (counts and
+    squared counts); mean/var/z are derived from them with the identical
+    IEEE expression on both engines and rounded once (`dround`).
+
+    Scale: the (type, day) rollup is the only event-scale exchange; the
+    seasonal window then partitions by (type, dow) over metadata-sized
+    input with O(1) running-sum state per row. Exactly the EARS plan with
+    a different partition key."""
+    keyed = _daily(spark, sf_dir).withColumn(
+        "dow", F.datediff("day", F.lit("1970-01-01").cast("date")) % 7
+    )
+    w = (
+        Window.partitionBy("event_type", "dow")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    based = keyed.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("sum_b"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sumsq_b"),
+        F.count("*").over(w).alias("n_base"),
+    ).filter(F.col("n_base") >= _HL_MIN_BASE)
+    mu = F.col("sum_b").cast("double") / F.col("n_base")
+    var = (
+        F.col("sumsq_b").cast("double")
+        - F.col("sum_b").cast("double") * F.col("sum_b").cast("double") / F.col("n_base")
+    ) / (F.col("n_base") - 1)
+    z = dround((F.col("n") - mu) / F.sqrt(var), 4)
+    return (
+        based.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            "n",
+            F.col("n_base").cast("bigint").alias("n_base"),
+            var.alias("var"),
+            z.alias("hl_score"),
+            (z > _HL_Z).alias("alert"),
+        )
+        .filter(F.col("var") > 0)
+        .drop("var")
+        .orderBy("event_type", "day_s")
+    )
+
+
+_ACF_MAX_LAG = 7
+_ACF_MIN_PAIRS = 10
+
+
+@register(
+    "ts_autocorr",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    pairs AS (
+      SELECT a.event_type,
+             date_diff('day', b.day, a.day) AS lag,
+             a.n AS x, b.n AS y
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type
+       AND date_diff('day', b.day, a.day) BETWEEN 1 AND {_ACF_MAX_LAG}
+    ), moments AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
+           {sql_dround(
+               "CAST(n_pairs * sxy - sx * sy AS DOUBLE)"
+               " / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)"
+               "        * CAST(n_pairs * syy - sy * sy AS DOUBLE))", 4)} AS acf
+    FROM moments
+    WHERE n_pairs >= {_ACF_MIN_PAIRS}
+      AND (n_pairs * sxx - sx * sx) > 0 AND (n_pairs * syy - sy * sy) > 0
+    ORDER BY event_type, lag
+    """,
+    section=_SEC,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..7 per event type — the periodicity diagnostic run before choosing
+    a surveillance baseline (a spike at lag 7 says "use the weekday
+    baseline of `query_outbreak_histlimits`, not EARS' moving window").
+    Pearson r between (n_t, n_{{t-lag}}) over calendar-aligned day pairs.
+
+    Determinism: all five moments are exact BIGINT sums over integer
+    counts; the r quotient casts the two variance factors to double
+    BEFORE multiplying (their product can exceed int64 at scale while
+    each factor cannot), so both engines evaluate the identical IEEE
+    expression.
+
+    Scale: the self-join runs on the metadata-sized daily rollup (|days|
+    rows per type), not on events; per (type, lag) the moment agg is one
+    partial+final exchange. At 100 TB the daily rollup IS the reduction."""
+    daily = _daily(spark, sf_dir)
+    a = daily.alias("a")
+    b = daily.alias("b")
+    lag = F.datediff(F.col("a.day"), F.col("b.day"))
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & lag.between(1, _ACF_MAX_LAG),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        lag.alias("lag"),
+        F.col("a.n").alias("x"),
+        F.col("b.n").alias("y"),
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    var_x = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    acf = dround(num / F.sqrt(var_x.cast("double") * var_y.cast("double")), 4)
+    return (
+        m.filter(
+            (F.col("n_pairs") >= _ACF_MIN_PAIRS) & (var_x > 0) & (var_y > 0)
+        )
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            acf.alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+@register(
+    "ts_decompose_seasonal",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    keyed AS (
+      SELECT event_type, day, n,
+             date_diff('day', DATE '1970-01-01', day) % 7 AS dow
+      FROM daily
+    ), trended AS (
+      SELECT event_type, day, dow, n,
+             SUM(n) OVER w AS sum7, COUNT(*) OVER w AS cnt7
+      FROM keyed
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), detrended AS (
+      SELECT event_type, day, dow, n, sum7,
+             7 * n - sum7 AS detr7
+      FROM trended WHERE cnt7 = 7
+    ), seasonal AS (
+      SELECT event_type, day, n, sum7, detr7,
+             SUM(detr7) OVER (PARTITION BY event_type, dow) AS s_detr7,
+             COUNT(*) OVER (PARTITION BY event_type, dow) AS cnt_d
+      FROM detrended
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, n,
+           {sql_dround("CAST(sum7 AS DOUBLE) / 7.0", 4)} AS trend,
+           {sql_dround("CAST(s_detr7 AS DOUBLE) / (7.0 * cnt_d)", 4)} AS seasonal,
+           {sql_dround(
+               "CAST(detr7 * cnt_d - s_detr7 AS DOUBLE) / (7.0 * cnt_d)", 4)}
+             AS residual
+    FROM seasonal
+    ORDER BY event_type, day_s
+    """,
+    section=_SEC,
+)
+def ts_decompose_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily series: trend =
+    centered 7-day moving average; weekday seasonal = mean detrended
+    value per (type, weekday); residual = observation - trend - seasonal
+    — the STL-lite every surveillance/BI series gets before anomaly
+    thresholds are set on the residual.
+
+    Determinism trick: the detrended value n - sum7/7 is irrational in
+    binary, so summing it across engines would drift. Instead the
+    integer `detr7 = 7n - sum7` is carried EXACTLY through the seasonal
+    group sums, and each output is a single integer-ratio division
+    rounded once: trend = sum7/7, seasonal = Σdetr7/(7·cnt),
+    residual = (detr7·cnt - Σdetr7)/(7·cnt).
+
+    Scale: one event-scale rollup, then two windows over the daily frame
+    — the first a 7-row moving frame per type, the second a whole-
+    partition sum over (type, weekday); both metadata-sized."""
+    keyed = _daily(spark, sf_dir).withColumn(
+        "dow", F.datediff("day", F.lit("1970-01-01").cast("date")) % 7
+    )
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    trended = keyed.select(
+        "event_type",
+        "day",
+        "dow",
+        "n",
+        F.sum("n").over(w7).alias("sum7"),
+        F.count("*").over(w7).alias("cnt7"),
+    ).filter(F.col("cnt7") == 7)
+    detrended = trended.withColumn("detr7", F.lit(7) * F.col("n") - F.col("sum7"))
+    wd = Window.partitionBy("event_type", "dow")
+    seasonal = detrended.select(
+        "event_type",
+        "day",
+        "n",
+        "sum7",
+        "detr7",
+        F.sum("detr7").over(wd).alias("s_detr7"),
+        F.count("*").over(wd).alias("cnt_d"),
+    )
+    return seasonal.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "n",
+        dround(F.col("sum7").cast("double") / 7.0, 4).alias("trend"),
+        dround(F.col("s_detr7").cast("double") / (7.0 * F.col("cnt_d")), 4).alias(
+            "seasonal"
+        ),
+        dround(
+            (F.col("detr7") * F.col("cnt_d") - F.col("s_detr7")).cast("double")
+            / (7.0 * F.col("cnt_d")),
+            4,
+        ).alias("residual"),
+    ).orderBy("event_type", "day_s")
+
+
+@register(
+    "ts_max_drawdown",
+    oracle=f"""
+    WITH curve AS (
+      SELECT event_type, ts, event_id, value,
+             SUM(CAST(value AS DECIMAL(30,8))) OVER w AS equity
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), peaked AS (
+      SELECT event_type, value, equity,
+             MAX(equity) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM curve
+    )
+    SELECT event_type,
+           CAST(ROUND(MAX(peak - equity), 2) AS DOUBLE) AS max_drawdown,
+           CAST(ROUND(MAX(peak), 2) AS DOUBLE) AS peak_equity,
+           {sql_dsum("value")} AS final_equity,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM peaked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    section=_SEC,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative value curve per event type:
+    running equity = exact-decimal cumulative sum of `value` in (ts,
+    event_id) order; running peak = cumulative max of equity; drawdown =
+    peak - equity; report the per-type maximum — the peak-to-trough risk
+    statistic, and for surveillance the deepest sustained dip of a
+    cumulative measure.
+
+    Determinism: the entire curve lives in DECIMAL(30,8) — cumulative
+    sums over a uniquely-ordered frame are exact and order-independent,
+    and MAX of exact decimals is exact; the single rounding happens at
+    output.
+
+    Scale: one hash partition + sort per event_type; both windows share
+    the same sort order (one exchange, O(1) running state per row); the
+    final agg collapses to |types| rows."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.sum(F.col("value").cast(DEC)).over(w).alias("equity"),
+    )
+    peaked = curve.withColumn("peak", F.max("equity").over(w))
+    return (
+        peaked.groupBy("event_type")
+        .agg(
+            F.round(F.max(F.col("peak") - F.col("equity")), 2)
+            .cast("double")
+            .alias("max_drawdown"),
+            F.round(F.max("peak"), 2).cast("double").alias("peak_equity"),
+            dsum("value").alias("final_equity"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_rfm_segmentation",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS mon_dec
+      FROM orders GROUP BY o_custkey
+    ), rec AS (
+      -- recency staged in its own CTE: a window expression may not appear
+      -- inside another window's ORDER BY (DuckDB parser rule — the same
+      -- trap ADVICE r7 flagged on llm_curriculum_order)
+      SELECT o_custkey,
+             CAST(date_diff('day', last_day, MAX(last_day) OVER ()) AS INTEGER)
+               AS recency_days,
+             frequency, mon_dec
+      FROM cust
+    ), scored AS (
+      SELECT o_custkey, recency_days, frequency, mon_dec,
+             CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                  AS INTEGER) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS INTEGER)
+               AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY mon_dec, o_custkey) AS INTEGER)
+               AS m_score
+      FROM rec
+    )
+    SELECT o_custkey, recency_days, frequency,
+           CAST(ROUND(mon_dec, 2) AS DOUBLE) AS monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    ORDER BY o_custkey
+    """,
+    section=_SEC,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last order,
+    relative to the dataset's latest order date), Frequency (order
+    count), Monetary (exact-decimal spend), each quintile-scored with
+    NTILE(5) (5 = best: most recent / most frequent / highest spend) and
+    concatenated into the classic '555' segment code — the behavioral
+    segmentation every CRM/BI deployment of the reference's MySQL engine
+    hand-writes.
+
+    Determinism: quintile boundaries depend on sort order, so every
+    NTILE orders by (metric, custkey) — a total order; Monetary sorts on
+    the EXACT decimal sum, never the rounded double.
+
+    Scale: per-customer rollup is one hash exchange; the three NTILEs
+    are single-partition sorts over |customers| — at 100 TB replace with
+    approx-quantile threshold classification (percentile_approx on the
+    three metrics, then a map-side CASE); the output contract is
+    unchanged. Emitted per-customer (the segment table a mart stores)."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("mon_dec"),
+    )
+    w_all = Window.partitionBy()
+    rec = F.datediff(F.max("last_day").over(w_all), F.col("last_day"))
+    scored = cust.select(
+        "o_custkey",
+        rec.cast("int").alias("recency_days"),
+        "frequency",
+        "mon_dec",
+    )
+    scored = scored.select(
+        "*",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("mon_dec", "o_custkey"))
+        .cast("int")
+        .alias("m_score"),
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.round("mon_dec", 2).cast("double").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    ).orderBy("o_custkey")
+
+
+@register(
+    "agg_chi2_independence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), marg AS (
+      SELECT o_orderpriority, o_orderstatus, n,
+             SUM(n) OVER (PARTITION BY o_orderpriority) AS row_tot,
+             SUM(n) OVER (PARTITION BY o_orderstatus) AS col_tot,
+             SUM(n) OVER () AS tot
+      FROM obs
+    ), ex AS (
+      SELECT o_orderpriority, o_orderstatus, n,
+             CAST(row_tot * col_tot AS DOUBLE) / tot AS expected
+      FROM marg
+    )
+    SELECT o_orderpriority, o_orderstatus, n,
+           {sql_dround("expected", 4)} AS expected,
+           {sql_dround("(n - expected) * (n - expected) / expected", 6)}
+             AS chi2_term,
+           {sql_dround("(n - expected) / sqrt(expected)", 4)} AS pearson_resid
+    FROM ex
+    ORDER BY o_orderpriority, o_orderstatus
+    """,
+    section=_SEC,
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² contingency audit between order priority and order status:
+    observed cell counts vs independence-expected counts
+    (row_total·col_total/N), with each cell's χ² contribution and
+    Pearson standardized residual — the categorical-association check an
+    analyst runs before trusting a segmentation (large |residual| cells
+    are where the two dimensions interact). Emitted per cell so the
+    driver hash certifies every term (a single global χ² would sum
+    doubles in engine-dependent order; the per-cell terms are pure
+    IEEE expressions over exact integer marginals).
+
+    Scale: one hash agg to |cells| rows (|priorities|×|statuses|, tiny);
+    the marginal windows run on that metadata-sized frame. The bigint
+    product row_tot·col_tot stays exact to ~3·10⁹ rows per side."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    marg = obs.select(
+        "*",
+        F.sum("n").over(Window.partitionBy("o_orderpriority")).alias("row_tot"),
+        F.sum("n").over(Window.partitionBy("o_orderstatus")).alias("col_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("tot")
+    ex = marg.withColumn("expected", expected)
+    diff = F.col("n") - F.col("expected")
+    return ex.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n",
+        dround("expected", 4).alias("expected"),
+        dround(diff * diff / F.col("expected"), 6).alias("chi2_term"),
+        dround(diff / F.sqrt("expected"), 4).alias("pearson_resid"),
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+@register(
+    "dq_expectations_suite",
+    oracle=f"""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS f_null,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS f_uniq,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+                  AS BIGINT) AS f_set,
+             CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS f_pos,
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+                            AND o_orderdate < TIMESTAMP '2001-01-01'
+                           THEN 0 ELSE 1 END) AS BIGINT) AS f_range,
+             CAST(SUM(CASE WHEN regexp_matches(o_orderpriority,
+                                               '^[1-5]-[A-Z ]+$')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS f_regex
+      FROM orders
+    ), rows_out AS (
+      SELECT 'expect_custkey_not_null' AS expectation, n, f_null AS n_failed FROM agg
+      UNION ALL
+      SELECT 'expect_orderkey_unique', n, f_uniq FROM agg
+      UNION ALL
+      SELECT 'expect_status_in_set', n, f_set FROM agg
+      UNION ALL
+      SELECT 'expect_totalprice_positive', n, f_pos FROM agg
+      UNION ALL
+      SELECT 'expect_orderdate_in_range', n, f_range FROM agg
+      UNION ALL
+      SELECT 'expect_priority_format', n, f_regex FROM agg
+    )
+    SELECT expectation, n AS n_rows, n_failed,
+           {sql_dround("1.0 - CAST(n_failed AS DOUBLE) / n", 6)} AS pass_rate,
+           n_failed = 0 AS passed
+    FROM rows_out
+    ORDER BY expectation
+    """,
+    section=_SEC,
+)
+def dq_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Great-Expectations
+    pattern) over `orders`, evaluated in ONE aggregate pass: not-null
+    (custkey), uniqueness (orderkey, via count - count distinct), value
+    in-set (status), range (positive totalprice; orderdate in
+    [1995-01-01, 2001-01-01) — the fixture runs to 2001-08, so this
+    expectation FAILS with a real failed-row count), and regex format
+    (priority 'N-WORD'). Each expectation emits (n_rows, n_failed,
+    pass_rate, passed) — the contract a DQ gate consumes.
+
+    Scale: one partial-agg exchange computes every expectation
+    simultaneously (conditional sums fuse into a single scan +
+    aggregate; the distinct-count is the only expression with a
+    per-key state). The unpivot to report rows runs on ONE row."""
+    o = table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.count("*") - F.count("o_custkey")).cast("bigint").alias("f_null"),
+        (F.count("*") - F.count_distinct("o_orderkey")).cast("bigint").alias("f_uniq"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 0).otherwise(1)
+        )
+        .cast("bigint")
+        .alias("f_set"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 0).otherwise(1))
+        .cast("bigint")
+        .alias("f_pos"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp")),
+                0,
+            ).otherwise(1)
+        )
+        .cast("bigint")
+        .alias("f_range"),
+        F.sum(
+            F.when(F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"), 0).otherwise(1)
+        )
+        .cast("bigint")
+        .alias("f_regex"),
+    )
+    rows_out = agg.selectExpr(
+        """stack(6,
+            'expect_custkey_not_null', f_null,
+            'expect_orderkey_unique', f_uniq,
+            'expect_status_in_set', f_set,
+            'expect_totalprice_positive', f_pos,
+            'expect_orderdate_in_range', f_range,
+            'expect_priority_format', f_regex
+        ) AS (expectation, n_failed)""",
+        "n",
+    )
+    return rows_out.select(
+        "expectation",
+        F.col("n").alias("n_rows"),
+        "n_failed",
+        dround(1.0 - F.col("n_failed").cast("double") / F.col("n"), 6).alias(
+            "pass_rate"
+        ),
+        (F.col("n_failed") == 0).alias("passed"),
+    ).orderBy("expectation")
+
+
+_CN_TOPK = 20
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT l.l_suppkey AS supp, o.o_custkey AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), deg AS (
+      SELECT supp, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY supp
+    ), pairs AS (
+      SELECT e1.supp AS s1, e2.supp AS s2, CAST(COUNT(*) AS BIGINT) AS common
+      FROM edges e1 JOIN edges e2
+        ON e1.cust = e2.cust AND e1.supp < e2.supp
+      GROUP BY 1, 2
+    )
+    SELECT p.s1, p.s2, p.common,
+           {sql_dround(
+               "CAST(p.common AS DOUBLE)"
+               " / (d1.degree + d2.degree - p.common)", 6)} AS jaccard
+    FROM pairs p
+    JOIN deg d1 ON p.s1 = d1.supp
+    JOIN deg d2 ON p.s2 = d2.supp
+    ORDER BY jaccard DESC, p.s1, p.s2
+    LIMIT {_CN_TOPK}
+    """,
+    section=_SEC,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node similarity by neighbor-set Jaccard over the supplier→customer
+    trade graph (`graphs.py:_trade_edges`): supplier pairs sharing the
+    most customers relative to their combined reach — link prediction /
+    'suppliers like this one' (and, for surveillance, facilities with
+    overlapping catchment populations). Top-20 by Jaccard with a
+    deterministic (s1, s2) tiebreak.
+
+    Scale: the pair generation joins the edge list WITH ITSELF ON THE
+    SHARED NEIGHBOR — work is Σ_cust deg(cust)², the standard co-
+    occurrence bound, not |V|² all-pairs; a hub customer is the skew key
+    and gets capped/salted at true scale (docstring contract: cap
+    per-neighbor fanout, the Jaccard of uncapped pairs is unchanged).
+    Degrees broadcast (|suppliers| rows) so the rescore is map-side."""
+    from sdp_spark.operators.graphs import _trade_edges
+
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("supp").agg(F.count("*").cast("bigint").alias("degree"))
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    pairs = (
+        e1.join(
+            e2,
+            (F.col("e1.cust") == F.col("e2.cust"))
+            & (F.col("e1.supp") < F.col("e2.supp")),
+        )
+        .groupBy(
+            F.col("e1.supp").alias("s1"),
+            F.col("e2.supp").alias("s2"),
+        )
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    d1 = deg.alias("d1")
+    d2 = deg.alias("d2")
+    scored = (
+        pairs.join(F.broadcast(d1), F.col("s1") == F.col("d1.supp"))
+        .join(F.broadcast(d2), F.col("s2") == F.col("d2.supp"))
+        .select(
+            "s1",
+            "s2",
+            "common",
+            dround(
+                F.col("common").cast("double")
+                / (F.col("d1.degree") + F.col("d2.degree") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("jaccard").desc(), "s1", "s2").limit(_CN_TOPK)
+
+
+_SHG_K = 5
+
+
+@register(
+    "sample_hash_group",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('smp:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM ranked WHERE sample_rank <= {_SHG_K}
+    ORDER BY source, sample_rank
+    """,
+    section=_SEC,
+)
+def sample_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampling: keep k=5 documents per source,
+    chosen by portable md5 order over a salted key — the reproducible,
+    coordination-free substitute for per-group reservoir sampling (the
+    hash order is a fixed random permutation, so the k smallest hashes
+    ARE a uniform-without-replacement sample, identical on every engine,
+    partitioning, and rerun — the property a 1000-executor job needs
+    that `rand()` cannot give).
+
+    Scale: one hash partition by group + per-group top-k; no global
+    sort, no driver state. With heavy skew, pre-aggregate per partition
+    (each partition keeps its local k smallest hashes, then re-rank) —
+    the classic two-level top-k."""
+    d = table(spark, sf_dir, "documents")
+    rank_key = F.md5(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(rank_key, "doc_id")
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= _SHG_K)
+        .select("source", "doc_id", F.col("sample_rank").cast("int"))
+        .orderBy("source", "sample_rank")
+    )

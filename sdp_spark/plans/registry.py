@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "sdp_spark.operators.fulltext",
     "sdp_spark.operators.catalog",
     "sdp_spark.operators.analytics",
+    "sdp_spark.operators.insights",
     "sdp_spark.operators.graphs",
     "sdp_spark.dialect",
 )
@@ -117,6 +118,12 @@ _SWEEP_PRIORITY = (
     "agg_period_growth", "agg_pareto_abc", "dq_k_anonymity",
     "llm_embed_feature_hash", "llm_quality_classifier_linear",
     "mm_payload_cdc", "llm_corpus_diff",
+    # --- round-8 batch 19 (insights.py): surveillance historical limits,
+    #     series diagnostics, segmentation, chi2, DQ expectations, node
+    #     similarity, hash sampling ---
+    "query_outbreak_histlimits", "ts_autocorr", "ts_decompose_seasonal",
+    "ts_max_drawdown", "agg_rfm_segmentation", "agg_chi2_independence",
+    "dq_expectations_suite", "graph_common_neighbors", "sample_hash_group",
     # --- r7 promotions the r7 sweep budget did NOT reach (their oracles
     #     are new contracts, still without a driver hash verdict): the
     #     remaining watermark-emission pair, the outer-join eviction, the
