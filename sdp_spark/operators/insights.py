@@ -69,10 +69,11 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HL_Z = 2.0
 _HL_MIN_BASE = 3
 
-
-@register(
-    "query_outbreak_histlimits",
-    oracle=f"""
+# Full scored frame (event_type, day_s, n, n_base, hl_score, alert) —
+# shared verbatim by the batch capstone's oracle and the streaming twin's
+# (stream_histlimits_alerts filters it to firing alerts, pinning the live
+# path to the batch recurrence the same way EARS/CUSUM pairs do).
+HISTLIM_SCORED_SQL = f"""
     WITH daily AS ({_DAILY_SQL}),
     keyed AS (
       SELECT event_type, day, n,
@@ -99,6 +100,58 @@ _HL_MIN_BASE = 3
            {sql_dround("(n - mu) / sqrt(var)", 4)} AS hl_score,
            {sql_dround("(n - mu) / sqrt(var)", 4)} > {_HL_Z} AS alert
     FROM stats WHERE var > 0
+"""
+
+
+def histlimits_scored(daily: DataFrame) -> DataFrame:
+    """Historical-limits scoring over a (event_type, day, n) daily-count
+    frame: same-weekday prior-weeks baseline, exact BIGINT moments,
+    rounded z, alert above 2σ. Shared by the batch capstone and the
+    streaming twin (the stream==batch equality is structural, like
+    `ears_c2_scored` / `cusum_scored` in analytics.py)."""
+    keyed = daily.withColumn(
+        "dow", F.datediff("day", F.lit("1970-01-01").cast("date")) % 7
+    )
+    w = (
+        Window.partitionBy("event_type", "dow")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    based = keyed.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("sum_b"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sumsq_b"),
+        F.count("*").over(w).alias("n_base"),
+    ).filter(F.col("n_base") >= _HL_MIN_BASE)
+    mu = F.col("sum_b").cast("double") / F.col("n_base")
+    var = (
+        F.col("sumsq_b").cast("double")
+        - F.col("sum_b").cast("double") * F.col("sum_b").cast("double")
+        / F.col("n_base")
+    ) / (F.col("n_base") - 1)
+    z = dround((F.col("n") - mu) / F.sqrt(var), 4)
+    return (
+        based.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            "n",
+            F.col("n_base").cast("bigint").alias("n_base"),
+            var.alias("var"),
+            z.alias("hl_score"),
+            (z > _HL_Z).alias("alert"),
+        )
+        .filter(F.col("var") > 0)
+        .drop("var")
+    )
+
+
+@register(
+    "query_outbreak_histlimits",
+    oracle=f"""
+    SELECT event_type, day_s, n, n_base, hl_score, alert
+    FROM ({HISTLIM_SCORED_SQL}) t
     ORDER BY event_type, day_s
     """,
     section=_SEC,
@@ -119,41 +172,8 @@ def query_outbreak_histlimits(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonal window then partitions by (type, dow) over metadata-sized
     input with O(1) running-sum state per row. Exactly the EARS plan with
     a different partition key."""
-    keyed = _daily(spark, sf_dir).withColumn(
-        "dow", F.datediff("day", F.lit("1970-01-01").cast("date")) % 7
-    )
-    w = (
-        Window.partitionBy("event_type", "dow")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    based = keyed.select(
-        "event_type",
-        "day",
-        "n",
-        F.sum("n").over(w).alias("sum_b"),
-        F.sum(F.col("n") * F.col("n")).over(w).alias("sumsq_b"),
-        F.count("*").over(w).alias("n_base"),
-    ).filter(F.col("n_base") >= _HL_MIN_BASE)
-    mu = F.col("sum_b").cast("double") / F.col("n_base")
-    var = (
-        F.col("sumsq_b").cast("double")
-        - F.col("sum_b").cast("double") * F.col("sum_b").cast("double") / F.col("n_base")
-    ) / (F.col("n_base") - 1)
-    z = dround((F.col("n") - mu) / F.sqrt(var), 4)
-    return (
-        based.select(
-            "event_type",
-            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
-            "n",
-            F.col("n_base").cast("bigint").alias("n_base"),
-            var.alias("var"),
-            z.alias("hl_score"),
-            (z > _HL_Z).alias("alert"),
-        )
-        .filter(F.col("var") > 0)
-        .drop("var")
-        .orderBy("event_type", "day_s")
+    return histlimits_scored(_daily(spark, sf_dir)).orderBy(
+        "event_type", "day_s"
     )
 
 
@@ -802,4 +822,306 @@ def sample_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= _SHG_K)
         .select("source", "doc_id", F.col("sample_rank").cast("int"))
         .orderBy("source", "sample_rank")
+    )
+
+
+@register(
+    "agg_markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           {sql_dround(
+               "CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)", 6)}
+             AS p
+    FROM pairs
+    ORDER BY prev_type, next_type
+    """,
+    section=_SEC,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences:
+    P(next_type | prev_type) estimated from adjacent event pairs within
+    each user's (ts, event_id)-ordered stream — the behavioral model
+    behind funnel drop-off and next-action prediction, and for
+    surveillance the symptom-progression matrix. Transition probability
+    is a single exact-integer ratio per cell (pair count over
+    prev-row marginal), rounded once.
+
+    Scale: the lag window is one hash partition by user + sort; the
+    pair count collapses to |types|² cells, and the marginal is a
+    window over that metadata-sized frame. No self-join — adjacency
+    comes from the lag, so the event table is read once."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    row_tot = F.sum("n").over(Window.partitionBy("prev_type"))
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        dround(F.col("n").cast("double") / row_tot, 6).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
+@register(
+    "agg_time_to_event",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, s.s_ts, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s.s_ts
+      GROUP BY e.user_id, s.s_ts
+    ), lat AS (
+      SELECT user_id, date_diff('second', s_ts, p_ts) AS delta_s
+      FROM p
+    )
+    SELECT CAST(FLOOR(CAST(delta_s AS DOUBLE) / 86400) AS INTEGER)
+             AS latency_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           {sql_dround("SUM(delta_s) / CAST(COUNT(*) AS DOUBLE) / 60.0", 4)}
+             AS avg_latency_min
+    FROM lat
+    GROUP BY 1
+    ORDER BY latency_days
+    """,
+    section=_SEC,
+)
+def agg_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event (conversion latency) distribution: for each user,
+    seconds from their FIRST signup to their first purchase AT OR AFTER
+    it, bucketed into whole-day latency classes with per-bucket user
+    counts and mean latency — the funnel-velocity histogram (and, in
+    surveillance terms, the onset-to-report delay distribution that
+    calibrates reporting-lag corrections).
+
+    Determinism: the latency is an integer second count (Spark
+    unix_timestamp floor-difference == DuckDB date_diff('second')
+    boundary count); bucket and mean derive from exact integer sums.
+
+    Scale: two conditional scans collapse to per-user single rows
+    before the join (both sides pre-aggregated, purchase side joins
+    against the broadcast-able signup frame); the histogram agg is
+    metadata-sized. No window over raw events."""
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    delta_s = F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts")
+    lat = p.select(delta_s.alias("delta_s"))
+    return (
+        lat.groupBy(
+            F.floor(F.col("delta_s").cast("double") / 86400)
+            .cast("int")
+            .alias("latency_days")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            dround(
+                F.sum("delta_s") / F.count("*").cast("double") / 60.0, 4
+            ).alias("avg_latency_min"),
+        )
+        .orderBy("latency_days")
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT l.l_suppkey AS supp, o.o_custkey AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), sdeg AS (
+      SELECT supp, COUNT(*) AS sd FROM edges GROUP BY supp
+    ), cdeg AS (
+      SELECT cust, COUNT(*) AS cd FROM edges GROUP BY cust
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(sd) AS sx, SUM(cd) AS sy, SUM(sd * cd) AS sxy,
+             SUM(sd * sd) AS sxx, SUM(cd * cd) AS syy
+      FROM edges e JOIN sdeg ON e.supp = sdeg.supp
+                   JOIN cdeg ON e.cust = cdeg.cust
+    )
+    SELECT n AS n_edges,
+           {sql_dround("CAST(sx AS DOUBLE) / n", 4)} AS mean_supp_degree,
+           {sql_dround("CAST(sy AS DOUBLE) / n", 4)} AS mean_cust_degree,
+           {sql_dround(
+               "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               " / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+               "        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))",
+               6)} AS assortativity
+    FROM m
+    WHERE (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+      AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+    """,
+    section=_SEC,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-degree assortativity of the bipartite trade graph: Pearson
+    correlation between supplier degree and customer degree ACROSS
+    EDGES — do high-reach suppliers trade with high-reach customers
+    (assortative, r>0) or with the long tail (disassortative, r<0)?
+    The one-number structure diagnostic run before an iterative graph
+    algorithm (hub-hub wiring predicts skewed join keys).
+
+    Determinism: per-edge degree moments are exact BIGINT sums; every
+    factor is cast to double BEFORE the cross-factor multiplications
+    (their products overflow int64 at cluster scale), so both engines
+    evaluate the identical IEEE expression.
+
+    Scale: two degree aggs + two broadcast-able joins back to the edge
+    list (degree tables are |V|-sized), then one global moment agg —
+    map-side partial everywhere, single final row."""
+    from sdp_spark.operators.graphs import _trade_edges
+
+    edges = _trade_edges(spark, sf_dir)
+    sdeg = edges.groupBy("supp").agg(F.count("*").alias("sd"))
+    cdeg = edges.groupBy("cust").agg(F.count("*").alias("cd"))
+    m = (
+        edges.join(F.broadcast(sdeg), "supp")
+        .join(F.broadcast(cdeg), "cust")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("sd").alias("sx"),
+            F.sum("cd").alias("sy"),
+            F.sum(F.col("sd") * F.col("cd")).alias("sxy"),
+            F.sum(F.col("sd") * F.col("sd")).alias("sxx"),
+            F.sum(F.col("cd") * F.col("cd")).alias("syy"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    var_x = n_d * F.col("sxx") - sx_d * F.col("sx")
+    var_y = n_d * F.col("syy") - sy_d * F.col("sy")
+    num = n_d * F.col("sxy") - sx_d * F.col("sy")
+    return (
+        m.filter((var_x > 0) & (var_y > 0))
+        .select(
+            F.col("n").alias("n_edges"),
+            dround(sx_d / F.col("n"), 4).alias("mean_supp_degree"),
+            dround(sy_d / F.col("n"), 4).alias("mean_cust_degree"),
+            dround(num / F.sqrt(var_x * var_y), 6).alias("assortativity"),
+        )
+    )
+
+
+_ZIPF_TOPN = 1000
+
+
+@register(
+    "llm_zipf_slope",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), freq AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+      FROM words WHERE word <> '' GROUP BY word
+    ), ranked AS (
+      SELECT word, f,
+             ROW_NUMBER() OVER (ORDER BY f DESC, word) AS r
+      FROM freq
+    ), terms AS (
+      SELECT {sql_dround("ln(r)", 8)} AS lx, {sql_dround("ln(f)", 8)} AS ly
+      FROM ranked WHERE r <= {_ZIPF_TOPN}
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(lx AS DECIMAL(30,8))) AS sx,
+             SUM(CAST(ly AS DECIMAL(30,8))) AS sy,
+             SUM(CAST({sql_dround("lx * ly", 8)} AS DECIMAL(30,8))) AS sxy,
+             SUM(CAST({sql_dround("lx * lx", 8)} AS DECIMAL(30,8))) AS sxx
+      FROM terms
+    )
+    SELECT n AS n_ranks,
+           {sql_dround(
+               "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+               " / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))",
+               4)} AS zipf_slope,
+           {sql_dround(
+               "(CAST(sy AS DOUBLE)"
+               " - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+               "    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+               "   * CAST(sx AS DOUBLE)) / n", 4)} AS zipf_intercept
+    FROM sums
+    """,
+    section=_SEC,
+)
+def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of log(freq)
+    vs log(rank) over the top-1000 word types — natural text sits near
+    slope −1, so a strong departure is a corpus-health signal
+    (template/boilerplate floods flatten the head; OCR noise fattens
+    the tail). The corpus-level companion to the per-doc quality
+    filters (`llm_quality_gopher`, `llm_repetition_ngram`).
+
+    Determinism: each log term is deterministically rounded to 8
+    decimals, then all OLS moments accumulate in DECIMAL (exact,
+    order-independent — a raw double Σ of 1000 logs would drift across
+    engine aggregation orders); the closed-form slope/intercept is one
+    IEEE expression over the exact sums. Rank ties break on the word
+    itself.
+
+    Scale: word counting is the standard explode+agg (shuffles tokens
+    once, combiner-reduced); the rank window runs on the vocabulary,
+    and the top-1000 head is constant-sized regardless of corpus."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), "word"))
+        .alias("r"),
+    ).filter(F.col("r") <= _ZIPF_TOPN)
+    lx = dround(F.log(F.col("r").cast("double")), 8)
+    ly = dround(F.log(F.col("f").cast("double")), 8)
+    terms = ranked.select(lx.alias("lx"), ly.alias("ly"))
+    sums = terms.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("lx").cast(DEC)).alias("sx"),
+        F.sum(F.col("ly").cast(DEC)).alias("sy"),
+        F.sum(dround(F.col("lx") * F.col("ly"), 8).cast(DEC)).alias("sxy"),
+        F.sum(dround(F.col("lx") * F.col("lx"), 8).cast(DEC)).alias("sxx"),
+    )
+    n_d = F.col("n")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    slope = (n_d * F.col("sxy").cast("double") - sx_d * sy_d) / (
+        n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    )
+    return sums.select(
+        F.col("n").alias("n_ranks"),
+        dround(slope, 4).alias("zipf_slope"),
+        dround((sy_d - slope * sx_d) / n_d, 4).alias("zipf_intercept"),
     )

@@ -124,6 +124,8 @@ _SWEEP_PRIORITY = (
     "query_outbreak_histlimits", "ts_autocorr", "ts_decompose_seasonal",
     "ts_max_drawdown", "agg_rfm_segmentation", "agg_chi2_independence",
     "dq_expectations_suite", "graph_common_neighbors", "sample_hash_group",
+    "stream_histlimits_alerts", "agg_markov_transitions", "agg_time_to_event",
+    "graph_degree_assortativity", "llm_zipf_slope",
     # --- r7 promotions the r7 sweep budget did NOT reach (their oracles
     #     are new contracts, still without a driver hash verdict): the
     #     remaining watermark-emission pair, the outer-join eviction, the

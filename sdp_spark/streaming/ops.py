@@ -1676,3 +1676,52 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "psi", "n_events")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (batch 19): live historical-limits monitoring — the third
+# batch+stream surveillance pair (EARS C2, CUSUM, now historical limits)
+# ---------------------------------------------------------------------------
+
+from sdp_spark.operators.insights import _HL_Z as _HL_Z_SHARED  # noqa: E402
+from sdp_spark.operators.insights import HISTLIM_SCORED_SQL  # noqa: E402
+
+
+@register(
+    "stream_histlimits_alerts",
+    oracle=f"""
+    SELECT event_type, day_s, n, n_base, hl_score
+    FROM ({HISTLIM_SCORED_SQL}) t
+    WHERE hl_score > {_HL_Z_SHARED}
+    ORDER BY event_type, day_s
+    """,
+    section=_SEC,
+)
+def stream_histlimits_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE historical-limits monitoring — the streaming twin of
+    `query_outbreak_histlimits`, completing the third surveillance
+    batch+stream pair (EARS C2 reacts to spikes vs a moving baseline,
+    CUSUM to sustained drift, historical limits to departures from the
+    SAME-WEEKDAY seasonal norm). Same two-stage split as the other
+    pairs: the STREAM incrementally maintains per-(type, day) counts —
+    bounded state, one row per type × day — and `histlimits_scored`
+    (the SAME core the batch capstone calls, so stream==batch is
+    structural) runs over the materialized daily table after each
+    trigger, emitting firing alerts. At 100 TB/day the stream shuffles
+    grouped day-states, never events; scoring is |types × days|
+    metadata. The DuckDB oracle pins the live alerts to the batch
+    recurrence end-to-end."""
+    from sdp_spark.operators.insights import _HL_Z, histlimits_scored
+
+    sdf = _events_stream(spark, sf_dir)
+    daily = (
+        sdf.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    snap = _run_to_memory(daily, "complete", "histlimdaily")
+    return (
+        histlimits_scored(snap)
+        .filter(F.col("hl_score") > _HL_Z)
+        .select("event_type", "day_s", "n", "n_base", "hl_score")
+        .orderBy("event_type", "day_s")
+    )
