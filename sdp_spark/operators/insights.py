@@ -1125,3 +1125,368 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(slope, 4).alias("zipf_slope"),
         dround((sy_d - slope * sx_d) / n_d, 4).alias("zipf_intercept"),
     )
+
+
+@register(
+    "agg_survival_km",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s.s_ts
+      GROUP BY e.user_id
+    ), horizon AS (
+      SELECT MAX(CAST(ts AS TIMESTAMP)) AS h_ts FROM events
+    ), subjects AS (
+      SELECT s.user_id,
+             CASE WHEN p.p_ts IS NOT NULL
+                  THEN CAST(FLOOR(CAST(date_diff('second', s.s_ts, p.p_ts)
+                                       AS DOUBLE) / 86400) AS INTEGER)
+                  ELSE CAST(FLOOR(CAST(date_diff('second', s.s_ts, horizon.h_ts)
+                                       AS DOUBLE) / 86400) AS INTEGER)
+             END AS dur,
+             CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS evt
+      FROM s LEFT JOIN p ON s.user_id = p.user_id, horizon
+    ), days AS (
+      SELECT dur AS day, CAST(COUNT(*) AS BIGINT) AS leaving,
+             CAST(SUM(evt) AS BIGINT) AS d
+      FROM subjects GROUP BY dur
+    ), risk AS (
+      SELECT day, d,
+             (SELECT COUNT(*) FROM subjects)
+               - COALESCE(SUM(leaving) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM days
+    ), terms AS (
+      SELECT day, CAST(n_risk AS BIGINT) AS n_risk, d,
+             {sql_dround("ln(1.0 - CAST(d AS DOUBLE) / n_risk)", 8)} AS lt
+      FROM risk WHERE d > 0 AND d < n_risk
+    )
+    SELECT day, n_risk, d AS n_events,
+           {sql_dround(
+               "exp(CAST(SUM(CAST(lt AS DECIMAL(30,8))) OVER ("
+               "ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+               " AS DOUBLE))", 6)} AS km_survival
+    FROM terms
+    ORDER BY day
+    """,
+    section=_SEC,
+)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of signup→purchase conversion with
+    right-censoring: subjects are signed-up users; the event is their
+    first purchase at/after signup; non-converters are censored at the
+    observation horizon (the stream's max timestamp). At each whole-day
+    event time, S(t) multiplies by (1 − d/n_risk), with censored
+    subjects leaving the risk set after their censor day (standard
+    same-day convention: still at risk on it) — the estimator behind
+    every time-to-outcome surveillance analysis (onset-to-report,
+    exposure-to-case). Days where everyone at risk fails are excluded
+    (S would hit exact 0; the fixture never produces one).
+
+    Determinism: durations are integer second-counts bucketed to days;
+    the risk set is an exact integer cumulative subtraction; the KM
+    product is computed as exp of a DECIMAL-summed series of
+    8-decimal-rounded log terms — the same order-independence trick as
+    `llm_zipf_slope` (a raw running product of doubles would drift
+    across engine orders).
+
+    Scale: subjects collapse to one row per user before anything else;
+    the life table is |distinct days| rows — the windows run on
+    metadata. The only event-scale work is the two conditional scans."""
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    h = e.agg(F.max("ts").alias("h_ts"))
+    subjects = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.floor(
+                    (F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts")).cast(
+                        "double"
+                    )
+                    / 86400
+                ),
+            )
+            .otherwise(
+                F.floor(
+                    (F.unix_timestamp("h_ts") - F.unix_timestamp("s_ts")).cast(
+                        "double"
+                    )
+                    / 86400
+                )
+            )
+            .cast("int")
+            .alias("dur"),
+            F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("evt"),
+        )
+    )
+    n_total = subjects.count()
+    days = subjects.groupBy(F.col("dur").alias("day")).agg(
+        F.count("*").cast("bigint").alias("leaving"),
+        F.sum("evt").cast("bigint").alias("d"),
+    )
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = days.select(
+        "day",
+        "d",
+        (
+            F.lit(n_total) - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    terms = risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk"))).select(
+        "day",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        "d",
+        dround(F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")), 8).alias(
+            "lt"
+        ),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        "day",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        dround(
+            F.exp(F.sum(F.col("lt").cast(DEC)).over(w_cum).cast("double")), 6
+        ).alias("km_survival"),
+    ).orderBy("day")
+
+
+_RR_Z = 1.96
+_RR_V = 150  # severity threshold: exposure/outcome need value > 150
+_RR_EXPR = "(CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d))"
+_RR_SE = "sqrt(1.0/a - 1.0/(a + b) + 1.0/c - 1.0/(c + d))"
+
+
+@register(
+    "agg_relative_risk",
+    oracle=f"""
+    WITH flags AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'error' AND value > {_RR_V} THEN 1 ELSE 0 END)
+               AS exposed,
+             MAX(CASE WHEN event_type = 'purchase' AND value > {_RR_V} THEN 1
+                 ELSE 0 END) AS outcome
+      FROM events GROUP BY user_id
+    ), cells AS (
+      SELECT CAST(SUM(exposed * outcome) AS BIGINT) AS a,
+             CAST(SUM(exposed * (1 - outcome)) AS BIGINT) AS b,
+             CAST(SUM((1 - exposed) * outcome) AS BIGINT) AS c,
+             CAST(SUM((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
+      FROM flags
+    )
+    SELECT a, b, c, d,
+           {sql_dround(_RR_EXPR, 4)} AS relative_risk,
+           {sql_dround(f"exp(ln({_RR_EXPR}) - {_RR_Z} * {_RR_SE})", 4)}
+             AS rr_ci_lo,
+           {sql_dround(f"exp(ln({_RR_EXPR}) + {_RR_Z} * {_RR_SE})", 4)}
+             AS rr_ci_hi,
+           {sql_dround(
+               "(CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)", 4)}
+             AS odds_ratio
+    FROM cells
+    WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+    """,
+    section=_SEC,
+)
+def agg_relative_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort 2×2 analysis: does exposure (user ever hit a SEVERE error,
+    value > 150) change the probability of the outcome (user ever makes
+    a high-value purchase, value > 150)? The severity threshold keeps
+    all four cells populated at every fixture scale (unthresholded
+    flags saturate — every user has ~67 events of each type).
+    Emits the contingency cells, relative risk with its 95% Wald CI
+    (exp(ln RR ± 1.96·SE), SE = sqrt(1/a − 1/(a+b) + 1/c − 1/(c+d))),
+    and the odds ratio — the epidemiologist's first table for any
+    exposure-outcome question, computed exactly the way a cohort study
+    reports it. Degenerate tables (an empty cell) emit nothing rather
+    than ±inf.
+
+    Determinism: the four cells are exact integer conditional sums; RR,
+    CI and OR are single IEEE expressions over them, rounded once.
+
+    Scale: one per-user conditional-max rollup (partial-agg friendly),
+    then a single-row reduction — nothing downstream of the first
+    exchange exceeds driver-trivial size."""
+    e = table(spark, sf_dir, "events")
+    flags = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "error") & (F.col("value") > _RR_V), 1
+            ).otherwise(0)
+        ).alias("exposed"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > _RR_V),
+                1,
+            ).otherwise(0)
+        ).alias("outcome"),
+    )
+    cells = flags.agg(
+        F.sum(F.col("exposed") * F.col("outcome")).cast("bigint").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome")))
+        .cast("bigint")
+        .alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    a_d = F.col("a").cast("double")
+    c_d = F.col("c").cast("double")
+    rr = (a_d / (F.col("a") + F.col("b"))) / (c_d / (F.col("c") + F.col("d")))
+    se = F.sqrt(
+        1.0 / F.col("a")
+        - 1.0 / (F.col("a") + F.col("b"))
+        + 1.0 / F.col("c")
+        - 1.0 / (F.col("c") + F.col("d"))
+    )
+    return (
+        cells.filter(
+            (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) & (F.col("d") > 0)
+        )
+        .select(
+            "a",
+            "b",
+            "c",
+            "d",
+            dround(rr, 4).alias("relative_risk"),
+            dround(F.exp(F.log(rr) - _RR_Z * se), 4).alias("rr_ci_lo"),
+            dround(F.exp(F.log(rr) + _RR_Z * se), 4).alias("rr_ci_hi"),
+            dround(
+                (a_d * F.col("d")) / (F.col("b").cast("double") * F.col("c")), 4
+            ).alias("odds_ratio"),
+        )
+    )
+
+
+_TBA_PCT = 0.5  # budget = 50% of total corpus tokens
+
+
+@register(
+    "llm_token_budget_alloc",
+    oracle=f"""
+    WITH words AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tok AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS avail
+      FROM words WHERE word <> '' GROUP BY source
+    ), tot AS (
+      SELECT CAST(FLOOR({_TBA_PCT} * SUM(avail)) AS BIGINT) AS budget,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM tok
+    ), ranked AS (
+      SELECT source, avail,
+             ROW_NUMBER() OVER (ORDER BY avail, source) AS i,
+             COALESCE(SUM(avail) OVER (ORDER BY avail, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix_prev,
+             LAG(avail) OVER (ORDER BY avail, source) AS prev_avail
+      FROM tok
+    ), levels AS (
+      SELECT (CAST(tot.budget AS DOUBLE) - prefix_prev) / (tot.k - i + 1)
+               AS level, prev_avail, avail
+      FROM ranked, tot
+    ), waterline AS (
+      SELECT MIN(level) AS level FROM levels
+      WHERE level <= avail AND (prev_avail IS NULL OR level > prev_avail)
+    )
+    SELECT t.source, t.avail,
+           {sql_dround(
+               "CASE WHEN w.level IS NULL THEN CAST(t.avail AS DOUBLE)"
+               "     ELSE LEAST(CAST(t.avail AS DOUBLE), w.level) END", 2)}
+             AS allocated,
+           (w.level IS NOT NULL AND CAST(t.avail AS DOUBLE) > w.level)
+             AS capped
+    FROM tok t, waterline w
+    ORDER BY t.source
+    """,
+    section=_SEC,
+)
+def llm_token_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across corpus sources: given
+    a training budget of 50% of total tokens, allocate each source
+    min(available, L) where the waterline L is chosen so allocations
+    exactly exhaust the budget — the capped-proportional mixture rule
+    that keeps small sources intact while clipping dominant ones (the
+    allocation step between `llm_domain_mix` diagnostics and
+    `llm_sample_temperature` reweighting). The waterline has a closed
+    form: sort sources by size ascending; for prefix i, the candidate
+    level is (budget − Σ_{{j<i}} avail_j)/(k−i+1), and the valid
+    candidate is the one falling between its neighbors' sizes.
+
+    Determinism: token counts are exact integers; the level is a single
+    rational-over-integer IEEE division; LEAST/compare on identical
+    doubles. No iteration — the closed form replaces the usual binary
+    search, so the whole allocation is one window pass over |sources|.
+
+    Scale: token counting is the only corpus-scale stage (explode+agg,
+    combiner-reduced); everything after runs on |sources| rows."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("avail"))
+    )
+    tot = tok.agg(
+        F.floor(_TBA_PCT * F.sum("avail")).cast("bigint").alias("budget"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    w_ord = Window.orderBy("avail", "source")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = tok.select(
+        "source",
+        "avail",
+        F.row_number().over(w_ord).alias("i"),
+        F.coalesce(F.sum("avail").over(w_prev), F.lit(0)).alias("prefix_prev"),
+        F.lag("avail").over(w_ord).alias("prev_avail"),
+    )
+    levels = ranked.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("budget").cast("double") - F.col("prefix_prev"))
+            / (F.col("k") - F.col("i") + 1)
+        ).alias("level"),
+        "prev_avail",
+        "avail",
+    )
+    waterline = levels.filter(
+        (F.col("level") <= F.col("avail"))
+        & (F.col("prev_avail").isNull() | (F.col("level") > F.col("prev_avail")))
+    ).agg(F.min("level").alias("level"))
+    alloc = F.when(
+        F.col("level").isNull(), F.col("avail").cast("double")
+    ).otherwise(F.least(F.col("avail").cast("double"), F.col("level")))
+    return (
+        tok.crossJoin(F.broadcast(waterline))
+        .select(
+            "source",
+            "avail",
+            dround(alloc, 2).alias("allocated"),
+            (
+                F.col("level").isNotNull()
+                & (F.col("avail").cast("double") > F.col("level"))
+            ).alias("capped"),
+        )
+        .orderBy("source")
+    )

@@ -126,6 +126,7 @@ _SWEEP_PRIORITY = (
     "dq_expectations_suite", "graph_common_neighbors", "sample_hash_group",
     "stream_histlimits_alerts", "agg_markov_transitions", "agg_time_to_event",
     "graph_degree_assortativity", "llm_zipf_slope",
+    "agg_survival_km", "agg_relative_risk", "llm_token_budget_alloc",
     # --- r7 promotions the r7 sweep budget did NOT reach (their oracles
     #     are new contracts, still without a driver hash verdict): the
     #     remaining watermark-emission pair, the outer-join eviction, the

@@ -245,3 +245,69 @@ def test_markov_single_event_pass(spark, sf_dir):
     plan = _plan(spark, REGISTRY["agg_markov_transitions"].fn(spark, sf_dir))
     assert plan.count("events.parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_survival_km_planted(spark, tmp_path):
+    """Hand-computed KM: 4 signups at day 0; two purchase on day 1
+    (S = 1 - 2/4 = 0.5), one on day 3 with risk set {u2, u3}
+    (S = 0.5 * (1 - 1/2) = 0.25), one censored at the horizon (day 4)."""
+    rows = [
+        (1, "2024-03-01 00:00:00", 1, "signup", 1.0),
+        (2, "2024-03-01 00:00:00", 2, "signup", 1.0),
+        (3, "2024-03-01 00:00:00", 3, "signup", 1.0),
+        (4, "2024-03-01 00:00:00", 4, "signup", 1.0),
+        (5, "2024-03-02 00:00:00", 1, "purchase", 1.0),
+        (6, "2024-03-02 00:00:00", 4, "purchase", 1.0),
+        (7, "2024-03-04 00:00:00", 2, "purchase", 1.0),
+        (8, "2024-03-05 00:00:00", 9, "view", 1.0),  # horizon marker
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = REGISTRY["agg_survival_km"].fn(spark, sf).collect()
+    got = [(r["day"], r["n_risk"], r["n_events"], r["km_survival"]) for r in out]
+    assert got == [(1, 4, 2, pytest.approx(0.5, abs=1e-6)),
+                   (3, 2, 1, pytest.approx(0.25, abs=1e-6))]
+
+
+def test_survival_km_monotone(spark, sf_dir):
+    out = REGISTRY["agg_survival_km"].fn(spark, sf_dir).collect()
+    assert out
+    last_s, last_r = 1.0 + 1e-12, None
+    for r in out:
+        assert 0.0 < r["km_survival"] <= last_s + 1e-9
+        if last_r is not None:
+            assert r["n_risk"] <= last_r
+        last_s, last_r = r["km_survival"], r["n_risk"]
+
+
+def test_relative_risk_consistent(spark, sf_dir):
+    out = REGISTRY["agg_relative_risk"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = e.select("user_id").distinct().count()
+    assert r["a"] + r["b"] + r["c"] + r["d"] == n_users
+    assert r["rr_ci_lo"] <= r["relative_risk"] <= r["rr_ci_hi"]
+    expected_or = (r["a"] * r["d"]) / (r["b"] * r["c"])
+    assert r["odds_ratio"] == pytest.approx(expected_or, abs=1e-4)
+
+
+def test_token_budget_waterfill(spark, sf_dir):
+    out = REGISTRY["llm_token_budget_alloc"].fn(spark, sf_dir).collect()
+    assert out
+    total = sum(r["avail"] for r in out)
+    budget = total // 2
+    allocated = sum(r["allocated"] for r in out)
+    # allocations exhaust the budget (within per-source rounding)
+    assert allocated == pytest.approx(budget, abs=0.01 * len(out) + 1)
+    levels = set()
+    for r in out:
+        assert r["allocated"] <= r["avail"] + 1e-9
+        if r["capped"]:
+            levels.add(r["allocated"])
+        else:
+            assert r["allocated"] == pytest.approx(r["avail"], abs=1e-9)
+    # every capped source sits on the SAME waterline
+    assert len(levels) <= 1
+    # budget < total means someone must be capped
+    if total > budget:
+        assert levels, "expected at least one capped source"
