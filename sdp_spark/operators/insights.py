@@ -1490,3 +1490,196 @@ def llm_token_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Shared bigram CTE for the collocation / language-model keys: tokens are
+# position-indexed AFTER empty-token filtering (re-ranked, so adjacency
+# means consecutive non-empty words), bigrams join idx -> idx+1 within a
+# doc. The Spark side builds the same pairs with a zero-join array
+# expression (transform over sequence) — no positional self-join at all.
+_BIGRAM_SQL = """
+    WITH toks0 AS (
+      SELECT doc_id, t.word, t.pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS word,
+                           generate_subscripts(string_split(text, ' '), 1)
+                             AS pos) t
+      WHERE t.word <> ''
+    ), toks AS (
+      SELECT doc_id, word,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS idx
+      FROM toks0
+    ), bigrams AS (
+      SELECT a.doc_id, a.word AS w1, b.word AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+    )
+"""
+
+
+def _bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2) consecutive-word pairs via a pure array
+    expression: filter empties, then transform(sequence(...)) zips each
+    word with its successor — the whole pairing runs inside codegen with
+    ZERO joins/windows (the oracle's positional self-join is the
+    relational spelling of the same thing). Docs with < 2 tokens emit
+    nothing, matching the join semantics."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    return w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(element_at(ws, i) AS w1,"
+                "             element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+@register(
+    "llm_pmi_collocations",
+    oracle=f"""
+    {_BIGRAM_SQL},
+    bgc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bigrams GROUP BY 1, 2
+    ), uni AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY word
+    ), tot AS (
+      SELECT (SELECT SUM(c) FROM uni) AS n1, (SELECT SUM(c12) FROM bgc) AS n2
+    )
+    SELECT b.w1, b.w2, b.c12,
+           {sql_dround(
+               "ln((CAST(b.c12 AS DOUBLE) * tot.n1 * tot.n1)"
+               " / (CAST(tot.n2 AS DOUBLE) * u1.c * u2.c))", 4)} AS pmi
+    FROM bgc b
+    JOIN uni u1 ON b.w1 = u1.word
+    JOIN uni u2 ON b.w2 = u2.word, tot
+    WHERE b.c12 >= {_PMI_MIN_COUNT}
+    ORDER BY ln((CAST(b.c12 AS DOUBLE) * tot.n1 * tot.n1)
+                / (CAST(tot.n2 AS DOUBLE) * u1.c * u2.c)) DESC, b.w1, b.w2
+    LIMIT {_PMI_TOPK}
+    """,
+    section=_SEC,
+)
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the top-50 word
+    pairs whose co-occurrence beats independence the hardest —
+    PMI = ln(P(w1,w2) / (P(w1)·P(w2))) with a min-count-5 support floor
+    (raw PMI promotes hapax noise without it). The classic phrase /
+    multi-word-expression detector a tokenizer-training or boilerplate
+    analysis runs over a corpus.
+
+    Determinism: counts are exact; PMI is ONE fixed IEEE expression
+    (c12·N1²)/(N2·c1·c2) inside a single ln on both engines — never
+    algebraically re-associated, so ordering and rounding agree
+    bit-for-bit; ties order by (w1, w2).
+
+    Scale: bigram and unigram counting are combiner-reduced explodes;
+    the scoring join keys on single words against the vocabulary
+    (orders smaller than the corpus — broadcast-able), and top-50 is a
+    TakeOrdered, no global sort."""
+    bg = _bigrams(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("word")
+    )
+    uni = toks.groupBy("word").agg(F.count("*").cast("bigint").alias("c"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    tot = uni.agg(F.sum("c").alias("n1")).crossJoin(
+        bgc.agg(F.sum("c12").alias("n2"))
+    )
+    u1 = uni.withColumnRenamed("word", "w1").withColumnRenamed("c", "c1")
+    u2 = uni.withColumnRenamed("word", "w2").withColumnRenamed("c", "c2")
+    scored = (
+        bgc.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi_raw = F.log(
+        (F.col("c12").cast("double") * F.col("n1") * F.col("n1"))
+        / (F.col("n2").cast("double") * F.col("c1") * F.col("c2"))
+    )
+    return (
+        scored.select(
+            "w1", "w2", "c12", pmi_raw.alias("pmi_raw"),
+            dround(pmi_raw, 4).alias("pmi"),
+        )
+        .orderBy(F.col("pmi_raw").desc(), "w1", "w2")
+        .limit(_PMI_TOPK)
+        .select("w1", "w2", "c12", "pmi")
+    )
+
+
+@register(
+    "llm_bigram_perplexity",
+    oracle=f"""
+    {_BIGRAM_SQL},
+    bgc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bigrams GROUP BY 1, 2
+    ), cond AS (
+      SELECT w1, w2, c12,
+             SUM(c12) OVER (PARTITION BY w1) AS c1f
+      FROM bgc
+    ), terms AS (
+      SELECT b.doc_id,
+             {sql_dround(
+                 "ln(CAST(c.c12 AS DOUBLE) / c.c1f)", 8)} AS lt
+      FROM bigrams b JOIN cond c ON b.w1 = c.w1 AND b.w2 = c.w2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {sql_dround(
+               "exp(-CAST(SUM(CAST(lt AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*))",
+               4)} AS ppl
+    FROM terms GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    section=_SEC,
+)
+def llm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a corpus-trained bigram language
+    model: PP(doc) = exp(−mean ln P(w_i | w_{{i−1}})), with MLE
+    conditionals c(w1,w2)/c(w1·) from the corpus itself (every doc
+    bigram has support, so no smoothing term distorts the score) — the
+    principled upgrade over `llm_perplexity_proxy` for quality
+    filtering: template floods score near 1, incoherent word soup
+    scores near the branching factor.
+
+    Determinism: conditionals are exact-integer ratios; each log term
+    is rounded to 8 decimals and the per-doc mean accumulates in
+    DECIMAL (order-independent), with one exp/round at the end — the
+    `llm_zipf_slope` summation discipline.
+
+    Scale: the model is |distinct bigrams| rows (vocabulary-bound); the
+    per-doc scoring joins doc bigrams against it on the bigram key —
+    one corpus-scale shuffle, combiner-reduced counting before it, and
+    the w1-marginal is a window over the model table, not the corpus."""
+    bg = _bigrams(spark, sf_dir)
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    cond = bgc.withColumn(
+        "c1f", F.sum("c12").over(Window.partitionBy("w1"))
+    )
+    terms = bg.join(cond, ["w1", "w2"]).select(
+        "doc_id",
+        dround(F.log(F.col("c12").cast("double") / F.col("c1f")), 8).alias("lt"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            dround(
+                F.exp(
+                    -F.sum(F.col("lt").cast(DEC)).cast("double") / F.count("*")
+                ),
+                4,
+            ).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )

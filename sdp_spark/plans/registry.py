@@ -127,6 +127,7 @@ _SWEEP_PRIORITY = (
     "stream_histlimits_alerts", "agg_markov_transitions", "agg_time_to_event",
     "graph_degree_assortativity", "llm_zipf_slope",
     "agg_survival_km", "agg_relative_risk", "llm_token_budget_alloc",
+    "llm_pmi_collocations", "llm_bigram_perplexity",
     # --- r7 promotions the r7 sweep budget did NOT reach (their oracles
     #     are new contracts, still without a driver hash verdict): the
     #     remaining watermark-emission pair, the outer-join eviction, the

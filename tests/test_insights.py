@@ -311,3 +311,58 @@ def test_token_budget_waterfill(spark, sf_dir):
     # budget < total means someone must be capped
     if total > budget:
         assert levels, "expected at least one capped source"
+
+
+def _write_docs(spark, tmp_path, texts):
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    return sf
+
+
+def test_bigram_perplexity_hand_computed(spark, tmp_path):
+    """Corpus: doc1 'a b a b' (3 bigrams: ab, ba, ab), doc2 'a c'.
+    Model: c(ab)=2, c(ba)=1, c(ac)=1 -> c(a.)=3, c(b.)=1. doc2's single
+    term is ln(1/3) -> ppl exactly 3.0; doc1 = exp(-(2 ln(2/3))/3)."""
+    sf = _write_docs(spark, tmp_path, ["a b a b", "a c"])
+    out = {r["doc_id"]: r for r in
+           REGISTRY["llm_bigram_perplexity"].fn(spark, sf).collect()}
+    assert out[2]["n_bigrams"] == 1 and out[2]["ppl"] == pytest.approx(3.0)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["ppl"] == pytest.approx(
+        math.exp(-2 * math.log(2 / 3) / 3), abs=1e-4
+    )
+
+
+def test_bigram_perplexity_floor(spark, sf_dir):
+    out = REGISTRY["llm_bigram_perplexity"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["ppl"] >= 1.0 - 1e-9  # MLE perplexity can't beat 1
+
+
+def test_pmi_planted_collocation(spark, tmp_path):
+    """'new york' co-occurs always and only together (6 times, above the
+    min-count floor) amid independent filler, so it must top the PMI
+    list."""
+    filler = "the of and to in for on at by the of and to in for on at by"
+    texts = [f"{filler} new york {filler}" for _ in range(6)]
+    sf = _write_docs(spark, tmp_path, texts)
+    out = REGISTRY["llm_pmi_collocations"].fn(spark, sf).collect()
+    assert out
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    pmis = [r["pmi"] for r in out]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in out:
+        assert r["c12"] >= 5
