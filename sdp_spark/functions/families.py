@@ -1078,3 +1078,146 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
     ).orderBy("doc_id")
+
+
+# Deterministic pseudo-coordinates: facilities and customers get stable
+# lat/lon from the Knuth multiplicative hash of their key (latitudes kept
+# inside ±60° — away from the poles, where bearings degenerate). A real
+# deployment reads coordinates from the table; the derivation here only
+# exists because the TPC-H-ish fixtures carry no geography.
+_GEO_EARTH_KM = 6371.0088
+_GEO_RADIUS_KM = 2000.0
+
+
+def _geo_lat_sql(key: str, salt: int) -> str:
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    return f"((({key} + {salt}) * {KNUTH}) % {KNUTH_MOD} % 1200) / 10.0 - 60.0"
+
+
+def _geo_lon_sql(key: str, salt: int) -> str:
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    return f"((({key} + {salt}) * {KNUTH}) % {KNUTH_MOD} % 3600) / 10.0 - 180.0"
+
+
+@register(
+    "fn_geo_haversine",
+    oracle=f"""
+    WITH s AS (
+      SELECT s_suppkey, s_nationkey,
+             {_geo_lat_sql('s_suppkey', 17)} AS slat,
+             {_geo_lon_sql('s_suppkey', 31)} AS slon
+      FROM supplier WHERE s_suppkey % 7 = 0
+    ), c AS (
+      SELECT c_custkey, c_nationkey,
+             {_geo_lat_sql('c_custkey', 17)} AS clat,
+             {_geo_lon_sql('c_custkey', 31)} AS clon
+      FROM customer WHERE c_custkey % 13 = 0
+    ), p AS (
+      SELECT s_suppkey, c_custkey,
+             radians(slat) AS f1, radians(clat) AS f2,
+             radians(clon - slon) AS dl
+      FROM s JOIN c ON s_nationkey = c_nationkey
+    ), d AS (
+      SELECT s_suppkey, c_custkey,
+             2 * {_GEO_EARTH_KM} * asin(sqrt(
+                 sin((f2 - f1) / 2) * sin((f2 - f1) / 2)
+                 + cos(f1) * cos(f2) * sin(dl / 2) * sin(dl / 2))) AS dist,
+             degrees(atan2(sin(dl) * cos(f2),
+                           cos(f1) * sin(f2) - sin(f1) * cos(f2) * cos(dl)))
+               AS brg
+      FROM p
+    )
+    SELECT s_suppkey, c_custkey,
+           {sql_dround('dist', 2)} AS dist_km,
+           {sql_dround('CAST(((brg % 360) + 360) % 360 AS DOUBLE)', 2)} AS bearing_deg,
+           {sql_dround('dist', 2)} <= {_GEO_RADIUS_KM} AS within_radius
+    FROM d
+    ORDER BY s_suppkey, c_custkey
+    """,
+    section=_SEC,
+)
+def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic scalar family — haversine great-circle distance, initial
+    bearing, and a service-radius predicate between same-nation facility/
+    customer pairs: the distance math behind catchment-area assignment
+    ('which reporting facility serves this address?'), nearest-site
+    routing, and the geo feature columns a spatial join
+    (join_spatial_grid) rescors exactly. Pure codegen trigonometry —
+    radians/sin/cos/asin/atan2/degrees are all JVM intrinsics; the
+    DuckDB oracle pins the full formula at 2 dp, and the radius flag
+    compares the ROUNDED distance so the emitted set is identical
+    cross-engine.
+
+    Scale: the nation equi-join bounds pairs per nation (no cross
+    product); the trig is a per-row projection with zero exchanges
+    beyond the join — at 100 TB the same expressions ride any
+    partitioning, and the radius predicate pushes into the join when the
+    pair source is pre-bucketed by geohash cell (join_spatial_grid's
+    plan)."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    def lat(key: str, salt: int):
+        return (
+            ((F.col(key) + salt) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1200
+        ) / 10.0 - 60.0
+
+    def lon(key: str, salt: int):
+        return (
+            ((F.col(key) + salt) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 3600
+        ) / 10.0 - 180.0
+
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 0)
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            lat("s_suppkey", 17).alias("slat"),
+            lon("s_suppkey", 31).alias("slon"),
+        )
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 13 == 0)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            lat("c_custkey", 17).alias("clat"),
+            lon("c_custkey", 31).alias("clon"),
+        )
+    )
+    p = s.join(c, F.col("s_nationkey") == F.col("c_nationkey")).select(
+        "s_suppkey",
+        "c_custkey",
+        F.radians("slat").alias("f1"),
+        F.radians("clat").alias("f2"),
+        F.radians(F.col("clon") - F.col("slon")).alias("dl"),
+    )
+    half = (F.col("f2") - F.col("f1")) / 2
+    dist = (
+        2
+        * _GEO_EARTH_KM
+        * F.asin(
+            F.sqrt(
+                F.sin(half) * F.sin(half)
+                + F.cos("f1") * F.cos("f2")
+                * F.sin(F.col("dl") / 2) * F.sin(F.col("dl") / 2)
+            )
+        )
+    )
+    brg = F.degrees(
+        F.atan2(
+            F.sin("dl") * F.cos("f2"),
+            F.cos("f1") * F.sin("f2") - F.sin("f1") * F.cos("f2") * F.cos("dl"),
+        )
+    )
+    dist_r = dround(dist, 2)
+    return p.select(
+        "s_suppkey",
+        "c_custkey",
+        dist_r.alias("dist_km"),
+        dround(((brg % 360) + 360) % 360, 2).alias("bearing_deg"),
+        (dist_r <= _GEO_RADIUS_KM).alias("within_radius"),
+    ).orderBy("s_suppkey", "c_custkey")

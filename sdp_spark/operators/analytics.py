@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sdp_spark.functions.num import (
     DEC,
@@ -1752,6 +1753,136 @@ def cusum_scored(daily: DataFrame) -> DataFrame:
     )
 
 
+# EWMA control chart (Roberts 1959): the third classical detector beside
+# EARS C2 and CUSUM — smoothing weight λ and a time-varying control limit
+# that widens as the EWMA variance converges. Same 10-day frozen baseline
+# as CUSUM (the detector never learns from the outbreak it scores).
+_EWMACH_SPLIT = _CUSUM_SPLIT
+_EWMACH_LAMBDA = 0.3
+_EWMACH_L = 2.0
+
+_EWMACH_SQL = f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), base AS (
+      SELECT event_type, SUM(c) / COUNT(*) AS mu,
+             SQRT((COUNT(*) * SUM(c*c) - SUM(c) * SUM(c))
+                  / (CAST(COUNT(*) AS DOUBLE) * COUNT(*))) AS sigma
+      FROM daily WHERE d < DATE '{_EWMACH_SPLIT}' GROUP BY event_type
+    ), framed AS (
+      SELECT daily.event_type, d, c, mu, sigma,
+             list(c) OVER (PARTITION BY daily.event_type ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+      FROM daily JOIN base USING (event_type)
+      WHERE d >= DATE '{_EWMACH_SPLIT}'
+    ), scored AS (
+      SELECT event_type, d, c,
+             mu * pow(1.0 - {_EWMACH_LAMBDA}, len(arr))
+               + {_EWMACH_LAMBDA} * list_sum(list_transform(
+                   generate_series(1, len(arr)),
+                   i -> arr[i] * pow(1.0 - {_EWMACH_LAMBDA}, len(arr) - i)))
+               AS z,
+             mu + {_EWMACH_L} * sigma
+                * sqrt({_EWMACH_LAMBDA} / (2.0 - {_EWMACH_LAMBDA})
+                       * (1.0 - pow(1.0 - {_EWMACH_LAMBDA}, 2 * len(arr))))
+               AS ucl
+      FROM framed
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(c AS BIGINT) AS n_events,
+           FLOOR(z * 10000 + 0.5) / 10000 AS ewma,
+           FLOOR(ucl * 10000 + 0.5) / 10000 AS ucl,
+           z > ucl AS alert
+    FROM scored
+"""
+
+
+def ewma_scored(daily: DataFrame) -> DataFrame:
+    """EWMA control-chart scoring over a (event_type, d, c) daily-count
+    frame: z_t = λc_t + (1−λ)z_(t−1) with z_0 = μ, unrolled to the
+    closed form z_t = μ(1−λ)^t + λ·Σ_i (1−λ)^(t−i) c_i over the
+    per-type scored-day array (calendar-bounded, so the array is tiny),
+    against the exact time-varying limit UCL_t = μ + L·σ·√(λ/(2−λ)·
+    (1−(1−λ)^(2t))). The fold is the same left-to-right sum on both
+    engines (win_ewma's contract), so the doubles agree bit-for-bit
+    before rounding. Shared by the batch capstone and the streaming
+    twin."""
+    lam = _EWMACH_LAMBDA
+    base = (
+        daily.filter(F.col("d") < F.lit(_EWMACH_SPLIT).cast("date"))
+        .groupBy("event_type")
+        .agg(
+            (F.sum("c") / F.count("*")).alias("mu"),
+            F.sqrt(
+                (F.count("*") * F.sum(F.col("c") * F.col("c")) - F.sum("c") * F.sum("c"))
+                / (F.count("*").cast("double") * F.count("*"))
+            ).alias("sigma"),
+        )
+        .withColumnRenamed("event_type", "base_type")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    framed = (
+        daily.filter(F.col("d") >= F.lit(_EWMACH_SPLIT).cast("date"))
+        .join(base, F.col("event_type") == F.col("base_type"))
+        .select("event_type", "d", "c", "mu", "sigma")
+        .withColumn("arr", F.collect_list("c").over(w))
+        .withColumn("t", F.size("arr"))
+    )
+    z = F.col("mu") * F.expr(f"power(1.0 - {lam}, t)") + lam * F.expr(
+        f"aggregate(sequence(1, t), cast(0.0 as double), "
+        f"(s, i) -> s + element_at(arr, i) * power(1.0 - {lam}, t - i))"
+    )
+    ucl = F.col("mu") + _EWMACH_L * F.col("sigma") * F.sqrt(
+        F.lit(lam / (2.0 - lam))
+        * (1.0 - F.expr(f"power(1.0 - {lam}, 2 * t)"))
+    )
+    return framed.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("c").cast("bigint").alias("n_events"),
+        dround(z, 4).alias("ewma"),
+        dround(ucl, 4).alias("ucl"),
+        (z > ucl).alias("alert"),
+    )
+
+
+@register(
+    "query_outbreak_ewma",
+    oracle=_EWMACH_SQL,
+    section=_SEC,
+)
+def query_outbreak_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959) — the THIRD classical
+    surveillance detector beside EARS C2 (moving 7-day baseline, spike-
+    sensitive) and CUSUM (accumulated excess, drift-sensitive): the
+    exponentially weighted mean of daily counts against a limit that
+    widens with √(1−(1−λ)^2t) as the statistic's variance converges —
+    the small-sustained-shift detector of the SPC canon (between
+    Shewhart's one-point rules and CUSUM's full memory). λ = 0.3,
+    L = 2σ, 10-day frozen baseline shared with CUSUM.
+
+    The recurrence z_t = λc_t + (1−λ)z_(t−1) lowers to ONE declarative
+    pass via its closed form over the per-type scored array (see
+    ewma_scored) — no loop, no UDF; the array is |scored days| per type,
+    calendar-bounded regardless of event volume.
+
+    Plan: identical shape to CUSUM — the raw-events daily rollup is the
+    only data-scale pass; baseline and scoring are two aggs/windows over
+    |types × days| metadata. Scoring runs through `ewma_scored`, the
+    SAME core the streaming twin (`stream_ewma_alerts`) calls — the
+    stream==batch guarantee is structural, as with EARS and CUSUM."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("c"))
+    return ewma_scored(daily)
+
+
 # Freshness reference instant: fixtures are static, so "now" is pinned —
 # a live deployment passes the wall clock here.
 _FRESH_ASOF = "2024-02-15 00:00:00"
@@ -1893,7 +2024,8 @@ _BENFORD_SQL_CASE = "CASE digit " + " ".join(
       SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS digit
       FROM orders
     ), counted AS (
-      SELECT digit, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total
+      SELECT digit, COUNT(*) AS n,
+             CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS total
       FROM digits GROUP BY digit
     )
     SELECT digit, CAST(n AS BIGINT) AS n,
@@ -2459,6 +2591,109 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             F.col("group_size").cast("bigint").alias("group_size"),
             (F.col("group_size") < _KANON_K).alias("violates_k"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# l-diversity: every k-anonymity class must also contain at least l
+# DISTINCT values of the sensitive attribute — k-anonymity alone permits
+# the "homogeneity attack" (a class of 10 identical diagnoses re-identifies
+# all 10). Sensitive attribute here: account standing banded from acctbal
+# (delinquent / low / high — financial status, the thing a privacy review
+# actually protects in this table).
+_LDIV_L = 2
+_LDIV_SENS_SQL = (
+    "CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' "
+    "WHEN c_acctbal < 5000 THEN 'LOW' ELSE 'HIGH' END"
+)
+
+
+@register(
+    "dq_l_diversity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment, {_LDIV_SENS_SQL} AS sens,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(SUM(cnt) AS BIGINT) AS group_size,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_sensitive
+      FROM cells GROUP BY 1, 2
+    ), ent AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             SUM(CAST(-1.0 * c.cnt / t.group_size
+                      * ln(CAST(c.cnt AS DOUBLE) / t.group_size)
+                      AS DECIMAL(38,18))) AS entropy
+      FROM cells c
+      JOIN tot t USING (c_nationkey, c_mktsegment)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(t.c_nationkey AS INTEGER) AS c_nationkey, t.c_mktsegment,
+           t.group_size, t.n_distinct_sensitive,
+           {sql_dround('CAST(e.entropy AS DOUBLE)', 4)} AS entropy,
+           t.n_distinct_sensitive < {_LDIV_L} AS violates_l
+    FROM tot t JOIN ent e USING (c_nationkey, c_mktsegment)
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    section=_SEC,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the same quasi-identifier classes as
+    `dq_k_anonymity` (nation, market segment) with sensitive attribute =
+    account standing (delinquent / low / high from acctbal): a class
+    passes only if it contains ≥ l = 2 distinct sensitive values, and the
+    Shannon entropy of the within-class sensitive distribution is emitted
+    for the stronger entropy-l-diversity reading — the audit that catches
+    the homogeneity attack k-anonymity misses (a class of 10 members that
+    are ALL delinquent re-identifies every one of them the moment the
+    class is linkable).
+
+    Determinism: class sizes and distinct counts are exact BIGINTs; the
+    entropy sums at most 3 −p·ln p terms in a fixed grouping, rounded
+    once (ln agrees cross-engine at 4 dp on these well-separated ratios,
+    the PMI/zipf convention).
+
+    Scale: one hash aggregation to |QI classes × 3 bands| cells, one more
+    to classes — both metadata-sized after the single data-scale
+    exchange, exactly dq_k_anonymity's shape with one extra tiny agg."""
+    c = table(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, "DELINQUENT")
+        .when(F.col("c_acctbal") < 5000, "LOW")
+        .otherwise("HIGH")
+    )
+    cells = (
+        c.select("c_nationkey", "c_mktsegment", sens.alias("sens"))
+        .groupBy("c_nationkey", "c_mktsegment", "sens")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    p = F.col("cnt").cast("double") / F.sum("cnt").over(w)
+    # each −p·ln p term is the identical double on both engines; entering
+    # DECIMAL before the sum makes the ≤3-term addition exact and
+    # order-free (partial-agg order must not move the 4th decimal)
+    terms = cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "cnt",
+        (-p * F.log(p)).cast("decimal(38,18)").alias("h_term"),
+    )
+    return (
+        terms.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("group_size"),
+            F.count("*").cast("bigint").alias("n_distinct_sensitive"),
+            F.sum("h_term").cast("double").alias("entropy"),
+        )
+        .select(
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            "c_mktsegment",
+            "group_size",
+            "n_distinct_sensitive",
+            dround("entropy", 4).alias("entropy"),
+            (F.col("n_distinct_sensitive") < _LDIV_L).alias("violates_l"),
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )

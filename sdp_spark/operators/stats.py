@@ -1,0 +1,1389 @@
+"""Inferential statistics & corpus-analysis — round-8 batch 20: two-sample
+hypothesis tests, lead-lag cross-correlation, readability scoring, exact
+k-NN graph construction, first-occurrence novelty attribution, and
+priority (weighted-reservoir) sampling.
+
+Capability rationale (reference = CDCgov/SDP, an OpenShift/Ansible IaC
+deployment of a MySQL-backed surveillance platform — SURVEY.md §0): after
+the detector layer (EARS / CUSUM / historical-limits in analytics.py and
+insights.py) flags a signal, the surveillance analyst's next questions are
+inferential — *is the severity distribution of this event class actually
+different from that one?* (Welch's t / Mann-Whitney U — the parametric and
+rank-based two-sample tests every epi textbook pairs), and *which signal
+leads which?* (lead-lag cross-correlation between event streams, the
+multivariate companion of insights.py's ts_autocorr). The corpus/LLM keys
+extend the training-data pipeline the driver mandates: readability is a
+standard quality-filter feature beside Gopher/C4 (corpus.py), the k-NN
+graph is the common substrate of SemDedup/graph-clustering pipelines, the
+novelty rate measures how much a crawl snapshot adds over what the corpus
+already contains (the incremental-ingest question llm_dedup_incremental
+answers at document grain, answered here at n-gram grain), and priority
+sampling (Duffield-Lund-Thorup, JACM 2007) is the weighted-reservoir
+scheme whose rank key needs only a division — no transcendental function
+— so it is bit-deterministic across engines where Efraimidis-Spirakis'
+u^(1/w) is not (pow/log differ in the last ulp between libm builds).
+
+Cross-engine determinism: every statistic is assembled from exact BIGINT
+counts or DECIMAL sums (num.py dsum convention), combined with the
+identical IEEE expression on both engines (+ - * / sqrt are correctly
+rounded; ln/pow are NOT and are avoided), and rounded once at the end
+(`dround`). Pseudo-randomness is the repo's Knuth multiplicative hash
+(num.KNUTH) — portable exact BIGINT arithmetic, same as
+sample_systematic / llm_pipeline_train_corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sdp_spark.functions.num import (
+    DEC,
+    KNUTH,
+    KNUTH_MOD,
+    davg,
+    dround,
+    sql_davg,
+    sql_dround,
+)
+from sdp_spark.operators.insights import _BIGRAM_SQL, _bigrams
+from sdp_spark.plans.registry import register
+from sdp_spark.sources.fixtures import table
+
+_SEC = "2.17 inferential stats & corpus analysis"
+
+# Exact two-decimal event values square to four decimals: DECIMAL(18,4)
+# products carry scale 8 / precision 37 on Spark and 36 on DuckDB — both
+# inside the 38 cap, so SUM(v) and SUM(v*v) are exact and order-free on
+# both engines (the histlimits BIGINT n*n trick, lifted to decimals).
+_VDEC = "DECIMAL(18,4)"
+
+# Shared per-type exact moment rollup (n, Σv, Σv²) — the partial+final
+# aggregate both tests start from. One event-scale exchange to |types| rows.
+_MOMENTS_SQL = f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(value AS {_VDEC})) AS sv,
+           SUM(CAST(value AS {_VDEC}) * CAST(value AS {_VDEC})) AS svv
+    FROM events GROUP BY event_type
+"""
+
+
+def _moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = F.col("value").cast(_VDEC)
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(v).alias("sv"),
+        F.sum(v * v).alias("svv"),
+    )
+
+
+@register(
+    "agg_welch_ttest",
+    oracle=f"""
+    WITH m AS ({_MOMENTS_SQL}),
+    s AS (
+      SELECT event_type, n,
+             CAST(sv AS DOUBLE) / n AS mean,
+             (CAST(svv AS DOUBLE)
+              - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1) AS var
+      FROM m WHERE n >= 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, b.n AS n_b,
+           {sql_dround('a.mean - b.mean', 4)} AS mean_diff,
+           {sql_dround(
+               '(a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n)', 4)} AS t_stat,
+           {sql_dround(
+               '(a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n)'
+               ' / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)'
+               '    + (b.var / b.n) * (b.var / b.n) / (b.n - 1))', 2)} AS df
+    FROM s a JOIN s b ON a.event_type < b.event_type
+    ORDER BY type_a, type_b
+    """,
+    section=_SEC,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between every pair of
+    event classes on `value` (severity): t statistic plus the
+    Welch-Satterthwaite effective degrees of freedom — the parametric
+    "are these two signal severities different?" screen an epidemiologist
+    runs after a detector fires.
+
+    Determinism: group moments are exact DECIMAL sums (see _VDEC note);
+    mean/var/t/df are the identical + - * / sqrt expression on both
+    engines over those exact inputs, rounded once.
+
+    Scale: ONE partial+final aggregate collapses the event stream to
+    |types| moment rows; the pair join is a |types|² broadcast
+    self-join over metadata — the event-scale work is a single exchange
+    regardless of pair count. This moment-sketch shape is exactly how
+    the test distributes at 100 TB (no per-pair passes over raw data)."""
+    # The pair frame consumes the moment rollup twice (sides a and b);
+    # localCheckpoint materializes the |types|-row sketch so events is
+    # scanned ONCE — without it each self-join side replays the scan+agg
+    # lineage (Catalyst has no automatic common-subplan reuse here).
+    m = _moments(spark, sf_dir).filter(F.col("n") >= 2).localCheckpoint()
+    s = m.select(
+        "event_type",
+        "n",
+        (F.col("sv").cast("double") / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("svv").cast("double")
+                - F.col("sv").cast("double") * F.col("sv").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = s.select(*[F.col(c).alias(f"{c}_a") for c in s.columns])
+    b = s.select(*[F.col(c).alias(f"{c}_b") for c in s.columns])
+    va_n = F.col("var_a") / F.col("n_a")
+    vb_n = F.col("var_b") / F.col("n_b")
+    return (
+        a.join(F.broadcast(b), F.col("event_type_a") < F.col("event_type_b"))
+        .select(
+            F.col("event_type_a").alias("type_a"),
+            F.col("event_type_b").alias("type_b"),
+            F.col("n_a"),
+            F.col("n_b"),
+            dround(F.col("mean_a") - F.col("mean_b"), 4).alias("mean_diff"),
+            dround(
+                (F.col("mean_a") - F.col("mean_b")) / F.sqrt(va_n + vb_n), 4
+            ).alias("t_stat"),
+            dround(
+                (va_n + vb_n) * (va_n + vb_n)
+                / (va_n * va_n / (F.col("n_a") - 1) + vb_n * vb_n / (F.col("n_b") - 1)),
+                2,
+            ).alias("df"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "agg_mann_whitney",
+    oracle=f"""
+    WITH types AS (SELECT DISTINCT event_type AS t FROM events),
+    pairs AS (
+      SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t
+    ), u AS (
+      SELECT p.ta, p.tb, e.event_type, CAST(e.value AS {_VDEC}) AS v
+      FROM pairs p JOIN events e ON e.event_type IN (p.ta, p.tb)
+    ), ranked AS (
+      SELECT ta, tb, event_type, v,
+             RANK() OVER (PARTITION BY ta, tb ORDER BY v)
+               + (CAST(COUNT(*) OVER (PARTITION BY ta, tb, v) AS DOUBLE) - 1) / 2
+               AS avg_rank
+      FROM u
+    ), sums AS (
+      SELECT ta, tb,
+             CAST(COUNT(CASE WHEN event_type = ta THEN 1 END) AS BIGINT) AS n_a,
+             CAST(COUNT(CASE WHEN event_type = tb THEN 1 END) AS BIGINT) AS n_b,
+             SUM(CASE WHEN event_type = ta
+                      THEN CAST(avg_rank * 2 AS BIGINT) END) AS r2a
+      FROM ranked GROUP BY ta, tb
+    ), ties AS (
+      SELECT ta, tb, SUM(tc * tc * tc - tc) AS tsum
+      FROM (SELECT ta, tb, v, CAST(COUNT(*) AS BIGINT) AS tc
+            FROM u GROUP BY ta, tb, v) g
+      GROUP BY ta, tb
+    )
+    SELECT s.ta AS type_a, s.tb AS type_b, s.n_a, s.n_b,
+           CAST(r2a AS DOUBLE) / 2
+             - CAST(n_a AS DOUBLE) * (n_a + 1) / 2 AS u_a,
+           {sql_dround(
+               "(CAST(r2a AS DOUBLE) / 2"
+               " - CAST(n_a AS DOUBLE) * (n_a + 1) / 2"
+               " - CAST(n_a AS DOUBLE) * n_b / 2)"
+               " / sqrt(CAST(n_a AS DOUBLE) * n_b / 12"
+               "   * ((n_a + n_b + 1)"
+               "      - CAST(tsum AS DOUBLE)"
+               "        / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))))", 4)}
+             AS z
+    FROM sums s JOIN ties t ON s.ta = t.ta AND s.tb = t.tb
+    WHERE (n_a + n_b + 1)
+          - CAST(tsum AS DOUBLE)
+            / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)) > 0
+    ORDER BY type_a, type_b
+    """,
+    section=_SEC,
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between every pair of event
+    classes on `value`, with the tie-corrected normal approximation z —
+    the distribution-free companion of agg_welch_ttest (rank-based, so
+    heavy-tailed severity distributions can't distort it).
+
+    Determinism: values are compared as exact DECIMALs; average ranks are
+    multiples of 0.5, so `avg_rank * 2` is summed as an exact BIGINT and
+    halved once (no float accumulation anywhere); the tie term Σ(t³-t)
+    is pure BIGINT. z is one identical IEEE expression over those exact
+    inputs.
+
+    Scale: each event joins the |pairs| list containing its type
+    (broadcast |types|² rows → fan-out factor |types|-1), then ONE rank
+    window per pair partition computes all ranks — a sort per pair, the
+    canonical distributed ranking shape. At petabyte grain the exact sort
+    swaps for a fixed-width value histogram per pair (rank sums from
+    cumulative bin counts) with the same downstream algebra; fixture
+    scale certifies the exact path."""
+    e = table(spark, sf_dir, "events")
+    types = e.select(F.col("event_type").alias("t")).distinct()
+    ta = types.select(F.col("t").alias("ta"))
+    tb = types.select(F.col("t").alias("tb"))
+    pairs = ta.join(tb, F.col("ta") < F.col("tb"))
+    u = e.select("event_type", F.col("value").cast(_VDEC).alias("v")).join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")),
+    )
+    wr = Window.partitionBy("ta", "tb").orderBy("v")
+    wt = Window.partitionBy("ta", "tb", "v")
+    # tc = tie-group size alongside the average rank: summing (tc² - 1)
+    # over the tc ROWS of each tied value contributes tc³ - tc, so ONE
+    # groupBy computes the rank sum AND the tie correction — no second
+    # pass over events, no ties join (the oracle spells the same Σ(t³-t)
+    # as a separate CTE; the algebra is identical).
+    ranked = u.select(
+        "ta",
+        "tb",
+        "event_type",
+        (
+            F.rank().over(wr)
+            + (F.count("*").over(wt).cast("double") - F.lit(1)) / 2
+        ).alias("avg_rank"),
+        F.count("*").over(wt).cast("bigint").alias("tc"),
+    )
+    sums = ranked.groupBy("ta", "tb").agg(
+        F.count(F.when(F.col("event_type") == F.col("ta"), 1))
+        .cast("bigint")
+        .alias("n_a"),
+        F.count(F.when(F.col("event_type") == F.col("tb"), 1))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(
+            F.when(
+                F.col("event_type") == F.col("ta"),
+                (F.col("avg_rank") * 2).cast("bigint"),
+            )
+        ).alias("r2a"),
+        F.sum(F.col("tc") * F.col("tc") - 1).alias("tsum"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u_a = (
+        F.col("r2a").cast("double") / 2 - n_a.cast("double") * (n_a + 1) / 2
+    )
+    nn = n_a.cast("double") * n_b
+    sigma = F.sqrt(
+        nn
+        / 12
+        * (
+            (n_a + n_b + 1)
+            - F.col("tsum").cast("double")
+            / ((n_a + n_b).cast("double") * (n_a + n_b - 1))
+        )
+    )
+    # sigma is 0 iff every value in the pair is identical (the tie term
+    # then cancels N+1 exactly) — exclude the degenerate pair on both
+    # sides rather than emit an engine-dependent division-by-zero.
+    sigma_sq_pos = (
+        (n_a + n_b + 1)
+        - F.col("tsum").cast("double")
+        / ((n_a + n_b).cast("double") * (n_a + n_b - 1))
+    ) > 0
+    return (
+        sums.filter(sigma_sq_pos)
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_a",
+            "n_b",
+            u_a.alias("u_a"),
+            dround((u_a - nn / 2) / sigma, 4).alias("z"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_XCORR_MAX_LAG = 3
+_XCORR_MIN_PAIRS = 10
+
+# Daily (type, day, n) rollup — same CTE shape as insights._DAILY_SQL but
+# restated here so the module is import-order independent of that literal.
+_XDAILY_SQL = """
+    SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "ts_cross_correlation",
+    oracle=f"""
+    WITH daily AS ({_XDAILY_SQL}),
+    pairs AS (
+      SELECT a.event_type AS type_lead, b.event_type AS type_lag,
+             date_diff('day', a.day, b.day) AS lag, a.n AS x, b.n AS y
+      FROM daily a JOIN daily b
+        ON a.event_type < b.event_type
+       AND date_diff('day', a.day, b.day) BETWEEN 0 AND {_XCORR_MAX_LAG}
+    ), moments AS (
+      SELECT type_lead, type_lag, lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= {_XCORR_MIN_PAIRS}
+    )
+    SELECT type_lead, type_lag, lag, n_pairs,
+           {sql_dround(
+               "(n_pairs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)"
+               " / sqrt((n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)"
+               "      * (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))",
+               4)} AS r
+    FROM moments
+    WHERE (n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) > 0
+      AND (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy) > 0
+    ORDER BY type_lead, type_lag, lag
+    """,
+    section=_SEC,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily count series of distinct
+    event classes: Pearson r of series A at day t vs series B at day
+    t+lag, lag 0..3 — *which signal leads which?*, the multivariate
+    companion of insights.ts_autocorr (e.g. does the `error` stream
+    foreshadow the `purchase` drop). Pair ordering (A < B) with signed
+    lag direction encoded by role: type_lead's value is read `lag` days
+    before type_lag's.
+
+    Determinism: daily counts are BIGINT; all five moments are exact
+    integer sums; r is one identical IEEE expression, rounded once.
+
+    Scale: identical to ts_autocorr — the (type, day) rollup is the only
+    event-scale exchange; the lag join and moment aggregate run over the
+    |types|·|days| metadata frame. Degenerate (zero-variance) windows are
+    excluded on both sides before the division."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    a = daily.select(
+        F.col("event_type").alias("type_lead"),
+        F.col("day").alias("day_a"),
+        F.col("n").alias("x"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_lag"),
+        F.col("day").alias("day_b"),
+        F.col("n").alias("y"),
+    )
+    lag = F.datediff("day_b", "day_a")
+    m = (
+        a.join(
+            b,
+            (F.col("type_lead") < F.col("type_lag"))
+            & lag.between(0, _XCORR_MAX_LAG),
+        )
+        .select(
+            "type_lead", "type_lag", lag.cast("bigint").alias("lag"), "x", "y"
+        )
+        .groupBy("type_lead", "type_lag", "lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .filter(F.col("n_pairs") >= _XCORR_MIN_PAIRS)
+    )
+    vx = F.col("n_pairs") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    cov = F.col("n_pairs") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    return (
+        m.filter((vx > 0) & (vy > 0))
+        .select(
+            "type_lead",
+            "type_lag",
+            "lag",
+            "n_pairs",
+            dround(cov / F.sqrt(vx * vy), 4).alias("r"),
+        )
+        .orderBy("type_lead", "type_lag", "lag")
+    )
+
+
+_WORD_RE = "[A-Za-z]+"
+_SENT_RE = "[.!?]+"
+_SYLL_RE = "[aeiouyAEIOUY]+"
+
+
+@register(
+    "llm_readability",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_WORD_RE}')) AS BIGINT) AS n_words,
+             CAST(GREATEST(len(regexp_extract_all(text, '{_SENT_RE}')), 1) AS BIGINT)
+               AS n_sents,
+             CAST(len(regexp_extract_all(text, '{_SYLL_RE}')) AS BIGINT) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           {sql_dround(
+               "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)"
+               " - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)", 2)} AS fre,
+           {sql_dround(
+               "0.39 * (CAST(n_words AS DOUBLE) / n_sents)"
+               " + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59", 2)} AS fk_grade
+    FROM c WHERE n_words >= 1
+    ORDER BY doc_id
+    """,
+    section=_SEC,
+)
+def llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document from three
+    regex counters (letter-runs = words, [.!?] runs = sentence ends,
+    vowel-group runs = syllable estimate — the standard punctuation-free
+    syllable heuristic). Readability is a stock quality-filter feature
+    beside the Gopher/C4 rule sets (corpus.py): pre-training corpora are
+    commonly screened to a readability band.
+
+    Note the fixture corpus has no sentence punctuation, so n_sents
+    clamps to 1 and the words-per-sentence term degenerates to doc
+    length — the regex plumbing and formula are what this key certifies;
+    real corpora exercise the sentence term.
+
+    Determinism: three BIGINT regex counts ([A-Za-z], [.!?], vowel runs
+    — identical semantics in Java regex and RE2); the two formulas are
+    per-row IEEE over those integers, rounded once.
+
+    Scale: pure per-row projection — NO shuffle, NO UDF; regexp_count
+    runs inside whole-stage codegen, and only (doc_id, 3 counters)
+    survive the scan."""
+    d = table(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_WORD_RE)).cast("bigint").alias("n_words"),
+        F.greatest(F.regexp_count("text", F.lit(_SENT_RE)), F.lit(1))
+        .cast("bigint")
+        .alias("n_sents"),
+        F.regexp_count("text", F.lit(_SYLL_RE)).cast("bigint").alias("n_syll"),
+    ).filter(F.col("n_words") >= 1)
+    wps = F.col("n_words").cast("double") / F.col("n_sents")
+    spw = F.col("n_syll").cast("double") / F.col("n_words")
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        dround(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 2).alias("fre"),
+        dround(0.39 * wps + 11.8 * spw - 15.59, 2).alias("fk_grade"),
+    ).orderBy("doc_id")
+
+
+_KNN_K = 5
+
+
+@register(
+    "llm_knn_graph",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+             {sql_dround(
+                 "list_sum(list_transform(generate_series(1, 64),"
+                 " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+                 " / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))"
+                 "    * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))))",
+                 4)} AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, neighbor_label, cos_sim, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored) t
+    WHERE rnk <= {_KNN_K}
+    ORDER BY vec_id, rnk
+    """,
+    section=_SEC,
+)
+def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor graph (k=5, cosine) over the embedding
+    table — every vector's top-k neighbor list, the substrate SemDedup
+    (corpus.llm_semdedup), graph-based clustering, and kNN-classification
+    pipelines all start from. llm_sim_search answers k-NN for a query
+    set; this materializes the full self-graph.
+
+    Determinism: cosine is the zip_with/aggregate fold whose order
+    matches DuckDB list_sum (llm.py:_emb_normed contract), rounded to 4
+    before ranking, with neighbor_id as the total tiebreaker.
+
+    Scale: the exact all-pairs self-join certifies correctness at
+    fixture grain; the 100 TB path swaps the candidate generator for the
+    IVF cell equi-join (llm.llm_sim_search_ivf: broadcast centroids,
+    per-cell candidates only) or hyperplane-LSH buckets
+    (llm.llm_sim_search_lsh) and keeps this exact-rescore + top-k tail —
+    the certified ranking/tiebreak algebra is the part both share."""
+    from sdp_spark.operators.llm import _emb_normed
+
+    emb = _emb_normed(spark, sf_dir)
+    a = emb.select(
+        "vec_id", F.col("dvec").alias("va"), F.col("norm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("dvec").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = a.join(F.broadcast(b), F.col("vec_id") != F.col("neighbor_id")).select(
+        "vec_id",
+        "neighbor_id",
+        "neighbor_label",
+        dround(dot / (F.col("na") * F.col("nb")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _KNN_K)
+        .orderBy("vec_id", "rnk")
+    )
+
+
+@register(
+    "llm_novelty_rate",
+    oracle=f"""
+    {_BIGRAM_SQL},
+    db AS (SELECT DISTINCT doc_id, w1, w2 FROM bigrams),
+    first_seen AS (
+      SELECT w1, w2, MIN(doc_id) AS first_doc FROM db GROUP BY w1, w2
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(CASE WHEN f.first_doc = d.doc_id THEN 1 END) AS BIGINT)
+             AS n_novel,
+           {sql_dround(
+               "CAST(COUNT(CASE WHEN f.first_doc = d.doc_id THEN 1 END) AS DOUBLE)"
+               " / COUNT(*)", 4)} AS novelty
+    FROM db d JOIN first_seen f ON d.w1 = f.w1 AND d.w2 = f.w2
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    section=_SEC,
+)
+def llm_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    bigrams whose first corpus occurrence (min doc_id, ingest order) is
+    this doc — 'how much does each snapshot add over what the corpus
+    already contains?', the n-gram-grain refinement of
+    corpus.llm_dedup_incremental's document-grain answer. Low-novelty
+    tails are boilerplate/near-dup indicators; the same first-occurrence
+    attribution prices new crawl slices for training-data acquisition.
+
+    Determinism: pure integer counting over exact group keys; one ratio
+    rounded at the end. Docs with < 2 tokens emit nothing (bigram-less)
+    on both sides.
+
+    Scale: bigrams shuffle ONCE by (w1, w2) for the min-doc attribution
+    and once by doc_id for the rollup — both carry tokens, not texts; at
+    100 TB the (w1, w2) key swaps for its 64-bit hash (digest-width
+    shuffle, the llm_dedup_exact trick) with identical downstream
+    algebra. The bigram generation itself is the zero-join array
+    expression shared with insights.llm_pmi_collocations."""
+    db = _bigrams(spark, sf_dir).distinct()
+    first_seen = db.groupBy("w1", "w2").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        db.join(first_seen, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_novel",
+            dround(
+                F.col("n_novel").cast("double") / F.col("n_bigrams"), 4
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_RESERVOIR_N = 100
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice,
+           {sql_dround(
+               f"o_totalprice / ((CAST((o_orderkey * {KNUTH}) % {KNUTH_MOD} AS DOUBLE)"
+               f" + 0.5) / {KNUTH_MOD})", 2)} AS priority
+    FROM orders
+    ORDER BY priority DESC, o_orderkey
+    LIMIT {_RESERVOIR_N}
+    """,
+    section=_SEC,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): weighted reservoir of
+    n=100 orders with inclusion probability proportional to o_totalprice
+    — each row draws u ~ U(0,1) from the repo's Knuth multiplicative
+    hash of its key and ranks by priority = weight / u; the top-n by
+    priority is the sample (near-optimal for weighted subset-sum
+    estimation, JACM 54(6)).
+
+    Chosen over Efraimidis-Spirakis u^(1/w) deliberately: the E-S key
+    needs pow/log, which are NOT correctly-rounded IEEE ops and can
+    differ in the last ulp between libm builds — priority sampling's
+    single division is exact, so the selected set is bit-deterministic
+    across engines and re-runs. Selection orders by the ROUNDED priority
+    with o_orderkey as total tiebreaker, removing even the theoretical
+    boundary sensitivity.
+
+    Scale: Catalyst plans ORDER BY + LIMIT as TakeOrderedAndProject —
+    per-partition top-n then a driver merge of |partitions|·n rows; NO
+    global sort, NO shuffle of the data. This is exactly the
+    deterministic distributed reservoir: same result any partitioning,
+    same sample on every re-run (the reproducibility sample_hash_group
+    gives per-group, here weighted and global)."""
+    o = table(spark, sf_dir, "orders")
+    u = (
+        ((F.col("o_orderkey") * F.lit(KNUTH)) % F.lit(KNUTH_MOD)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(KNUTH_MOD)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            # 2-dp, not 4: a near-zero u puts priority at ~1e15, and the
+            # dround FLOOR trick must keep priority*10^n inside int64 on
+            # the Spark side (floor returns LONG) — 1e17 fits, 1e19 wraps.
+            dround(F.col("o_totalprice") / u, 2).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "o_orderkey")
+        .limit(_RESERVOIR_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 batch 21: concentration, resampling, standardization, Rt,
+# survey allocation, n-gram overlap scoring.
+# ---------------------------------------------------------------------------
+
+# Exact-decimal rollup of per-customer revenue inside each nation market —
+# the (nation, firm, revenue) frame both concentration statistics read.
+# DECIMAL(15,2) holds any per-customer revenue the fixtures (or 100 TB of
+# them) can produce, and its square fits DECIMAL(31,4) < the 38 cap on
+# both engines, so Σr and Σr² are exact and order-free.
+_HHI_REV_SQL = """
+    SELECT n.n_name, c.c_custkey,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))), 2)
+                AS DECIMAL(15,2)) AS rev
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, c.c_custkey
+"""
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle=f"""
+    WITH rev AS ({_HHI_REV_SQL})
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_firms,
+           CAST(SUM(rev) AS DOUBLE) AS market_rev,
+           {sql_dround(
+               "CAST(SUM(rev * rev) AS DOUBLE)"
+               " / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))"
+               " * 10000", 4)} AS hhi,
+           {sql_dround(
+               "CAST(MAX(rev) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE)", 4)} AS cr1
+    FROM rev GROUP BY n_name ORDER BY n_name
+    """,
+    section=_SEC,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per nation: each
+    customer's share of their nation's order revenue, HHI = 10000·Σs²
+    (the antitrust-standard 0..10000 scale) plus CR1, the largest single
+    share — 'is this market one whale or many small accounts?', the same
+    lens surveillance puts on reporter concentration (is one clinic
+    producing all the signal?).
+
+    Determinism: per-customer revenue is the exact decimal sum rounded to
+    cents ONCE, then Σr and Σr² stay in DECIMAL (exact, order-free); HHI
+    performs a single double division of exact numerators, rounded once —
+    no float accumulates anywhere.
+
+    Scale: partial-aggregated rollup to (nation, customer) — one
+    data-scale exchange; the nation collapse is metadata-sized. The two
+    dimension joins broadcast (nation 25 rows; customer pre-aggregation
+    happens AFTER the orders rollup keyed by custkey, so the big join is
+    one shuffle on the natural key)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2)
+            .cast("decimal(15,2)")
+            .alias("rev")
+        )
+    )
+    tot = F.sum("rev")
+    sumsq = F.sum(F.col("rev") * F.col("rev"))
+    return (
+        rev.groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_firms"),
+            tot.cast("double").alias("market_rev"),
+            dround(
+                sumsq.cast("double") / (tot.cast("double") * tot.cast("double")) * 10000,
+                4,
+            ).alias("hhi"),
+            dround(F.max("rev").cast("double") / tot.cast("double"), 4).alias("cr1"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_BOOT_REPS = 40
+_BOOT_M = 500
+_BOOT_SALT = 1000003
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle=f"""
+    WITH cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events),
+    grid AS (
+      SELECT r.rep, i.i FROM range({_BOOT_REPS}) r(rep)
+      CROSS JOIN range({_BOOT_M}) i(i)
+    ),
+    pick AS (
+      SELECT rep,
+             ((rep * {_BOOT_SALT} + i) * {KNUTH}) % {KNUTH_MOD}
+               % (SELECT n_rows FROM cnt) AS event_id
+      FROM grid
+    )
+    SELECT CAST(rep AS BIGINT) AS rep,
+           CAST(COUNT(*) AS BIGINT) AS n_drawn,
+           {sql_davg('e.value', 4)} AS boot_mean
+    FROM pick JOIN events e USING (event_id)
+    GROUP BY rep ORDER BY rep
+    """,
+    section=_SEC,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic m-out-of-n bootstrap of the mean event value: 40
+    replicates of 500 draws-with-replacement, each draw addressed by the
+    Knuth multiplicative hash of (replicate, draw) — the nonparametric
+    standard-error machine behind every 'mean ± CI' a surveillance or
+    data-quality dashboard shows, with zero rand(): the same replicate
+    set on every run, engine, and partitioning (a backfill reproduces
+    yesterday's intervals bit-for-bit).
+
+    Determinism: draw index = ((rep·P + i)·KNUTH mod 2³²) mod n — pure
+    BIGINT (max intermediate ~5·10¹⁶ < int64); event_id is dense 0..n-1
+    in the fixtures so the index IS the key; replicate means are exact
+    decimal sums divided once.
+
+    Scale: the replicate grid is tiny metadata (20k rows) joined to the
+    fact table on its key — one broadcast-able join, no data-scale
+    shuffle beyond it; replicate count and m scale independently of n
+    (m-out-of-n bootstrap is exactly the variant built for when n is too
+    big to resample fully)."""
+    e = table(spark, sf_dir, "events")
+    cnt = e.agg(F.count("*").cast("bigint").alias("n_rows"))
+    grid = (
+        spark.range(_BOOT_REPS)
+        .select(F.col("id").alias("rep"))
+        .select(
+            "rep",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_M - 1))).alias("i"),
+        )
+        .crossJoin(F.broadcast(cnt))
+    )
+    idx = (
+        (F.col("rep") * _BOOT_SALT + F.col("i")) * F.lit(KNUTH)
+    ) % F.lit(KNUTH_MOD) % F.col("n_rows")
+    pick = grid.select("rep", idx.alias("event_id"))
+    return (
+        F.broadcast(pick)
+        .join(e.select("event_id", "value"), "event_id")
+        .groupBy("rep")
+        .agg(
+            F.count("*").cast("bigint").alias("n_drawn"),
+            davg("value", 4).alias("boot_mean"),
+        )
+        .orderBy("rep")
+    )
+
+
+@register(
+    "agg_indirect_standardization",
+    oracle=f"""
+    WITH cust AS (
+      SELECT n.n_name, c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), ord AS (
+      SELECT n.n_name, c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_ord
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT c.n_name, c.seg, c.n_cust, COALESCE(o.n_ord, 0) AS n_ord
+      FROM cust c LEFT JOIN ord o ON c.n_name = o.n_name AND c.seg = o.seg
+    ), ref AS (
+      SELECT seg, CAST(SUM(n_ord) AS DOUBLE) / SUM(n_cust) AS rate
+      FROM j GROUP BY seg
+    ), x AS (
+      SELECT j.n_name, j.n_ord,
+             CAST(j.n_cust * r.rate AS DECIMAL(28,10)) AS exp_term
+      FROM j JOIN ref r ON j.seg = r.seg
+    )
+    SELECT n_name, CAST(SUM(n_ord) AS BIGINT) AS observed,
+           {sql_dround('CAST(SUM(exp_term) AS DOUBLE)', 4)} AS expected,
+           {sql_dround('SUM(n_ord) / CAST(SUM(exp_term) AS DOUBLE)', 4)} AS sir
+    FROM x GROUP BY n_name ORDER BY n_name
+    """,
+    section=_SEC,
+)
+def agg_indirect_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indirectly standardized incidence ratio (SIR/SMR) per nation:
+    strata = market segment (the age-band analogue), reference rates =
+    whole-population orders-per-customer within each stratum, expected_g
+    = Σ_s exposure(g,s)·rate_s, SIR = observed/expected — THE classical
+    epidemiology adjustment ('this region looks high only because its
+    population skews old/BUILDING-heavy') applied to order incidence.
+
+    Determinism: counts are exact BIGINT; each stratum rate is one
+    double division identical cross-engine; the per-stratum expected
+    terms are cast to DECIMAL(28,10) BEFORE summing, so the 5-term sum
+    is exact and order-free (a bare double Σ would be
+    evaluation-order-dependent); the final ratio divides once.
+
+    Scale: two partial-aggregated rollups to (nation, segment) — each
+    one data-scale exchange; everything after runs on ≤ |nations|·|segs|
+    metadata rows with the reference-rate frame broadcast."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "n_name", F.col("c_mktsegment").alias("seg")
+    )
+    cust = cn.groupBy("n_name", "seg").agg(
+        F.count("*").cast("bigint").alias("n_cust")
+    )
+    ordc = (
+        o.join(cn, o.o_custkey == cn.c_custkey)
+        .groupBy("n_name", "seg")
+        .agg(F.count("*").cast("bigint").alias("n_ord"))
+    )
+    j = cust.join(ordc, ["n_name", "seg"], "left").select(
+        "n_name",
+        "seg",
+        "n_cust",
+        F.coalesce(F.col("n_ord"), F.lit(0)).cast("bigint").alias("n_ord"),
+    )
+    # j is consumed twice (reference rates + the standardized rollup);
+    # localCheckpoint pins the tiny (nation, segment) frame so the
+    # orders-scale lineage is executed once, not replayed per branch.
+    j = j.localCheckpoint()
+    ref = j.groupBy("seg").agg(
+        (F.sum("n_ord").cast("double") / F.sum("n_cust")).alias("rate")
+    )
+    x = j.join(F.broadcast(ref), "seg").select(
+        "n_name",
+        "n_ord",
+        (F.col("n_cust") * F.col("rate")).cast("decimal(28,10)").alias("exp_term"),
+    )
+    return (
+        x.groupBy("n_name")
+        .agg(
+            F.sum("n_ord").cast("bigint").alias("observed"),
+            dround(F.sum("exp_term").cast("double"), 4).alias("expected"),
+            dround(
+                F.sum("n_ord") / F.sum("exp_term").cast("double"), 4
+            ).alias("sir"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# Discretized serial-interval weights (triangular, mode 3-4 days) as exact
+# integer thirteenths: denominator Σw·n stays BIGINT, Rt divides once.
+_RT_W = {1: 1, 2: 2, 3: 3, 4: 3, 5: 2, 6: 1, 7: 1}
+_RT_W_TOT = sum(_RT_W.values())  # 13
+_RT_W_SQL = "CASE date_diff('day', a.day, b.day) " + " ".join(
+    f"WHEN {k} THEN {v}" for k, v in _RT_W.items()
+) + " END"
+
+
+@register(
+    "ts_rt_ratio",
+    oracle=f"""
+    WITH daily AS ({_XDAILY_SQL}),
+    pairs AS (
+      SELECT b.event_type, b.day, b.n, a.n * ({_RT_W_SQL}) AS wn
+      FROM daily b JOIN daily a
+        ON a.event_type = b.event_type
+       AND date_diff('day', a.day, b.day) BETWEEN 1 AND 7
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, n,
+           CAST(SUM(wn) AS BIGINT) AS w_denom,
+           {sql_dround(f'{_RT_W_TOT}.0 * n / SUM(wn)', 4)} AS rt
+    FROM pairs GROUP BY event_type, day, n
+    ORDER BY event_type, day_s
+    """,
+    section=_SEC,
+)
+def ts_rt_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instantaneous reproduction-number estimate per event class: Rt =
+    n_t / Σ_k w_k·n_(t-k), the case count over its serial-interval-
+    weighted infectious pressure (Cori et al.'s Rt numerator/denominator
+    with a fixed 7-day triangular serial interval, sans the gamma prior)
+    — the 'is this outbreak growing (Rt>1) or dying (Rt<1)?' number next
+    to the EARS/CUSUM/histlimits alarms. Missing days contribute zero
+    pressure, the epidemiological convention (no cases = no exposure).
+
+    Determinism: weights are exact integer thirteenths, so the
+    denominator Σw·n is a BIGINT and Rt = 13·n_t / Σ is ONE double
+    division of exact integers, rounded once.
+
+    Scale: the (type, day) rollup is the only event-scale exchange; the
+    lag join runs on the |types|·|days| metadata frame (self-join with a
+    7-day band — at very long histories this becomes a range-partitioned
+    interval join, same algebra)."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    a = daily.select(
+        F.col("event_type").alias("et_a"),
+        F.col("day").alias("day_a"),
+        F.col("n").alias("n_a"),
+    )
+    k = F.datediff("day", "day_a")
+    w = F.coalesce(
+        *[F.when(k == kk, F.lit(vv)) for kk, vv in _RT_W.items()]
+    )
+    return (
+        daily.join(
+            a,
+            (F.col("event_type") == F.col("et_a")) & k.between(1, 7),
+        )
+        .select("event_type", "day", "n", (F.col("n_a") * w).alias("wn"))
+        .groupBy("event_type", "day", "n")
+        .agg(F.sum("wn").cast("bigint").alias("w_denom"))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            "n",
+            "w_denom",
+            dround(F.lit(float(_RT_W_TOT)) * F.col("n") / F.col("w_denom"), 4).alias(
+                "rt"
+            ),
+        )
+        .orderBy("event_type", "day_s")
+    )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH m AS ({_MOMENTS_SQL}),
+    s AS (
+      SELECT event_type, n,
+             sqrt((CAST(svv AS DOUBLE)
+                   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1)) AS s_h
+      FROM m WHERE n >= 2
+    ), w AS (
+      SELECT event_type, n, s_h,
+             CAST(n * s_h AS DECIMAL(28,8)) AS ns,
+             SUM(CAST(n * s_h AS DECIMAL(28,8))) OVER () AS tot
+      FROM s
+    ), alloc AS (
+      SELECT event_type, n, s_h,
+             {_NEYMAN_BUDGET}.0 * CAST(ns AS DOUBLE) / CAST(tot AS DOUBLE) AS a
+      FROM w
+    ), ranked AS (
+      SELECT event_type, n, s_h, a,
+             CAST(FLOOR(a) AS BIGINT) AS base,
+             SUM(CAST(FLOOR(a) AS BIGINT)) OVER () AS base_tot,
+             CAST(ROW_NUMBER() OVER (ORDER BY a - FLOOR(a) DESC, event_type)
+                  AS BIGINT) AS rnk
+      FROM alloc
+    )
+    SELECT event_type, n AS n_stratum,
+           {sql_dround('s_h', 4)} AS s_h,
+           {sql_dround('a', 4)} AS alloc_exact,
+           CAST(base + CASE WHEN rnk <= {_NEYMAN_BUDGET} - base_tot
+                            THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+    FROM ranked ORDER BY event_type
+    """,
+    section=_SEC,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation over event classes:
+    n_h ∝ N_h·S_h (stratum size × stratum standard deviation) for a
+    fixed budget of 1000 draws, with largest-remainder rounding so the
+    integer allocations sum to the budget EXACTLY — the survey-sampling
+    counterpart of llm_token_budget_alloc's water-filling (minimum-
+    variance rather than capped-proportional), and the design step ahead
+    of llm_sample_stratified.
+
+    Determinism: N_h·S_h terms are decimal-cast before the total (exact,
+    order-free); shares, floors, and fractional remainders are identical
+    IEEE values cross-engine; the remainder rank breaks ties by
+    event_type, making the +1 set unique.
+
+    Scale: moments collapse the stream in one partial-aggregated
+    exchange; everything after is a |strata|-row window — the allocation
+    itself never touches data scale."""
+    m = _moments(spark, sf_dir).filter(F.col("n") >= 2)
+    s = m.select(
+        "event_type",
+        "n",
+        F.sqrt(
+            (
+                F.col("svv").cast("double")
+                - F.col("sv").cast("double") * F.col("sv").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("s_h"),
+    )
+    ns = (F.col("n") * F.col("s_h")).cast("decimal(28,8)")
+    w_all = Window.partitionBy()
+    a = F.lit(float(_NEYMAN_BUDGET)) * F.col("ns").cast("double") / F.col(
+        "tot"
+    ).cast("double")
+    ranked = (
+        s.select("event_type", "n", "s_h", ns.alias("ns"))
+        .withColumn("tot", F.sum("ns").over(w_all))
+        .withColumn("a", a)
+        .withColumn("base", F.floor("a").cast("bigint"))
+        .withColumn("base_tot", F.sum(F.floor("a").cast("bigint")).over(w_all))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    (F.col("a") - F.floor("a")).desc(), F.col("event_type")
+                )
+            )
+            .cast("bigint"),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        F.col("n").alias("n_stratum"),
+        dround("s_h", 4).alias("s_h"),
+        dround("a", 4).alias("alloc_exact"),
+        (
+            F.col("base")
+            + F.when(
+                F.col("rnk") <= F.lit(_NEYMAN_BUDGET) - F.col("base_tot"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    ).orderBy("event_type")
+
+
+_ROUGE_MIN_F1 = 0.3
+
+
+@register(
+    "llm_rouge_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, t.word AS tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS word) t
+      WHERE t.word <> ''
+      GROUP BY doc_id, lang, source, t.word
+    ), lens AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len FROM toks GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS overlap
+      FROM toks a JOIN toks b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, overlap, la.len AS len_a, lb.len AS len_b,
+           {sql_dround('2.0 * overlap / (la.len + lb.len)', 4)} AS rouge1_f1
+    FROM pairs
+    JOIN lens la ON doc_a = la.doc_id
+    JOIN lens lb ON doc_b = lb.doc_id
+    WHERE {sql_dround('2.0 * overlap / (la.len + lb.len)', 4)} >= {_ROUGE_MIN_F1}
+    ORDER BY doc_a, doc_b
+    """,
+    section=_SEC,
+)
+def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 F1 between document pairs blocked by (lang, source):
+    unigram-multiset overlap Σ min(c_a, c_b) over both lengths — the
+    n-gram recall/precision score dedup-eval and summarization-eval
+    pipelines use, emitted for pairs above F1 ≥ 0.3 (the near-dup band
+    the Jaccard/SimHash/MinHash chain flags, here with the
+    multiset-aware metric that catches repeated-phrase inflation).
+
+    Determinism: overlaps and lengths are exact BIGINTs; F1 is one
+    division, rounded once, and the emission threshold compares the
+    ROUNDED value so the emitted set is identical cross-engine.
+
+    Scale: blocking bounds the token join to same-(lang, source) pairs —
+    the all-pairs blowup never materializes; at corpus scale the block
+    key swaps for MinHash-LSH bands (llm_dedup_near's candidate
+    generator) and this exact multiset rescoring tail is unchanged — the
+    certified part is precisely the part that survives."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("tok"),
+        )
+        .groupBy("doc_id", "lang", "source", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    lens = toks.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("len"))
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        "tok",
+        F.col("c").alias("ca"),
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("tok") == F.col("tok_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("overlap"))
+    )
+    la = lens.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("len_a"))
+    lb = lens.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("len_b"))
+    f1 = dround(2.0 * F.col("overlap") / (F.col("len_a") + F.col("len_b")), 4)
+    return (
+        pairs.join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .select("doc_a", "doc_b", "overlap", "len_a", "len_b", f1.alias("rouge1_f1"))
+        .filter(F.col("rouge1_f1") >= _ROUGE_MIN_F1)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# Capture threshold: "seen by a source" = at least one event of that type
+# with value > 150 — the same severity cut agg_relative_risk uses, and for
+# the same reason: unthresholded sightings saturate (every fixture user has
+# ~67 events of every type, so n1 = n2 = m = N and the estimator is moot).
+_CRC_V = 150
+
+
+@register(
+    "agg_capture_recapture",
+    oracle=f"""
+    WITH cap AS (
+      SELECT DISTINCT event_type, user_id FROM events WHERE value > {_CRC_V}
+    ), sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM cap GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS m_both
+      FROM cap a JOIN cap b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, m_both,
+           {sql_dround('CAST(sa.n AS DOUBLE) * sb.n / m_both', 2)} AS n_lp,
+           {sql_dround(
+               'CAST(sa.n + 1 AS DOUBLE) * (sb.n + 1) / (m_both + 1) - 1',
+               2)} AS n_chapman
+    FROM pairs
+    JOIN sizes sa ON type_a = sa.event_type
+    JOIN sizes sb ON type_b = sb.event_type
+    ORDER BY type_a, type_b
+    """,
+    section=_SEC,
+)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source capture-recapture population estimation (Lincoln-
+    Petersen N̂ = n1·n2/m plus Chapman's bias-corrected
+    (n1+1)(n2+1)/(m+1) − 1) for every pair of event classes, where a
+    class 'captures' a user when it sees a severe event from them — THE
+    classical epidemiology answer to 'how many cases exist that NO
+    surveillance stream saw?' (case under-ascertainment from the overlap
+    of two incomplete registries, the analysis CDC runs across e.g.
+    hospital + lab reporting systems).
+
+    Determinism: n1, n2, m are exact BIGINT distinct-user counts; each
+    estimator is one double expression over exact integers, rounded once.
+    Pairs with m = 0 are absent by construction (inner overlap join) —
+    Lincoln-Petersen is undefined there.
+
+    Scale: the severity filter + distinct collapse is one event-scale
+    exchange to (type, user) sightings; the overlap self-join shuffles
+    captured user-ids only (16 bytes/row, never events), and the sizes
+    frame is |types| rows broadcast twice."""
+    e = table(spark, sf_dir, "events")
+    cap = (
+        e.filter(F.col("value") > _CRC_V)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    # consumed three times (sizes + both pair sides): pin the small
+    # sighting frame so events is scanned once, not per branch
+    cap = cap.localCheckpoint()
+    sizes = cap.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    a = cap.select(F.col("event_type").alias("type_a"), "user_id")
+    b = cap.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("uid_b"))
+    pairs = (
+        a.join(b, (F.col("user_id") == F.col("uid_b")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("m_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    lp = F.col("n_a").cast("double") * F.col("n_b") / F.col("m_both")
+    chapman = (
+        (F.col("n_a") + 1).cast("double") * (F.col("n_b") + 1) / (F.col("m_both") + 1)
+        - 1
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "m_both",
+            dround(lp, 2).alias("n_lp"),
+            dround(chapman, 2).alias("n_chapman"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "agg_proportion_ztest",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INTEGER) AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > {_CRC_V}
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS c
+      FROM users GROUP BY arm
+    )
+    SELECT a.n AS n_a, a.c AS conv_a,
+           {sql_dround('CAST(a.c AS DOUBLE) / a.n', 4)} AS p_a,
+           b.n AS n_b, b.c AS conv_b,
+           {sql_dround('CAST(b.c AS DOUBLE) / b.n', 4)} AS p_b,
+           {sql_dround(
+               'CAST(a.c AS DOUBLE) / a.n - CAST(b.c AS DOUBLE) / b.n',
+               4)} AS risk_diff,
+           {sql_dround(
+               '(CAST(a.c AS DOUBLE) / a.n - CAST(b.c AS DOUBLE) / b.n)'
+               ' / sqrt((CAST(a.c + b.c AS DOUBLE) / (a.n + b.n))'
+               '        * (1 - CAST(a.c + b.c AS DOUBLE) / (a.n + b.n))'
+               '        * (1.0 / a.n + 1.0 / b.n))', 4)} AS z
+    FROM (SELECT * FROM arms WHERE arm = 0) a,
+         (SELECT * FROM arms WHERE arm = 1) b
+    """,
+    section=_SEC,
+)
+def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (pooled) between deterministic A/B arms:
+    arm = user_id mod 2, conversion = the user ever makes a high-value
+    purchase (value > 150, the repo's severity cut) — the categorical
+    companion of agg_welch_ttest (proportions, not means): the test
+    behind every conversion A/B readout, and in surveillance the 'did
+    attack rate differ between exposed and unexposed?' 2×2 z screen
+    beside agg_relative_risk's effect-size view.
+
+    Determinism: arm assignment is exact integer arithmetic (no rand()),
+    conversions and arm sizes are exact BIGINTs, and p/risk-diff/z are
+    one shared double expression over exact integers, rounded once.
+
+    Scale: one partial-aggregated collapse of events to users, one more
+    to 2 arm rows — a single data-scale exchange; the final cross of two
+    1-row frames is metadata."""
+    e = table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > _CRC_V), 1
+            ).otherwise(0)
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "conv")
+    # both filter branches consume the 2-row arm frame: pin it so the
+    # events-scale rollup lineage runs once, not per branch
+    arms = users.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    ).localCheckpoint()
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return a.crossJoin(b).select(
+        "n_a", "conv_a", dround(p_a, 4).alias("p_a"),
+        "n_b", "conv_b", dround(p_b, 4).alias("p_b"),
+        dround(p_a - p_b, 4).alias("risk_diff"),
+        dround(z, 4).alias("z"),
+    )

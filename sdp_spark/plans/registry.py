@@ -56,6 +56,7 @@ _OPERATOR_MODULES = (
     "sdp_spark.operators.catalog",
     "sdp_spark.operators.analytics",
     "sdp_spark.operators.insights",
+    "sdp_spark.operators.stats",
     "sdp_spark.operators.graphs",
     "sdp_spark.dialect",
 )
@@ -103,13 +104,7 @@ _SWEEP_PRIORITY = (
     #     llm_hard_negatives (rounding pinned to dround/sql_dround) — then
     #     every NEW round-8 key, then the r7-certified keys re-proved
     #     newest-first. ---
-    "dq_benford", "llm_curriculum_order", "llm_quality_score",
-    "llm_hard_negatives",
-    # --- rows-only -> hash promotions (new contracts, re-earn verdicts):
-    #     llm_fingerprint (portable md5 Karp-Rabin + list_reduce oracle),
-    #     llm_dedup_simhash (portable md5 64-bit votes + generated oracle),
-    #     llm_cdc_chunk (portable md5 boundary/chunk hashes + list oracle) ---
-    "llm_fingerprint", "llm_dedup_simhash", "llm_cdc_chunk",
+    "dq_benford", "llm_curriculum_order",
     # --- new round-8 keys ---
     "dq_drift_psi", "ts_changepoint_meanshift", "agg_market_basket",
     "llm_boilerplate_ngrams", "llm_sample_importance",
@@ -128,6 +123,35 @@ _SWEEP_PRIORITY = (
     "graph_degree_assortativity", "llm_zipf_slope",
     "agg_survival_km", "agg_relative_risk", "llm_token_budget_alloc",
     "llm_pmi_collocations", "llm_bigram_perplexity",
+    # --- round-8 batch 20 (stats.py): two-sample tests, lead-lag xcorr,
+    #     readability, exact k-NN graph, n-gram novelty, priority sampling.
+    #     With these the 50-key head is exactly: 7 re-certs + 43
+    #     never-verified — one sweep still closes the whole backlog. ---
+    "agg_welch_ttest", "agg_mann_whitney", "ts_cross_correlation",
+    "llm_readability", "llm_knn_graph", "llm_novelty_rate",
+    "sample_weighted_reservoir",
+    # --- round-8 batch 21 (stats.py cont.): concentration, deterministic
+    #     bootstrap, SIR standardization, Rt, Neyman allocation, ROUGE-1 ---
+    "agg_hhi_concentration", "agg_bootstrap_ci",
+    "agg_indirect_standardization", "ts_rt_ratio",
+    "sample_neyman_allocation", "llm_rouge_overlap",
+    # --- round-8 batch 22: capture-recapture, two-proportion z-test,
+    #     l-diversity, the EWMA control-chart pair (third detector), and
+    #     the geodesic scalar family ---
+    "agg_capture_recapture", "agg_proportion_ztest", "dq_l_diversity",
+    "query_outbreak_ewma", "stream_ewma_alerts", "fn_geo_haversine",
+    # ^-- 2 error-fixes + 55 never-verified = 57 candidates for the 50-key
+    #     sweep: the last 7 (rouge + batch 22) carry over to round 9's
+    #     head; every earlier key gets its verdict this round.
+    # --- r8 re-proofs: keys whose code or contract changed after their
+    #     clean r7 verdict — llm_quality_score (registry decorator restored
+    #     onto the operator), llm_hard_negatives (rounding pinned to
+    #     dround/sql_dround), and the three rows-only -> hash promotions
+    #     (portable-md5 oracles: fingerprint / simhash / cdc_chunk). All
+    #     five are pytest-oracle-green; they re-earn driver verdicts right
+    #     after the never-verified block. ---
+    "llm_quality_score", "llm_hard_negatives",
+    "llm_fingerprint", "llm_dedup_simhash", "llm_cdc_chunk",
     # --- r7 promotions the r7 sweep budget did NOT reach (their oracles
     #     are new contracts, still without a driver hash verdict): the
     #     remaining watermark-emission pair, the outer-join eviction, the

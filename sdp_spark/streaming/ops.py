@@ -1548,6 +1548,47 @@ def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from sdp_spark.operators.analytics import _EWMACH_SQL  # noqa: E402
+
+
+@register(
+    "stream_ewma_alerts",
+    oracle=f"""
+    SELECT event_type, day, n_events, ewma, ucl
+    FROM ({_EWMACH_SQL}) t
+    WHERE alert
+    ORDER BY event_type, day
+    """,
+    section=_SEC,
+)
+def stream_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE EWMA control-chart monitoring — the streaming twin of
+    `query_outbreak_ewma`, completing the third surveillance pair (EARS
+    C2 and CUSUM each have one; EWMA is the small-sustained-shift
+    detector between them). Same architecture as the other two twins:
+    the STREAM incrementally maintains per-(type, day) counts — bounded
+    state, one row per type × day — and the `ewma_scored` core (the SAME
+    function the batch capstone calls, so stream==batch is structural)
+    runs over the materialized daily table after each trigger, emitting
+    the days whose smoothed statistic breaches its variance-converged
+    control limit. At 100 TB/day the stream shuffles grouped day-states,
+    never events; scoring is |types × days| metadata. The DuckDB oracle
+    pins the live alerts to the batch closed form end-to-end."""
+    from sdp_spark.operators.analytics import ewma_scored
+
+    sdf = _events_stream(spark, sf_dir)
+    daily = sdf.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("c"))
+    snap = _run_to_memory(daily, "complete", "ewmadaily")
+    return (
+        ewma_scored(snap)
+        .filter(F.col("alert"))
+        .select("event_type", "day", "n_events", "ewma", "ucl")
+        .orderBy("event_type", "day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 8: live distribution-drift monitoring (streaming PSI)
 # ---------------------------------------------------------------------------

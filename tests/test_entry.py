@@ -83,12 +83,20 @@ def test_sweep_priority_matches_registry():
     for f in sorted(glob.glob(str(root / "CORRECTNESS_r0[1-7].json"))):
         seen |= set(json.load(open(f)))
     unverified = {k for k in specs if k not in seen}
-    head50 = set(ordered[:50])
-    # never-certified keys (new this round) must all be in the head
-    assert unverified <= head50, unverified - head50
-    recerts = {"dq_benford", "llm_curriculum_order", "llm_quality_score",
-               "llm_hard_negatives"}
-    assert recerts <= set(ordered[:4]), "re-cert keys must lead the sweep"
+    # 2 r7-error fixes + 49 never-verified = 51 candidates for the 50-key
+    # budget: exactly one key may spill to position 51, and the head must
+    # waste no slot on a key that already holds a clean verdict.
+    errored = {"dq_benford", "llm_curriculum_order"}
+    assert errored == set(ordered[:2]), "r7-error fixes must lead the sweep"
+    need = errored | unverified
+    head = ordered[: len(need)]
+    assert set(head) == need, {
+        "missing_from_head": need - set(head),
+        "wasted_slots": set(head) - need,
+    }
+    # the spill past the 50-key budget carries to the next round's head;
+    # keep it bounded so a full backlog never rebuilds
+    assert len(need) - 50 <= 8, f"{len(need) - 50} keys would miss the sweep"
 
 
 def test_catalog_in_sync():
