@@ -528,8 +528,13 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches DuckDB list_sum (llm.py:_emb_normed contract), rounded to 4
     before ranking, with neighbor_id as the total tiebreaker.
 
-    Scale: the exact all-pairs self-join certifies correctness at
-    fixture grain; the 100 TB path swaps the candidate generator for the
+    Scale: exact k-NN is O(N²) BY DEFINITION — 10× vectors = 100× scoring
+    folds, and the 10× fixture measures exactly that (SCALING.md; two
+    zero-shuffle re-plans were tried and rejected there: moving the fold
+    into a per-row transform/array_sort loses codegen-friendly top-level
+    column access and ran 2-4× slower than this join, whose narrow
+    (id, id, score) window shuffle is NOT the bottleneck — the fold CPU
+    is). The genuine 100 TB path swaps the candidate generator for the
     IVF cell equi-join (llm.llm_sim_search_ivf: broadcast centroids,
     per-cell candidates only) or hyperplane-LSH buckets
     (llm.llm_sim_search_lsh) and keeps this exact-rescore + top-k tail —
@@ -540,6 +545,12 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(
         "vec_id", F.col("dvec").alias("va"), F.col("norm").alias("na")
     )
+    # the N-per-query scoring fold is the job's entire CPU: spread the
+    # query side across the full core width when the (cached, small) scan
+    # yields fewer splits — the wide_table guard, applied post-cache
+    target = spark.sparkContext.defaultParallelism
+    if a.rdd.getNumPartitions() < target:
+        a = a.repartition(target)
     b = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
@@ -549,6 +560,8 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+    # project to narrow (id, id, score) rows BEFORE the ranking window:
+    # the exchange carries ~20 B/row, never vectors
     scored = a.join(F.broadcast(b), F.col("vec_id") != F.col("neighbor_id")).select(
         "vec_id",
         "neighbor_id",
@@ -1169,7 +1182,17 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     key swaps for MinHash-LSH bands (llm_dedup_near's candidate
     generator) and this exact multiset rescoring tail is unchanged — the
     certified part is precisely the part that survives."""
-    d = table(spark, sf_dir, "documents")
+    from sdp_spark.operators.llm import _collapse_dense
+
+    if _collapse_dense(spark, sf_dir):
+        return _rouge_collapsed(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    return _rouge_pairs(d).orderBy("doc_a", "doc_b")
+
+
+def _rouge_pairs(d: DataFrame) -> DataFrame:
+    """The ROUGE-1 pair core over a (doc_id, lang, source, text) frame:
+    blocked token join, multiset overlap, thresholded F1 (unsorted)."""
     toks = (
         d.select(
             "doc_id",
@@ -1214,8 +1237,78 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(lb), "doc_b")
         .select("doc_a", "doc_b", "overlap", "len_a", "len_b", f1.alias("rouge1_f1"))
         .filter(F.col("rouge1_f1") >= _ROUGE_MIN_F1)
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def _rouge_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-collapse branch of llm_rouge_overlap (the llm_dedup_near
+    idiom): identical (lang, source, text) docs collapse to their
+    min-doc_id representative, the blocked token join runs over UNIQUE
+    texts only, and member pairs re-expand arithmetically — within-
+    cluster pairs score F1 = 1.0 with overlap = len by identity, and
+    cross-cluster member pairs inherit their representative pair's stats
+    verbatim (identical text ⇒ identical token multiset ⇒ identical
+    overlap/lens). Equality with the naive branch is pytest-pinned.
+    Callable directly so the test can exercise it below the density
+    gate."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    cl = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.xxhash64("lang", "source", "text").alias("ck"),
+    ).withColumn("rep", F.min("doc_id").over(Window.partitionBy("ck")))
+    cl = cl.localCheckpoint()  # consumed 5 times below; lineage runs once
+    reps = d.join(
+        cl.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
+    )
+    rep_pairs = _rouge_pairs(reps).localCheckpoint()
+    # cross-cluster expansion: every (member of A) × (member of B) pair,
+    # reordered so doc_a < doc_b with the len columns following the swap
+    ma = cl.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("x"))
+    mb = cl.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("y"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "overlap",
+            F.when(F.col("x") < F.col("y"), F.col("len_a"))
+            .otherwise(F.col("len_b"))
+            .alias("len_a"),
+            F.when(F.col("x") < F.col("y"), F.col("len_b"))
+            .otherwise(F.col("len_a"))
+            .alias("len_b"),
+            "rouge1_f1",
+        )
+    )
+    # within-cluster pairs: identical multisets — overlap = len, F1 = 1.0
+    rep_lens = (
+        reps.select(
+            "doc_id",
+            F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+            .cast("bigint")
+            .alias("len"),
+        )
+        .filter(F.col("len") > 0)
+        .select(F.col("doc_id").alias("rep"), "len")
+    )
+    wa = cl.select("rep", F.col("doc_id").alias("x"))
+    wb = cl.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("y"))
+    within = (
+        wa.join(wb, (F.col("rep") == F.col("rep_b")) & (F.col("x") < F.col("y")))
+        .join(F.broadcast(rep_lens), "rep")
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            F.col("len").alias("overlap"),
+            F.col("len").alias("len_a"),
+            F.col("len").alias("len_b"),
+            F.lit(1.0).alias("rouge1_f1"),
+        )
+    )
+    return cross.unionAll(within).orderBy("doc_a", "doc_b")
 
 
 # Capture threshold: "seen by a source" = at least one event of that type

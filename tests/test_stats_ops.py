@@ -455,6 +455,18 @@ def test_rouge_identical_and_disjoint(spark, tmp_path):
         assert 0.0 < r["rouge1_f1"] <= 1.0
 
 
+def test_rouge_collapse_equals_naive(spark, sf_dir):
+    """The exact-collapse branch (dup-dense gate) must emit EXACTLY the
+    naive blocked pair set — fixture is below the density gate, so the
+    registry key runs naive and the collapsed branch is called directly
+    (the llm_dedup_near equality-pin idiom)."""
+    from sdp_spark.operators import stats as st
+
+    naive = sorted(tuple(r) for r in REGISTRY["llm_rouge_overlap"].fn(spark, sf_dir).collect())
+    coll = sorted(tuple(r) for r in st._rouge_collapsed(spark, sf_dir).collect())
+    assert naive == coll and len(naive) > 0
+
+
 def test_no_cartesian_in_batch21(spark, sf_dir):
     """HHI/SIR/Rt/ROUGE join on keys or banded conditions over rolled-up
     or blocked inputs — none may plan as CartesianProduct."""
