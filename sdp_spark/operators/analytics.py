@@ -1809,6 +1809,9 @@ def ewma_scored(daily: DataFrame) -> DataFrame:
     before rounding. Shared by the batch capstone and the streaming
     twin."""
     lam = _EWMACH_LAMBDA
+    # baseline and scoring both consume the tiny (type, day) frame: pin it
+    # so the events-scale rollup lineage executes once, not per branch
+    daily = daily.localCheckpoint()
     base = (
         daily.filter(F.col("d") < F.lit(_EWMACH_SPLIT).cast("date"))
         .groupBy("event_type")

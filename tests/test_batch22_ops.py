@@ -228,3 +228,41 @@ def test_geo_haversine_pinned_to_math(spark, sf_dir):
         assert abs(r["bearing_deg"] - ((brg % 360) + 360) % 360) < 0.01
         assert 0.0 <= r["bearing_deg"] < 360.0
         assert r["within_radius"] == (r["dist_km"] <= 2000.0)
+
+
+def _plan(spark, df, mode: str = "simple") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_bootstrap_plan_broadcast_no_smj(spark, sf_dir):
+    """The replicate-grid join must broadcast (the grid is fixed-size
+    metadata) — a sort-merge join here would shuffle the fact table for
+    a 20k-row probe side."""
+    plan = _plan(spark, REGISTRY["agg_bootstrap_ci"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_capture_recapture_plan_broadcast_sizes(spark, sf_dir):
+    """Both per-source size frames attach by broadcast; the overlap join
+    carries ids only (no value column past the sighting collapse)."""
+    plan = _plan(spark, REGISTRY["agg_capture_recapture"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_geo_plan_pure_codegen(spark, sf_dir):
+    """The trig is JVM expressions: no Python evaluator anywhere, and the
+    nation equi-join plans as a broadcast, not a cartesian product."""
+    plan = _plan(spark, REGISTRY["fn_geo_haversine"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_single_daily_rollup_feeds_both(spark, sf_dir):
+    """Baseline and scoring both read the (type, day) rollup: the events
+    scan appears at most twice in the formatted plan (the two agg
+    branches), never once per scored day."""
+    plan = _plan(spark, REGISTRY["query_outbreak_ewma"].fn(spark, sf_dir), "formatted")
+    assert plan.count("Scan parquet") <= 2

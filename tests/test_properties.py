@@ -572,3 +572,93 @@ def test_psi_term_sign_property():
         assert (c - r) * math.log(c / r) >= 0.0
 
     check()
+
+
+def test_ewma_closed_form_property():
+    """The algebraic identity query_outbreak_ewma's lowering rests on:
+    for ANY sequence c and baseline mu, the recurrence
+    z_t = lam*c_t + (1-lam)*z_(t-1) with z_0 = mu equals the closed form
+    mu*(1-lam)^t + lam*sum_i (1-lam)^(t-i)*c_i the operator evaluates.
+    Proved in EXACT rational arithmetic (fractions) so no tolerance
+    hides a wrong exponent — the proof obligation of the declarative
+    EWMA chart."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    lam = Fraction(3, 10)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=10**4),
+        st.lists(st.integers(min_value=0, max_value=10**4), min_size=1, max_size=40),
+    )
+    def check(mu, cs):
+        mu = Fraction(mu)
+        z = mu
+        for t, c in enumerate(cs, start=1):
+            z = lam * c + (1 - lam) * z
+            closed = mu * (1 - lam) ** t + lam * sum(
+                (1 - lam) ** (t - i) * Fraction(ci)
+                for i, ci in enumerate(cs[:t], start=1)
+            )
+            assert z == closed
+
+    check()
+
+
+def test_largest_remainder_allocation_property():
+    """The rounding contract sample_neyman_allocation rests on: for ANY
+    positive weights and budget B, largest-remainder rounding of the
+    proportional shares yields nonnegative integers that sum to B
+    EXACTLY with each allocation within 1 of its exact share. Exact
+    rational arithmetic; tie-break by index mirrors the operator's
+    event_type tie-break."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=20),
+        st.integers(min_value=0, max_value=10**4),
+    )
+    def check(ws, budget):
+        tot = sum(ws)
+        exact = [Fraction(budget) * w / tot for w in ws]
+        base = [int(e) for e in exact]  # floor of nonnegative rationals
+        rem = budget - sum(base)
+        order = sorted(range(len(ws)), key=lambda i: (-(exact[i] - base[i]), i))
+        alloc = list(base)
+        for i in order[:rem]:
+            alloc[i] += 1
+        assert sum(alloc) == budget
+        for a, e in zip(alloc, exact):
+            assert a >= 0 and abs(Fraction(a) - e) < 1
+
+    check()
+
+
+def test_chapman_dominated_by_lincoln_petersen():
+    """agg_capture_recapture's estimator-order invariant, proved for the
+    whole integer domain the operator can emit (m >= 1, n1, n2 >= m):
+    Chapman's (n1+1)(n2+1)/(m+1) - 1 never exceeds Lincoln-Petersen's
+    n1*n2/m, and both dominate max(n1, n2). Exact rational arithmetic."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(1, 10**6), st.integers(0, 10**6), st.integers(0, 10**6))
+    def check(m, e1, e2):
+        n1, n2 = m + e1, m + e2
+        lp = Fraction(n1 * n2, m)
+        chap = Fraction((n1 + 1) * (n2 + 1), m + 1) - 1
+        assert chap <= lp
+        assert lp >= max(n1, n2)
+        assert chap >= max(n1, n2) - 1  # Chapman can undershoot by < 1
+
+    check()
