@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sdp_spark.functions.num import DEC, KNUTH, KNUTH_MOD, dround
+from sdp_spark.functions.num import DEC, KNUTH, KNUTH_MOD, dround, sql_dround
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import table, wide_table
 
@@ -949,7 +949,71 @@ _LSH_TABLES = 4  # OR-amplification: candidate if ANY table's bucket matches
 _LSH_PLANES = 4  # per-table sign bits -> 16 buckets per table
 
 
-@register("llm_sim_search_lsh", oracle=None, section=_SEC)
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of llm_sim_search_lsh, generated from the SAME
+    md5-seeded hyperplanes (exact 0.001-grid doubles whose repr
+    round-trips): per-table sign-bit buckets as literal-plane dot folds,
+    query-side multi-probe via xor bit flips, distinct candidate pairs,
+    exact rescore, top-5. Every fold is the left-to-right list_sum both
+    engines share, so buckets and sims agree bit-for-bit."""
+    planes = _hyperplanes(_LSH_TABLES * _LSH_PLANES)
+
+    def lit(row: list[float]) -> str:
+        return "[" + ", ".join(repr(w) for w in row) + "]"
+
+    tables = []
+    for t in range(_LSH_TABLES):
+        bits = [
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"i -> dvec[i] * ({lit(planes[t * _LSH_PLANES + i])})[i])) > 0 "
+            f"THEN {2 ** i} ELSE 0 END)"
+            for i in range(_LSH_PLANES)
+        ]
+        tables.append(
+            f"SELECT vec_id, dvec, norm, {t} AS tbl, "
+            + " + ".join(bits)
+            + " AS bkt FROM emb"
+        )
+    hashed = "\n      UNION ALL\n      ".join(tables)
+    probe_list = "[h.bkt, " + ", ".join(
+        f"xor(h.bkt, {2 ** i})" for i in range(_LSH_PLANES)
+    ) + "]"
+    rescore = sql_dround(
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> q.dvec[i] * n.dvec[i])) / (q.norm * n.norm)",
+        4,
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS norm
+      FROM embeddings
+    ), hashed AS (
+      {hashed}
+    ), probes AS (
+      SELECT h.vec_id AS query_id, h.tbl, pb.bkt
+      FROM hashed h, UNNEST({probe_list}) AS pb(bkt)
+      WHERE h.vec_id <= 10
+    ), cands AS (
+      SELECT DISTINCT p.query_id, h.vec_id AS neighbor_id
+      FROM probes p JOIN hashed h ON p.tbl = h.tbl AND p.bkt = h.bkt
+      WHERE p.query_id <> h.vec_id
+    ), rescored AS (
+      SELECT c.query_id, c.neighbor_id, {rescore} AS cos_sim
+      FROM cands c
+      JOIN emb q ON c.query_id = q.vec_id
+      JOIN emb n ON c.neighbor_id = n.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM rescored) t
+    WHERE rn <= 5
+    """
+
+
+@register("llm_sim_search_lsh", oracle=_lsh_oracle_sql(), section=_SEC)
 def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: multi-table random-hyperplane LSH (4 tables × 4
     sign-bits) with query-side MULTI-PROBE (Lv et al., VLDB'07): each query
@@ -959,8 +1023,11 @@ def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus rows (the probe fan-out is on the tiny broadcast query side
     only; the corpus keeps one row per table). At 100 TB the (table,
     bucket) key is the shuffle/partition key and the brute-force rescoring
-    touches only candidates. rows-only oracle; tests assert returned sims
-    are exact and pin recall ≥ 0.8 vs llm_sim_search at sf0.01."""
+    touches only candidates. PROMOTED to a full hash oracle (round 8):
+    the md5-seeded hyperplanes are exact-literal doubles DuckDB replays,
+    so buckets, probes, candidates and rescored sims are all
+    deterministic cross-engine; the recall ≥ 0.8 pytest vs llm_sim_search
+    still guards the general-case ANN contract."""
     planes = _hyperplanes(_LSH_TABLES * _LSH_PLANES)
     emb = _emb_normed(spark, sf_dir)
     buckets = []
@@ -1001,7 +1068,7 @@ def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.withColumn("cos_sim", F.round(dot / (F.col("qn") * F.col("cn")), 4)).select(
+    scored = cands.withColumn("cos_sim", dround(dot / (F.col("qn") * F.col("cn")), 4)).select(
         "query_id", "neighbor_id", "cos_sim"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
