@@ -455,7 +455,44 @@ def _emb_collapse_dense(spark: SparkSession, sf_dir: str) -> bool:
     return _EMB_COLLAPSE_DECISION[key]
 
 
-@register("llm_dedup_embed_lsh", oracle=None, section=_SEC)
+def _embed_lsh_oracle_sql() -> str:
+    """DuckDB twin of llm_dedup_embed_lsh's naive branch (the collapse
+    branch is pytest-pinned equal, so one oracle covers both): hashed
+    buckets over the shared literal hyperplanes, left-side multi-probe,
+    distinct id pairs, exact rescore, UNROUNDED >= threshold gate (the
+    raw double is the identical fold on both engines), rounded emission."""
+    from sdp_spark.functions.num import sql_dround as _sqd
+    from sdp_spark.operators.llm import _sql_lsh_hashed, _sql_lsh_probes
+
+    rescore = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> a.dvec[i] * b.dvec[i])) / (a.norm * b.norm)"
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS norm
+      FROM embeddings
+    ), hashed AS (
+      {_sql_lsh_hashed(_EMB_TABLES, _EMB_PLANES)}
+    ), probed AS (
+      SELECT h.vec_id AS vec_a, h.tbl, pb.bkt
+      FROM hashed h, UNNEST({_sql_lsh_probes(_EMB_PLANES)}) AS pb(bkt)
+    ), cand AS (
+      SELECT DISTINCT p.vec_a, h.vec_id AS vec_b
+      FROM probed p JOIN hashed h ON p.tbl = h.tbl AND p.bkt = h.bkt
+      WHERE p.vec_a < h.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, {_sqd(rescore, 4)} AS cos_sim
+    FROM cand c
+    JOIN emb a ON c.vec_a = a.vec_id
+    JOIN emb b ON c.vec_b = b.vec_id
+    WHERE {rescore} >= {_EMB_THRESH}
+    """
+
+
+@register("llm_dedup_embed_lsh", oracle=_embed_lsh_oracle_sql(), section=_SEC)
 def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: multi-probe random-hyperplane LSH
     (6 tables x 6 sign-bits, probe = exact bucket + every 1-bit flip)
@@ -464,8 +501,10 @@ def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, and the (table, bucket) key is the shuffle key at 100 TB. The
     probe fan-out (x7) rides the LEFT side of the self-join only; emitted
     pairs are exact-rescored, so precision is 1.0 by construction and
-    tests pin recall against the brute-force pair set (rows-only oracle:
-    bucketing is sign-pattern-dependent, not SQL-expressible sanely).
+    tests pin recall against the brute-force pair set. PROMOTED to a full
+    hash oracle (round 8): the md5-seeded hyperplanes regenerate as exact
+    SQL literals, so DuckDB replays buckets, probes and rescoring
+    bit-for-bit (_embed_lsh_oracle_sql).
 
     Adaptive exact-collapse prefix (round 8, mirroring the text near-dup
     chain): when >= 5% of vectors are exact duplicates, identical vectors

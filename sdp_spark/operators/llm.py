@@ -949,35 +949,45 @@ _LSH_TABLES = 4  # OR-amplification: candidate if ANY table's bucket matches
 _LSH_PLANES = 4  # per-table sign bits -> 16 buckets per table
 
 
-def _lsh_oracle_sql() -> str:
-    """DuckDB twin of llm_sim_search_lsh, generated from the SAME
-    md5-seeded hyperplanes (exact 0.001-grid doubles whose repr
-    round-trips): per-table sign-bit buckets as literal-plane dot folds,
-    query-side multi-probe via xor bit flips, distinct candidate pairs,
-    exact rescore, top-5. Every fold is the left-to-right list_sum both
-    engines share, so buckets and sims agree bit-for-bit."""
-    planes = _hyperplanes(_LSH_TABLES * _LSH_PLANES)
+def _sql_lsh_hashed(n_tables: int, n_planes: int) -> str:
+    """The `hashed` CTE body shared by every LSH oracle: per-table
+    sign-bit buckets over the SAME md5-seeded hyperplanes the Spark side
+    uses (exact 0.001-grid doubles whose repr round-trips), as literal-
+    plane left-to-right dot folds — identical doubles, identical signs,
+    identical buckets cross-engine."""
+    planes = _hyperplanes(n_tables * n_planes)
 
     def lit(row: list[float]) -> str:
         return "[" + ", ".join(repr(w) for w in row) + "]"
 
     tables = []
-    for t in range(_LSH_TABLES):
+    for t in range(n_tables):
         bits = [
             f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
-            f"i -> dvec[i] * ({lit(planes[t * _LSH_PLANES + i])})[i])) > 0 "
+            f"i -> dvec[i] * ({lit(planes[t * n_planes + i])})[i])) > 0 "
             f"THEN {2 ** i} ELSE 0 END)"
-            for i in range(_LSH_PLANES)
+            for i in range(n_planes)
         ]
         tables.append(
             f"SELECT vec_id, dvec, norm, {t} AS tbl, "
             + " + ".join(bits)
             + " AS bkt FROM emb"
         )
-    hashed = "\n      UNION ALL\n      ".join(tables)
-    probe_list = "[h.bkt, " + ", ".join(
-        f"xor(h.bkt, {2 ** i})" for i in range(_LSH_PLANES)
+    return "\n      UNION ALL\n      ".join(tables)
+
+
+def _sql_lsh_probes(n_planes: int) -> str:
+    """Multi-probe list: the exact bucket plus every 1-bit flip."""
+    return "[h.bkt, " + ", ".join(
+        f"xor(h.bkt, {2 ** i})" for i in range(n_planes)
     ) + "]"
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of llm_sim_search_lsh: hashed buckets, query-side
+    multi-probe, distinct candidates, exact rescore, top-5."""
+    hashed = _sql_lsh_hashed(_LSH_TABLES, _LSH_PLANES)
+    probe_list = _sql_lsh_probes(_LSH_PLANES)
     rescore = sql_dround(
         "list_sum(list_transform(generate_series(1, 64),"
         " i -> q.dvec[i] * n.dvec[i])) / (q.norm * n.norm)",
