@@ -96,14 +96,12 @@ def register(key: str, oracle: str | None = None, section: str = ""):
 # everything (rank -1) and would displace the backlog past the cap — to
 # deprioritize, list it; test_entry enforces registry == list exactly.
 _SWEEP_PRIORITY = (
-    # --- r8 certification head: the four keys whose r7 verdict is broken
-    #     or whose contract changed this round — dq_benford (oracle
-    #     DECIMAL-overflow fixed), llm_curriculum_order (nested-window
-    #     oracle rewritten as a phased CTE), llm_quality_score (registry
-    #     decorator restored onto the operator after the r7 misplacement),
-    #     llm_hard_negatives (rounding pinned to dround/sql_dround) — then
-    #     every NEW round-8 key, then the r7-certified keys re-proved
-    #     newest-first. ---
+    # --- r8 certification head: the two keys whose r7 verdict is an
+    #     ERROR — dq_benford (oracle DECIMAL-overflow fixed) and
+    #     llm_curriculum_order (nested-window oracle rewritten as a
+    #     phased CTE) — then every never-verified key, then re-proofs of
+    #     keys whose code/contract changed after a clean verdict, then
+    #     driver-green keys newest-first. ---
     "dq_benford", "llm_curriculum_order",
     # --- new round-8 keys ---
     "dq_drift_psi", "ts_changepoint_meanshift", "agg_market_basket",
@@ -152,6 +150,8 @@ _SWEEP_PRIORITY = (
     #     after the never-verified block. ---
     "llm_quality_score", "llm_hard_negatives",
     "llm_fingerprint", "llm_dedup_simhash", "llm_cdc_chunk",
+    # round-8 hyperplane-literal oracle promotions (rows-only -> hash):
+    "llm_sim_search_lsh", "llm_dedup_embed_lsh",
     # --- r7 promotions the r7 sweep budget did NOT reach (their oracles
     #     are new contracts, still without a driver hash verdict): the
     #     remaining watermark-emission pair, the outer-join eviction, the
@@ -213,7 +213,7 @@ _SWEEP_PRIORITY = (
     "llm_bpe_apply", "sink_sized_files", "join_dpp", "sink_insert_ignore",
     "sink_replace", "llm_pii_scrub",
     "llm_decontaminate", "llm_sample_temperature", "llm_pack_sequences",
-    "llm_quality_gopher", "llm_dedup_embed_lsh", "fn_encode",
+    "llm_quality_gopher", "fn_encode",
     "join_spatial_grid", "agg_sketch_rollup", "sink_stream_upsert",
     "scan_binary_files", "fn_spatial", "agg_funnel", "llm_ngram_counts",
     "sink_outfile_csv", "sink_compact", "llm_doc_len_histogram",
@@ -231,7 +231,7 @@ _SWEEP_PRIORITY = (
     "stream_join_dim", "filter_fulltext", "filter_fulltext_bool",
     "catalog_ddl", "catalog_views", "llm_langid",
     "llm_dedup_embed", "llm_dedup_ngram_jaccard",
-    "llm_sim_search_lsh", "llm_sim_search_ivf",
+    "llm_sim_search_ivf",
     "llm_token_count_bpe", "llm_pipeline_e2e", "llm_pipeline_train_corpus",
     "agg_grouping_sets", "agg_corr", "filter_collation_accent",
     "sample_systematic", "agg_unpivot", "project_cast_lenient",
