@@ -959,9 +959,8 @@ _RT_W_SQL = "CASE date_diff('day', a.day, b.day) " + " ".join(
 ) + " END"
 
 
-@register(
-    "ts_rt_ratio",
-    oracle=f"""
+# Shared by the batch key and the streaming twin's filtered oracle.
+_RT_SQL = f"""
     WITH daily AS ({_XDAILY_SQL}),
     pairs AS (
       SELECT b.event_type, b.day, b.n, a.n * ({_RT_W_SQL}) AS wn
@@ -973,8 +972,16 @@ _RT_W_SQL = "CASE date_diff('day', a.day, b.day) " + " ".join(
            CAST(SUM(wn) AS BIGINT) AS w_denom,
            {sql_dround(f'{_RT_W_TOT}.0 * n / SUM(wn)', 4)} AS rt
     FROM pairs GROUP BY event_type, day, n
-    ORDER BY event_type, day_s
-    """,
+"""
+
+# Growth-alert threshold for the streaming twin: Rt > 1 means growing;
+# 1.2 adds slack so day-scale noise around criticality doesn't flap.
+RT_ALERT = 1.2
+
+
+@register(
+    "ts_rt_ratio",
+    oracle=_RT_SQL + "    ORDER BY event_type, day_s\n    ",
     section=_SEC,
 )
 def ts_rt_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -998,6 +1005,20 @@ def ts_rt_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
     ).agg(F.count("*").cast("bigint").alias("n"))
+    return rt_scored(daily)
+
+
+def rt_scored(daily: DataFrame) -> DataFrame:
+    """Rt scoring over a (event_type, day, n) daily-count frame: the
+    banded serial-interval self-join and the exact-integer ratio. Shared
+    by the batch key and the streaming twin (`stream_rt_alerts`), so
+    stream==batch is structural — the same guarantee every detector pair
+    here carries."""
+    # both self-join sides replay the daily rollup lineage otherwise; for
+    # the stream twin the snapshot is also memory-sink-backed, where a
+    # self-join additionally trips ambiguity resolution — the checkpoint
+    # gives side `a` fresh attributes AND caps events to one pass
+    daily = daily.localCheckpoint()
     a = daily.select(
         F.col("event_type").alias("et_a"),
         F.col("day").alias("day_a"),

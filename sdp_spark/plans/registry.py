@@ -138,9 +138,10 @@ _SWEEP_PRIORITY = (
     #     the geodesic scalar family ---
     "agg_capture_recapture", "agg_proportion_ztest", "dq_l_diversity",
     "query_outbreak_ewma", "stream_ewma_alerts", "fn_geo_haversine",
-    # ^-- 2 error-fixes + 55 never-verified = 57 candidates for the 50-key
-    #     sweep: the last 7 (rouge + batch 22) carry over to round 9's
-    #     head; every earlier key gets its verdict this round.
+    "stream_rt_alerts",
+    # ^-- 2 error-fixes + 56 never-verified = 58 candidates for the 50-key
+    #     sweep: the last 8 (rouge + batch 22 + the Rt twin) carry over to
+    #     round 9's head; every earlier key gets its verdict this round.
     # --- r8 re-proofs: keys whose code or contract changed after their
     #     clean r7 verdict — llm_quality_score (registry decorator restored
     #     onto the operator), llm_hard_negatives (rounding pinned to

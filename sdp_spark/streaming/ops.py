@@ -1589,6 +1589,49 @@ def stream_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from sdp_spark.operators.stats import _RT_SQL, RT_ALERT  # noqa: E402
+
+
+@register(
+    "stream_rt_alerts",
+    oracle=f"""
+    SELECT event_type, day_s, n, w_denom, rt
+    FROM ({_RT_SQL}) t
+    WHERE rt > {RT_ALERT}
+    ORDER BY event_type, day_s
+    """,
+    section=_SEC,
+)
+def stream_rt_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE reproduction-number monitoring — the streaming twin of
+    `ts_rt_ratio`, emitting the days whose Rt exceeds the 1.2 growth
+    threshold ('this signal is not just elevated, it is actively
+    spreading' — the question Rt answers that the level detectors EARS /
+    CUSUM / histlimits / EWMA do not). Same architecture as the other
+    four detector twins: the STREAM incrementally maintains per-(type,
+    day) counts — bounded state, one row per type × day — and the
+    `rt_scored` core (the SAME function the batch key calls, so
+    stream==batch is structural) runs over the materialized daily table
+    after each trigger. At 100 TB/day the stream shuffles grouped
+    day-states, never events; the serial-interval join is |types×days|
+    metadata. The DuckDB oracle pins the live alerts to the batch ratio
+    end-to-end."""
+    from sdp_spark.operators.stats import rt_scored
+
+    sdf = _events_stream(spark, sf_dir)
+    daily = sdf.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    snap = _run_to_memory(daily, "complete", "rtdaily")
+    return (
+        rt_scored(snap)
+        .filter(F.col("rt") > RT_ALERT)
+        .select("event_type", "day_s", "n", "w_denom", "rt")
+        .orderBy("event_type", "day_s")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 8: live distribution-drift monitoring (streaming PSI)
 # ---------------------------------------------------------------------------

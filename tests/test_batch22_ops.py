@@ -266,3 +266,19 @@ def test_ewma_single_daily_rollup_feeds_both(spark, sf_dir):
     branches), never once per scored day."""
     plan = _plan(spark, REGISTRY["query_outbreak_ewma"].fn(spark, sf_dir), "formatted")
     assert plan.count("Scan parquet") <= 2
+
+
+def test_rt_stream_twin_equals_batch(spark, sf_dir):
+    """The live Rt monitor's alert set equals the batch key's rows above
+    the growth threshold exactly (shared rt_scored core, shared daily
+    rollup) — the fifth batch+stream detector pair's structural
+    guarantee, plus non-emptiness so the filter is exercised both ways."""
+    from sdp_spark.operators.stats import RT_ALERT
+
+    batch = REGISTRY["ts_rt_ratio"].fn(spark, sf_dir).collect()
+    want = sorted(tuple(r) for r in batch if r["rt"] > RT_ALERT)
+    got = sorted(
+        tuple(r) for r in REGISTRY["stream_rt_alerts"].fn(spark, sf_dir).collect()
+    )
+    assert got == want
+    assert 0 < len(got) < len(batch)
