@@ -200,15 +200,15 @@ def main() -> None:
         for k, t in times_min.items():
             if k in ref and ref[k] > 0.05 and t > 1.5 * ref[k]:
                 regressions[k] = {"now_min": t, "prior_min": ref[k]}
-        # bound the stdout line: worst offenders only, count preserved
+        # bound the stdout line: worst offenders only; the total count
+        # rides in a SIBLING field (regressions_n_total) so every value
+        # in the map stays a homogeneous {now_min, prior_min} record
+        regressions_n_total = len(regressions)
         if len(regressions) > 5:
             worst = sorted(
                 regressions, key=lambda k: -regressions[k]["now_min"]
             )[:5]
-            regressions = {
-                "n_total": len(regressions),
-                **{k: regressions[k] for k in worst},
-            }
+            regressions = {k: regressions[k] for k in worst}
         shared = [k for k in times if k in ref]
         # when the prior was regex-recovered from a truncated tail, its
         # only trustworthy total is min_total_sec — compare min-vs-min
@@ -228,6 +228,7 @@ def main() -> None:
             if shared and sum(ref[k] for k in shared) > 0
             else None,
             "regressions_gt_1_5x": regressions,
+            "regressions_n_total": regressions_n_total,
         }
     # full artifact (extras + everything printed) goes to a file the next
     # round's regression gate and SCALING.md can read without line limits

@@ -1793,7 +1793,8 @@ _EWMACH_SQL = f"""
            CAST(c AS BIGINT) AS n_events,
            FLOOR(z * 10000 + 0.5) / 10000 AS ewma,
            FLOOR(ucl * 10000 + 0.5) / 10000 AS ucl,
-           z > ucl AS alert
+           FLOOR(z * 10000 + 0.5) / 10000
+             > FLOOR(ucl * 10000 + 0.5) / 10000 AS alert
     FROM scored
 """
 
@@ -1850,7 +1851,12 @@ def ewma_scored(daily: DataFrame) -> DataFrame:
         F.col("c").cast("bigint").alias("n_events"),
         dround(z, 4).alias("ewma"),
         dround(ucl, 4).alias("ucl"),
-        (z > ucl).alias("alert"),
+        # alert compares the ROUNDED statistic to the ROUNDED limit (the
+        # histlimits convention): both sides of the raw inequality contain
+        # pow(1-λ, t), and pow is not correctly rounded — a 1-ulp libm
+        # difference between JVM Math.pow and DuckDB pow could flip an
+        # alert exactly at the boundary and break the hash oracle.
+        (dround(z, 4) > dround(ucl, 4)).alias("alert"),
     )
 
 

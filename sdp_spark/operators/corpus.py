@@ -426,11 +426,22 @@ _EMB_COLLAPSE_MIN_DUP_FRAC = 0.05
 def _emb_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, ck, rep): exact-duplicate vector cluster (hash of the raw
     double array) and its min-vec_id representative. One shuffle keyed on
-    the 64-bit ck — vectors never shuffle for clustering."""
+    the 128-bit ck — vectors never shuffle for clustering. ck is a STRUCT
+    of two independently-seeded xxhash64 values, not a single 64-bit
+    hash: a collision must win both hashes simultaneously (~2^-128), so
+    distinct vectors cannot silently merge into one cluster and emit a
+    fabricated cos_sim=1.0 pair (the belt-and-braces the single-hash key
+    lacked)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EMB_CLUSTER_CACHE:
         emb = _emb_normed(spark, sf_dir)
-        clusters = emb.select("vec_id", F.xxhash64("dvec").alias("ck"))
+        clusters = emb.select(
+            "vec_id",
+            F.struct(
+                F.xxhash64("dvec").alias("h1"),
+                F.xxhash64(F.lit(-7046029254386353131), "dvec").alias("h2"),
+            ).alias("ck"),
+        )
         _EMB_CLUSTER_CACHE[key] = clusters.withColumn(
             "rep", F.min("vec_id").over(Window.partitionBy("ck"))
         ).cache()
@@ -2433,11 +2444,13 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     source.
 
     Scale design: grams are per-doc DISTINCT before the explode (bounds the
-    shuffle by unique spans, not positions) and shuffle as 64-bit xxhash
-    DIGESTS, never the 8-word strings — the dedup family's convention; the
-    boilerplate set is a groupBy(source, digest) with an early HAVING; the
-    tag-back join is keyed (source, digest) — co-partitioned with the gram
-    explode, never all-pairs."""
+    shuffle by unique spans, not positions) and shuffle as 128-bit digest
+    STRUCTS (two independently-seeded xxhash64 values — a collision must
+    win both, ~2^-128, so distinct grams cannot silently merge and drift
+    from the oracle's raw-string compare), never the 8-word strings — the
+    dedup family's convention; the boilerplate set is a groupBy(source,
+    digest) with an early HAVING; the tag-back join is keyed (source,
+    digest) — co-partitioned with the gram explode, never all-pairs."""
     d = _docs_tokens(spark, sf_dir, wide=True).filter(F.size("toks") >= _BOILER_K)
     grams = d.select(
         "doc_id",
@@ -2445,8 +2458,10 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(1, size(toks) - {_BOILER_K - 1}),"
-                    f" i -> xxhash64(array_join(slice(toks, i, {_BOILER_K}), ' ')))"
+                    f"transform(transform(sequence(1, size(toks) - {_BOILER_K - 1}),"
+                    f" i -> array_join(slice(toks, i, {_BOILER_K}), ' ')),"
+                    f" s -> named_struct('h1', xxhash64(s),"
+                    f" 'h2', xxhash64(-7046029254386353131L, s)))"
                 )
             )
         ).alias("gh"),

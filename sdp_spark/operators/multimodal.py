@@ -404,7 +404,8 @@ def mm_payload_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level content-defined chunking over BINARY payloads (the
     FastCDC/gear-hash shape storage and transfer dedup uses): a rolling
     gear hash over the payload bytes cuts chunks at content-determined
-    boundaries (min {min}B / target ~32B / max {max}B), emitting
+    boundaries (min 16B / target ~32B / max 128B — the _PCDC_MIN /
+    _PCDC_MAX module constants above), emitting
     (doc_id, chunk_idx, chunk_hash, chunk_len) — the index a partial-dup
     detector (shared-chunk join) or a delta-transfer layer builds on.
     The byte-level complement of `llm_cdc_chunk`'s token windows: robust
@@ -419,9 +420,7 @@ def mm_payload_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions; the shuffle-facing output carries 8-byte chunk hashes,
     never payload bytes. rows-only oracle (DuckDB cannot fold over BLOB
     bytes); tests pin length reconstruction, determinism, and the
-    re-synchronization property on a prefix-edited copy.""".format(
-        min=_PCDC_MIN, max=_PCDC_MAX
-    )
+    re-synchronization property on a prefix-edited copy."""
     from sdp_spark.sources.fixtures import wide_table
 
     d = wide_table(spark, sf_dir, "documents").select(

@@ -1273,11 +1273,20 @@ def _rouge_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Callable directly so the test can exercise it below the density
     gate."""
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    # ck is a 128-bit (two independently-seeded xxhash64) struct so a
+    # collision would need BOTH hashes to agree (~2^-128) — a single
+    # 64-bit collision here would silently merge distinct texts and emit
+    # fabricated rouge1_f1 = 1.0 pairs.
     cl = d.select(
         "doc_id",
         "lang",
         "source",
-        F.xxhash64("lang", "source", "text").alias("ck"),
+        F.struct(
+            F.xxhash64("lang", "source", "text").alias("h1"),
+            F.xxhash64(F.lit(-7046029254386353131), "lang", "source", "text").alias(
+                "h2"
+            ),
+        ).alias("ck"),
     ).withColumn("rep", F.min("doc_id").over(Window.partitionBy("ck")))
     cl = cl.localCheckpoint()  # consumed 5 times below; lineage runs once
     reps = d.join(
