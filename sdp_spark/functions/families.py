@@ -1221,3 +1221,130 @@ def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(((brg % 360) + 360) % 360, 2).alias("bearing_deg"),
         (dist_r <= _GEO_RADIUS_KM).alias("within_radius"),
     ).orderBy("s_suppkey", "c_custkey")
+
+
+# Point-in-polygon service area: a CONCAVE 7-vertex polygon (a rectangle
+# with a triangular notch cut into its west side — concavity exercises the
+# crossing-parity logic a convex hull test would not). Vertices sit on the
+# x.x5 half-grid while the pseudo-coordinates sit on the 0.1° grid, so no
+# point ever lies exactly on an edge or vertex: the crossing predicate is
+# strict-inequality safe and bit-identical cross-engine (ray casting uses
+# only +,-,*,/ and comparisons — IEEE-correctly-rounded ops, unlike pow).
+# (lon, lat) order; closed implicitly (last -> first).
+_GEO_POLY = (
+    (-40.05, -30.05),
+    (40.05, -30.05),
+    (40.05, 30.05),
+    (-40.05, 30.05),
+    (-40.05, 10.05),
+    (0.05, 0.05),
+    (-40.05, -10.05),
+)
+_GEO_POLY_LON_MIN = min(x for x, _ in _GEO_POLY)
+_GEO_POLY_LON_MAX = max(x for x, _ in _GEO_POLY)
+_GEO_POLY_LAT_MIN = min(y for _, y in _GEO_POLY)
+_GEO_POLY_LAT_MAX = max(y for _, y in _GEO_POLY)
+
+
+def _poly_edges():
+    # horizontal edges (y1 == y2) can never satisfy the crossing test
+    # ((y1 > py) != (y2 > py) is identically false) — dropping them up
+    # front removes dead CASE terms and the division-by-zero edge slope
+    # from both engines' expressions.
+    v = _GEO_POLY
+    edges = [(v[i], v[(i + 1) % len(v)]) for i in range(len(v))]
+    return [((x1, y1), (x2, y2)) for (x1, y1), (x2, y2) in edges if y1 != y2]
+
+
+def _pip_sql(lon: str, lat: str) -> str:
+    """Ray-casting crossing count as portable SQL: one CASE per edge, odd
+    sum = inside. Identical arithmetic to the Spark expression."""
+    terms = []
+    for (x1, y1), (x2, y2) in _poly_edges():
+        terms.append(
+            f"CASE WHEN (({y1} > {lat}) != ({y2} > {lat}))"
+            f" AND ({lon} < ({x2} - ({x1})) * ({lat} - ({y1}))"
+            f" / ({y2} - ({y1})) + ({x1})) THEN 1 ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+@register(
+    "fn_geo_polygon",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {_geo_lat_sql('c_custkey', 17)} AS lat,
+             {_geo_lon_sql('c_custkey', 31)} AS lon
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT c_custkey,
+           {sql_dround('lat', 1)} AS lat,
+           {sql_dround('lon', 1)} AS lon,
+           {_pip_sql('lon', 'lat')} AS in_polygon
+    FROM c
+    WHERE lon BETWEEN {_GEO_POLY_LON_MIN} AND {_GEO_POLY_LON_MAX}
+      AND lat BETWEEN {_GEO_POLY_LAT_MIN} AND {_GEO_POLY_LAT_MAX}
+    ORDER BY c_custkey
+    """,
+    section=_SEC,
+)
+def fn_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment — the minimal GIS predicate beyond
+    `fn_geo_haversine`'s distance family ([ENGINE] 5.6 ships GEOMETRY +
+    ST_Contains-style functions): which customers fall inside a literal
+    service-area polygon. Ray casting (Shimrat 1962 / the even-odd rule):
+    a ray east from the point crosses the polygon boundary an odd number
+    of times iff the point is inside; works unmodified for CONCAVE
+    polygons, which the test polygon is (notched rectangle).
+
+    Plan: a bounding-box prefilter (two BETWEENs — min/max folded
+    literals) discards most of the table before the crossing arithmetic,
+    and both the prefilter and the 7-edge crossing count are pure
+    whole-stage-codegen row expressions: ZERO exchanges (plan-asserted),
+    no UDF, no join. At 100 TB the bbox predicate pushes to the parquet
+    scan as min/max pruning on stored coordinate columns, and a polygon
+    SET generalizes via join_spatial_grid's cell-bucketed pattern (bbox
+    grid cells as the join key, this crossing expression as the exact
+    rescore). Edge-tie safety: vertices sit on the x.x5 half-grid, points
+    on the 0.1° grid — the strict inequalities can never see an exactly-
+    on-edge point, so the crossing parity is cross-engine deterministic
+    (only correctly-rounded IEEE ops involved)."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    lat = (
+        ((F.col("c_custkey") + 17) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1200
+    ) / 10.0 - 60.0
+    lon = (
+        ((F.col("c_custkey") + 31) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 3600
+    ) / 10.0 - 180.0
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    )
+    bbox = F.col("lon").between(_GEO_POLY_LON_MIN, _GEO_POLY_LON_MAX) & F.col(
+        "lat"
+    ).between(_GEO_POLY_LAT_MIN, _GEO_POLY_LAT_MAX)
+    crossings = None
+    for (x1, y1), (x2, y2) in _poly_edges():
+        term = F.when(
+            ((F.lit(y1) > F.col("lat")) != (F.lit(y2) > F.col("lat")))
+            & (
+                F.col("lon")
+                < (F.lit(x2) - F.lit(x1))
+                * (F.col("lat") - F.lit(y1))
+                / (F.lit(y2) - F.lit(y1))
+                + F.lit(x1)
+            ),
+            1,
+        ).otherwise(0)
+        crossings = term if crossings is None else crossings + term
+    # no orderBy: the driver compare is order-insensitive, and a sort
+    # would add the plan's ONLY exchange (test_plans pins zero exchanges)
+    return c.filter(bbox).select(
+        "c_custkey",
+        dround(F.col("lat"), 1).alias("lat"),
+        dround(F.col("lon"), 1).alias("lon"),
+        (crossings % 2 == 1).alias("in_polygon"),
+    )

@@ -554,3 +554,96 @@ def catalog_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# information_schema type-family mapping: both engines' physical names for
+# the fixture columns collapse to one portable family label so the view is
+# engine-independent (Spark timestamp_ntz vs DuckDB TIMESTAMP_NS etc.).
+_INFOSCHEMA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _spark_type_family(simple: str) -> str:
+    s = simple.lower()
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "long":
+        return "bigint"
+    if s.startswith("array<"):
+        return s
+    return s
+
+
+@register(
+    "catalog_information_schema",
+    oracle=f"""
+    WITH counts AS (
+      {" UNION ALL ".join(f"SELECT '{t}' AS table_name, COUNT(*) AS n_table_rows FROM {t}" for t in _INFOSCHEMA_TABLES)}
+    )
+    SELECT c.table_name, CAST(ordinal_position AS INTEGER) AS ordinal_position,
+           column_name,
+           CASE
+             WHEN data_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+             WHEN data_type = 'VARCHAR' THEN 'string'
+             WHEN data_type = 'INTEGER' THEN 'int'
+             WHEN data_type LIKE '%[]'
+               THEN 'array<' || lower(replace(data_type, '[]', '')) || '>'
+             ELSE lower(data_type)
+           END AS type_family,
+           CAST(n_table_rows AS BIGINT) AS n_table_rows
+    FROM information_schema.columns c
+    JOIN counts ON counts.table_name = c.table_name
+    WHERE c.table_name IN {_INFOSCHEMA_TABLES}
+    ORDER BY c.table_name, ordinal_position
+    """,
+    section=_SEC,
+)
+def catalog_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFORMATION_SCHEMA.TABLES/COLUMNS/STATISTICS as one queryable view
+    over the engine catalog — the BI-tool introspection surface
+    ([ENGINE] exposes table_name/column_name/ordinal_position/data_type
+    plus table row counts via TABLES.table_rows): per column, its table,
+    1-based ordinal, a portable type family (both engines' physical
+    names collapse to one label — Spark `timestamp_ntz` and DuckDB
+    `TIMESTAMP_NS` are both 'timestamp'), and the owning table's row
+    count.
+
+    Plan: the schema rows come from the CATALOG (driver-side metadata —
+    a few dozen rows, never data-scale; the exact analogue of reading
+    information_schema, which any engine serves from its dictionary),
+    while the per-table row counts are DISTRIBUTED count(*) aggregates
+    unioned across the ten tables — each one a map-side partial reduced
+    to a single row, readable from parquet footer statistics at 100 TB.
+    The metadata frame broadcast-joins the 10-row count frame; nothing
+    data-scale ever shuffles. Statistics beyond row counts live in
+    `catalog_analyze_stats` (ANALYZE's column NDV/min/max face)."""
+    meta_rows = []
+    counts = None
+    for t in _INFOSCHEMA_TABLES:
+        df = table(spark, sf_dir, t)
+        for i, f in enumerate(df.schema.fields, start=1):
+            meta_rows.append(
+                (t, i, f.name, _spark_type_family(f.dataType.simpleString()))
+            )
+        cnt = df.agg(
+            F.lit(t).alias("table_name"), F.count("*").alias("n_table_rows")
+        )
+        counts = cnt if counts is None else counts.unionAll(cnt)
+    meta = spark.createDataFrame(
+        meta_rows,
+        "table_name string, ordinal_position int, column_name string,"
+        " type_family string",
+    )
+    return (
+        meta.join(F.broadcast(counts), "table_name")
+        .select(
+            "table_name",
+            "ordinal_position",
+            "column_name",
+            "type_family",
+            "n_table_rows",
+        )
+        .orderBy("table_name", "ordinal_position")
+    )

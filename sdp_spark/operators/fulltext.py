@@ -410,3 +410,165 @@ def llm_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), F.col("id"))
         .limit(20)
     )
+
+
+# Query-expansion (pseudo-relevance feedback) parameters: feedback pool of
+# top-10 first-pass docs, 5 expansion terms. MySQL's WITH QUERY EXPANSION
+# uses an undocumented blind-feedback variant of the same shape; the
+# portable semantics ("rank, harvest salient terms from the best docs,
+# re-rank with the widened query") are pinned exactly.
+_QE_TOP_DOCS = 50
+_QE_TOP_TERMS = 5
+# MySQL FULLTEXT drops terms present in >= 50% of rows as noise; the same
+# rule here keeps the expansion from degenerating into stopwords that
+# match every doc.
+_QE_MAX_DF_FRAC = 0.5
+
+
+@register(
+    "fulltext_query_expansion",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.token
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+           UNNEST(toks) AS t(token)
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf1 AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok WHERE token IN {_FT_IN} GROUP BY 1, 2
+    ), df1 AS (
+      SELECT token, COUNT(*) AS df FROM tf1 GROUP BY 1
+    ), rel1 AS (
+      SELECT tf1.doc_id,
+             SUM(CAST(FLOOR(tf1.tf * ln((n.n_docs + 1.0) / (df1.df + 1.0))
+                            * 100000000 + 0.5) / 100000000
+                 AS DECIMAL(30,8))) AS rel
+      FROM tf1 JOIN df1 USING (token) CROSS JOIN n GROUP BY 1
+    ), topd AS (
+      SELECT doc_id FROM rel1 ORDER BY rel DESC, doc_id LIMIT {_QE_TOP_DOCS}
+    ), cand AS (
+      SELECT token, COUNT(*) AS ftf
+      FROM tok
+      WHERE doc_id IN (SELECT doc_id FROM topd) AND token NOT IN {_FT_IN}
+      GROUP BY 1
+    ), canddf AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df
+      FROM tok WHERE token IN (SELECT token FROM cand) GROUP BY 1
+    ), expt AS (
+      SELECT cand.token
+      FROM cand JOIN canddf USING (token) CROSS JOIN n
+      WHERE canddf.df <= n.n_docs * {_QE_MAX_DF_FRAC}
+      ORDER BY FLOOR(cand.ftf * ln((n.n_docs + 1.0) / (canddf.df + 1.0))
+                     * 100000000 + 0.5) / 100000000 DESC, cand.token
+      LIMIT {_QE_TOP_TERMS}
+    ), terms AS (
+      SELECT t.token FROM (SELECT UNNEST({list(_FT_TERMS)}) AS token) t
+      UNION ALL SELECT token FROM expt
+    ), tf2 AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok WHERE token IN (SELECT token FROM terms) GROUP BY 1, 2
+    ), df2 AS (
+      SELECT token, COUNT(*) AS df FROM tf2 GROUP BY 1
+    )
+    SELECT tf2.doc_id,
+           CAST(ROUND(SUM(CAST(
+                  FLOOR(tf2.tf * ln((n.n_docs + 1.0) / (df2.df + 1.0))
+                        * 100000000 + 0.5) / 100000000
+                AS DECIMAL(30,8))), 6) AS DOUBLE) AS relevance
+    FROM tf2 JOIN df2 USING (token) CROSS JOIN n
+    GROUP BY 1
+    """,
+    section=_SEC,
+)
+def fulltext_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH ... AGAINST(... WITH QUERY EXPANSION) — the engine's THIRD
+    fulltext mode (blind pseudo-relevance feedback, Rocchio 1971 shape):
+    pass 1 ranks the base query in natural-language mode; the top-50
+    docs form the feedback pool; the 5 most salient pool terms (feedback
+    tf x corpus idf, the same snapped TF-IDF weight the ranker uses,
+    originals and noise terms with df > 50% of docs excluded — MySQL's
+    common-word cut) widen the query; pass 2 re-ranks the corpus over
+    the widened term set with the `filter_fulltext` formula. Output is
+    pass 2's (doc_id, relevance) — a strict superset of the pass-1 doc
+    set whenever any expansion term matches a new doc (recall widening
+    is pytest-pinned on a planted corpus).
+
+    Scale design: the corpus tokenization is ONE explode shared by both
+    passes and the df lookups (tok is cheap lineage, and every consumer
+    filters it by a tiny term/doc set before any shuffle). The feedback
+    pool is a TakeOrderedAndProject over pass-1 scores (no global sort);
+    the candidate-term harvest joins tok against the BROADCAST 50-doc
+    pool; candidate df re-scans tok semi-joined on the bounded candidate
+    vocabulary; term selection is a bounded top-5; pass 2 filters the
+    corpus by an 8-term broadcast set. No collect — expansion terms stay
+    a DataFrame, so the whole two-pass plan is one lazy DAG. Ties are
+    impossible cross-engine: scores snap to the 1e-8 grid and sum as
+    DECIMAL, and every LIMIT carries a unique tiebreaker."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    ndf = d.agg(F.count("*").alias("n_docs"))
+
+    def snapped_w(tf_col: str, df_col: str):
+        return (
+            F.floor(
+                F.col(tf_col)
+                * F.log((F.col("n_docs") + 1.0) / (F.col(df_col) + 1.0))
+                * 100000000
+                + 0.5
+            )
+            / 100000000
+        )
+
+    # pass 1: exact filter_fulltext scoring (shared cached postings)
+    tf1 = _cached_tf(spark, sf_dir)
+    df1 = tf1.groupBy("token").agg(F.count("*").alias("df"))
+    rel1 = (
+        tf1.join(F.broadcast(df1), "token")
+        .crossJoin(F.broadcast(ndf))
+        .withColumn("w", snapped_w("tf", "df").cast(DEC))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("rel"))
+    )
+    topd = rel1.orderBy(F.col("rel").desc(), F.col("doc_id")).limit(_QE_TOP_DOCS)
+
+    # harvest candidate expansion terms from the feedback pool
+    cand = (
+        tok.join(F.broadcast(topd.select("doc_id")), "doc_id")
+        .filter(~F.col("token").isin(*_FT_TERMS))
+        .groupBy("token")
+        .agg(F.count("*").alias("ftf"))
+    )
+    canddf = (
+        tok.join(F.broadcast(cand.select("token")), "token")
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    expt = (
+        cand.join(canddf, "token")
+        .crossJoin(F.broadcast(ndf))
+        .filter(F.col("df") <= F.col("n_docs") * _QE_MAX_DF_FRAC)
+        .select("token", snapped_w("ftf", "df").alias("sal"))
+        .orderBy(F.col("sal").desc(), F.col("token"))
+        .limit(_QE_TOP_TERMS)
+        .select("token")
+    )
+    base_terms = spark.createDataFrame(
+        [(t,) for t in _FT_TERMS], "token string"
+    )
+    terms = base_terms.unionByName(expt)
+
+    # pass 2: re-rank over the widened term set (same formula, df from
+    # the widened postings)
+    tf2 = (
+        tok.join(F.broadcast(terms), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df2 = tf2.groupBy("token").agg(F.count("*").alias("df"))
+    return (
+        tf2.join(F.broadcast(df2), "token")
+        .crossJoin(F.broadcast(ndf))
+        .withColumn("w", snapped_w("tf", "df").cast(DEC))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).cast("double").alias("relevance"))
+    )

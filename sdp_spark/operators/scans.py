@@ -1510,3 +1510,111 @@ def sink_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Changelog-trigger change set over orders (deterministic stand-ins for a
+# transaction batch): DELETE closed low-value 'P' orders, UPDATE urgent
+# orders to 95% price, INSERT re-keyed copies of every 97th order.
+_CLG_INS_OFFSET = 100000000
+
+
+@register(
+    "dml_changelog_trigger",
+    oracle=f"""
+    SELECT 'DELETE' AS op, o_orderkey,
+           FLOOR(o_totalprice * 100 + 0.5) / 100 AS old_price,
+           CAST(NULL AS DOUBLE) AS new_price,
+           o_orderstatus AS old_status,
+           CAST(NULL AS VARCHAR) AS new_status
+    FROM orders
+    WHERE o_orderstatus = 'P' AND o_totalprice < 50000
+    UNION ALL
+    SELECT 'UPDATE', o_orderkey,
+           FLOOR(o_totalprice * 100 + 0.5) / 100,
+           FLOOR(o_totalprice * 0.95 * 100 + 0.5) / 100,
+           o_orderstatus, o_orderstatus
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+      AND NOT (o_orderstatus = 'P' AND o_totalprice < 50000)
+    UNION ALL
+    SELECT 'INSERT', o_orderkey + {_CLG_INS_OFFSET},
+           CAST(NULL AS DOUBLE),
+           FLOOR(o_totalprice * 100 + 0.5) / 100,
+           CAST(NULL AS VARCHAR), 'N'
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    ORDER BY op, o_orderkey
+    """,
+    section=_SEC,
+)
+def dml_changelog_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER INSERT/UPDATE/DELETE trigger analogue ([ENGINE] 5.6 triggers
+    write audit tables row-by-row inside the transaction): the SAME
+    declarative change set `dml_update_delete` applies — plus an insert
+    batch — emitted as its CHANGELOG (op, key, before-image, after-image)
+    instead of as the rewritten table. An immutable-storage engine derives
+    the audit trail from the batch diff, not from per-row trigger
+    procedures; the replay invariant (base + changelog == post-state) is
+    pytest-pinned, which is exactly the guarantee a trigger-maintained
+    audit table provides.
+
+    Plan: three filter+project branches over ONE scan lineage, UNION ALL,
+    no join and no shuffle beyond the sink — the changelog is row-local
+    because each branch's before/after images derive from the row itself.
+    At 100 TB this is the copy-on-write DML family's audit side-channel:
+    the rewrite (dml_update_delete) and its changelog share the scan, and
+    the changelog streams to an append sink partitioned by op/day."""
+    o = table(spark, sf_dir, "orders")
+    deleted = (F.col("o_orderstatus") == "P") & (F.col("o_totalprice") < 50000)
+    d_rows = o.filter(deleted).select(
+        F.lit("DELETE").alias("op"),
+        "o_orderkey",
+        dround(F.col("o_totalprice")).alias("old_price"),
+        F.lit(None).cast("double").alias("new_price"),
+        F.col("o_orderstatus").alias("old_status"),
+        F.lit(None).cast("string").alias("new_status"),
+    )
+    u_rows = o.filter((F.col("o_orderpriority") == "1-URGENT") & ~deleted).select(
+        F.lit("UPDATE").alias("op"),
+        "o_orderkey",
+        dround(F.col("o_totalprice")).alias("old_price"),
+        dround(F.col("o_totalprice") * 0.95).alias("new_price"),
+        F.col("o_orderstatus").alias("old_status"),
+        F.col("o_orderstatus").alias("new_status"),
+    )
+    i_rows = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.lit("INSERT").alias("op"),
+        (F.col("o_orderkey") + _CLG_INS_OFFSET).alias("o_orderkey"),
+        F.lit(None).cast("double").alias("old_price"),
+        dround(F.col("o_totalprice")).alias("new_price"),
+        F.lit(None).cast("string").alias("old_status"),
+        F.lit("N").alias("new_status"),
+    )
+    return d_rows.unionByName(u_rows).unionByName(i_rows)
+
+
+def changelog_replay(base: DataFrame, changelog: DataFrame) -> DataFrame:
+    """Replay a (op, key, images) changelog onto the base table — the
+    audit-trail consumer a trigger system enables: DELETE keys drop,
+    UPDATE keys take the after-image, INSERT keys append. Used by the
+    pytest invariant (replay == the post-state computed directly); a
+    recovery/branching workflow at scale runs the same three-way plan
+    with the changelog broadcast when small."""
+    dels = changelog.filter(F.col("op") == "DELETE").select("o_orderkey")
+    upds = changelog.filter(F.col("op") == "UPDATE").select(
+        "o_orderkey",
+        F.col("new_price").alias("u_price"),
+        F.col("new_status").alias("u_status"),
+    )
+    ins = changelog.filter(F.col("op") == "INSERT").select(
+        "o_orderkey",
+        F.col("new_price").alias("o_totalprice"),
+        F.col("new_status").alias("o_orderstatus"),
+    )
+    survived = base.join(dels, "o_orderkey", "left_anti")
+    updated = survived.join(upds, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce("u_price", dround(F.col("o_totalprice"))).alias("o_totalprice"),
+        F.coalesce("u_status", F.col("o_orderstatus")).alias("o_orderstatus"),
+    )
+    return updated.unionByName(ins)

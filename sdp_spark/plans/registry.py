@@ -96,24 +96,44 @@ def register(key: str, oracle: str | None = None, section: str = ""):
 # everything (rank -1) and would displace the backlog past the cap — to
 # deprioritize, list it; test_entry enforces registry == list exactly.
 _SWEEP_PRIORITY = (
-    # --- r8 certification head: the two keys whose r7 verdict is an
-    #     ERROR — dq_benford (oracle DECIMAL-overflow fixed) and
-    #     llm_curriculum_order (nested-window oracle rewritten as a
-    #     phased CTE) — then every never-verified key, then re-proofs of
-    #     keys whose code/contract changed after a clean verdict, then
-    #     driver-green keys newest-first. ---
+    # --- r9 certification head — CLOSES the verification ladder: after
+    #     this sweep every registry key holds a current driver verdict.
+    #     First the 8 keys the r8 sweep's 50-key budget did not reach
+    #     (rouge + batch 22 + the Rt twin), then the 12 promotion /
+    #     re-proof keys whose latest driver verdict predates their oracle
+    #     promotion or code change, then the one r9 re-proof. ---
+    "agg_capture_recapture", "agg_proportion_ztest", "dq_l_diversity",
+    "query_outbreak_ewma", "stream_ewma_alerts", "fn_geo_haversine",
+    "stream_rt_alerts", "llm_rouge_overlap",
+    # re-proofs: llm_quality_score (decorator restored r8),
+    # llm_hard_negatives (rounding re-pinned r8), the rows-only -> hash
+    # promotions (fingerprint / simhash / cdc_chunk portable-md5 oracles;
+    # sim_search_lsh / dedup_embed_lsh hyperplane-literal oracles), the
+    # r7 watermark-emission pair, the outer-join eviction, the
+    # stateful-timeout sessionizer, and unrolled-CTE pagerank. All
+    # pytest-oracle-green; they earn driver verdicts here. ---
+    "llm_quality_score", "llm_hard_negatives",
+    "llm_fingerprint", "llm_dedup_simhash", "llm_cdc_chunk",
+    "llm_sim_search_lsh", "llm_dedup_embed_lsh",
+    "stream_sliding_wm", "stream_session_wm", "stream_stream_join_outer",
+    "stream_stateful_timeout", "graph_pagerank",
+    # r9 re-proof: gram digest widened to a collision-proof 128-bit
+    # struct (the r8 hash-pass predates the hardening):
+    "llm_boilerplate_ngrams",
+    # --- new round-9 keys ---
+    "fulltext_query_expansion", "fn_geo_polygon", "dml_changelog_trigger",
+    "catalog_information_schema",
+    # ^-- 21 carry-over + new r9 keys stay within the 50-key sweep
+    #     budget: every key above earns its verdict this round.
+    # --- r8-certified (newest-first re-prove order) ---
     "dq_benford", "llm_curriculum_order",
-    # --- new round-8 keys ---
     "dq_drift_psi", "ts_changepoint_meanshift", "agg_market_basket",
-    "llm_boilerplate_ngrams", "llm_sample_importance",
+    "llm_sample_importance",
     "llm_winnow_fingerprint", "stream_drift_psi",
     "llm_dedup_containment", "agg_retention_cohort", "llm_ann_recall_eval",
     "agg_period_growth", "agg_pareto_abc", "dq_k_anonymity",
     "llm_embed_feature_hash", "llm_quality_classifier_linear",
     "mm_payload_cdc", "llm_corpus_diff",
-    # --- round-8 batch 19 (insights.py): surveillance historical limits,
-    #     series diagnostics, segmentation, chi2, DQ expectations, node
-    #     similarity, hash sampling ---
     "query_outbreak_histlimits", "ts_autocorr", "ts_decompose_seasonal",
     "ts_max_drawdown", "agg_rfm_segmentation", "agg_chi2_independence",
     "dq_expectations_suite", "graph_common_neighbors", "sample_hash_group",
@@ -121,44 +141,12 @@ _SWEEP_PRIORITY = (
     "graph_degree_assortativity", "llm_zipf_slope",
     "agg_survival_km", "agg_relative_risk", "llm_token_budget_alloc",
     "llm_pmi_collocations", "llm_bigram_perplexity",
-    # --- round-8 batch 20 (stats.py): two-sample tests, lead-lag xcorr,
-    #     readability, exact k-NN graph, n-gram novelty, priority sampling.
-    #     With these the 50-key head is exactly: 7 re-certs + 43
-    #     never-verified — one sweep still closes the whole backlog. ---
     "agg_welch_ttest", "agg_mann_whitney", "ts_cross_correlation",
     "llm_readability", "llm_knn_graph", "llm_novelty_rate",
     "sample_weighted_reservoir",
-    # --- round-8 batch 21 (stats.py cont.): concentration, deterministic
-    #     bootstrap, SIR standardization, Rt, Neyman allocation, ROUGE-1 ---
     "agg_hhi_concentration", "agg_bootstrap_ci",
     "agg_indirect_standardization", "ts_rt_ratio",
-    "sample_neyman_allocation", "llm_rouge_overlap",
-    # --- round-8 batch 22: capture-recapture, two-proportion z-test,
-    #     l-diversity, the EWMA control-chart pair (third detector), and
-    #     the geodesic scalar family ---
-    "agg_capture_recapture", "agg_proportion_ztest", "dq_l_diversity",
-    "query_outbreak_ewma", "stream_ewma_alerts", "fn_geo_haversine",
-    "stream_rt_alerts",
-    # ^-- 2 error-fixes + 56 never-verified = 58 candidates for the 50-key
-    #     sweep: the last 8 (rouge + batch 22 + the Rt twin) carry over to
-    #     round 9's head; every earlier key gets its verdict this round.
-    # --- r8 re-proofs: keys whose code or contract changed after their
-    #     clean r7 verdict — llm_quality_score (registry decorator restored
-    #     onto the operator), llm_hard_negatives (rounding pinned to
-    #     dround/sql_dround), and the three rows-only -> hash promotions
-    #     (portable-md5 oracles: fingerprint / simhash / cdc_chunk). All
-    #     five are pytest-oracle-green; they re-earn driver verdicts right
-    #     after the never-verified block. ---
-    "llm_quality_score", "llm_hard_negatives",
-    "llm_fingerprint", "llm_dedup_simhash", "llm_cdc_chunk",
-    # round-8 hyperplane-literal oracle promotions (rows-only -> hash):
-    "llm_sim_search_lsh", "llm_dedup_embed_lsh",
-    # --- r7 promotions the r7 sweep budget did NOT reach (their oracles
-    #     are new contracts, still without a driver hash verdict): the
-    #     remaining watermark-emission pair, the outer-join eviction, the
-    #     stateful-timeout sessionizer, and unrolled-CTE pagerank ---
-    "stream_sliding_wm", "stream_session_wm", "stream_stream_join_outer",
-    "stream_stateful_timeout", "graph_pagerank",
+    "sample_neyman_allocation",
     # --- r7-certified (newest-first re-prove order) ---
     "agg_gini", "graph_bipartite_projection",
     "dialect_pipe_syntax", "agg_observe_metrics", "stream_dedup_wm",

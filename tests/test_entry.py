@@ -68,35 +68,43 @@ def test_sweep_priority_matches_registry():
     }
     assert len(_SWEEP_PRIORITY) == len(set(_SWEEP_PRIORITY)), "duplicate keys"
     ordered = list(specs)
-    # Round-8 head: every key with a broken r7 verdict or a contract that
-    # changed this round leads the sweep — dq_benford and
-    # llm_curriculum_order (oracle errors in CORRECTNESS_r07, now fixed),
-    # llm_quality_score (registry decorator restored), llm_hard_negatives
-    # (rounding convention pinned). New round-8 keys follow, then
-    # re-proves. All must fit inside the driver's 50-key budget.
+    # Round-9 head — the ladder-closing sweep: every key WITHOUT a current
+    # driver verdict must lead. That is (a) keys never swept in r1-r8,
+    # (b) keys whose latest verdict predates their rows-only -> hash
+    # oracle promotion (latest sweep recorded err == 'no_oracle' but the
+    # registry now carries an oracle), and (c) the precautionary
+    # re-proofs of green keys whose code changed after certification.
+    # The whole head must fit the driver's ~50-key budget so this sweep
+    # leaves every registry key driver-certified.
     import glob
     import json
     from pathlib import Path
 
     root = Path(__file__).parent.parent
-    seen: set[str] = set()
-    for f in sorted(glob.glob(str(root / "CORRECTNESS_r0[1-7].json"))):
-        seen |= set(json.load(open(f)))
-    unverified = {k for k in specs if k not in seen}
-    # 2 r7-error fixes + 49 never-verified = 51 candidates for the 50-key
-    # budget: exactly one key may spill to position 51, and the head must
-    # waste no slot on a key that already holds a clean verdict.
-    errored = {"dq_benford", "llm_curriculum_order"}
-    assert errored == set(ordered[:2]), "r7-error fixes must lead the sweep"
-    need = errored | unverified
+    latest: dict[str, dict] = {}
+    for f in sorted(glob.glob(str(root / "CORRECTNESS_r0[1-8].json"))):
+        for k, v in json.load(open(f)).items():
+            latest[k] = v
+    never = {k for k in specs if k not in latest}
+    stale_promoted = {
+        k
+        for k, s in specs.items()
+        if s.oracle is not None
+        and k in latest
+        and latest[k].get("err") == "no_oracle"
+    }
+    reproofs = {
+        "llm_quality_score",
+        "llm_hard_negatives",
+        "llm_boilerplate_ngrams",
+    }
+    need = never | stale_promoted | reproofs
     head = ordered[: len(need)]
     assert set(head) == need, {
         "missing_from_head": need - set(head),
         "wasted_slots": set(head) - need,
     }
-    # the spill past the 50-key budget carries to the next round's head;
-    # keep it bounded so a full backlog never rebuilds
-    assert len(need) - 50 <= 8, f"{len(need) - 50} keys would miss the sweep"
+    assert len(need) <= 50, f"{len(need) - 50} keys would miss the sweep"
 
 
 def test_catalog_in_sync():
