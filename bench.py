@@ -162,6 +162,24 @@ def main() -> None:
         run_query(registry[key].fn(spark, sf_dir))
         extra[key] = round(time.perf_counter() - t0, 3)
 
+    # ANN quality tracking (VERDICT r8 #9): macro recall@5 of the IVF and
+    # LSH indexes vs the exact brute-force top-5, recorded per round in
+    # BENCH_DETAIL.json beside the wall times — an index "optimization"
+    # that wins the clock by losing recall must show up here. Bounded
+    # (two rows), but file-only like the extras map.
+    ann_recall: dict[str, float] = {}
+    if not skip_extras and "llm_ann_recall_eval" in registry:
+        try:
+            for row in (
+                registry["llm_ann_recall_eval"]
+                .fn(spark, sf_dir)
+                .filter("query_id = -1")
+                .collect()
+            ):
+                ann_recall[row["method"]] = row["recall_at_5"]
+        except Exception as e:  # noqa: BLE001 - bench must still print
+            ann_recall["error"] = str(e)[:200]
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(times.values()), 3),
@@ -237,7 +255,11 @@ def main() -> None:
     )
     try:
         with open(detail_path, "w") as f:
-            json.dump({**out, "extra_queries": extra}, f, indent=1)
+            json.dump(
+                {**out, "extra_queries": extra, "ann_recall_at_5": ann_recall},
+                f,
+                indent=1,
+            )
     except OSError:
         pass  # read-only checkout: the stdout line alone is sufficient
     print(json.dumps(out))

@@ -1798,7 +1798,31 @@ def _km_assign(emb: DataFrame, cents: list, probe2: bool = False) -> DataFrame:
     return out.select(*cols)
 
 
-_KM_FIT_SAMPLE = 100_000  # max vectors the driver-side fit will pull
+# Driver-side fit cap: None -> derived from the live driver heap by
+# _km_fit_sample_cap (an int here overrides it — tests pin both paths).
+# A 100 TB deployment inherits the cap as a FUNCTION of
+# spark.driver.memory, not a constant a bigger corpus silently outgrows:
+# the sampled fit pulls N x 64 float64 (512 B/vector) plus the N x K
+# distance matrix temporaries (~1 KiB/vector budgeted), and the cap
+# spends at most 1% of the driver heap on it (a 1 GiB driver fits ~10k
+# vectors, the 128 GiB bench driver ~1M — bounded by the absolute max).
+_KM_FIT_SAMPLE: int | None = None
+_KM_FIT_MEM_FRAC = 0.01
+_KM_FIT_BYTES_PER_VEC = 1024
+_KM_FIT_SAMPLE_MAX = 1_000_000
+
+
+def _km_fit_sample_cap(spark: SparkSession) -> int:
+    """Max vectors the driver-side Lloyd's fit may collect: 1% of the
+    JVM driver heap at ~1 KiB/vector, bounded above; overridable via
+    _KM_FIT_SAMPLE for tests."""
+    if _KM_FIT_SAMPLE is not None:
+        return _KM_FIT_SAMPLE
+    heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    return min(
+        _KM_FIT_SAMPLE_MAX,
+        int(heap * _KM_FIT_MEM_FRAC) // _KM_FIT_BYTES_PER_VEC,
+    )
 
 
 def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int | None = None) -> list:
@@ -1807,8 +1831,11 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int | None = None) -> list:
     tie-breaks). K defaults to _KM_K; any K works — assignment picks the
     literal-codegen or broadcast-Arrow strategy per _km_assign.
 
-    Fit strategy by N (mirrors _km_assign's dual physical path):
-    - N <= _KM_FIT_SAMPLE: collect the vectors ONCE and run Lloyd's in
+    Fit strategy by N (mirrors _km_assign's dual physical path; the
+    threshold is _km_fit_sample_cap — 1% of the live driver heap, so a
+    bigger corpus on a small driver falls through to the distributed
+    branch instead of OOMing the collect):
+    - N <= cap: collect the vectors ONCE and run Lloyd's in
       numpy on the driver. Same algorithm (argmin squared distance,
       lowest-index ties, empty clusters keep their centroid), but the
       4-iteration loop costs matrix ops instead of 4 multi-stage Spark
@@ -1820,7 +1847,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int | None = None) -> list:
       so a vector ulp-equidistant from two centroids could assign
       differently across paths; the test pinning both paths equal
       certifies the fixture, not bit-identity on arbitrary data.
-    - N > _KM_FIT_SAMPLE: distributed Lloyd's — assignment via
+    - N > cap: distributed Lloyd's — assignment via
       _km_assign, per-dim mean via posexplode + two-level agg (partial
       map-side combine, K x dim rows on the wire), K x dim driver state.
     See llm_cluster_kmeans for the distributed-shape notes."""
@@ -1832,7 +1859,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int | None = None) -> list:
     # re-reads the materialized cache, not the parquet+normalize lineage
     emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec")
     n = emb.count()
-    if n <= _KM_FIT_SAMPLE:
+    if n <= _km_fit_sample_cap(spark):
         import numpy as np
 
         mat = np.array(
