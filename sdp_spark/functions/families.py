@@ -1246,27 +1246,43 @@ _GEO_POLY_LAT_MIN = min(y for _, y in _GEO_POLY)
 _GEO_POLY_LAT_MAX = max(y for _, y in _GEO_POLY)
 
 
-def _poly_edges():
+def _poly_edges(poly=None):
     # horizontal edges (y1 == y2) can never satisfy the crossing test
     # ((y1 > py) != (y2 > py) is identically false) — dropping them up
     # front removes dead CASE terms and the division-by-zero edge slope
     # from both engines' expressions.
-    v = _GEO_POLY
+    v = _GEO_POLY if poly is None else poly
     edges = [(v[i], v[(i + 1) % len(v)]) for i in range(len(v))]
     return [((x1, y1), (x2, y2)) for (x1, y1), (x2, y2) in edges if y1 != y2]
 
 
-def _pip_sql(lon: str, lat: str) -> str:
+def _pip_sql(lon: str, lat: str, poly=None) -> str:
     """Ray-casting crossing count as portable SQL: one CASE per edge, odd
     sum = inside. Identical arithmetic to the Spark expression."""
     terms = []
-    for (x1, y1), (x2, y2) in _poly_edges():
+    for (x1, y1), (x2, y2) in _poly_edges(poly):
         terms.append(
             f"CASE WHEN (({y1} > {lat}) != ({y2} > {lat}))"
             f" AND ({lon} < ({x2} - ({x1})) * ({lat} - ({y1}))"
             f" / ({y2} - ({y1})) + ({x1})) THEN 1 ELSE 0 END"
         )
     return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def _pip_col(lon, lat, poly=None):
+    """Ray-casting crossing parity as a Spark Column over lon/lat
+    Columns — the codegen twin of _pip_sql (same edge list, same
+    strict-inequality arithmetic)."""
+    crossings = None
+    for (x1, y1), (x2, y2) in _poly_edges(poly):
+        term = F.when(
+            ((F.lit(y1) > lat) != (F.lit(y2) > lat))
+            & (lon < (F.lit(x2) - F.lit(x1)) * (lat - F.lit(y1))
+               / (F.lit(y2) - F.lit(y1)) + F.lit(x1)),
+            1,
+        ).otherwise(0)
+        crossings = term if crossings is None else crossings + term
+    return crossings % 2 == 1
 
 
 @register(
@@ -1326,25 +1342,54 @@ def fn_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     bbox = F.col("lon").between(_GEO_POLY_LON_MIN, _GEO_POLY_LON_MAX) & F.col(
         "lat"
     ).between(_GEO_POLY_LAT_MIN, _GEO_POLY_LAT_MAX)
-    crossings = None
-    for (x1, y1), (x2, y2) in _poly_edges():
-        term = F.when(
-            ((F.lit(y1) > F.col("lat")) != (F.lit(y2) > F.col("lat")))
-            & (
-                F.col("lon")
-                < (F.lit(x2) - F.lit(x1))
-                * (F.col("lat") - F.lit(y1))
-                / (F.lit(y2) - F.lit(y1))
-                + F.lit(x1)
-            ),
-            1,
-        ).otherwise(0)
-        crossings = term if crossings is None else crossings + term
     # no orderBy: the driver compare is order-insensitive, and a sort
     # would add the plan's ONLY exchange (test_plans pins zero exchanges)
     return c.filter(bbox).select(
         "c_custkey",
         dround(F.col("lat"), 1).alias("lat"),
         dround(F.col("lon"), 1).alias("lon"),
-        (crossings % 2 == 1).alias("in_polygon"),
+        _pip_col(F.col("lon"), F.col("lat")).alias("in_polygon"),
     )
+
+
+# Literal polygon SET for the containment JOIN (join_polygon_contains):
+# the concave service area above plus two disjoint regions. Same
+# half-grid vertex convention — no point ever sits on an edge.
+_GEO_POLY_SET = {
+    1: _GEO_POLY,
+    2: ((60.05, -10.05), (100.05, -10.05), (80.05, 35.05)),
+    3: (
+        (-170.05, 40.05),
+        (-120.05, 40.05),
+        (-120.05, 55.05),
+        (-170.05, 55.05),
+    ),
+}
+_GEO_CELL_DEG = 15.0  # grid cell side for the containment join
+
+
+def _poly_bbox(poly):
+    return (
+        min(x for x, _ in poly),
+        max(x for x, _ in poly),
+        min(y for _, y in poly),
+        max(y for _, y in poly),
+    )
+
+
+def _poly_cells(poly):
+    """Integer grid cells covered by the polygon's bbox — the candidate
+    cells a containment join probes (a production build rasterizes the
+    polygon itself; the bbox cover is lossless, just looser)."""
+    import math
+
+    x0, x1, y0, y1 = _poly_bbox(poly)
+    return [
+        (cx, cy)
+        for cx in range(
+            math.floor(x0 / _GEO_CELL_DEG), math.floor(x1 / _GEO_CELL_DEG) + 1
+        )
+        for cy in range(
+            math.floor(y0 / _GEO_CELL_DEG), math.floor(y1 / _GEO_CELL_DEG) + 1
+        )
+    ]

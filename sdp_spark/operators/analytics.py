@@ -2706,3 +2706,206 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Serfling cyclic regression — the SIXTH classical surveillance detector
+# ---------------------------------------------------------------------------
+
+# 21-day frozen baseline (3 full weekly cycles), weekly harmonic. The
+# fixture spans 30 days, so the seasonal term is the DAY-OF-WEEK cycle;
+# a production deployment over years swaps the period for 365.25 days —
+# the algebra is identical.
+_SERF_EPOCH = "2024-01-01"
+_SERF_SPLIT = "2024-01-22"
+_SERF_PERIOD = 7
+_SERF_L = 2.0  # threshold = expected + L * sigma(residual)
+_SERF_TWO_PI = 6.283185307179586
+
+# Baseline moment names shared by the Spark fold and the SQL oracle: every
+# per-day term snaps to the 1e-8 grid and sums as DECIMAL so the normal
+# equations see ORDER-INDEPENDENT sums (AQE/partitioning cannot move a
+# coefficient), then Cramer's rule runs as scalar double arithmetic.
+_SERF_MOMENTS = (
+    ("s1", "1.0"),
+    ("ss", "sn"),
+    ("sc", "cs"),
+    ("sss", "sn * sn"),
+    ("scc", "cs * cs"),
+    ("ssc", "sn * cs"),
+    ("sy", "c"),
+    ("sys", "c * sn"),
+    ("syc", "c * cs"),
+)
+
+_SERF_CRAMER = {
+    "det": "(s1*(sss*scc - ssc*ssc) - ss*(ss*scc - ssc*sc)"
+           " + sc*(ss*ssc - sss*sc))",
+    "deta": "(sy*(sss*scc - ssc*ssc) - ss*(sys*scc - ssc*syc)"
+            " + sc*(sys*ssc - sss*syc))",
+    "detb": "(s1*(sys*scc - ssc*syc) - sy*(ss*scc - ssc*sc)"
+            " + sc*(ss*syc - sys*sc))",
+    "detc": "(s1*(sss*syc - sys*ssc) - ss*(ss*syc - sys*sc)"
+            " + sy*(ss*ssc - sss*sc))",
+}
+
+_SERF_SQL = f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), angled AS (
+      SELECT event_type, d, c,
+             sin({_SERF_TWO_PI} * (date_diff('day', DATE '{_SERF_EPOCH}', d)
+                 % {_SERF_PERIOD}) / {_SERF_PERIOD}.0) AS sn,
+             cos({_SERF_TWO_PI} * (date_diff('day', DATE '{_SERF_EPOCH}', d)
+                 % {_SERF_PERIOD}) / {_SERF_PERIOD}.0) AS cs
+      FROM daily
+    ), moments AS (
+      SELECT event_type,
+             {", ".join(
+                 f"CAST(SUM(CAST(FLOOR(({expr}) * 100000000 + 0.5) / 100000000"
+                 f" AS DECIMAL(30,8))) AS DOUBLE) AS {name}"
+                 for name, expr in _SERF_MOMENTS)}
+      FROM angled WHERE d < DATE '{_SERF_SPLIT}' GROUP BY event_type
+    ), coef AS (
+      SELECT event_type,
+             {_SERF_CRAMER['deta']} / {_SERF_CRAMER['det']} AS ca,
+             {_SERF_CRAMER['detb']} / {_SERF_CRAMER['det']} AS cb,
+             {_SERF_CRAMER['detc']} / {_SERF_CRAMER['det']} AS cc
+      FROM moments
+    ), resid AS (
+      SELECT a.event_type,
+             sqrt(CAST(SUM(CAST(FLOOR(
+                     (a.c - (f.ca + f.cb * a.sn + f.cc * a.cs))
+                   * (a.c - (f.ca + f.cb * a.sn + f.cc * a.cs))
+                   * 100000000 + 0.5) / 100000000 AS DECIMAL(30,8)))
+                   AS DOUBLE) / COUNT(*)) AS sigma
+      FROM angled a JOIN coef f USING (event_type)
+      WHERE a.d < DATE '{_SERF_SPLIT}'
+      GROUP BY a.event_type
+    )
+    SELECT a.event_type, strftime(a.d, '%Y-%m-%d') AS day,
+           CAST(a.c AS BIGINT) AS n_events,
+           FLOOR((f.ca + f.cb * a.sn + f.cc * a.cs) * 10000 + 0.5) / 10000
+             AS expected,
+           FLOOR((f.ca + f.cb * a.sn + f.cc * a.cs + {_SERF_L} * r.sigma)
+                 * 10000 + 0.5) / 10000 AS threshold,
+           a.c > FLOOR((f.ca + f.cb * a.sn + f.cc * a.cs + {_SERF_L} * r.sigma)
+                 * 10000 + 0.5) / 10000 AS alert
+    FROM angled a
+    JOIN coef f USING (event_type)
+    JOIN resid r ON r.event_type = a.event_type
+    WHERE a.d >= DATE '{_SERF_SPLIT}'
+"""
+
+
+def serfling_scored(daily: DataFrame) -> DataFrame:
+    """Serfling cyclic-regression scoring over a (event_type, d, c) daily
+    frame: fit y = a + b*sin(th) + c*cos(th) (th = weekly phase) on the
+    frozen baseline by CLOSED-FORM OLS — the 3x3 normal equations solved
+    with Cramer's rule, no iteration, no ML library — then flag scored
+    days whose count exceeds the seasonal expectation plus L residual
+    sigmas. Every baseline moment snaps to the 1e-8 grid and sums as
+    DECIMAL, so the coefficients are identical under any partitioning /
+    aggregation order; the alert compares the raw count (an integer) to
+    the ROUNDED threshold (the histlimits/EWMA convention — no unrounded
+    float inequality can flip cross-engine). Shared by the batch
+    capstone and the streaming twin."""
+    daily = daily.localCheckpoint()  # consumed by 3 branches; run once
+    phase = (
+        F.datediff(F.col("d"), F.lit(_SERF_EPOCH).cast("date")) % _SERF_PERIOD
+    ).cast("double")
+    angled = daily.select(
+        "event_type",
+        "d",
+        "c",
+        F.sin(F.lit(_SERF_TWO_PI) * phase / _SERF_PERIOD).alias("sn"),
+        F.cos(F.lit(_SERF_TWO_PI) * phase / _SERF_PERIOD).alias("cs"),
+    )
+    base = angled.filter(F.col("d") < F.lit(_SERF_SPLIT).cast("date"))
+
+    def snapped_dec(expr):
+        return (F.floor(expr * 100000000 + F.lit(0.5)) / 100000000).cast(DEC)
+
+    moment_exprs = {
+        "s1": F.lit(1.0),
+        "ss": F.col("sn"),
+        "sc": F.col("cs"),
+        "sss": F.col("sn") * F.col("sn"),
+        "scc": F.col("cs") * F.col("cs"),
+        "ssc": F.col("sn") * F.col("cs"),
+        "sy": F.col("c"),
+        "sys": F.col("c") * F.col("sn"),
+        "syc": F.col("c") * F.col("cs"),
+    }
+    moments = base.groupBy("event_type").agg(
+        *[
+            F.sum(snapped_dec(e)).cast("double").alias(n)
+            for n, e in moment_exprs.items()
+        ]
+    )
+    coef = moments.selectExpr(
+        "event_type",
+        f"{_SERF_CRAMER['deta']} / {_SERF_CRAMER['det']} AS ca",
+        f"{_SERF_CRAMER['detb']} / {_SERF_CRAMER['det']} AS cb",
+        f"{_SERF_CRAMER['detc']} / {_SERF_CRAMER['det']} AS cc",
+    )
+    fitted = F.col("ca") + F.col("cb") * F.col("sn") + F.col("cc") * F.col("cs")
+    resid = (
+        base.join(F.broadcast(coef), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sqrt(
+                F.sum(snapped_dec((F.col("c") - fitted) * (F.col("c") - fitted)))
+                .cast("double")
+                / F.count("*")
+            ).alias("sigma")
+        )
+    )
+    scored = (
+        angled.filter(F.col("d") >= F.lit(_SERF_SPLIT).cast("date"))
+        .join(F.broadcast(coef), "event_type")
+        .join(F.broadcast(resid), "event_type")
+    )
+    thr = dround(fitted + _SERF_L * F.col("sigma"), 4)
+    return scored.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("c").cast("bigint").alias("n_events"),
+        dround(fitted, 4).alias("expected"),
+        thr.alias("threshold"),
+        (F.col("c") > thr).alias("alert"),
+    )
+
+
+@register(
+    "query_outbreak_serfling",
+    oracle=_SERF_SQL,
+    section=_SEC,
+)
+def query_outbreak_serfling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serfling cyclic regression (Serfling 1963) — the SIXTH classical
+    surveillance detector, and the one the others cannot replace: EARS /
+    CUSUM / EWMA / historical-limits all compare against a LEVEL
+    baseline, so a signal whose baseline itself oscillates (day-of-week
+    reporting cycles, seasonal incidence) either false-alarms at every
+    peak or desensitizes to cover it. Serfling fits the cycle explicitly
+    — expected(t) = a + b*sin + c*cos over a frozen baseline — and
+    alerts on excess over the SEASONALLY-ADJUSTED expectation, the
+    method behind the classic influenza epidemic-threshold curves.
+
+    The fit is closed-form OLS (3x3 normal equations, Cramer's rule) —
+    one declarative aggregation over the daily rollup, no iteration, no
+    UDF, no ML dependency. Plan: identical shape to CUSUM/EWMA — the
+    raw-events daily rollup is the only data-scale pass; moments,
+    coefficients, residual sigma and scoring are four metadata-scale ops
+    over |types x days| rows with the coefficient/sigma frames
+    broadcast. Scoring runs through `serfling_scored`, the SAME core the
+    streaming twin calls — stream==batch is structural, as with the
+    other five detector pairs."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("c"))
+    return serfling_scored(daily)

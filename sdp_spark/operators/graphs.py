@@ -520,3 +520,124 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("shared_customers"))
         .filter(F.col("shared_customers") >= 2)
     )
+
+
+# k-core decomposition: peel nodes of degree < K until the remainder is
+# stable. K=3 over the ONE-MONTH graph (the triangle window: the week
+# graph's 3-core is empty at every fixture scale — a useless answer —
+# while the month graph keeps a non-trivial core and still converges in
+# <= 5 peel rounds); _KCORE_ROUNDS bounds both the Spark loop and the
+# unrolled oracle — the fixtures converge well inside it (pytest pins
+# the fixpoint), and the operator raises rather than emit an
+# unconverged core.
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel rounds as chained CTEs (the graph_pagerank idiom —
+    DuckDB's recursive CTE cannot re-aggregate degrees over the working
+    table each round): u0 = the undirected week edge list; round i keeps
+    nodes with degree >= K and the edges between them."""
+    # every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # round references its predecessor three times (degree agg + both
+    # endpoint joins) — inlined, the unroll expands 3^R copies of the
+    # base scan and dies on file handles; materialized, it is R linear
+    # passes, the exact shape of the Spark loop.
+    rounds = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        p = i - 1
+        rounds.append(
+            f"d{i} AS MATERIALIZED"
+            f" (SELECT src AS node, COUNT(*) AS deg FROM u{p} GROUP BY src),\n"
+            f"    k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {_KCORE_K}),\n"
+            f"    u{i} AS MATERIALIZED (SELECT u.src, u.dst FROM u{p} u"
+            f" JOIN k{i} a ON u.src = a.node JOIN k{i} b ON u.dst = b.node)"
+        )
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT l.l_suppkey * 2 AS src, o.o_custkey * 2 + 1 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= DATE '{_TRI_LO}' AND o.o_orderdate < DATE '{_TRI_HI}'
+    ), u0 AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+    ), {", ".join(rounds)}
+    SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM u{_KCORE_ROUNDS} GROUP BY src) t
+    GROUP BY deg ORDER BY deg
+    """
+
+
+@register("graph_k_core", oracle=_kcore_oracle(), section=_SEC)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (K=3) of the one-month trade graph — the
+    standard cohesion filter surveillance and fraud analytics run before
+    any expensive per-node metric: iteratively peel nodes with degree
+    < K; what survives is the maximal subgraph where EVERY node keeps >=
+    K neighbors (hubs that only look central because of leaf fans are
+    stripped — degree alone cannot tell a 100-leaf star from a dense
+    cluster). Output: the degree histogram inside the core.
+
+    Plan per round (the connected-components idiom): degrees are one
+    partial-agg over the current edge set; the survivor set (|V| rows,
+    orders smaller than edges) semi-joins the edge list on BOTH
+    endpoints; eager localCheckpoint pins lineage depth. Peeling is
+    MONOTONE — the edge set only shrinks — so the edge count is the
+    convergence probe (one cheap count vs a diff join), convergence
+    takes <= core-number rounds on any graph, and extra rounds are
+    no-ops, which is what makes the fixed-round oracle unroll exact
+    once the fixture converges (pytest pins round R == fixpoint). At
+    100 TB each round is one agg + one semi-join shuffle over a
+    shrinking edge list; the round bound is the graph's degeneracy,
+    which for week-windowed trade graphs is small by construction."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        l.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(_TRI_LO))
+                & (F.col("o_orderdate") < F.lit(_TRI_HI))
+            ),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .select(
+            (F.col("l_suppkey") * 2).cast("bigint").alias("src"),
+            (F.col("o_custkey") * 2 + 1).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    converged = False
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("src")
+        edges = (
+            edges.join(keep, "src", "semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
+            .localCheckpoint(eager=True)
+        )
+        n_now = edges.count()
+        if n_now == n_edges:
+            converged = True
+            break
+        n_edges = n_now
+    if not converged:
+        # emitting an unconverged core would be silently wrong — the
+        # oracle's fixed unroll matches ONLY at the fixpoint
+        raise RuntimeError(
+            f"graph_k_core: no fixpoint in {_KCORE_ROUNDS} rounds — raise "
+            "_KCORE_ROUNDS (graph degeneracy exceeds the bound)"
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .groupBy("deg")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("deg")
+    )

@@ -1683,3 +1683,55 @@ def llm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_balanced_class",
+    oracle="""
+    WITH sizes AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), kk AS (
+      SELECT MIN(n) AS k FROM sizes
+    ), ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM ranked CROSS JOIN kk WHERE sample_rank <= kk.k
+    ORDER BY lang, sample_rank
+    """,
+    section=_SEC,
+)
+def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced class downsampling — equal rows per class (here: per
+    language), k = the MINORITY class size, members chosen by portable
+    md5 order over a salted key (the `sample_hash_group` idiom: the hash
+    order is a fixed random permutation, so the k smallest hashes are a
+    uniform-without-replacement sample, identical on every engine,
+    partitioning, and rerun). The classifier-training counterpart of
+    proportional stratified sampling (`llm_sample_stratified` keeps
+    class shares; THIS equalizes them — what a language-ID or quality-
+    classifier head trains on so the majority class cannot drown the
+    loss).
+
+    Scale: one count-per-class agg (broadcast 1-row k), one hash
+    partition by class + per-class top-k rank — no global sort, no
+    driver state; with heavy class skew the per-partition local-top-k
+    pre-aggregation bounds the rank shuffle exactly as in
+    sample_hash_group."""
+    d = table(spark, sf_dir, "documents")
+    sizes = d.groupBy("lang").agg(F.count("*").alias("n"))
+    kk = sizes.agg(F.min("n").alias("k"))
+    rank_key = F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(rank_key, "doc_id")
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("sample_rank"))
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("sample_rank") <= F.col("k"))
+        .select("lang", "doc_id", F.col("sample_rank").cast("int"))
+        .orderBy("lang", "sample_rank")
+    )

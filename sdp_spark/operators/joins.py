@@ -1086,3 +1086,104 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("book_key", "promo_key")
     )
+
+
+def _polygon_contains_oracle() -> str:
+    from sdp_spark.functions.families import (
+        _GEO_POLY_SET,
+        _geo_lat_sql,
+        _geo_lon_sql,
+        _pip_sql,
+        _poly_bbox,
+    )
+
+    arms = []
+    for pid, poly in sorted(_GEO_POLY_SET.items()):
+        x0, x1, y0, y1 = _poly_bbox(poly)
+        arms.append(
+            f"SELECT c_custkey, {pid} AS poly_id FROM pts"
+            f" WHERE lon BETWEEN {x0} AND {x1} AND lat BETWEEN {y0} AND {y1}"
+            f" AND {_pip_sql('lon', 'lat', poly)}"
+        )
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             {_geo_lat_sql('c_custkey', 17)} AS lat,
+             {_geo_lon_sql('c_custkey', 31)} AS lon
+      FROM customer
+    )
+    {" UNION ALL ".join(arms)}
+    ORDER BY c_custkey, poly_id
+    """
+
+
+@register(
+    "join_polygon_contains",
+    oracle=_polygon_contains_oracle(),
+    section=_SEC,
+)
+def join_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon containment JOIN — points x a polygon SET (which customers
+    fall in which service areas), the multi-polygon generalization of
+    `fn_geo_polygon`'s single-area predicate and the GIS shape of
+    ST_Contains against a geometry table. The scale pattern is
+    `join_spatial_grid`'s: each polygon pre-rasterizes to the integer
+    grid cells its bbox covers (a tiny literal frame — polygons x cells
+    — built once and BROADCAST), each point computes its cell key in
+    codegen, and candidate generation is an EQUI-join on (cx, cy) —
+    never point x polygon all-pairs. The bbox check then the exact
+    ray-casting parity (`_pip_col`, shared with fn_geo_polygon) rescore
+    candidates row-locally.
+
+    At 100 TB: the cell key is the partition key (geohash equivalent);
+    a polygon table too big to broadcast shuffles both sides on the
+    cell key instead, with hot cells (dense metros) handled by AQE skew
+    splitting — the join shape is unchanged. The oracle replays the
+    same membership as the naive per-polygon bbox+parity scan, which is
+    exactly the losslessness claim of the grid: cell cover ⊇ bbox ⊇
+    polygon."""
+    from sdp_spark.functions.families import (
+        _GEO_CELL_DEG,
+        _GEO_POLY_SET,
+        _pip_col,
+        _poly_bbox,
+        _poly_cells,
+    )
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    lat = (
+        ((F.col("c_custkey") + 17) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1200
+    ) / 10.0 - 60.0
+    lon = (
+        ((F.col("c_custkey") + 31) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 3600
+    ) / 10.0 - 180.0
+    pts = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+        .withColumn("cx", F.floor(F.col("lon") / _GEO_CELL_DEG))
+        .withColumn("cy", F.floor(F.col("lat") / _GEO_CELL_DEG))
+    )
+    cell_rows = [
+        (pid, cx, cy)
+        for pid, poly in sorted(_GEO_POLY_SET.items())
+        for cx, cy in _poly_cells(poly)
+    ]
+    cells = spark.createDataFrame(cell_rows, "poly_id int, cx bigint, cy bigint")
+    cand = pts.join(F.broadcast(cells), ["cx", "cy"])
+    # exact rescore per polygon id: bbox then crossing parity — both pure
+    # codegen; the CASE dispatch over poly_id stays row-local
+    keep = None
+    for pid, poly in sorted(_GEO_POLY_SET.items()):
+        x0, x1, y0, y1 = _poly_bbox(poly)
+        hit = (
+            (F.col("poly_id") == pid)
+            & F.col("lon").between(x0, x1)
+            & F.col("lat").between(y0, y1)
+            & _pip_col(F.col("lon"), F.col("lat"), poly)
+        )
+        keep = hit if keep is None else keep | hit
+    return (
+        cand.filter(keep)
+        .select("c_custkey", "poly_id")
+        .orderBy("c_custkey", "poly_id")
+    )

@@ -123,7 +123,9 @@ _SWEEP_PRIORITY = (
     # --- new round-9 keys ---
     "fulltext_query_expansion", "fn_geo_polygon", "dml_changelog_trigger",
     "catalog_information_schema",
-    # ^-- 21 carry-over + new r9 keys stay within the 50-key sweep
+    "query_outbreak_serfling", "stream_serfling_alerts",
+    "sample_balanced_class", "graph_k_core", "join_polygon_contains",
+    # ^-- 21 carry-over + 9 new r9 keys = 30, inside the 50-key sweep
     #     budget: every key above earns its verdict this round.
     # --- r8-certified (newest-first re-prove order) ---
     "dq_benford", "llm_curriculum_order",

@@ -1809,3 +1809,46 @@ def stream_histlimits_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day_s", "n", "n_base", "hl_score")
         .orderBy("event_type", "day_s")
     )
+
+
+from sdp_spark.operators.analytics import _SERF_SQL  # noqa: E402
+
+
+@register(
+    "stream_serfling_alerts",
+    oracle=f"""
+    SELECT event_type, day, n_events, expected, threshold
+    FROM ({_SERF_SQL}) t
+    WHERE alert
+    ORDER BY event_type, day
+    """,
+    section=_SEC,
+)
+def stream_serfling_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE seasonally-adjusted monitoring — the streaming twin of
+    `query_outbreak_serfling`, completing the SIXTH detector pair (EARS,
+    CUSUM, histlimits, EWMA and Rt each have one; Serfling is the only
+    member whose baseline is a fitted CYCLE, so it alone stays quiet
+    through a day-of-week peak the level detectors would flag). Same
+    architecture as the other five twins: the STREAM incrementally
+    maintains per-(type, day) counts — bounded state, one row per type x
+    day — and the `serfling_scored` core (the SAME function the batch
+    capstone calls, so stream==batch is structural) runs over the
+    materialized daily table after each trigger, emitting the days whose
+    count exceeds the seasonal expectation + 2 sigma. At 100 TB/day the
+    stream shuffles grouped day-states, never events; the closed-form
+    refit is |types x days| metadata per trigger. The DuckDB oracle pins
+    the live alerts to the batch regression end-to-end."""
+    from sdp_spark.operators.analytics import serfling_scored
+
+    sdf = _events_stream(spark, sf_dir)
+    daily = sdf.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("c"))
+    snap = _run_to_memory(daily, "complete", "serfdaily")
+    return (
+        serfling_scored(snap)
+        .filter(F.col("alert"))
+        .select("event_type", "day", "n_events", "expected", "threshold")
+        .orderBy("event_type", "day")
+    )
