@@ -2920,3 +2920,104 @@ def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("source", "status")
     )
+
+
+# T5-style span-corruption planning: block the token stream into fixed
+# windows; each block masks one deterministic span. Block 20 / span <= 3
+# gives the canonical ~15% noise density; start <= 16 + len <= 3 keeps
+# every span inside its block, so spans are NON-OVERLAPPING by
+# construction (no interval-merge pass — the property that makes the
+# plan one codegen explode).
+_SPANC_BLOCK = 20
+_SPANC_START_MOD = 17
+_SPANC_LEN_MOD = 3
+
+
+def _spanc_hash_sql(expr: str) -> str:
+    # portable 48-bit md5 integer (the llm_fingerprint idiom)
+    return (
+        f"list_reduce(list_transform(string_split("
+        f"substring(md5({expr}), 1, 12), ''),"
+        f" c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+        f" (a, b) -> a * 16 + b)"
+    )
+
+
+@register(
+    "llm_span_corruption",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), blocks AS (
+      SELECT doc_id, n_tok, UNNEST(generate_series(0,
+               CAST(FLOOR(n_tok / {_SPANC_BLOCK}.0) AS BIGINT) - 1)) AS b
+      FROM d WHERE n_tok >= {_SPANC_BLOCK}
+    )
+    SELECT doc_id, CAST(b AS INTEGER) AS span_id,
+           CAST(b * {_SPANC_BLOCK}
+                + {_spanc_hash_sql("'sc:' || doc_id || ':' || b")}
+                  % {_SPANC_START_MOD} AS BIGINT) AS start_tok,
+           CAST(1 + {_spanc_hash_sql("'sl:' || doc_id || ':' || b")}
+                  % {_SPANC_LEN_MOD} AS BIGINT) AS span_len
+    FROM blocks
+    ORDER BY doc_id, span_id
+    """,
+    section=_SEC,
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption mask planning (the T5/UL2 denoising objective's
+    data-prep step): per document, emit the (start, length) token spans
+    to mask — one span per 20-token block, start and length drawn from a
+    portable md5 hash of (doc, block), lengths 1-3 → ~15% noise density,
+    spans non-overlapping BY CONSTRUCTION (each lives inside its block:
+    start offset <= 16, len <= 3). Downstream, a packer replaces each
+    span with a sentinel token and emits the span as the target — this
+    operator is the deterministic, shardable plan both sides consume
+    (reproducible across engines, partitionings and reruns, which is
+    what makes mid-training dataset rebuilds byte-identical).
+
+    Plan: token count is one codegen projection; blocks explode via
+    sequence() (bounded: n_tok/20 rows per doc); start/len are pure md5
+    arithmetic — no shuffle at all until a downstream consumer groups.
+    The md5-integer idiom is llm_fingerprint's (bit-identical in every
+    engine, unlike xxhash64)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    blocks = d.filter(F.col("n_tok") >= _SPANC_BLOCK).select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                # floor BEFORE the bigint cast: DuckDB's CAST(double AS
+                # BIGINT) rounds half-even, Spark's truncates — the
+                # explicit floor is the cross-engine-safe block count
+                F.floor(F.col("n_tok") / _SPANC_BLOCK).cast("bigint") - 1,
+            )
+        ).alias("b"),
+    )
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return blocks.select(
+        "doc_id",
+        F.col("b").cast("int").alias("span_id"),
+        (F.col("b") * _SPANC_BLOCK + h("sc:") % _SPANC_START_MOD)
+        .cast("bigint")
+        .alias("start_tok"),
+        (1 + h("sl:") % _SPANC_LEN_MOD).cast("bigint").alias("span_len"),
+    ).orderBy("doc_id", "span_id")

@@ -2150,13 +2150,13 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("llm_ann_recall_eval", oracle=None, section=_SEC)
 def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN self-evaluation: recall@5 of each approximate index (IVF-Flat,
-    multi-probe hyperplane LSH) against the exact brute-force top-5, per
+    multi-probe hyperplane LSH, PQ+ADC) against the exact brute-force top-5, per
     query, plus the macro average — the monitor a production vector
     platform runs after every index rebuild ('did the ANN quality
     regress?'), shipped as a first-class operator instead of a test-only
     assertion.
 
-    Composes the three registry operators (no reimplementation can drift);
+    Composes the four registry operators (no reimplementation can drift);
     the comparison is a (query_id, neighbor_id) semi-join + per-query
     count — metadata-sized regardless of corpus scale, since every input
     is already a top-k. rows-only oracle (the IVF/LSH results are Spark
@@ -2186,8 +2186,10 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    per_q = recall_of("ivf", llm_sim_search_ivf(spark, sf_dir)).unionAll(
-        recall_of("lsh", llm_sim_search_lsh(spark, sf_dir))
+    per_q = (
+        recall_of("ivf", llm_sim_search_ivf(spark, sf_dir))
+        .unionAll(recall_of("lsh", llm_sim_search_lsh(spark, sf_dir)))
+        .unionAll(recall_of("pq", llm_sim_search_pq(spark, sf_dir)))
     )
     macro = per_q.groupBy("method").agg(
         # query_id -1 = the macro-average row (real vec_ids start at 0)
@@ -2195,3 +2197,183 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.avg("recall_at_5"), 4).alias("recall_at_5"),
     ).select("method", "query_id", "recall_at_5")
     return per_q.unionAll(macro).orderBy("method", "query_id")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half): 64 dims -> 8 subspaces
+# x 4-bit codes. The third ANN path beside IVF-Flat (cell pruning) and
+# hyperplane LSH (bucket hashing): PQ attacks MEMORY — 64 float32 dims
+# (256 B) compress to 8 codes (8 B, 32x), so a 100 TB embedding corpus's
+# index fits executor RAM and distance evaluation becomes 8 table lookups
+# (ADC; Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011).
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8      # subspaces
+_PQ_DSUB = 8   # dims per subspace (8 x 8 = 64)
+_PQ_KS = 16    # centroids per subspace -> 4-bit codes
+_PQ_POOL = 100  # ADC candidate pool per query before exact rescore
+_PQ_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    """Per-subspace K=16 codebooks fit by the SAME driver-side Lloyd's as
+    _kmeans_fit's sampled branch (seeds = the K lowest vec_ids' subvectors,
+    argmin with lowest-index ties, empty clusters keep their centroid, 4
+    iterations) over L2-NORMALIZED vectors, so ADC's squared-L2 ranking is
+    monotone in cosine (|a-b|^2 = 2 - 2 cos on the unit sphere). The fit
+    sample is bounded by _km_fit_sample_cap (1% of driver heap) — PQ
+    codebooks, like IVF coarse quantizers, are trained on a bounded sample
+    by design (how FAISS does it); encoding below is distributed."""
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
+    emb = _emb_normed(spark, sf_dir)
+    cap = _km_fit_sample_cap(spark)
+    rows = (
+        emb.select("vec_id", "dvec", "norm").orderBy("vec_id").limit(cap).collect()
+    )
+    mat = np.array([r["dvec"] for r in rows], dtype=np.float64)
+    mat /= np.array([r["norm"] for r in rows], dtype=np.float64)[:, None]
+    books = []
+    for m in range(_PQ_M):
+        sub = mat[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+        cmat = sub[:_PQ_KS].copy()
+        for _ in range(_KM_ITERS):
+            d = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cmat.T)
+                + (cmat * cmat).sum(axis=1)[None, :]
+            )
+            assign = d.argmin(axis=1)
+            for c in range(len(cmat)):
+                members = sub[assign == c]
+                if len(members):
+                    cmat[c] = members.mean(axis=0)
+        books.append([row.tolist() for row in cmat])
+    _PQ_CACHE[key] = books
+    return books
+
+
+@register("llm_sim_search_pq", oracle=None, section=_SEC)
+def llm_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN: encode every (normalized) corpus vector as 8
+    4-bit codes, rank candidates per query by ADC (asymmetric distance —
+    the query stays exact; each corpus vector's distance is the sum of 8
+    precomputed subspace-table lookups), take the top-100 pool, then
+    exact-rescore the pool and emit the brute-force-comparable top-5
+    (query_id, neighbor_id, cos_sim).
+
+    Scale plan: encoding is ONE Arrow-batched pandas UDF pass with the
+    8 x 16 codebooks in a broadcast variable (numpy matmul per batch —
+    the _km_assign K>16 strategy; a codegen unroll would be 128 fold
+    expressions and risk the interpreted-fallback cliff SCALING.md
+    documents). The 10 queries' 8x16 ADC tables are computed driver-side
+    (130 doubles each) and ship as one broadcast literal frame; ADC
+    evaluation is a pure codegen fold over the code array — the corpus
+    never shuffles and only (query, id, adc) pool rows move. Exact
+    rescore touches pool ids only (the IVF idiom). rows-only oracle
+    (k-means codebooks are not SQL-replayable); pytest pins recall@5
+    against the exact baseline and the 32x compression arithmetic;
+    `llm_ann_recall_eval` tracks the same recall per round in
+    BENCH_DETAIL."""
+    import numpy as np
+
+    books = _pq_codebooks(spark, sf_dir)
+    emb = _emb_normed(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(
+        [np.asarray(b, dtype=np.float64) for b in books]
+    )
+    m_sub, d_sub = _PQ_M, _PQ_DSUB
+
+    @F.pandas_udf("array<int>")
+    def _encode(dvec: pd.Series, norm: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        cbs = bc.value
+        x = _np.array([list(v) for v in dvec], dtype=_np.float64)
+        if len(x) == 0:
+            return _pd.Series([], dtype=object)
+        x /= _np.asarray(norm, dtype=_np.float64)[:, None]
+        codes = _np.empty((len(x), m_sub), dtype=_np.int32)
+        for m in range(m_sub):
+            sub = x[:, m * d_sub : (m + 1) * d_sub]
+            cm = cbs[m]
+            d = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cm.T)
+                + (cm * cm).sum(axis=1)[None, :]
+            )
+            codes[:, m] = d.argmin(axis=1)
+        return _pd.Series([c.tolist() for c in codes])
+
+    coded = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _encode("dvec", "norm").alias("codes"),
+    )
+
+    # driver-side ADC tables for the bounded query set (10 x 8 x 16 doubles)
+    qrows = (
+        emb.filter(F.col("vec_id") <= 10)
+        .select("vec_id", "dvec", "norm")
+        .collect()
+    )
+    lut_rows = []
+    for r in qrows:
+        qv = np.array(r["dvec"], dtype=np.float64) / r["norm"]
+        flat = []
+        for m in range(m_sub):
+            qs = qv[m * d_sub : (m + 1) * d_sub]
+            cm = np.asarray(books[m])
+            flat.extend(((cm - qs[None, :]) ** 2).sum(axis=1).tolist())
+        lut_rows.append((r["vec_id"], flat))
+    luts = spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
+
+    adc = F.expr(
+        f"aggregate(sequence(0, {m_sub - 1}), cast(0.0 as double),"
+        f" (a, m) -> a + element_at(lut, m * {_PQ_KS}"
+        f" + element_at(codes, m + 1) + 1))"
+    )
+    pool_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    pool = (
+        coded.join(F.broadcast(luts), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", adc)
+        .withColumn("rn", F.row_number().over(pool_w))
+        .filter(F.col("rn") <= _PQ_POOL)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore of the pool only (the IVF idiom)
+    cand = pool.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("dvec").alias("cv"),
+            F.col("norm").alias("cn"),
+        ),
+        "neighbor_id",
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") <= 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("dvec").alias("qv"),
+            F.col("norm").alias("qn"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = cand.join(q, "query_id").withColumn(
+        "cos_sim", F.round(dot / (F.col("qn") * F.col("cn")), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )

@@ -1011,3 +1011,64 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).cast("int").alias("n_types_seen"),
     )
+
+
+@register(
+    "win_event_sequence",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2,
+             LEAD(event_id, 2) OVER w AS end_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS start_event_id, end_id AS end_event_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    ORDER BY user_id, start_event_id
+    """,
+    section=_SEC,
+)
+def win_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-CONSECUTIVE event-pattern detection — the
+    MATCH_RECOGNIZE-lite a funnel cannot express: `agg_funnel` asks "did
+    view, click, purchase each happen in order, anything in between
+    allowed?"; this asks "did the user do view → click → purchase with
+    NOTHING in between" (the high-intent signature; also the shape of
+    symptom→test→diagnosis sequence checks in surveillance pipelines).
+    Lowered to two LEADs over the per-user time-ordered window (ties by
+    event_id — the repo's sub-microsecond convention) and one filter: no
+    self-joins, no pattern automaton, one shuffle on user_id.
+
+    At 100 TB: identical plan — the window partitions by user, so state
+    is two rows deep per partition stream; longer patterns add LEADs
+    (constant per-row cost), and arbitrary-gap patterns fall back to
+    `agg_funnel`'s min-ts cascade."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_id", 2).over(w).alias("end_id"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            F.col("end_id").alias("end_event_id"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .orderBy("user_id", "start_event_id")
+    )

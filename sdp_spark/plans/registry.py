@@ -125,7 +125,8 @@ _SWEEP_PRIORITY = (
     "catalog_information_schema",
     "query_outbreak_serfling", "stream_serfling_alerts",
     "sample_balanced_class", "graph_k_core", "join_polygon_contains",
-    # ^-- 21 carry-over + 9 new r9 keys = 30, inside the 50-key sweep
+    "llm_sim_search_pq", "win_event_sequence", "llm_span_corruption",
+    # ^-- 21 carry-over + 12 new r9 keys = 33, inside the 50-key sweep
     #     budget: every key above earns its verdict this round.
     # --- r8-certified (newest-first re-prove order) ---
     "dq_benford", "llm_curriculum_order",

@@ -203,22 +203,24 @@ def test_importance_sampling_keeps_weight_one_docs(spark, sf_dir):
 
 
 def test_ann_recall_eval_bounds(spark, sf_dir):
-    """Recall@5 in [0,1] per query; IVF macro >= 0.6 and LSH macro >= 0.8
+    """Recall@5 in [0,1] per query; IVF macro >= 0.6, LSH macro >= 0.8
     (the LSH multi-probe bound the r3 test pinned, now surfaced by the
-    operator); both methods present with one macro row each (query_id -1,
-    distinct from every real vec_id), and the macro equals the mean of the
+    operator), PQ macro >= 0.75 (ADC top-100 pool + exact rescore); all
+    three methods present with one macro row each (query_id -1, distinct
+    from every real vec_id), and the macro equals the mean of the
     per-query rows."""
     rows = REGISTRY["llm_ann_recall_eval"].fn(spark, sf_dir).collect()
     methods = {r["method"] for r in rows}
-    assert methods == {"ivf", "lsh"}
+    assert methods == {"ivf", "lsh", "pq"}
     assert all(0.0 <= r["recall_at_5"] <= 1.0 for r in rows)
     macro = {r["method"]: r["recall_at_5"] for r in rows if r["query_id"] == -1}
-    assert len(macro) == 2
+    assert len(macro) == 3
     for m in methods:
         per_q = [r["recall_at_5"] for r in rows if r["method"] == m and r["query_id"] >= 0]
         assert abs(macro[m] - sum(per_q) / len(per_q)) < 1e-3
     assert macro["lsh"] >= 0.8
     assert macro["ivf"] >= 0.6
+    assert macro["pq"] >= 0.75
 
 
 def test_embed_lsh_collapse_equals_uncollapsed(spark, sf_dir):

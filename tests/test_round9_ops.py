@@ -344,3 +344,111 @@ def test_polygon_join_matches_naive(spark, sf_dir):
         want |= {(r.c_custkey, pid) for r in hit.collect()}
     assert got == want
     assert got, "containment join must be non-empty on the fixture"
+
+
+def test_span_corruption_invariants(spark, sf_dir):
+    """Spans must be in-bounds, non-overlapping, deterministic, and land
+    the canonical ~15% noise density (3/20 expected mask fraction)."""
+    from sdp_spark.operators.corpus import (
+        _SPANC_BLOCK,
+        _SPANC_LEN_MOD,
+        llm_span_corruption,
+    )
+    from sdp_spark.sources.fixtures import table
+
+    rows = llm_span_corruption(spark, sf_dir).collect()
+    assert rows
+    n_tok = {
+        r.doc_id: r.n
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    masked = total = 0
+    for doc, spans in by_doc.items():
+        spans.sort(key=lambda r: r.start_tok)
+        prev_end = -1
+        for r in spans:
+            # inside its own block, inside the doc, no overlap
+            assert r.span_id * _SPANC_BLOCK <= r.start_tok
+            assert r.start_tok + r.span_len <= (r.span_id + 1) * _SPANC_BLOCK
+            assert r.start_tok + r.span_len <= n_tok[doc]
+            assert 1 <= r.span_len <= _SPANC_LEN_MOD
+            assert r.start_tok > prev_end
+            prev_end = r.start_tok + r.span_len - 1
+            masked += r.span_len
+        total += n_tok[doc]
+    density = masked / total
+    assert 0.05 < density < 0.16, density
+    again = llm_span_corruption(spark, sf_dir).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in rows}
+
+
+def test_event_sequence_planted(spark, tmp_path):
+    """A planted consecutive view-click-purchase run matches exactly
+    once; the same three events with an interloper between click and
+    purchase must NOT match (strict contiguity — the contract that
+    separates this from agg_funnel)."""
+    import datetime as dt
+    import os
+
+    from sdp_spark.operators.windows import win_event_sequence
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: exact consecutive pattern
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=2), 1, "purchase", 1.0, "{}"),
+        # user 2: interloper breaks contiguity
+        (4, base, 2, "view", 1.0, "{}"),
+        (5, base + dt.timedelta(minutes=1), 2, "click", 1.0, "{}"),
+        (6, base + dt.timedelta(minutes=2), 2, "error", 1.0, "{}"),
+        (7, base + dt.timedelta(minutes=3), 2, "purchase", 1.0, "{}"),
+    ]
+    sf = str(tmp_path / "seq")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = win_event_sequence(spark, sf).collect()
+    assert [(r.user_id, r.start_event_id, r.end_event_id) for r in out] == [
+        (1, 1, 3)
+    ]
+
+
+def test_pq_compression_and_recall(spark, sf_dir):
+    """PQ: codes are 8 symbols over a 16-symbol alphabet (4 bits each =
+    8 B vs 256 B float32 — the 32x compression claim), codebooks are
+    deterministic, and the emitted top-5 (post exact rescore) keeps
+    recall@5 >= 0.75 against the brute-force baseline."""
+    from sdp_spark.operators.llm import (
+        _PQ_DSUB,
+        _PQ_KS,
+        _PQ_M,
+        _pq_codebooks,
+        llm_sim_search,
+        llm_sim_search_pq,
+    )
+
+    assert _PQ_M * _PQ_DSUB == 64 and _PQ_KS == 16
+    books = _pq_codebooks(spark, sf_dir)
+    assert len(books) == _PQ_M
+    assert all(len(b) == _PQ_KS and len(b[0]) == _PQ_DSUB for b in books)
+    assert books == _pq_codebooks(spark, sf_dir)  # memoized + deterministic
+
+    exact: dict[int, set] = {}
+    for r in llm_sim_search(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set] = {}
+    for r in llm_sim_search_pq(spark, sf_dir).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(got) == set(exact)
+    assert all(len(v) == 5 for v in got.values())
+    recalls = [len(exact[q] & got[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.75
