@@ -1393,3 +1393,81 @@ def _poly_cells(poly):
             math.floor(y0 / _GEO_CELL_DEG), math.floor(y1 / _GEO_CELL_DEG) + 1
         )
     ]
+
+
+@register(
+    "fn_geo_wkt",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {_geo_lat_sql('c_custkey', 17)} AS lat,
+             {_geo_lon_sql('c_custkey', 31)} AS lon
+      FROM customer WHERE c_custkey % 11 = 0
+    ), w AS (
+      SELECT c_custkey, lat, lon,
+             'POINT(' || printf('%.1f', lon) || ' ' || printf('%.1f', lat)
+               || ')' AS wkt
+      FROM c
+    )
+    SELECT c_custkey, wkt,
+           CAST(regexp_extract(wkt, 'POINT\\(([-0-9.]+) ([-0-9.]+)\\)', 1)
+                AS DOUBLE) AS lon_parsed,
+           CAST(regexp_extract(wkt, 'POINT\\(([-0-9.]+) ([-0-9.]+)\\)', 2)
+                AS DOUBLE) AS lat_parsed,
+           CAST(regexp_extract(wkt, 'POINT\\(([-0-9.]+) ([-0-9.]+)\\)', 1)
+                AS DOUBLE) = {sql_dround('lon', 1)}
+             AND CAST(regexp_extract(wkt, 'POINT\\(([-0-9.]+) ([-0-9.]+)\\)', 2)
+                AS DOUBLE) = {sql_dround('lat', 1)} AS roundtrip_ok
+    FROM w
+    ORDER BY c_custkey
+    """,
+    section=_SEC,
+)
+def fn_geo_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT (well-known text) geometry I/O — the ST_AsText / ST_GeomFromText
+    round trip that completes the GIS family (fn_geo_haversine: metrics;
+    fn_geo_polygon / join_polygon_contains: predicates; THIS: the text
+    interchange format every geometry column serializes through in
+    [ENGINE] 5.6). Serialize each point as 'POINT(lon lat)' with a fixed
+    %.1f rendering (printf round-half-even from the double is identical
+    cross-engine — free-form double-to-string rendering is NOT, which is
+    why the emitted WKT pins the precision), then parse it back with one
+    regex and verify the round trip against the deterministically-rounded
+    originals.
+
+    Plan: pure codegen string/regex projection — zero exchanges; at scale
+    WKT parse/serialize rides any partitioning, and the parsed coordinate
+    columns are what the bbox/cell machinery above consumes."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    lat = (
+        ((F.col("c_custkey") + 17) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1200
+    ) / 10.0 - 60.0
+    lon = (
+        ((F.col("c_custkey") + 31) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 3600
+    ) / 10.0 - 180.0
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 11 == 0)
+        .select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    )
+    wkt = F.concat(
+        F.lit("POINT("),
+        F.format_string("%.1f", F.col("lon")),
+        F.lit(" "),
+        F.format_string("%.1f", F.col("lat")),
+        F.lit(")"),
+    )
+    pat = r"POINT\(([-0-9.]+) ([-0-9.]+)\)"
+    w = c.select("c_custkey", "lat", "lon", wkt.alias("wkt"))
+    lon_p = F.regexp_extract("wkt", pat, 1).cast("double")
+    lat_p = F.regexp_extract("wkt", pat, 2).cast("double")
+    return w.select(
+        "c_custkey",
+        "wkt",
+        lon_p.alias("lon_parsed"),
+        lat_p.alias("lat_parsed"),
+        (
+            (lon_p == dround(F.col("lon"), 1)) & (lat_p == dround(F.col("lat"), 1))
+        ).alias("roundtrip_ok"),
+    ).orderBy("c_custkey")

@@ -126,7 +126,8 @@ _SWEEP_PRIORITY = (
     "query_outbreak_serfling", "stream_serfling_alerts",
     "sample_balanced_class", "graph_k_core", "join_polygon_contains",
     "llm_sim_search_pq", "win_event_sequence", "llm_span_corruption",
-    # ^-- 21 carry-over + 12 new r9 keys = 33, inside the 50-key sweep
+    "fn_geo_wkt",
+    # ^-- 21 carry-over + 13 new r9 keys = 34, inside the 50-key sweep
     #     budget: every key above earns its verdict this round.
     # --- r8-certified (newest-first re-prove order) ---
     "dq_benford", "llm_curriculum_order",

@@ -452,3 +452,13 @@ def test_pq_compression_and_recall(spark, sf_dir):
     assert all(len(v) == 5 for v in got.values())
     recalls = [len(exact[q] & got[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.75
+
+
+def test_geo_wkt_roundtrip(spark, sf_dir):
+    from sdp_spark.functions.families import fn_geo_wkt
+
+    rows = fn_geo_wkt(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.wkt.startswith("POINT(") and r.wkt.endswith(")")
+        assert r.roundtrip_ok, r
