@@ -2909,3 +2909,269 @@ def query_outbreak_serfling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count("*").cast("double").alias("c"))
     return serfling_scored(daily)
+
+
+_TS_WIN_DAYS = 180  # Theil-Sen pair window: quadratic in DAYS, not rows
+
+
+@register(
+    "ts_theil_sen",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                 AS DATE)) AS INTEGER) AS t,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ), capped AS (
+      SELECT d.* FROM daily d
+      JOIN (SELECT event_type, MAX(t) AS mx FROM daily GROUP BY 1) m
+        ON d.event_type = m.event_type AND d.t > m.mx - {_TS_WIN_DAYS}
+    ), slopes AS (
+      SELECT a.event_type, a.t AS ti, b.t AS tj,
+             (b.c - a.c) / (b.t - a.t) AS slope
+      FROM capped a JOIN capped b
+        ON a.event_type = b.event_type AND b.t > a.t
+    ), ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope, ti, tj) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes
+    ), med_slope AS (
+      SELECT event_type,
+             SUM(slope) / COUNT(*) AS slope_med
+      FROM ranked
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY event_type
+    ), resid AS (
+      SELECT c.event_type, c.c - s.slope_med * c.t AS r, c.t,
+             s.slope_med
+      FROM capped c JOIN med_slope s ON c.event_type = s.event_type
+    ), rranked AS (
+      SELECT event_type, r, slope_med,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r, t) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM resid
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           {sql_dround('MAX(slope_med)', 6)} AS slope,
+           {sql_dround('SUM(r) / COUNT(*)', 4)} AS intercept,
+           {sql_dround('MAX(slope_med) * 7', 4)} AS trend_per_week
+    FROM rranked
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    section=_SEC,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event stream: the median of
+    all pairwise daily-count slopes, with the median-residual intercept
+    (the Siegel/Conover form). The outlier-proof companion of
+    agg_regression's least-squares line - one spiked outbreak day moves
+    OLS arbitrarily but shifts a median-of-slopes only one rank, which
+    is why Theil-Sen is the standard trend test in environmental and
+    surveillance series (Mann-Kendall's estimator twin).
+
+    Determinism: NO quantile interpolation - the median is selected by
+    ROW_NUMBER over (slope, ti, tj) with unique integer tiebreaks, and
+    an even count averages exactly two selected doubles ((a+b)/2 via
+    SUM/COUNT on both engines); slopes are identical per-pair IEEE
+    divisions of exact ints/doubles.
+
+    Scale: events collapse to (type, day) rows FIRST - the pair join is
+    quadratic in the DAY-WINDOW length (capped at {_TS_WIN_DAYS} days =
+    <=16k pairs per stream), never in event volume; everything heavier
+    is partial-agg rollup."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.lit("1970-01-01")
+            )
+            .cast("int")
+            .alias("t"),
+        )
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    mx = daily.groupBy("event_type").agg(F.max("t").alias("mx"))
+    capped = daily.join(F.broadcast(mx), "event_type").filter(
+        F.col("t") > F.col("mx") - _TS_WIN_DAYS
+    ).drop("mx").localCheckpoint()  # pair join consumes it twice
+    a = capped.select(
+        "event_type",
+        F.col("t").alias("ti"),
+        F.col("c").alias("ci"),
+    )
+    b = capped.select(
+        "event_type",
+        F.col("t").alias("tj"),
+        F.col("c").alias("cj"),
+    )
+    slopes = a.join(b, "event_type").filter(F.col("tj") > F.col("ti")).select(
+        "event_type",
+        "ti",
+        "tj",
+        ((F.col("cj") - F.col("ci")) / (F.col("tj") - F.col("ti"))).alias("slope"),
+    )
+    w_t = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number()
+        .over(w_t.orderBy("slope", "ti", "tj"))
+        .alias("rn"),
+        F.count("*").over(w_t).alias("n"),
+    )
+    mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+        F.col("rn") == F.floor((F.col("n") + 2) / 2)
+    )
+    med_slope = (
+        ranked.filter(mid)
+        .groupBy("event_type")
+        .agg((F.sum("slope") / F.count("*")).alias("slope_med"))
+    )
+    resid = capped.join(F.broadcast(med_slope), "event_type").select(
+        "event_type",
+        "slope_med",
+        "t",
+        (F.col("c") - F.col("slope_med") * F.col("t")).alias("r"),
+    )
+    rranked = resid.select(
+        "event_type",
+        "r",
+        "slope_med",
+        F.row_number().over(w_t.orderBy("r", "t")).alias("rn"),
+        F.count("*").over(w_t).alias("n"),
+    )
+    return (
+        rranked.filter(mid)
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            dround(F.max("slope_med"), 6).alias("slope"),
+            dround(F.sum("r") / F.count("*"), 4).alias("intercept"),
+            dround(F.max("slope_med") * 7, 4).alias("trend_per_week"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HOLT_ALPHA, _HOLT_1MA = "0.3", "0.7"
+_HOLT_BETA, _HOLT_1MB = "0.2", "0.8"
+_HOLT_H = 7
+
+
+@register(
+    "ts_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily
+    ), hw AS (
+      SELECT b1.event_type, 1 AS rn, b1.c AS level, b2.c - b1.c AS trend
+      FROM base b1 JOIN base b2
+        ON b2.event_type = b1.event_type AND b1.rn = 1 AND b2.rn = 2
+      UNION ALL
+      SELECT s.event_type, s.rn,
+             {_HOLT_ALPHA} * s.c + {_HOLT_1MA} * (hw.level + hw.trend)
+               AS level,
+             {_HOLT_BETA} * (({_HOLT_ALPHA} * s.c
+                              + {_HOLT_1MA} * (hw.level + hw.trend))
+                             - hw.level) + {_HOLT_1MB} * hw.trend AS trend
+      FROM hw JOIN base s
+        ON s.event_type = hw.event_type AND s.rn = hw.rn + 1
+    ), last AS (
+      SELECT hw.event_type, hw.level, hw.trend, hw.rn
+      FROM hw
+      JOIN (SELECT event_type, MAX(rn) AS mx FROM hw GROUP BY 1) f
+        ON hw.event_type = f.event_type AND hw.rn = f.mx
+    )
+    SELECT event_type, CAST(h.h AS INTEGER) AS h,
+           CAST(rn AS BIGINT) AS n_days,
+           {sql_dround('level', 4)} AS level,
+           {sql_dround('trend', 4)} AS trend,
+           {sql_dround('level + h.h * trend', 4)} AS yhat
+    FROM last CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) h(h)
+    ORDER BY event_type, h
+    """,
+    section=_SEC,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level + trend) smoothing with an h-step
+    linear forecast per event stream: the trend-aware upgrade of
+    win_ewma (which tracks level only) and the classic short-horizon
+    surveillance forecaster - 'given the smoothed level and trend of
+    daily counts, what do the next 7 days look like?'. State recursion:
+    l_t = 0.3 y_t + 0.7 (l+b), b_t = 0.2 (l_t - l) + 0.8 b, seeded
+    l_1 = y_1, b_1 = y_2 - y_1; forecast yhat_h = l_T + h b_T.
+
+    Cross-engine determinism: the recursion is SEQUENTIAL by
+    definition, so both engines evaluate the identical IEEE expression
+    chain in the identical order - Spark replays it per-series inside
+    an Arrow grouped-map (pandas float64), DuckDB as a recursive CTE
+    advancing every series one day per iteration; +,*,- are correctly
+    rounded, constants are shared decimal literals, results round once.
+
+    Scale: events collapse to (type, day) partial-agg rows first; the
+    grouped-map receives ONE tiny series per group (days, not events)
+    and parallelizes across streams - state is O(1) per series, the
+    exact shape applyInPandasWithState runs live in
+    stream_ewma_alerts."""
+    import math
+
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+
+    n_h = _HOLT_H
+    alpha, one_m_a = float(_HOLT_ALPHA), float(_HOLT_1MA)
+    beta, one_m_b = float(_HOLT_BETA), float(_HOLT_1MB)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        def dr(x: float, n: int) -> float:
+            p = 10**n
+            return math.floor(x * p + 0.5) / p
+
+        pdf = pdf.sort_values("d")
+        y = pdf["c"].tolist()
+        if len(y) < 2:
+            return pd.DataFrame(
+                columns=["event_type", "h", "n_days", "level", "trend", "yhat"]
+            )
+        level, trend = y[0], y[1] - y[0]
+        for t in range(1, len(y)):
+            l_new = alpha * y[t] + one_m_a * (level + trend)
+            trend = beta * (l_new - level) + one_m_b * trend
+            level = l_new
+        et = pdf["event_type"].iloc[0]
+        return pd.DataFrame(
+            {
+                "event_type": [et] * n_h,
+                "h": list(range(1, n_h + 1)),
+                "n_days": [len(y)] * n_h,
+                "level": [dr(level, 4)] * n_h,
+                "trend": [dr(trend, 4)] * n_h,
+                "yhat": [dr(level + h * trend, 4) for h in range(1, n_h + 1)],
+            }
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(
+        fit,
+        "event_type string, h int, n_days bigint, level double, trend double,"
+        " yhat double",
+    )
+    return out.orderBy("event_type", "h")

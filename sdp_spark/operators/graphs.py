@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sdp_spark.functions.num import dround
 from sdp_spark.plans.registry import register
@@ -640,4 +641,114 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("deg")
         .agg(F.count("*").cast("bigint").alias("n_nodes"))
         .orderBy("deg")
+    )
+
+
+_LPA_ITERS = 3
+_LPA_TOPK = 50
+
+_LPA_ROUNDS_SQL = ",\n    ".join(
+    f"""l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM bi e JOIN l{i - 1} l ON e.src = l.node
+        GROUP BY e.dst, l.label
+      ) t WHERE rn = 1
+    )"""
+    for i in range(1, _LPA_ITERS + 1)
+)
+
+_LPA_ORACLE = f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l.l_suppkey AS supp, o.o_custkey AS cust
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    bi AS MATERIALIZED (
+      SELECT supp * 2 AS src, cust * 2 + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT cust * 2 + 1 AS src, supp * 2 AS dst FROM pairs
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS label FROM bi
+    ),
+    {_LPA_ROUNDS_SQL}
+    SELECT CASE WHEN label % 2 = 0 THEN 's:' || CAST(label // 2 AS VARCHAR)
+                ELSE 'c:' || CAST(label // 2 AS VARCHAR) END AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{_LPA_ITERS}
+    GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT {_LPA_TOPK}
+"""
+
+
+@register("graph_label_propagation", oracle=_LPA_ORACLE, section=_SEC)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (LPA, Raghavan 2007) community
+    detection over the undirected bipartite trade graph: every node
+    starts as its own community, then for {_LPA_ITERS} fixed rounds
+    simultaneously adopts the most frequent label among its neighbors.
+    The contact-network community question surveillance asks after
+    connected components ('which groups trade/transmit among
+    themselves?') — components finds reachability islands, LPA finds
+    dense cores INSIDE one island. Emits the top-{_LPA_TOPK}
+    communities by size.
+
+    Determinism (classic LPA is run-order dependent; this one is not):
+    rounds are SYNCHRONOUS (all nodes update from the same previous
+    labeling) and the frequency tie breaks by SMALLEST label — both
+    engines replay the identical argmin-of-(count DESC, label) via
+    ROW_NUMBER, so every round is exact integer relational algebra.
+
+    Scale: same shape as graph_pagerank — per round one hash join of
+    edges against the |V|-row label frame (broadcast-gated by the
+    pagerank threshold) + one (dst, label) partial-agg + one per-dst
+    window top-1; eager localCheckpoint keeps plan depth constant.
+    Packed BIGINT node ids throughout; labels render 's:'/'c:' only in
+    the final projection. Oracle CTEs are MATERIALIZED — each round
+    references its predecessor once per branch and DuckDB would inline
+    exponentially otherwise."""
+    e = _trade_edges(spark, sf_dir)
+    fwd = e.select(
+        (F.col("supp") * 2).cast("bigint").alias("src"),
+        (F.col("cust") * 2 + 1).cast("bigint").alias("dst"),
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    use_bcast = labels.count() <= _PR_BCAST_MAX_NODES
+    w_dst = Window.partitionBy("dst")
+    for _ in range(_LPA_ITERS):
+        rhs = F.broadcast(labels) if use_bcast else labels
+        labels = (
+            edges.join(rhs, edges.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    w_dst.orderBy(F.col("cnt").desc(), F.col("label"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    community = F.when(
+        F.col("label") % 2 == 0,
+        F.concat(F.lit("s:"), F.shiftright("label", 1).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("c:"), F.shiftright("label", 1).cast("string"))
+    )
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .select(community.alias("community"), "n_members")
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(_LPA_TOPK)
     )

@@ -466,3 +466,109 @@ def mm_payload_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return d.mapInPandas(chunk_batches, _PCDC_SCHEMA)
+
+
+_PG_MAX_SIDE = 672  # aspect-preserving resize bound (48 patches of 14px)
+_PG_PATCH = 14
+
+
+@register(
+    "mm_patch_grid",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             224 + (((doc_id + 7) * 2654435761) % 4294967296) % 1825 AS w,
+             224 + (((doc_id + 13) * 2654435761) % 4294967296) % 1825 AS h
+      FROM documents WHERE doc_id % 3 = 1
+    ), scaled AS (
+      SELECT doc_id, w, h,
+             CASE WHEN GREATEST(w, h) <= {_PG_MAX_SIDE} THEN w
+                  ELSE GREATEST(1, (w * {_PG_MAX_SIDE}) // GREATEST(w, h))
+             END AS w2,
+             CASE WHEN GREATEST(w, h) <= {_PG_MAX_SIDE} THEN h
+                  ELSE GREATEST(1, (h * {_PG_MAX_SIDE}) // GREATEST(w, h))
+             END AS h2
+      FROM dims
+    ), grids AS (
+      SELECT doc_id,
+             (w2 + {_PG_PATCH - 1}) // {_PG_PATCH} AS gw,
+             (h2 + {_PG_PATCH - 1}) // {_PG_PATCH} AS gh
+      FROM scaled
+    )
+    SELECT CAST(gw AS BIGINT) AS gw, CAST(gh AS BIGINT) AS gh,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(gw * gh + 1) AS BIGINT) AS total_tokens
+    FROM grids
+    GROUP BY gw, gh
+    ORDER BY gw, gh
+    """,
+    section=_SEC,
+)
+def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-grid planning for the image-modality assets: given each
+    image's pixel dimensions, compute the aspect-preserving resize to a
+    {_PG_MAX_SIDE}px long side, the ceil-division {_PG_PATCH}x{_PG_PATCH}
+    patch grid, and the resulting vision-token count (+1 CLS) — the
+    token-budget arithmetic every multimodal training build runs BEFORE
+    decoding a single byte (packing, batch shaping, and cost estimates
+    all hang off it; the text twin is llm_token_budget_alloc). Image
+    assets are the doc_id%3==1 slice of the mixed-modality table
+    (mm_modality_stats' assignment); dimensions derive from the repo's
+    Knuth hash because the fixtures carry no real images — a real
+    deployment reads them from the asset-metadata columns.
+
+    Determinism: everything is exact BIGINT arithmetic — the resize is
+    integer (w*{_PG_MAX_SIDE}) div long-side, never a float scale
+    factor, so both engines agree to the last pixel.
+
+    Scale: pure metadata projection + one partial-agg groupBy whose
+    output is bounded by distinct grid shapes (<= 48x48), independent
+    of corpus size; payload bytes are never touched."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    w = 224 + ((F.col("doc_id") + 7) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1825
+    h = 224 + ((F.col("doc_id") + 13) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1825
+    dims = d.select("doc_id", w.alias("w"), h.alias("h"))
+    lng = F.greatest(F.col("w"), F.col("h"))
+    fit = lng <= _PG_MAX_SIDE
+    scaled = dims.select(
+        "doc_id",
+        F.when(fit, F.col("w"))
+        .otherwise(
+            F.greatest(
+                F.lit(1),
+                F.expr(
+                    f"(w * {_PG_MAX_SIDE}) div greatest(w, h)"
+                ),
+            )
+        )
+        .alias("w2"),
+        F.when(fit, F.col("h"))
+        .otherwise(
+            F.greatest(
+                F.lit(1),
+                F.expr(
+                    f"(h * {_PG_MAX_SIDE}) div greatest(w, h)"
+                ),
+            )
+        )
+        .alias("h2"),
+    )
+    grids = scaled.select(
+        F.expr(f"(w2 + {_PG_PATCH - 1}) div {_PG_PATCH}").alias("gw"),
+        F.expr(f"(h2 + {_PG_PATCH - 1}) div {_PG_PATCH}").alias("gh"),
+    )
+    return (
+        grids.groupBy(
+            F.col("gw").cast("bigint").alias("gw"),
+            F.col("gh").cast("bigint").alias("gh"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.sum(F.col("gw") * F.col("gh") + 1).cast("bigint").alias(
+                "total_tokens"
+            ),
+        )
+        .orderBy("gw", "gh")
+    )

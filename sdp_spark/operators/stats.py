@@ -1510,3 +1510,532 @@ def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(p_a - p_b, 4).alias("risk_diff"),
         dround(z, 4).alias("z"),
     )
+
+
+@register(
+    "agg_diagnostic_accuracy",
+    oracle=f"""
+    WITH flags AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'error' AND value > {_CRC_V}
+                      THEN 1 ELSE 0 END) AS test_pos,
+             MAX(CASE WHEN event_type = 'purchase' AND value > {_CRC_V}
+                      THEN 1 ELSE 0 END) AS disease
+      FROM events GROUP BY user_id
+    ), cells AS (
+      SELECT CAST(SUM(test_pos * disease) AS BIGINT) AS tp,
+             CAST(SUM(test_pos * (1 - disease)) AS BIGINT) AS fp,
+             CAST(SUM((1 - test_pos) * disease) AS BIGINT) AS fn,
+             CAST(SUM((1 - test_pos) * (1 - disease)) AS BIGINT) AS tn
+      FROM flags
+    )
+    SELECT tp, fp, fn, tn,
+           {sql_dround('CAST(tp + fn AS DOUBLE) / (tp + fp + fn + tn)', 4)}
+             AS prevalence,
+           {sql_dround('CAST(tp AS DOUBLE) / (tp + fn)', 4)} AS sensitivity,
+           {sql_dround('CAST(tn AS DOUBLE) / (fp + tn)', 4)} AS specificity,
+           {sql_dround('CAST(tp AS DOUBLE) / (tp + fp)', 4)} AS ppv,
+           {sql_dround('CAST(tn AS DOUBLE) / (fn + tn)', 4)} AS npv,
+           {sql_dround('CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)', 4)}
+             AS accuracy,
+           {sql_dround('(CAST(tp AS DOUBLE) / (tp + fn))'
+                       ' / (1 - CAST(tn AS DOUBLE) / (fp + tn))', 4)}
+             AS lr_pos,
+           {sql_dround('(1 - CAST(tp AS DOUBLE) / (tp + fn))'
+                       ' / (CAST(tn AS DOUBLE) / (fp + tn))', 4)} AS lr_neg,
+           {sql_dround('CAST(tp AS DOUBLE) / (tp + fn)'
+                       ' + CAST(tn AS DOUBLE) / (fp + tn) - 1', 4)} AS youden_j
+    FROM cells
+    WHERE tp > 0 AND fp > 0 AND fn > 0 AND tn > 0
+    """,
+    section=_SEC,
+)
+def agg_diagnostic_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screening-test evaluation 2x2: treat 'user ever hit a severe
+    error' as the screening test and 'user ever makes a high-value
+    purchase' as the condition (both value > 150, the repo's severity
+    cut shared with agg_relative_risk), then emit the full diagnostic
+    panel every surveillance screening study reports: prevalence,
+    sensitivity / specificity, predictive values (PPV/NPV), accuracy,
+    likelihood ratios (LR+/LR-) and Youden's J. agg_relative_risk
+    answers the etiologic question (does exposure change risk?); THIS
+    answers the operational one (how good is the flag as a test?).
+
+    Determinism: the confusion cells are exact BIGINT conditional sums;
+    each metric is a single shared IEEE expression over them, rounded
+    once. Degenerate tables (an empty cell would put 0 or inf in a
+    ratio) emit nothing.
+
+    Scale: one partial-agg collapse of events to users, one to a single
+    4-cell row — nothing after the first exchange exceeds one row."""
+    e = table(spark, sf_dir, "events")
+    flags = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "error") & (F.col("value") > _CRC_V), 1
+            ).otherwise(0)
+        ).alias("test_pos"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > _CRC_V),
+                1,
+            ).otherwise(0)
+        ).alias("disease"),
+    )
+    cells = flags.agg(
+        F.sum(F.col("test_pos") * F.col("disease")).cast("bigint").alias("tp"),
+        F.sum(F.col("test_pos") * (1 - F.col("disease")))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum((1 - F.col("test_pos")) * F.col("disease"))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum((1 - F.col("test_pos")) * (1 - F.col("disease")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    fn, tn = F.col("fn"), F.col("tn")
+    n_all = tp + fp + fn + tn
+    sens = tp.cast("double") / (tp + fn)
+    spec = tn.cast("double") / (fp + tn)
+    return (
+        cells.filter((tp > 0) & (fp > 0) & (fn > 0) & (tn > 0))
+        .select(
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            dround((tp + fn).cast("double") / n_all, 4).alias("prevalence"),
+            dround(sens, 4).alias("sensitivity"),
+            dround(spec, 4).alias("specificity"),
+            dround(tp.cast("double") / (tp + fp), 4).alias("ppv"),
+            dround(tn.cast("double") / (fn + tn), 4).alias("npv"),
+            dround((tp + tn).cast("double") / n_all, 4).alias("accuracy"),
+            dround(sens / (1 - spec), 4).alias("lr_pos"),
+            dround((1 - sens) / spec, 4).alias("lr_neg"),
+            dround(sens + spec - 1, 4).alias("youden_j"),
+        )
+    )
+
+
+@register(
+    "agg_cmh_stratified",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(CASE WHEN event_type = 'error' AND value > {_CRC_V}
+                      THEN 1 ELSE 0 END) AS exposed,
+             MAX(CASE WHEN event_type = 'purchase' AND value > {_CRC_V}
+                      THEN 1 ELSE 0 END) AS outcome
+      FROM events GROUP BY user_id
+    ), strat AS (
+      SELECT exposed, outcome,
+             CAST(NTILE(3) OVER (ORDER BY n_events DESC, user_id)
+                  AS INTEGER) AS stratum
+      FROM users
+    ), cells AS (
+      SELECT stratum,
+             CAST(SUM(exposed * outcome) AS BIGINT) AS a,
+             CAST(SUM(exposed * (1 - outcome)) AS BIGINT) AS b,
+             CAST(SUM((1 - exposed) * outcome) AS BIGINT) AS c,
+             CAST(SUM((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
+      FROM strat GROUP BY stratum
+    ), terms AS (
+      SELECT stratum, a, b, c, d,
+             CAST(CAST(a AS DOUBLE) * d / (a + b + c + d)
+                  AS DECIMAL(30,8)) AS ad_n,
+             CAST(CAST(b AS DOUBLE) * c / (a + b + c + d)
+                  AS DECIMAL(30,8)) AS bc_n
+      FROM cells
+    )
+    SELECT stratum, a, b, c, d,
+           CASE WHEN b * c > 0 THEN
+             {sql_dround('CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)', 4)}
+           END AS or_stratum,
+           CASE WHEN SUM(bc_n) OVER () > 0 THEN
+             {sql_dround('CAST(SUM(ad_n) OVER () AS DOUBLE)'
+                         ' / CAST(SUM(bc_n) OVER () AS DOUBLE)', 4)}
+           END AS cmh_or,
+           CASE WHEN SUM(b) OVER () * SUM(c) OVER () > 0 THEN
+             {sql_dround('CAST(SUM(a) OVER () AS DOUBLE) * SUM(d) OVER ()'
+                         ' / (CAST(SUM(b) OVER () AS DOUBLE)'
+                         '    * SUM(c) OVER ())', 4)}
+           END AS crude_or
+    FROM terms
+    ORDER BY stratum
+    """,
+    section=_SEC,
+)
+def agg_cmh_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified odds ratio: the confounder-
+    adjusted companion of agg_relative_risk. Exposure/outcome are the
+    repo's severe-error / high-value-purchase user flags; the potential
+    confounder is user activity (total event count), stratified into
+    deterministic tertiles (NTILE(3) ordered by n_events DESC with
+    user_id as unique tiebreak - scale-invariant, unlike absolute count
+    thresholds). Emits each stratum's 2x2 and odds ratio beside the
+    pooled CMH estimate OR_mh = sum(a_i*d_i/n_i) / sum(b_i*c_i/n_i) and
+    the crude (collapsed) OR - the crude-vs-adjusted gap IS the
+    textbook confounding readout.
+
+    Determinism: cells are exact BIGINTs; each CMH term is one IEEE
+    expression over them cast to DECIMAL(30,8) before the cross-stratum
+    sum, so the pooled numerator/denominator are order-free on both
+    engines. Zero cells do NOT drop their stratum - tolerating sparse
+    strata without correction terms is exactly why Mantel-Haenszel
+    beats per-stratum ORs; only the per-stratum OR itself NULLs out
+    when its b*c denominator is empty.
+
+    Scale: events collapse to users (partial-agg), users to 3 strata
+    rows; the NTILE is a single |users|-row sort - the only data-scale
+    exchanges are the two rollups either side of it."""
+    e = table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "error") & (F.col("value") > _CRC_V), 1
+            ).otherwise(0)
+        ).alias("exposed"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > _CRC_V),
+                1,
+            ).otherwise(0)
+        ).alias("outcome"),
+    )
+    strat = users.select(
+        "exposed",
+        "outcome",
+        F.ntile(3)
+        .over(Window.orderBy(F.col("n_events").desc(), F.col("user_id")))
+        .cast("int")
+        .alias("stratum"),
+    )
+    cells = (
+        strat.groupBy("stratum")
+        .agg(
+            F.sum(F.col("exposed") * F.col("outcome"))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.col("exposed") * (1 - F.col("outcome")))
+            .cast("bigint")
+            .alias("b"),
+            F.sum((1 - F.col("exposed")) * F.col("outcome"))
+            .cast("bigint")
+            .alias("c"),
+            F.sum((1 - F.col("exposed")) * (1 - F.col("outcome")))
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    n_i = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = cells.select(
+        "stratum",
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a").cast("double") * F.col("d") / n_i).cast(DEC).alias("ad_n"),
+        (F.col("b").cast("double") * F.col("c") / n_i).cast(DEC).alias("bc_n"),
+    )
+    w_all = Window.partitionBy()
+    cmh = F.sum("ad_n").over(w_all).cast("double") / F.sum("bc_n").over(
+        w_all
+    ).cast("double")
+    crude = (
+        F.sum("a").over(w_all).cast("double")
+        * F.sum("d").over(w_all)
+        / (F.sum("b").over(w_all).cast("double") * F.sum("c").over(w_all))
+    )
+    return terms.select(
+        "stratum",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(
+            F.col("b") * F.col("c") > 0,
+            dround(
+                F.col("a").cast("double") * F.col("d")
+                / (F.col("b").cast("double") * F.col("c")),
+                4,
+            ),
+        ).alias("or_stratum"),
+        F.when(F.sum("bc_n").over(w_all) > 0, dround(cmh, 4)).alias("cmh_or"),
+        F.when(
+            F.sum("b").over(w_all) * F.sum("c").over(w_all) > 0,
+            dround(crude, 4),
+        ).alias("crude_or"),
+    ).orderBy("stratum")
+
+
+_MORAN_CELL = 15.0  # degrees per grid cell (families._GEO_CELL_DEG)
+_MORAN_OFFS = [
+    (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)
+]
+_MORAN_OFFS_SQL = ", ".join(f"({dx}, {dy})" for dx, dy in _MORAN_OFFS)
+
+
+@register(
+    "agg_moran_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             ((((c_custkey + 17) * 2654435761) % 4294967296) % 1200) / 10.0
+               - 60.0 AS lat,
+             ((((c_custkey + 31) * 2654435761) % 4294967296) % 3600) / 10.0
+               - 180.0 AS lon
+      FROM customer
+    ), cells AS (
+      SELECT CAST(FLOOR(lon / {_MORAN_CELL}) AS INTEGER) AS cx,
+             CAST(FLOOR(lat / {_MORAN_CELL}) AS INTEGER) AS cy,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS s
+      FROM cells
+    ), z AS (
+      SELECT cx, cy, cnt - CAST(t.s AS DOUBLE) / t.n AS zv
+      FROM cells CROSS JOIN tot t
+    ), pairs AS (
+      SELECT CAST(SUM(CAST(a.zv * b.zv AS DECIMAL(30,8))) AS DOUBLE)
+               AS num_d,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM z a
+      JOIN (VALUES {_MORAN_OFFS_SQL}) o(dx, dy) ON TRUE
+      JOIN z b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+    ), den AS (
+      SELECT CAST(SUM(CAST(zv * zv AS DECIMAL(30,8))) AS DOUBLE) AS den_d
+      FROM z
+    )
+    SELECT t.n AS n_cells, p.w AS w_links,
+           {sql_dround('p.num_d', 4)} AS cross_sum,
+           {sql_dround('d.den_d', 4)} AS sq_sum,
+           {sql_dround('(t.n * p.num_d) / (p.w * d.den_d)', 6)} AS moran_i,
+           {sql_dround('-1.0 / (t.n - 1)', 6)} AS expected_i
+    FROM tot t CROSS JOIN pairs p CROSS JOIN den d
+    """,
+    section=_SEC,
+)
+def agg_moran_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over the customer point
+    grid: are customer densities in neighboring map cells more alike
+    than chance (clustered, I > E[I]) or checkerboarded (I < E[I])?
+    The canonical first statistic of disease mapping - run before any
+    cluster-detection scan to establish whether there IS spatial
+    structure. Points are the repo's deterministic synthetic lat/lon
+    (fn_geo_haversine's Knuth-hash derivation, same salts), binned into
+    the 15-degree grid join_spatial_grid uses; the weight matrix is
+    binary queen (8-neighbor) adjacency.
+
+    Determinism: cell counts are exact BIGINTs; the mean is one double
+    division; every z-product is computed identically per pair then
+    cast to DECIMAL(30,8) before summation, so the quadratic-form sums
+    are order-free on both engines; I is a single shared expression
+    over the exact pieces, rounded once (the stats.py DECIMAL-sum
+    convention).
+
+    Scale: points collapse to grid cells FIRST (partial-agg, one
+    exchange, output bounded by grid resolution not data volume); the
+    neighbor join is an equi-join of the tiny cell frame against 8
+    broadcast offsets - never a theta join. At 100 TB the cell frame
+    is still O(resolution^2) rows; everything quadratic-form runs on
+    it, not on points."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    c = table(spark, sf_dir, "customer")
+    lat = (
+        ((F.col("c_custkey") + 17) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1200
+    ) / 10.0 - 60.0
+    lon = (
+        ((F.col("c_custkey") + 31) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 3600
+    ) / 10.0 - 180.0
+    cells = (
+        c.select(
+            F.floor(lon / _MORAN_CELL).cast("int").alias("cx"),
+            F.floor(lat / _MORAN_CELL).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()  # reused by tot / z / both pair sides
+    )
+    tot = cells.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("s"),
+    )
+    z = cells.crossJoin(F.broadcast(tot)).select(
+        "cx",
+        "cy",
+        (F.col("cnt") - F.col("s").cast("double") / F.col("n")).alias("zv"),
+    )
+    offs = spark.createDataFrame(_MORAN_OFFS, "dx int, dy int")
+    a = z.select(
+        F.col("cx").alias("acx"), F.col("cy").alias("acy"), F.col("zv").alias("azv")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(offs))
+        .join(
+            z,
+            (F.col("cx") == F.col("acx") + F.col("dx"))
+            & (F.col("cy") == F.col("acy") + F.col("dy")),
+        )
+        .agg(
+            F.sum((F.col("azv") * F.col("zv")).cast(DEC))
+            .cast("double")
+            .alias("num_d"),
+            F.count("*").cast("bigint").alias("w"),
+        )
+    )
+    den = z.agg(
+        F.sum((F.col("zv") * F.col("zv")).cast(DEC)).cast("double").alias("den_d")
+    )
+    return (
+        tot.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("n").alias("n_cells"),
+            F.col("w").alias("w_links"),
+            dround(F.col("num_d"), 4).alias("cross_sum"),
+            dround(F.col("den_d"), 4).alias("sq_sum"),
+            dround(
+                (F.col("n") * F.col("num_d")) / (F.col("w") * F.col("den_d")), 6
+            ).alias("moran_i"),
+            dround(-1.0 / (F.col("n") - 1), 6).alias("expected_i"),
+        )
+    )
+
+
+_RAKE_STOP = ("the", "a")
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+_RAKE_TOPK = 50
+_RAKE_MIN_OCC = 2
+
+
+@register(
+    "llm_keyword_rake",
+    oracle=f"""
+    {_BIGRAM_SQL.rstrip()}, marked AS (
+      SELECT doc_id, word, idx,
+             CASE WHEN word IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END AS stop
+      FROM toks
+    ), pid AS (
+      SELECT doc_id, word, idx, stop,
+             SUM(stop) OVER (PARTITION BY doc_id ORDER BY idx) AS phrase_id
+      FROM marked
+    ), pw AS (
+      SELECT doc_id, phrase_id, word, idx FROM pid WHERE stop = 0
+    ), plen AS (
+      SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen
+      FROM pw GROUP BY 1, 2
+    ), wstat AS (
+      SELECT w.word, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(p.plen) AS BIGINT) AS degree
+      FROM pw w JOIN plen p
+        ON w.doc_id = p.doc_id AND w.phrase_id = p.phrase_id
+      GROUP BY w.word
+    ), scored AS (
+      SELECT w.doc_id, w.phrase_id, w.idx, w.word,
+             CAST(CAST(s.degree AS DOUBLE) / s.freq AS DECIMAL(30,8))
+               AS wscore
+      FROM pw w JOIN wstat s ON w.word = s.word
+    ), phrases AS (
+      SELECT doc_id, phrase_id,
+             STRING_AGG(word, ' ' ORDER BY idx) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(wscore) AS DOUBLE) AS pscore
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT phrase, MAX(n_words) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           {sql_dround('MAX(pscore)', 4)} AS score
+    FROM phrases
+    GROUP BY phrase
+    HAVING COUNT(*) >= {_RAKE_MIN_OCC}
+    ORDER BY score DESC, phrase
+    LIMIT {_RAKE_TOPK}
+    """,
+    section=_SEC,
+)
+def llm_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free word runs; each word scores degree/frequency
+    over the phrase corpus (degree = summed length of the phrases it
+    appears in — rewards words that live in long collocations), and a
+    phrase scores the sum of its word scores. The co-occurrence
+    complement of llm_tfidf_topterms (which ranks WORDS by corpus
+    rarity; RAKE ranks PHRASES by internal cohesion and needs no IDF
+    table) and of llm_pmi_collocations (pairwise PMI; RAKE scores
+    arbitrary-length runs). Stopword set is the fixture vocabulary's
+    function words {_RAKE_STOP}.
+
+    Determinism: phrase segmentation is an exact integer running sum of
+    stopword flags; freq/degree are exact BIGINTs; word scores are one
+    IEEE division cast to DECIMAL(30,8) before the per-phrase sum (so
+    phrase scores are order-free); ties rank by phrase text.
+
+    Scale: tokenize-explode (the _bigrams idiom), one window per doc
+    for phrase ids, two partial-agg rollups, and one word-stat join
+    whose build side is vocabulary-sized (broadcastable at any corpus
+    scale); the final top-k is TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "idx", "word"
+        ),
+    )
+    marked = toks.select(
+        "doc_id",
+        "word",
+        "idx",
+        F.when(F.col("word").isin(*_RAKE_STOP), 1).otherwise(0).alias("stop"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("idx")
+    pw = (
+        marked.withColumn("phrase_id", F.sum("stop").over(w_doc))
+        .filter(F.col("stop") == 0)
+        .select("doc_id", "phrase_id", "word", "idx")
+    )
+    plen = pw.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").cast("bigint").alias("plen")
+    )
+    wstat = (
+        pw.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("word")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("degree"),
+        )
+    )
+    scored = pw.join(F.broadcast(wstat), "word").select(
+        "doc_id",
+        "phrase_id",
+        "idx",
+        "word",
+        (F.col("degree").cast("double") / F.col("freq")).cast(DEC).alias("wscore"),
+    )
+    phrases = scored.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("wscore").cast("double").alias("pscore"),
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            dround(F.max("pscore"), 4).alias("score"),
+        )
+        .filter(F.col("n_occurrences") >= _RAKE_MIN_OCC)
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+    )

@@ -127,7 +127,10 @@ _SWEEP_PRIORITY = (
     "sample_balanced_class", "graph_k_core", "join_polygon_contains",
     "llm_sim_search_pq", "win_event_sequence", "llm_span_corruption",
     "fn_geo_wkt",
-    # ^-- 21 carry-over + 13 new r9 keys = 34, inside the 50-key sweep
+    "agg_diagnostic_accuracy", "agg_cmh_stratified", "agg_moran_grid",
+    "ts_theil_sen", "ts_holt_linear", "graph_label_propagation",
+    "mm_patch_grid", "llm_keyword_rake",
+    # ^-- 21 carry-over + 21 new r9 keys = 42, inside the 50-key sweep
     #     budget: every key above earns its verdict this round.
     # --- r8-certified (newest-first re-prove order) ---
     "dq_benford", "llm_curriculum_order",

@@ -462,3 +462,194 @@ def test_geo_wkt_roundtrip(spark, sf_dir):
     for r in rows:
         assert r.wkt.startswith("POINT(") and r.wkt.endswith(")")
         assert r.roundtrip_ok, r
+
+
+def test_diagnostic_accuracy_identities(spark, sf_dir):
+    """The screening panel must satisfy its own algebra: prevalence,
+    accuracy, Youden and the likelihood ratios all derive from the four
+    cells; recompute each from the emitted cells and compare at the
+    shared rounding grid."""
+    import math
+
+    from sdp_spark.operators.stats import agg_diagnostic_accuracy
+
+    def dr(x, n=4):
+        p = 10**n
+        return math.floor(x * p + 0.5) / p
+
+    r = agg_diagnostic_accuracy(spark, sf_dir).collect()[0]
+    tp, fp, fn, tn = r.tp, r.fp, r.fn, r.tn
+    n = tp + fp + fn + tn
+    sens, spec = tp / (tp + fn), tn / (fp + tn)
+    assert r.prevalence == dr((tp + fn) / n)
+    assert r.accuracy == dr((tp + tn) / n)
+    assert r.sensitivity == dr(sens) and r.specificity == dr(spec)
+    assert r.youden_j == dr(sens + spec - 1)
+    assert r.lr_pos == dr(sens / (1 - spec))
+    assert 0 <= r.ppv <= 1 and 0 <= r.npv <= 1
+
+
+def test_cmh_within_stratum_hull(spark, sf_dir):
+    """Every stratum row must appear (zero cells don't drop strata — the
+    whole point of MH pooling); the pooled OR repeats identically on
+    every row; and when all stratum ORs are finite, the MH estimate (a
+    positively-weighted average of them) lies in their convex hull."""
+    from sdp_spark.operators.stats import agg_cmh_stratified
+
+    rows = agg_cmh_stratified(spark, sf_dir).collect()
+    assert len(rows) == 3
+    assert sum(r.a + r.b + r.c + r.d for r in rows) > 0
+    cmh = {r.cmh_or for r in rows}
+    assert len(cmh) == 1
+    c = cmh.pop()
+    assert c is not None and c >= 0
+    ors = [r.or_stratum for r in rows]
+    if all(o is not None for o in ors):
+        assert min(ors) - 1e-4 <= c <= max(ors) + 1e-4
+
+
+def test_moran_grid_bounds(spark, sf_dir):
+    """Moran's I over a binary-weight grid is bounded (|I| <= ~1 for any
+    weight matrix after normalization; the raw statistic stays in a
+    slightly wider band), E[I] = -1/(n-1), and the queen adjacency link
+    count is even (symmetry: every (a,b) link has its (b,a) twin)."""
+    from sdp_spark.operators.stats import agg_moran_grid
+
+    r = agg_moran_grid(spark, sf_dir).collect()[0]
+    assert r.n_cells > 10
+    assert r.w_links % 2 == 0
+    assert abs(r.expected_i - (-1.0 / (r.n_cells - 1))) < 1e-6
+    assert -1.5 <= r.moran_i <= 1.5
+    assert r.sq_sum > 0
+
+
+def test_theil_sen_outlier_resistance(spark, tmp_path):
+    """Planted series: a perfect slope-2 line with one massive outlier
+    day. OLS would be dragged far off; the Theil-Sen median slope must
+    stay exactly 2 (more than half the pairwise slopes are outlier-free)."""
+    import os
+
+    from sdp_spark.operators.analytics import ts_theil_sen
+
+    sf = str(tmp_path / "ts_planted")
+    os.makedirs(sf)
+    from datetime import datetime
+
+    rows = []
+    for t in range(21):
+        ts = datetime(2024, 1, t + 1, 0, 0, 0)
+        n = 1000 if t == 10 else 5 + 2 * t  # outlier day 10
+        for i in range(n):
+            rows.append((t * 10000 + i, ts, i, "click", 1.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {r.event_type: r for r in ts_theil_sen(spark, sf).collect()}
+    assert got["click"].slope == 2.0
+    assert got["click"].n_days == 21
+
+
+def test_holt_linear_forecast_is_linear(spark, sf_dir):
+    """The h-step forecasts must fall on the line level + h*trend at the
+    rounding grid, share one (level, trend) per stream, and cover all
+    5 event types x 7 horizons."""
+    import math
+
+    from sdp_spark.operators.analytics import ts_holt_linear
+
+    def dr(x, n=4):
+        p = 10**n
+        return math.floor(x * p + 0.5) / p
+
+    rows = ts_holt_linear(spark, sf_dir).collect()
+    assert len(rows) == 35
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        assert sorted(x.h for x in rs) == list(range(1, 8))
+        assert len({(x.level, x.trend, x.n_days) for x in rs}) == 1
+
+
+def test_holt_linear_constant_series_fixpoint(spark, tmp_path):
+    """A constant series is a fixpoint: level == the constant, trend == 0,
+    every forecast == the constant (exact — no float drift, the recursion
+    multiplies exact values)."""
+    import os
+
+    from sdp_spark.operators.analytics import ts_holt_linear
+
+    sf = str(tmp_path / "holt_const")
+    os.makedirs(sf)
+    from datetime import datetime
+
+    rows = []
+    for t in range(10):
+        for i in range(4):  # 4 events/day, constant
+            rows.append((t * 100 + i, datetime(2024, 2, t + 1, 1, 0, 0), i,
+                         "view", 1.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    for r in ts_holt_linear(spark, sf).collect():
+        assert r.level == 4.0 and r.trend == 0.0 and r.yhat == 4.0
+
+
+def test_label_propagation_mass_and_determinism(spark, sf_dir):
+    """Community sizes must sum to <= |V| (each node holds exactly one
+    label; top-k may truncate), every community id must be a valid node
+    label, and a rerun must emit the identical frame (synchronous rounds
+    + smallest-label tie-break leave no run-order freedom)."""
+    from sdp_spark.operators.graphs import _trade_edges, graph_label_propagation
+
+    rows = graph_label_propagation(spark, sf_dir).collect()
+    assert rows
+    e = _trade_edges(spark, sf_dir)
+    n_nodes = (
+        e.select(F.col("supp").alias("n")).distinct().count()
+        + e.select(F.col("cust").alias("n")).distinct().count()
+    )
+    assert sum(r.n_members for r in rows) <= n_nodes
+    assert all(r.community[:2] in ("s:", "c:") for r in rows)
+    rows2 = graph_label_propagation(spark, sf_dir).collect()
+    assert rows == rows2
+
+
+def test_patch_grid_token_arithmetic(spark, sf_dir):
+    """Grid dims are bounded by the 672/14 = 48-patch cap, token totals
+    match gw*gh+1 times the image count per shape, and every image-
+    modality asset (doc_id%3==1) is accounted for exactly once."""
+    from sdp_spark.operators.multimodal import mm_patch_grid
+    from sdp_spark.sources.fixtures import table
+
+    rows = mm_patch_grid(spark, sf_dir).collect()
+    assert rows
+    assert all(1 <= r.gw <= 48 and 1 <= r.gh <= 48 for r in rows)
+    assert all(r.total_tokens == (r.gw * r.gh + 1) * r.n_images for r in rows)
+    n_imgs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .count()
+    )
+    assert sum(r.n_images for r in rows) == n_imgs
+
+
+def test_rake_scores_and_segmentation(spark, sf_dir):
+    """RAKE invariants: no phrase contains a stopword, every score is
+    positive, scores are emitted in non-increasing order, and each
+    phrase's score >= its word count (degree/freq >= 1 for every word,
+    so a phrase of k words scores >= k)."""
+    from sdp_spark.operators.stats import _RAKE_STOP, llm_keyword_rake
+
+    rows = llm_keyword_rake(spark, sf_dir).collect()
+    assert rows
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert len(words) == r.n_words
+        assert not set(words) & set(_RAKE_STOP)
+        assert r.score >= r.n_words - 1e-9
+        assert r.n_occurrences >= 2
