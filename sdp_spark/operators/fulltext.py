@@ -572,3 +572,78 @@ def fulltext_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("w"), 6).cast("double").alias("relevance"))
     )
+
+
+_FT_PHRASE = ("spark", "join")  # MATCH(text) AGAINST('"spark join"' IN BOOLEAN MODE)
+
+
+@register(
+    "filter_fulltext_phrase",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, t.word, t.pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS word,
+                           generate_subscripts(string_split(text, ' '), 1)
+                             AS pos) t
+      WHERE t.word <> ''
+    ), toks AS (
+      SELECT doc_id, word,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS idx
+      FROM toks0
+    )
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS occ
+    FROM toks a JOIN toks b
+      ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+    WHERE a.word = 'spark' AND b.word = 'join'
+    GROUP BY a.doc_id
+    ORDER BY occ DESC, a.doc_id
+    LIMIT 100
+    """,
+    section=_SEC,
+)
+def filter_fulltext_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third boolean-mode operator: EXACT PHRASE match — MySQL's
+    ``MATCH(text) AGAINST('"spark join"' IN BOOLEAN MODE)`` ([ENGINE]
+    5.6 InnoDB FULLTEXT supports quoted phrases in boolean mode).
+    filter_fulltext_bool answers term presence/absence; THIS requires
+    the terms CONSECUTIVE and IN ORDER, ranked by occurrence count —
+    the adjacency constraint an inverted index alone cannot express
+    without positions, which is why real FULLTEXT indexes store them.
+
+    Semantics: occurrences are counted at word grain over the same
+    whitespace tokenization as the rest of the fulltext family (no
+    substring false-positives: 'sparkly joint' does not match), and
+    overlapping occurrences all count (relational adjacency pairs, not
+    left-to-right string replace).
+
+    Determinism: exact integer pair counts, unique (occ DESC, doc_id)
+    order.
+
+    Scale: the adjacency pairing is the _bigrams codegen expression —
+    one corpus explode, zero joins on the Spark side (the oracle's
+    positional self-join is the relational spelling); the filter on the
+    two phrase words prunes before the per-doc count, so the exchange
+    carries only matching pairs."""
+    w1, w2 = _FT_PHRASE
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(element_at(ws, i) AS w1,"
+                "             element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    )
+    return (
+        pairs.filter((F.col("bg.w1") == w1) & (F.col("bg.w2") == w2))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("occ"))
+        .orderBy(F.col("occ").desc(), "doc_id")
+        .limit(100)
+    )

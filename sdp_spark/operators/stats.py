@@ -2039,3 +2039,127 @@ def llm_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "phrase")
         .limit(_RAKE_TOPK)
     )
+
+
+_HOT_OFFS = [(0, 0)] + _MORAN_OFFS  # 3x3 window: center + queen neighbors
+_HOT_OFFS_SQL = ", ".join(f"({dx}, {dy})" for dx, dy in _HOT_OFFS)
+_HOT_TOPK = 10
+
+
+@register(
+    "query_spatial_hotspot",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             ((((c_custkey + 17) * 2654435761) % 4294967296) % 1200) / 10.0
+               - 60.0 AS lat,
+             ((((c_custkey + 31) * 2654435761) % 4294967296) % 3600) / 10.0
+               - 180.0 AS lon
+      FROM customer
+    ), cells AS (
+      SELECT CAST(FLOOR(lon / {_MORAN_CELL}) AS INTEGER) AS cx,
+             CAST(FLOOR(lat / {_MORAN_CELL}) AS INTEGER) AS cy,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS total
+      FROM cells
+    ), wins AS (
+      SELECT a.cx, a.cy,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(b.cnt) AS BIGINT) AS obs
+      FROM cells a
+      JOIN (VALUES {_HOT_OFFS_SQL}) o(dx, dy) ON TRUE
+      JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+      GROUP BY a.cx, a.cy
+    )
+    SELECT w.cx, w.cy, w.k, w.obs,
+           {sql_dround('CAST(t.total * w.k AS DOUBLE) / t.n', 4)} AS expected,
+           {sql_dround('CAST(w.obs * t.n AS DOUBLE) / (t.total * w.k)', 4)}
+             AS ratio
+    FROM wins w CROSS JOIN tot t
+    ORDER BY ratio DESC, w.cx, w.cy
+    LIMIT {_HOT_TOPK}
+    """,
+    section=_SEC,
+)
+def query_spatial_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot scan over the customer grid: for every 3x3
+    cell window (center + queen neighbors), compare the observed point
+    count against the uniform expectation and rank windows by the
+    observed/expected ratio — the 'WHERE is the cluster?' companion to
+    agg_moran_grid's 'IS there clustering?' (the scan-window shape of
+    Kulldorff's spatial scan statistic, with the obs/exp relative-risk
+    surface instead of the Poisson LLR — ln is not correctly rounded
+    cross-engine, the repo's stats convention avoids it; the RANKING is
+    identical for fixed window size because LLR is monotone in obs/exp).
+    Expectation is proportional to the window's OCCUPIED cell count k
+    (sparse empty cells carry no mass at any scale; a real deployment
+    would densify the grid first).
+
+    Determinism: obs/k/N/n are exact BIGINTs; expected and ratio are
+    single IEEE divisions of exact integer products, rounded once;
+    (ratio, cx, cy) is a unique order.
+
+    Scale: identical skeleton to agg_moran_grid — points collapse to
+    resolution-bounded cells first, the window sum is a 9-offset
+    broadcast equi-join on the tiny cell frame, and the top-k is
+    TakeOrderedAndProject. Nothing downstream of the first exchange
+    scales with data volume."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    c = table(spark, sf_dir, "customer")
+    lat = (
+        ((F.col("c_custkey") + 17) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1200
+    ) / 10.0 - 60.0
+    lon = (
+        ((F.col("c_custkey") + 31) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 3600
+    ) / 10.0 - 180.0
+    cells = (
+        c.select(
+            F.floor(lon / _MORAN_CELL).cast("int").alias("cx"),
+            F.floor(lat / _MORAN_CELL).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()  # consumed by tot + both window-join sides
+    )
+    tot = cells.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("total"),
+    )
+    offs = spark.createDataFrame(_HOT_OFFS, "dx int, dy int")
+    a = cells.select(F.col("cx").alias("acx"), F.col("cy").alias("acy"))
+    wins = (
+        a.crossJoin(F.broadcast(offs))
+        .join(
+            cells,
+            (F.col("cx") == F.col("acx") + F.col("dx"))
+            & (F.col("cy") == F.col("acy") + F.col("dy")),
+        )
+        .groupBy(F.col("acx").alias("wx"), F.col("acy").alias("wy"))
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum("cnt").cast("bigint").alias("obs"),
+        )
+    )
+    return (
+        wins.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("wx").alias("cx"),
+            F.col("wy").alias("cy"),
+            "k",
+            "obs",
+            dround(
+                (F.col("total") * F.col("k")).cast("double") / F.col("n"), 4
+            ).alias("expected"),
+            dround(
+                (F.col("obs") * F.col("n")).cast("double")
+                / (F.col("total") * F.col("k")),
+                4,
+            ).alias("ratio"),
+        )
+        .orderBy(F.col("ratio").desc(), "cx", "cy")
+        .limit(_HOT_TOPK)
+    )

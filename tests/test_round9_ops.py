@@ -653,3 +653,53 @@ def test_rake_scores_and_segmentation(spark, sf_dir):
         assert not set(words) & set(_RAKE_STOP)
         assert r.score >= r.n_words - 1e-9
         assert r.n_occurrences >= 2
+
+
+def test_fulltext_phrase_stricter_than_bool(spark, sf_dir):
+    """Phrase matching is strictly stronger than term conjunction: every
+    phrase-matching doc contains both words (subset of the +spark +join
+    boolean result), occurrence counts are positive, and a doc holding
+    the words NON-adjacently must not match."""
+    from sdp_spark.operators.fulltext import _FT_PHRASE, filter_fulltext_phrase
+    from sdp_spark.sources.fixtures import table
+
+    w1, w2 = _FT_PHRASE
+    rows = filter_fulltext_phrase(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("text").contains(w1) & F.col("text").contains(w2))
+        .collect()
+    }
+    for r in rows:
+        assert r.occ >= 1
+        toks = [t for t in docs[r.doc_id].split(" ") if t]
+        n_adj = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == w1 and toks[i + 1] == w2
+        )
+        assert n_adj == r.occ, r.doc_id
+
+
+def test_spatial_hotspot_window_arithmetic(spark, sf_dir):
+    """Window invariants: k <= 9 occupied cells per 3x3 window, obs >=
+    the center cell's own count, ratio == obs/expected at the grid, and
+    the ranking is by ratio with (cx, cy) tiebreak."""
+    import math
+
+    from sdp_spark.operators.stats import query_spatial_hotspot
+
+    def dr(x, n=4):
+        p = 10**n
+        return math.floor(x * p + 0.5) / p
+
+    rows = query_spatial_hotspot(spark, sf_dir).collect()
+    assert rows
+    assert all(1 <= r.k <= 9 for r in rows)
+    keys = [(-r.ratio, r.cx, r.cy) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r.obs > 0 and r.expected > 0
+        assert abs(r.ratio - dr(r.obs / (r.expected))) <= 2e-4
