@@ -1435,9 +1435,10 @@ def fn_geo_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex and verify the round trip against the deterministically-rounded
     originals.
 
-    Plan: pure codegen string/regex projection — zero exchanges; at scale
-    WKT parse/serialize rides any partitioning, and the parsed coordinate
-    columns are what the bbox/cell machinery above consumes."""
+    Plan: pure codegen string/regex projection — the only exchange is the
+    final presentation sort; at scale WKT parse/serialize rides any
+    partitioning, and the parsed coordinate columns are what the
+    bbox/cell machinery above consumes."""
     from sdp_spark.functions.num import KNUTH, KNUTH_MOD
 
     lat = (

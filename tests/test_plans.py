@@ -637,3 +637,43 @@ def test_quality_classifier_weights_are_literals(spark, sf_dir):
     )
     assert "Join" not in plan and "EvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_patch_grid_no_joins_two_exchanges(spark, sf_dir):
+    """mm_patch_grid is metadata-only arithmetic: no join of any kind,
+    exactly the shape-agg exchange plus the presentation sort."""
+    plan = _plan(spark, REGISTRY["mm_patch_grid"].fn(spark, sf_dir), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_spatial_cell_ops_broadcast_offsets(spark, sf_dir):
+    """Moran's I and the hotspot scan must join the tiny cell frame
+    against the offset table via BROADCAST — a sort-merge there would
+    shuffle per neighbor probe; and the point->cell collapse must be a
+    partial-agg (hash aggregate), never a sort-based one."""
+    for key in ("agg_moran_grid", "query_spatial_hotspot"):
+        plan = _plan(spark, REGISTRY[key].fn(spark, sf_dir), "simple")
+        assert "BroadcastHashJoin" in plan, key
+        assert "SortMergeJoin" not in plan, key
+
+
+def test_fulltext_phrase_single_exchange_no_join(spark, sf_dir):
+    """The phrase operator's Spark side is one corpus explode + one
+    per-doc count: the adjacency pairing runs inside codegen (no
+    positional self-join), and the only exchange is the count agg
+    (top-k is TakeOrderedAndProject, not a global sort)."""
+    plan = _plan(spark, REGISTRY["filter_fulltext_phrase"].fn(spark, sf_dir), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_holt_is_arrow_grouped_map(spark, sf_dir):
+    """ts_holt_linear's recursion runs as ONE Arrow grouped-map over the
+    pre-aggregated daily frame — FlatMapGroupsInPandas (Arrow batch),
+    never row-at-a-time BatchEvalPython, and the daily partial-agg is
+    the only data-scale exchange upstream of it."""
+    plan = _plan(spark, REGISTRY["ts_holt_linear"].fn(spark, sf_dir), "simple")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
