@@ -3175,3 +3175,165 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         " yhat double",
     )
     return out.orderBy("event_type", "h")
+
+
+_MK_Z = 1.96
+
+
+@register(
+    "ts_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                 AS DATE)) AS INTEGER) AS t,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.t > a.t
+      GROUP BY a.event_type
+    ), n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+      GROUP BY event_type
+    ), ties AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(tk * (tk - 1) * (2 * tk + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (
+        SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS tk
+        FROM daily GROUP BY event_type, c
+      ) g
+      WHERE tk > 1
+      GROUP BY event_type
+    ), var_s AS (
+      SELECT n.event_type, n.n_days, s.s_stat,
+             (n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+              - COALESCE(t.tie_term, 0)) / 18.0 AS v
+      FROM n JOIN s ON n.event_type = s.event_type
+      LEFT JOIN ties t ON n.event_type = t.event_type
+    )
+    SELECT event_type, n_days, s_stat,
+           {sql_dround('v', 4)} AS var_s,
+           {sql_dround('''CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(v)
+                 WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(v)
+                 ELSE 0.0 END''', 4)} AS z,
+           CASE WHEN s_stat > 0
+                     AND (s_stat - 1) / sqrt(v) >= {_MK_Z} THEN 'increasing'
+                WHEN s_stat < 0
+                     AND (s_stat + 1) / sqrt(v) <= -{_MK_Z} THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM var_s
+    ORDER BY event_type
+    """,
+    section=_SEC,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event stream: S = sum of
+    sign(c_j - c_i) over all day pairs i<j, tie-corrected variance
+    Var(S) = [n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18, and the
+    continuity-corrected normal z — the nonparametric significance TEST
+    whose effect-size twin is ts_theil_sen's slope (the pair every
+    environmental/surveillance trend readout reports together: MK says
+    WHETHER the trend is real, Theil-Sen says HOW STEEP).
+
+    Determinism: S and the tie term are exact BIGINT pair/tie sums; the
+    z expression is one shared IEEE chain (division + sqrt are
+    correctly rounded) over exact integers, rounded once; the trend
+    verdict compares the UNROUNDED z against +/-{_MK_Z} identically on
+    both engines.
+
+    Scale: identical skeleton to ts_theil_sen — events collapse to
+    (type, day) first, the pair join is quadratic only in the day-count
+    (calendar-bounded), the tie rollup is |distinct counts|-sized."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.lit("1970-01-01")
+            )
+            .cast("int")
+            .alias("t"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()  # consumed by s / n / ties
+    )
+    a = daily.select(
+        "event_type", F.col("t").alias("ti"), F.col("c").alias("ci")
+    )
+    b = daily.select(
+        "event_type", F.col("t").alias("tj"), F.col("c").alias("cj")
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("tj") > F.col("ti"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("cj") > F.col("ci"), 1)
+                .when(F.col("cj") < F.col("ci"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count("*").cast("bigint").alias("tk"))
+        .filter(F.col("tk") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tk") * (F.col("tk") - 1) * (2 * F.col("tk") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    v = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    ) / 18.0
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(v))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(v))
+        .otherwise(0.0)
+    )
+    trend = (
+        F.when(
+            (F.col("s_stat") > 0) & ((F.col("s_stat") - 1) / F.sqrt(v) >= _MK_Z),
+            "increasing",
+        )
+        .when(
+            (F.col("s_stat") < 0)
+            & ((F.col("s_stat") + 1) / F.sqrt(v) <= -_MK_Z),
+            "decreasing",
+        )
+        .otherwise("none")
+    )
+    return (
+        n.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            dround(v, 4).alias("var_s"),
+            dround(z, 4).alias("z"),
+            trend.alias("trend"),
+        )
+        .orderBy("event_type")
+    )

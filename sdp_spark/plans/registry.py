@@ -130,8 +130,8 @@ _SWEEP_PRIORITY = (
     "agg_diagnostic_accuracy", "agg_cmh_stratified", "agg_moran_grid",
     "ts_theil_sen", "ts_holt_linear", "graph_label_propagation",
     "mm_patch_grid", "llm_keyword_rake",
-    "filter_fulltext_phrase", "query_spatial_hotspot",
-    # ^-- 21 carry-over + 23 new r9 keys = 44, inside the 50-key sweep
+    "filter_fulltext_phrase", "query_spatial_hotspot", "ts_mann_kendall",
+    # ^-- 21 carry-over + 24 new r9 keys = 45, inside the 50-key sweep
     #     budget: every key above earns its verdict this round.
     # --- r8-certified (newest-first re-prove order) ---
     "dq_benford", "llm_curriculum_order",

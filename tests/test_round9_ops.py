@@ -703,3 +703,57 @@ def test_spatial_hotspot_window_arithmetic(spark, sf_dir):
     for r in rows:
         assert r.obs > 0 and r.expected > 0
         assert abs(r.ratio - dr(r.obs / (r.expected))) <= 2e-4
+
+
+def test_mann_kendall_agrees_with_reference(spark, sf_dir):
+    """Recompute S, Var(S) and z per stream in pure python from the
+    daily counts and compare exactly at the rounding grid; the trend
+    verdict must match the z sign and magnitude."""
+    import math
+    from collections import Counter
+
+    from sdp_spark.operators.analytics import _MK_Z, ts_mann_kendall
+    from sdp_spark.sources.fixtures import table
+
+    def dr(x, n=4):
+        p = 10**n
+        return math.floor(x * p + 0.5) / p
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.d, r.c))
+    got = {r.event_type: r for r in ts_mann_kendall(spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        pts.sort()
+        cs = [c for _, c in pts]
+        n = len(cs)
+        s = sum(
+            (cs[j] > cs[i]) - (cs[j] < cs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(cs).values()
+            if t > 1
+        )
+        v = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        z = (s - 1) / math.sqrt(v) if s > 0 else (s + 1) / math.sqrt(v) if s < 0 else 0.0
+        r = got[et]
+        assert r.n_days == n and r.s_stat == s
+        assert r.var_s == dr(v) and r.z == dr(z)
+        want = (
+            "increasing"
+            if s > 0 and z >= _MK_Z
+            else "decreasing"
+            if s < 0 and z <= -_MK_Z
+            else "none"
+        )
+        assert r.trend == want
