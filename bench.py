@@ -100,6 +100,12 @@ EXTRA = [
     "agg_bootstrap_ci",             # 40x500 hash-addressed bootstrap (r8)
     "llm_rouge_overlap",            # blocked ROUGE-1 multiset overlap (r8)
     "ts_rt_ratio",                  # serial-interval Rt estimator (r8)
+    "graph_label_propagation",      # 3-round synchronous LPA (r9)
+    "llm_keyword_rake",             # degree/freq phrase scoring (r9)
+    "ts_theil_sen",                 # median-of-slopes robust trend (r9)
+    "query_spatial_hotspot",        # 3x3 obs/exp cell-window scan (r9)
+    "filter_fulltext_phrase",       # positional phrase match (r9)
+    "fulltext_query_expansion",     # two-pass blind feedback (r9)
 ]
 
 
