@@ -757,3 +757,95 @@ def test_mann_kendall_agrees_with_reference(spark, sf_dir):
             else "none"
         )
         assert r.trend == want
+
+
+def test_trend_estimators_vs_reference_random_series(spark, tmp_path):
+    """Seeded random series (3 shapes: up-trend, down-trend, flat+ties):
+    Theil-Sen slope, Mann-Kendall S/z/verdict and Holt level/trend all
+    recomputed in pure python and compared at the rounding grid."""
+    import math
+    import os
+    import random
+    from collections import Counter
+    from datetime import datetime
+
+    from sdp_spark.operators.analytics import (
+        _MK_Z,
+        ts_holt_linear,
+        ts_mann_kendall,
+        ts_theil_sen,
+    )
+
+    def dr(x, n=4):
+        p = 10**n
+        return math.floor(x * p + 0.5) / p
+
+    rng = random.Random(907)
+    n_days = 25
+    shapes = {
+        "click": [3 + 2 * t + rng.randrange(0, 3) for t in range(n_days)],
+        "error": [60 - 2 * t + rng.randrange(0, 3) for t in range(n_days)],
+        "view": [5 + (t % 2) for t in range(n_days)],  # flat, heavy ties
+    }
+    sf = str(tmp_path / "rand_series")
+    os.makedirs(sf)
+    rows = []
+    eid = 0
+    for et, counts in shapes.items():
+        for t, n in enumerate(counts):
+            for _ in range(n):
+                rows.append(
+                    (eid, datetime(2024, 3, t + 1, 12, 0, 0), 1, et, 1.0, "{}")
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+
+    # --- python references ---
+    def theil_sen(cs):
+        slopes = sorted(
+            (cs[j] - cs[i]) / (j - i)
+            for i in range(len(cs))
+            for j in range(i + 1, len(cs))
+        )
+        m = len(slopes)
+        if m % 2:
+            return slopes[m // 2]
+        return (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+
+    def mann_kendall(cs):
+        n = len(cs)
+        s = sum(
+            (cs[j] > cs[i]) - (cs[j] < cs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(cs).values() if t > 1)
+        v = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        z = (s - 1) / math.sqrt(v) if s > 0 else (s + 1) / math.sqrt(v) if s < 0 else 0.0
+        return s, z
+
+    def holt(cs):
+        level, trend = float(cs[0]), float(cs[1] - cs[0])
+        for t in range(1, len(cs)):
+            l_new = 0.3 * cs[t] + 0.7 * (level + trend)
+            trend = 0.2 * (l_new - level) + 0.8 * trend
+            level = l_new
+        return level, trend
+
+    got_ts = {r.event_type: r for r in ts_theil_sen(spark, sf).collect()}
+    got_mk = {r.event_type: r for r in ts_mann_kendall(spark, sf).collect()}
+    got_h = {r.event_type: r for r in ts_holt_linear(spark, sf).collect() if r.h == 1}
+    for et, cs in shapes.items():
+        assert got_ts[et].slope == dr(theil_sen(cs), 6), et
+        s, z = mann_kendall(cs)
+        assert got_mk[et].s_stat == s and got_mk[et].z == dr(z), et
+        lv, tr = holt(cs)
+        assert got_h[et].level == dr(lv) and got_h[et].trend == dr(tr), et
+    # directional sanity: the planted shapes must be classified correctly
+    assert got_mk["click"].trend == "increasing"
+    assert got_mk["error"].trend == "decreasing"
+    assert got_mk["view"].trend == "none"
+    assert got_ts["click"].slope > 0 > got_ts["error"].slope
