@@ -849,3 +849,63 @@ def test_trend_estimators_vs_reference_random_series(spark, tmp_path):
     assert got_mk["error"].trend == "decreasing"
     assert got_mk["view"].trend == "none"
     assert got_ts["click"].slope > 0 > got_ts["error"].slope
+
+
+def test_geo_nearest_is_true_neighborhood_argmin(spark, sf_dir):
+    """For a sample of assigned customers, recompute the 9-cell
+    candidate set and haversine argmin in pure python and compare the
+    winner + distance; n_candidates must match the candidate count."""
+    import math
+
+    from sdp_spark.functions.families import (
+        _GEO_EARTH_KM,
+        _GEO_NN_CELL,
+        join_geo_nearest,
+    )
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+    from sdp_spark.sources.fixtures import table
+
+    def pos(key, salt_lat=17, salt_lon=31):
+        la = (((key + salt_lat) * KNUTH) % KNUTH_MOD % 1200) / 10.0 - 60.0
+        lo = (((key + salt_lon) * KNUTH) % KNUTH_MOD % 3600) / 10.0 - 180.0
+        return la, lo
+
+    def hav(clat, clon, slat, slon):
+        f1, f2 = math.radians(clat), math.radians(slat)
+        dl = math.radians(slon - clon)
+        a = (
+            math.sin((f2 - f1) / 2) ** 2
+            + math.cos(f1) * math.cos(f2) * math.sin(dl / 2) ** 2
+        )
+        return 2 * _GEO_EARTH_KM * math.asin(math.sqrt(a))
+
+    def dr(x, n):
+        p = 10**n
+        return math.floor(x * p + 0.5) / p
+
+    sup = [
+        r.s_suppkey for r in table(spark, sf_dir, "supplier").collect()
+    ]
+    scells = {}
+    for k in sup:
+        la, lo = pos(k)
+        scells.setdefault(
+            (math.floor(lo / _GEO_NN_CELL), math.floor(la / _GEO_NN_CELL)), []
+        ).append((k, la, lo))
+    rows = join_geo_nearest(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:60]:
+        cla, clo = pos(r.c_custkey)
+        cx, cy = math.floor(clo / _GEO_NN_CELL), math.floor(cla / _GEO_NN_CELL)
+        cands = [
+            s
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for s in scells.get((cx + dx, cy + dy), [])
+        ]
+        assert len(cands) == r.n_candidates, r.c_custkey
+        best = min(
+            cands, key=lambda s: (dr(hav(cla, clo, s[1], s[2]), 4), s[0])
+        )
+        assert best[0] == r.nearest_suppkey, r.c_custkey
+        assert r.dist_km == dr(dr(hav(cla, clo, best[1], best[2]), 4), 2)
