@@ -1654,3 +1654,142 @@ def join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("w.dist4"), 2).alias("dist_km"),
         "n_candidates",
     ).orderBy("c_custkey")
+
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"  # geohash base32 (no a,i,l,o)
+_GH_BITS = 15  # bits per axis -> 30 bits -> 6 base32 chars
+_GH_SCALE = 1 << _GH_BITS
+
+
+def _gh_z_sql(lonx: str, latx: str) -> str:
+    """30-bit geohash integer: interleave 15 bits of each axis index,
+    longitude first at the MSB (the geohash bit convention). Same
+    FLOOR/%/x arithmetic as scans._z16_sql — one expression string
+    serves Spark and DuckDB."""
+    terms = []
+    for i in range(_GH_BITS):
+        b = _GH_BITS - 1 - i
+        terms.append(
+            f"(CAST(FLOOR({lonx} / {1 << b}) AS BIGINT) % 2)"
+            f" * {1 << (29 - 2 * i)}"
+        )
+        terms.append(
+            f"(CAST(FLOOR({latx} / {1 << b}) AS BIGINT) % 2)"
+            f" * {1 << (28 - 2 * i)}"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _gh_str_sql(z: str) -> str:
+    """6-char base32 rendering of a 30-bit geohash integer."""
+    chars = [
+        f"substr('{_GH32}', CAST(CAST(FLOOR({z} / {32 ** (5 - j)}) AS BIGINT)"
+        f" % 32 AS INTEGER) + 1, 1)"
+        for j in range(6)
+    ]
+    return "(" + " || ".join(chars) + ")"
+
+
+def _gh_unstr_sql(gh: str) -> str:
+    """Inverse of _gh_str_sql: parse the 6 chars back to the integer
+    (instr is 1-based in both engines; -1 recovers the digit)."""
+    terms = [
+        f"CAST((instr('{_GH32}', substr({gh}, {j + 1}, 1)) - 1) AS BIGINT)"
+        f" * {32 ** (5 - j)}"
+        for j in range(6)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "fn_geo_geohash",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {_geo_lat_sql('c_custkey', 17)} AS lat,
+             {_geo_lon_sql('c_custkey', 31)} AS lon
+      FROM customer WHERE c_custkey % 11 = 0
+    ), idx AS (
+      SELECT c_custkey, lat, lon,
+             CAST(FLOOR((lat + 90.0) / 180.0 * {_GH_SCALE}) AS BIGINT)
+               AS latx,
+             CAST(FLOOR((lon + 180.0) / 360.0 * {_GH_SCALE}) AS BIGINT)
+               AS lonx
+      FROM c
+    ), z AS (
+      SELECT c_custkey, lat, lon, latx, lonx,
+             {_gh_z_sql('lonx', 'latx')} AS zv
+      FROM idx
+    ), enc AS (
+      SELECT c_custkey, latx, lonx, zv,
+             {_gh_str_sql('zv')} AS geohash
+      FROM z
+    )
+    SELECT c_custkey, geohash,
+           {sql_dround(f'(latx + 0.5) / {_GH_SCALE} * 180.0 - 90.0', 4)}
+             AS cell_lat,
+           {sql_dround(f'(lonx + 0.5) / {_GH_SCALE} * 360.0 - 180.0', 4)}
+             AS cell_lon,
+           {_gh_unstr_sql('geohash')} = zv AS roundtrip_ok
+    FROM enc
+    ORDER BY c_custkey
+    """,
+    section=_SEC,
+)
+def fn_geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding — the standard public cell-key every spatial
+    system interoperates through (MySQL 8 ships ST_GeoHash; [ENGINE]
+    5.6 users compute it app-side): quantize lat/lon to 15-bit axis
+    indices, interleave to the 30-bit Morton value (longitude at the
+    MSB, the geohash convention — the same FLOOR/%/x bit arithmetic as
+    sink_zorder's clustering key), render 6 base32 characters, and
+    prove the text round trip by parsing the STRING back to the integer
+    (instr over the alphabet). 6 chars = +/-0.0027 degree cells; prefix
+    truncation gives every coarser level, which is what makes geohash
+    prefixes a drop-in bucketing key for the join_spatial_grid /
+    join_geo_nearest candidate joins at any resolution.
+
+    Determinism: quantization is FLOOR of one shared IEEE expression;
+    everything after is exact integer arithmetic and 1-based substr/
+    instr, identical in both engines — the whole operator is one shared
+    expression family, no engine-specific bit ops.
+
+    Scale: pure per-row projection, no exchange beyond the presentation
+    sort; the ~60-term interleave expression sits in one projection
+    over a sampled scan (and even interpreted-mode fallback would be
+    IO-dominated — this is a key-derivation column, not a hot fold)."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    lat = (
+        ((F.col("c_custkey") + 17) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1200
+    ) / 10.0 - 60.0
+    lon = (
+        ((F.col("c_custkey") + 31) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 3600
+    ) / 10.0 - 180.0
+    idx = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 11 == 0)
+        .select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+        .select(
+            "c_custkey",
+            F.expr(
+                f"CAST(FLOOR((lat + 90.0) / 180.0 * {_GH_SCALE}) AS BIGINT)"
+            ).alias("latx"),
+            F.expr(
+                f"CAST(FLOOR((lon + 180.0) / 360.0 * {_GH_SCALE}) AS BIGINT)"
+            ).alias("lonx"),
+        )
+    )
+    z = idx.withColumn("zv", F.expr(_gh_z_sql("lonx", "latx")))
+    enc = z.withColumn("geohash", F.expr(_gh_str_sql("zv")))
+    return enc.select(
+        "c_custkey",
+        "geohash",
+        dround(
+            (F.col("latx") + 0.5) / _GH_SCALE * 180.0 - 90.0, 4
+        ).alias("cell_lat"),
+        dround(
+            (F.col("lonx") + 0.5) / _GH_SCALE * 360.0 - 180.0, 4
+        ).alias("cell_lon"),
+        (F.expr(_gh_unstr_sql("geohash")) == F.col("zv")).alias("roundtrip_ok"),
+    ).orderBy("c_custkey")

@@ -131,8 +131,8 @@ _SWEEP_PRIORITY = (
     "ts_theil_sen", "ts_holt_linear", "graph_label_propagation",
     "mm_patch_grid", "llm_keyword_rake",
     "filter_fulltext_phrase", "query_spatial_hotspot", "ts_mann_kendall",
-    "join_geo_nearest",
-    # ^-- 21 carry-over + 25 new r9 keys = 46, inside the 50-key sweep
+    "join_geo_nearest", "fn_geo_geohash",
+    # ^-- 21 carry-over + 26 new r9 keys = 47, inside the 50-key sweep
     #     budget: every key above earns its verdict this round.
     # --- r8-certified (newest-first re-prove order) ---
     "dq_benford", "llm_curriculum_order",

@@ -909,3 +909,53 @@ def test_geo_nearest_is_true_neighborhood_argmin(spark, sf_dir):
         )
         assert best[0] == r.nearest_suppkey, r.c_custkey
         assert r.dist_km == dr(dr(hav(cla, clo, best[1], best[2]), 4), 2)
+
+
+def test_geohash_matches_canonical_algorithm(spark, sf_dir):
+    """The emitted geohash must equal the PUBLIC geohash algorithm's
+    output (canonical interval-bisection form, independently coded
+    here), char for char — proving interoperability, not just
+    self-consistency — and the text round trip must hold."""
+    from sdp_spark.functions.families import fn_geo_geohash
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def canonical(lat, lon, n_chars=6):
+        lat_lo, lat_hi = -90.0, 90.0
+        lon_lo, lon_hi = -180.0, 180.0
+        bits, out, even = 0, [], True
+        ch = 0
+        while len(out) < n_chars:
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if lon >= mid:
+                    ch = (ch << 1) | 1
+                    lon_lo = mid
+                else:
+                    ch <<= 1
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    ch = (ch << 1) | 1
+                    lat_lo = mid
+                else:
+                    ch <<= 1
+                    lat_hi = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(B32[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    rows = fn_geo_geohash(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        la = (((r.c_custkey + 17) * KNUTH) % KNUTH_MOD % 1200) / 10.0 - 60.0
+        lo = (((r.c_custkey + 31) * KNUTH) % KNUTH_MOD % 3600) / 10.0 - 180.0
+        assert r.geohash == canonical(la, lo), (r.c_custkey, la, lo)
+        assert r.roundtrip_ok
+        assert abs(r.cell_lat - la) <= 180.0 / 32768
+        assert abs(r.cell_lon - lo) <= 360.0 / 32768
