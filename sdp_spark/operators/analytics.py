@@ -3337,3 +3337,210 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Farrington seasonal-regression aberration detector — the SEVENTH (and in
+# practice most-deployed) classical surveillance detector
+# ---------------------------------------------------------------------------
+
+# Reference windows: for each scored day, the baseline days whose weekly
+# phase is within +-_FARR_W of the scored day's phase (circular) — the
+# day-of-week analogue of Farrington's "same period +- w weeks in previous
+# years" reference windows (the fixture spans 30 days; a production
+# deployment swaps period 7 for 365.25 and weeks for years — the algebra
+# is identical). 21 baseline days x 3 phases = 9 reference points per
+# scored day when the daily grid is dense.
+_FARR_EPOCH = "2024-01-01"
+_FARR_SPLIT_T = 21  # day index: t < 21 baseline (3 full weeks), t >= 21 scored
+_FARR_PERIOD = 7
+_FARR_W = 1         # phase window half-width (circular day-of-week distance)
+_FARR_Z = 2.0       # one-sided prediction-bound score
+_FARR_Z23 = repr(2.0 * _FARR_Z / 3.0)  # the 2/3-power transform's (2/3)*z
+
+_FARR_SNAP = "100000000"  # 1e-8 moment grid (repo DECIMAL convention)
+
+_FARR_SQL = f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS c,
+             date_diff('day', DATE '{_FARR_EPOCH}', date_trunc('day', ts)) AS t
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT s.event_type, s.t AS ts_, s.d AS ds, s.c AS cs,
+             r.t AS tr, r.c AS cr
+      FROM daily s JOIN daily r ON r.event_type = s.event_type
+      WHERE s.t >= {_FARR_SPLIT_T} AND r.t < {_FARR_SPLIT_T}
+        AND LEAST(ABS(s.t % {_FARR_PERIOD} - r.t % {_FARR_PERIOD}),
+                  {_FARR_PERIOD} - ABS(s.t % {_FARR_PERIOD}
+                                       - r.t % {_FARR_PERIOD})) <= {_FARR_W}
+    ), mom AS (
+      SELECT event_type, ts_, ds, cs,
+             CAST(COUNT(*) AS DOUBLE) AS nn,
+             CAST(SUM(tr) AS DOUBLE) AS st,
+             CAST(SUM(tr * tr) AS DOUBLE) AS stt,
+             CAST(SUM(CAST(FLOOR(cr * {_FARR_SNAP} + 0.5) / {_FARR_SNAP}
+                  AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(FLOOR(cr * tr * {_FARR_SNAP} + 0.5) / {_FARR_SNAP}
+                  AS DECIMAL(30,8))) AS DOUBLE) AS syt
+      FROM pairs GROUP BY 1, 2, 3, 4
+    ), coef AS (
+      SELECT *, (nn * syt - st * sy) / (nn * stt - st * st) AS b FROM mom
+    ), coef2 AS (
+      SELECT *, (sy - b * st) / nn AS a FROM coef
+    ), resid AS (
+      SELECT p.event_type, p.ts_,
+             GREATEST(CAST(SUM(CAST(FLOOR(
+               (p.cr - (k.a + k.b * p.tr)) * (p.cr - (k.a + k.b * p.tr))
+               / GREATEST(k.a + k.b * p.tr, 0.5)
+               * {_FARR_SNAP} + 0.5) / {_FARR_SNAP}
+               AS DECIMAL(30,8))) AS DOUBLE) / (COUNT(*) - 2.0), 1.0) AS phi
+      FROM pairs p JOIN coef2 k
+        ON k.event_type = p.event_type AND k.ts_ = p.ts_
+      GROUP BY 1, 2
+    ), fin AS (
+      SELECT k.event_type, k.ds, k.cs,
+             GREATEST(k.a + k.b * k.ts_, 0.5) AS muc, r.phi
+      FROM coef2 k JOIN resid r
+        ON r.event_type = k.event_type AND r.ts_ = k.ts_
+    ), fin2 AS (
+      SELECT *, 1.0 + {_FARR_Z23} * sqrt(phi / muc) AS g FROM fin
+    )
+    SELECT event_type, strftime(ds, '%Y-%m-%d') AS day,
+           CAST(cs AS BIGINT) AS n_events,
+           {sql_dround('muc', 4)} AS expected,
+           {sql_dround('phi', 4)} AS dispersion,
+           {sql_dround('muc * g * sqrt(g)', 4)} AS threshold,
+           cs > {sql_dround('muc * g * sqrt(g)', 4)} AS alert
+    FROM fin2
+"""
+
+
+def farrington_scored(daily: DataFrame) -> DataFrame:
+    """Farrington(-flexible) scoring over a (event_type, d, c) daily frame:
+    for each scored day, fit a LINEAR TREND by closed-form OLS over the
+    day's reference window (baseline days within +-w weekly phase,
+    Farrington's same-period-in-history windows), estimate overdispersion
+    phi from the Pearson residuals of that fit, and alert when the count
+    exceeds the 2/3-power-transformed upper prediction bound
+    U = mu * (1 + (2/3) * z * sqrt(phi/mu))^(3/2) (Farrington, Andrews,
+    Beale & Catchpole 1996, JRSS-A — the quasi-Poisson bound on the
+    variance-stabilizing y^(2/3) scale; the full GLM's IRLS collapses to
+    plain OLS here because the weights are constant under the identity
+    link on a short window, which is the 'Farrington flexible' noufaily
+    simplification in spirit).
+
+    Determinism: all OLS moments snap to the 1e-8 grid and sum as
+    DECIMAL (order-independent under any partitioning/AQE re-plan), the
+    coefficient/bound arithmetic is a single shared IEEE expression
+    chain (+ * - / sqrt only, shared decimal literals), x^(3/2) is
+    spelled x * sqrt(x) on both engines, and the alert compares the raw
+    integer count to the ROUNDED threshold (the repo's detector
+    convention). Expectation and Pearson denominators clamp at 0.5 so a
+    down-trending fit can never divide by <=0.
+
+    Scale: the daily rollup is the only data-scale pass; the scored x
+    reference pair frame is |types x 9 x scored-days| metadata, consumed
+    twice (moments, residuals) off one localCheckpoint. Shared by the
+    batch capstone and the streaming twin (stream == batch structural)."""
+    daily = daily.localCheckpoint()  # metadata-sized; consumed by 2 branches
+    dd = daily.withColumn(
+        "t",
+        F.datediff(F.col("d"), F.lit(_FARR_EPOCH).cast("date")).cast("bigint"),
+    )
+    base = dd.filter(F.col("t") < _FARR_SPLIT_T).select(
+        "event_type", F.col("t").alias("tr"), F.col("c").alias("cr")
+    )
+    scored = dd.filter(F.col("t") >= _FARR_SPLIT_T).select(
+        "event_type",
+        F.col("t").alias("ts_"),
+        F.col("d").alias("ds"),
+        F.col("c").alias("cs"),
+    )
+    pdist = F.abs(F.col("ts_") % _FARR_PERIOD - F.col("tr") % _FARR_PERIOD)
+    pairs = (
+        scored.join(F.broadcast(base), "event_type")
+        .filter(F.least(pdist, _FARR_PERIOD - pdist) <= _FARR_W)
+        .localCheckpoint()  # consumed by moments AND residuals
+    )
+
+    def snap(e):
+        return (F.floor(e * 100000000 + F.lit(0.5)) / 100000000).cast(DEC)
+
+    mom = pairs.groupBy("event_type", "ts_", "ds", "cs").agg(
+        F.count("*").cast("double").alias("nn"),
+        F.sum("tr").cast("double").alias("st"),
+        F.sum(F.col("tr") * F.col("tr")).cast("double").alias("stt"),
+        F.sum(snap(F.col("cr"))).cast("double").alias("sy"),
+        F.sum(snap(F.col("cr") * F.col("tr"))).cast("double").alias("syt"),
+    )
+    coef = mom.withColumn(
+        "b",
+        (F.col("nn") * F.col("syt") - F.col("st") * F.col("sy"))
+        / (F.col("nn") * F.col("stt") - F.col("st") * F.col("st")),
+    ).withColumn("a", (F.col("sy") - F.col("b") * F.col("st")) / F.col("nn"))
+
+    yh = F.col("a") + F.col("b") * F.col("tr")
+    resid = (
+        pairs.join(
+            F.broadcast(coef.select("event_type", "ts_", "a", "b")),
+            ["event_type", "ts_"],
+        )
+        .groupBy("event_type", "ts_")
+        .agg(
+            F.greatest(
+                F.sum(
+                    snap((F.col("cr") - yh) * (F.col("cr") - yh) / F.greatest(yh, F.lit(0.5)))
+                ).cast("double")
+                / (F.count("*") - F.lit(2.0)),
+                F.lit(1.0),
+            ).alias("phi")
+        )
+    )
+    fin = coef.join(F.broadcast(resid), ["event_type", "ts_"]).withColumn(
+        "muc", F.greatest(F.col("a") + F.col("b") * F.col("ts_"), F.lit(0.5))
+    )
+    g = F.lit(1.0) + F.lit(2.0 * _FARR_Z / 3.0) * F.sqrt(F.col("phi") / F.col("muc"))
+    fin = fin.withColumn("g", g)
+    thr = dround(F.col("muc") * F.col("g") * F.sqrt(F.col("g")), 4)
+    return fin.select(
+        "event_type",
+        F.date_format("ds", "yyyy-MM-dd").alias("day"),
+        F.col("cs").cast("bigint").alias("n_events"),
+        dround(F.col("muc"), 4).alias("expected"),
+        dround(F.col("phi"), 4).alias("dispersion"),
+        thr.alias("threshold"),
+        (F.col("cs") > thr).alias("alert"),
+    )
+
+
+@register(
+    "query_outbreak_farrington",
+    oracle=_FARR_SQL,
+    section=_SEC,
+)
+def query_outbreak_farrington(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farrington seasonal-regression aberration detection — the SEVENTH
+    classical surveillance detector and the standard at most national
+    surveillance agencies (it is what `surveillance::farrington` runs
+    weekly over hundreds of pathogen series). The six existing detectors
+    split the space: EARS/CUSUM/EWMA/histlimits compare against LEVEL
+    baselines, Serfling fits a global seasonal cycle. Farrington is the
+    per-day LOCAL regression: each scored day gets its own reference
+    window (same weekly phase +- w in the frozen baseline), its own
+    trend-adjusted expectation, and its own overdispersion estimate — so
+    it adapts to series whose trend AND dispersion drift, which is why
+    agencies run it over heterogeneous disease panels unattended.
+
+    Plan shape: identical to the other detector capstones — the
+    raw-events daily rollup is the only pass that scales with data;
+    pairing, moments, coefficients, dispersion and the prediction bound
+    are metadata-scale ops over |types x days| rows with every small
+    side broadcast. Scoring runs through `farrington_scored`, the SAME
+    core the streaming twin calls — stream == batch is structural, as
+    with the other six detector pairs."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("c"))
+    return farrington_scored(daily)

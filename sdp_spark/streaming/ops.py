@@ -1852,3 +1852,47 @@ def stream_serfling_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n_events", "expected", "threshold")
         .orderBy("event_type", "day")
     )
+
+
+from sdp_spark.operators.analytics import _FARR_SQL  # noqa: E402
+
+
+@register(
+    "stream_farrington_alerts",
+    oracle=f"""
+    SELECT event_type, day, n_events, expected, threshold
+    FROM ({_FARR_SQL}) t
+    WHERE alert
+    ORDER BY event_type, day
+    """,
+    section=_SEC,
+)
+def stream_farrington_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Farrington monitoring — the streaming twin of
+    `query_outbreak_farrington`, completing the SEVENTH detector pair.
+    Farrington is the pair agencies actually schedule: each scored day
+    re-derives its own reference-window regression and overdispersion,
+    so the live recurrence needs no global refit when a new day arrives
+    — exactly the incremental shape a micro-batch trigger wants. Same
+    two-stage split as the other six twins: the STREAM incrementally
+    maintains per-(type, day) counts — bounded state, one row per type x
+    day — and the `farrington_scored` core (the SAME function the batch
+    capstone calls, so stream == batch is structural) runs over the
+    materialized daily table after each trigger, emitting the days whose
+    count exceeds the trend-adjusted overdispersed prediction bound. At
+    100 TB/day the stream shuffles grouped day-states, never events;
+    per-day scoring is |types x days| metadata per trigger. The DuckDB
+    oracle pins the live alerts to the batch regression end-to-end."""
+    from sdp_spark.operators.analytics import farrington_scored
+
+    sdf = _events_stream(spark, sf_dir)
+    daily = sdf.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("c"))
+    snap = _run_to_memory(daily, "complete", "farrdaily")
+    return (
+        farrington_scored(snap)
+        .filter(F.col("alert"))
+        .select("event_type", "day", "n_events", "expected", "threshold")
+        .orderBy("event_type", "day")
+    )
