@@ -1793,3 +1793,76 @@ def fn_geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cell_lon"),
         (F.expr(_gh_unstr_sql("geohash")) == F.col("zv")).alias("roundtrip_ok"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# MMWR epidemiological calendar (CDC reporting weeks)
+# ---------------------------------------------------------------------------
+
+
+def epiweek_cols(d):
+    """MMWR epiweek/epiyear/week-ending columns for a DATE column `d`,
+    via the Wednesday rule: MMWR weeks run Sunday-Saturday, and week 1
+    of a year is the first week containing at least FOUR January days —
+    equivalently, a week belongs to the year its WEDNESDAY falls in, and
+    its week number is that Wednesday's day-of-year divided into 7-day
+    blocks. One formula covers every boundary case (including 53-week
+    MMWR years like 2008 and 2014) with no lookup table. Returns
+    (epiyear int, epiweek int, week_ending date) expressions — all pure
+    codegen date arithmetic, shared by fn_epiweek and any detector that
+    needs CDC-reportable week grids."""
+    sunday = F.date_sub(d, F.dayofweek(d) - 1)
+    wed = F.date_add(sunday, 3)
+    epiyear = F.year(wed).cast("int")
+    epiweek = (F.floor((F.dayofyear(wed) - 1) / 7) + 1).cast("int")
+    return epiyear, epiweek, F.date_add(sunday, 6)
+
+
+@register(
+    "fn_epiweek",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS od FROM orders
+    ), w AS (
+      SELECT od - CAST(dayofweek(od) AS INTEGER) AS sunday FROM d
+    ), x AS (
+      SELECT sunday, sunday + 3 AS wed FROM w
+    )
+    SELECT CAST(year(wed) AS INTEGER) AS epiyear,
+           CAST(FLOOR((dayofyear(wed) - 1) / 7) + 1 AS INTEGER) AS epiweek,
+           strftime(sunday + 6, '%Y-%m-%d') AS week_ending,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM x GROUP BY 1, 2, 3
+    """,
+    section=_SEC,
+)
+def fn_epiweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMWR epiweek calendar — the CDC surveillance reporting grid
+    (every notifiable-disease count the platform ingests or publishes is
+    keyed to MMWR week, not ISO week: MMWR weeks start SUNDAY and week 1
+    needs four January days, where ISO weeks start Monday and week 1
+    holds Jan 4 — the two disagree around most year boundaries, and
+    `fn_week_modes`' MySQL modes 0/3 cover neither). Implemented via the
+    Wednesday rule (`epiweek_cols`): a week belongs to the year its
+    Wednesday falls in; week number = that Wednesday's day-of-year in
+    7-day blocks. Pinned in tests against published MMWR boundary
+    literals (2014 week 53 spans 2014-12-28..2015-01-03; week 1 of 2015
+    starts 2015-01-04; 2008 is also a 53-week year).
+
+    The key rolls orders up to (epiyear, epiweek, week_ending) counts —
+    the exact weekly-report shape a surveillance dashboard serves. All
+    date arithmetic is row-level codegen; the one exchange is the
+    grouped count, keyed by ~52 x years values (no skew: the calendar
+    is uniform)."""
+    d = F.to_date("o_orderdate")
+    epiyear, epiweek, week_ending = epiweek_cols(d)
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            epiyear.alias("epiyear"),
+            epiweek.alias("epiweek"),
+            F.date_format(week_ending, "yyyy-MM-dd").alias("week_ending"),
+        )
+        .groupBy("epiyear", "epiweek", "week_ending")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )

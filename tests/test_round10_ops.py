@@ -94,6 +94,118 @@ def test_farrington_overdispersion_widens_bound(spark, tmp_path):
         assert noisy[day].threshold > calm[day].threshold
 
 
+# ---------------------------------------------------------------------------
+# MMWR epiweek calendar
+# ---------------------------------------------------------------------------
+
+
+def test_epiweek_published_mmwr_boundaries(spark):
+    """Pin the Wednesday rule against published MMWR calendar facts:
+    2014 was a 53-week MMWR year whose week 53 spanned 2014-12-28 ..
+    2015-01-03 (so 2015-01-01, a Thursday, belongs to 2014w53); MMWR
+    week 1 of 2015 began Sunday 2015-01-04; 2008 was also a 53-week
+    year (week 53 ended 2009-01-03); 1997-01-01 (a Wednesday) opened
+    week 1 of 1997 ending 1997-01-04; and 2016-01-02 (Saturday) closed
+    2015's week 52 while 2016-01-03 (Sunday) opened 2016 week 1."""
+    from sdp_spark.functions.families import epiweek_cols
+
+    cases = [
+        # (date, epiyear, epiweek, week_ending)
+        ("2014-12-28", 2014, 53, "2015-01-03"),
+        ("2015-01-01", 2014, 53, "2015-01-03"),
+        ("2015-01-03", 2014, 53, "2015-01-03"),
+        ("2015-01-04", 2015, 1, "2015-01-10"),
+        ("2008-12-31", 2008, 53, "2009-01-03"),
+        ("2009-01-04", 2009, 1, "2009-01-10"),
+        ("1997-01-01", 1997, 1, "1997-01-04"),
+        ("2016-01-02", 2015, 52, "2016-01-02"),
+        ("2016-01-03", 2016, 1, "2016-01-09"),
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(c[0],) for c in cases], "d string")
+    ey, ew, we = epiweek_cols(F.to_date("d"))
+    out = df.select(
+        "d",
+        ey.alias("ey"),
+        ew.alias("ew"),
+        F.date_format(we, "yyyy-MM-dd").alias("we"),
+    ).collect()
+    got = {r.d: (r.ey, r.ew, r.we) for r in out}
+    for d, y, w, e in cases:
+        assert got[d] == (y, w, e), (d, got[d], (y, w, e))
+
+
+def test_epiweek_grid_invariants(spark, sf_dir):
+    """Every MMWR week maps exactly 7 calendar days, epiweek is within
+    1..53, and the week_ending date is always a Saturday."""
+    import pyspark.sql.functions as F
+
+    from sdp_spark.functions.families import epiweek_cols
+
+    days = spark.createDataFrame(
+        [("1992-01-01",)], "start string"
+    ).select(
+        F.explode(
+            F.sequence(
+                F.to_date("start"),
+                F.to_date(F.lit("2002-12-31")),
+            )
+        ).alias("d")
+    )
+    ey, ew, we = epiweek_cols(F.col("d"))
+    g = (
+        days.select(ey.alias("ey"), ew.alias("ew"), we.alias("we"))
+        .groupBy("ey", "ew", "we")
+        .count()
+        .collect()
+    )
+    interior = [r for r in g if 1992 < r.ey < 2002]
+    assert interior and all(r["count"] == 7 for r in interior)
+    assert all(1 <= r.ew <= 53 for r in g)
+    import datetime as _dt
+
+    assert all(r.we.weekday() == 5 for r in g)  # Saturday
+
+
+def test_detector_on_epiweek_grid(spark):
+    """A surveillance detector re-expressed on the MMWR weekly grid:
+    three years of weekly counts (level 20), with the SAME epiweek in
+    the final year planted at 5x. A same-week-of-year historical-limits
+    score over the epiweek key must flag exactly the planted week —
+    the shape every CDC-reportable detector runs in production."""
+    import pyspark.sql.functions as F
+
+    from sdp_spark.functions.families import epiweek_cols
+
+    # daily events, 2012-01-01 .. 2014-12-27 (all full MMWR weeks)
+    days = spark.createDataFrame([("x",)], "k string").select(
+        F.explode(
+            F.sequence(F.to_date(F.lit("2012-01-01")), F.to_date(F.lit("2014-12-27")))
+        ).alias("d")
+    )
+    ey, ew, we = epiweek_cols(F.col("d"))
+    daily = days.select(
+        ey.alias("ey"), ew.alias("ew"), F.lit(3).alias("n")
+    ).withColumn(
+        "n",
+        F.when((F.col("ey") == 2014) & (F.col("ew") == 30), 15).otherwise(F.col("n")),
+    )
+    weekly = daily.groupBy("ey", "ew").agg(F.sum("n").alias("c"))
+    base = (
+        weekly.filter(F.col("ey") < 2014)
+        .groupBy("ew")
+        .agg(F.avg("c").alias("mu"), F.stddev_pop("c").alias("sd"))
+    )
+    scored = (
+        weekly.filter(F.col("ey") == 2014)
+        .join(base, "ew")
+        .withColumn("alert", F.col("c") > F.col("mu") + 3 * F.greatest("sd", F.lit(1.0)))
+    )
+    alerts = [r.ew for r in scored.collect() if r.alert]
+    assert alerts == [30]
+
+
 def test_farrington_stream_equals_batch(spark, sf_dir):
     from sdp_spark.operators.analytics import query_outbreak_farrington
     from sdp_spark.streaming.ops import stream_farrington_alerts
