@@ -3544,3 +3544,144 @@ def query_outbreak_farrington(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count("*").cast("double").alias("c"))
     return farrington_scored(daily)
+
+
+# ---------------------------------------------------------------------------
+# Reporting-delay nowcasting (the reporting triangle)
+# ---------------------------------------------------------------------------
+
+# Report date = event date + a deterministic per-event delay (0..7 days,
+# Knuth hash of event_id — the repo's derived-attribute idiom, as with the
+# customer geo coordinates). As-of date T truncates the stream: events
+# reported after T are invisible, which is exactly the right-truncation a
+# live surveillance system sees. Historical days older than the max delay
+# are COMPLETE and estimate the delay distribution.
+_NC_ASOF = "2024-01-28"
+_NC_DMAX = 8          # delays are 0..7 -> days aged >= 8 are complete
+_NC_SALT = 101
+
+_NC_SQL = f"""
+    WITH ev AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             ((event_id + {_NC_SALT}) * 2654435761) % 4294967296
+               % {_NC_DMAX} AS delay
+      FROM events
+    ), hist AS (
+      SELECT event_type, delay, COUNT(*) AS n
+      FROM ev WHERE d <= DATE '{_NC_ASOF}' - {_NC_DMAX}
+      GROUP BY 1, 2
+    ), cumd AS (
+      SELECT event_type, delay,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY delay) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    ), aged AS (
+      SELECT event_type, d, delay,
+             date_diff('day', d, DATE '{_NC_ASOF}') AS age
+      FROM ev
+      WHERE d > DATE '{_NC_ASOF}' - {_NC_DMAX} AND d <= DATE '{_NC_ASOF}'
+    ), scored AS (
+      SELECT event_type, d, age,
+             SUM(CASE WHEN delay <= age THEN 1 ELSE 0 END) AS n_reported,
+             COUNT(*) AS n_true
+      FROM aged GROUP BY 1, 2, 3
+    )
+    SELECT s.event_type, strftime(s.d, '%Y-%m-%d') AS day,
+           CAST(s.age AS INTEGER) AS age,
+           CAST(s.n_reported AS BIGINT) AS n_reported,
+           CAST(s.n_true AS BIGINT) AS n_true,
+           FLOOR(CAST(c.cum AS DOUBLE) / c.total * 10000 + 0.5) / 10000
+             AS completeness,
+           FLOOR(CAST(s.n_reported * c.total AS DOUBLE) / c.cum
+                 * 10000 + 0.5) / 10000 AS n_nowcast
+    FROM scored s
+    JOIN cumd c ON c.event_type = s.event_type AND c.delay = s.age
+"""
+
+
+@register(
+    "ts_nowcast_delay",
+    oracle=_NC_SQL,
+    section=_SEC,
+)
+def ts_nowcast_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting-delay nowcasting — the reporting-triangle completeness
+    correction every surveillance shop applies BEFORE running a detector
+    (Lawless 1994's multiplicative chain-ladder shape): recent days look
+    artificially low only because their reports haven't all arrived, and
+    feeding truncated counts to any aberration detector either masks a
+    real outbreak or (after it ends) fires on the artefactual 'drop'.
+    The fix: estimate the delay distribution F(a) = P(delay <= a) from
+    fully-observed historical days, then inflate each truncated day by
+    its cumulative completeness — nowcast(d) = reported(d) / F(age(d)).
+
+    Determinism: F and the nowcast are single IEEE divisions of exact
+    integer counts (the delay histogram and its running sum are pure
+    BIGINT), rounded once — no float accumulation anywhere, so the
+    correction is identical under any partitioning. n_true (the full
+    count, observable here because the fixture is complete) ships in the
+    output so the truncation error is directly auditable; the pytest
+    pins exact recovery when the delay process is stationary.
+
+    Scale: one pass over events builds both the historical delay
+    histogram (|types x delays| rows) and the truncated recent counts
+    (|types x Dmax| rows); the completeness join is a broadcast of the
+    tiny cumulative-distribution frame. Nothing downstream of the first
+    grouped exchange scales with data volume."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    e = table(spark, sf_dir, "events")
+    asof = F.lit(_NC_ASOF).cast("date")
+    ev = e.select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        (
+            ((F.col("event_id") + _NC_SALT) * F.lit(KNUTH))
+            % F.lit(KNUTH_MOD)
+            % _NC_DMAX
+        ).alias("delay"),
+    )
+    hist = (
+        ev.filter(F.col("d") <= F.date_sub(asof, _NC_DMAX))
+        .groupBy("event_type", "delay")
+        .agg(F.count("*").alias("n"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("delay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cumd = hist.select(
+        "event_type",
+        "delay",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wtot).alias("total"),
+    )
+    aged = ev.filter(
+        (F.col("d") > F.date_sub(asof, _NC_DMAX)) & (F.col("d") <= asof)
+    ).withColumn("age", F.datediff(asof, F.col("d")).cast("bigint"))
+    scored = aged.groupBy("event_type", "d", "age").agg(
+        F.sum(F.when(F.col("delay") <= F.col("age"), 1).otherwise(0)).alias(
+            "n_reported"
+        ),
+        F.count("*").alias("n_true"),
+    )
+    return scored.join(
+        F.broadcast(cumd),
+        (scored["event_type"] == cumd["event_type"])
+        & (cumd["delay"] == scored["age"]),
+    ).select(
+        scored["event_type"],
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("age").cast("int").alias("age"),
+        F.col("n_reported").cast("bigint").alias("n_reported"),
+        F.col("n_true").cast("bigint").alias("n_true"),
+        dround(F.col("cum").cast("double") / F.col("total"), 4).alias(
+            "completeness"
+        ),
+        dround(
+            (F.col("n_reported") * F.col("total")).cast("double") / F.col("cum"),
+            4,
+        ).alias("n_nowcast"),
+    )

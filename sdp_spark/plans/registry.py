@@ -98,6 +98,7 @@ def register(key: str, oracle: str | None = None, section: str = ""):
 _SWEEP_PRIORITY = (
     # --- new round-10 keys ---
     "query_outbreak_farrington", "stream_farrington_alerts", "fn_epiweek",
+    "ts_nowcast_delay",
     # --- r9 certification head — CLOSES the verification ladder: after
     #     this sweep every registry key holds a current driver verdict.
     #     First the 8 keys the r8 sweep's 50-key budget did not reach

@@ -95,6 +95,73 @@ def test_farrington_overdispersion_widens_bound(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Reporting-delay nowcast
+# ---------------------------------------------------------------------------
+
+
+def test_nowcast_recovers_true_counts_exactly(spark, tmp_path):
+    """Stationary delay process -> the completeness correction recovers
+    the full-stream counts EXACTLY: plant 8 events/day (one per delay
+    0..7, event_ids chosen so the hash delay hits every bucket once),
+    so F(a) = (a+1)/8 and nowcast = reported / F(age) = 8 on every
+    truncated day."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+    from sdp_spark.operators.analytics import _NC_SALT, ts_nowcast_delay
+
+    # bucket candidate ids by their hash delay
+    buckets: dict[int, list[int]] = {d: [] for d in range(8)}
+    i = 0
+    while any(len(v) < 30 for v in buckets.values()):
+        buckets[((i + _NC_SALT) * KNUTH) % KNUTH_MOD % 8].append(i)
+        i += 1
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for day in range(28):
+        d = base + dt.timedelta(days=day)
+        for delay in range(8):
+            rows.append(
+                (buckets[delay][day], d, 1, "report", 1.0, "{}")
+            )
+    sf = _write_events(spark, str(tmp_path / "nc"), rows)
+    out = ts_nowcast_delay(spark, sf).collect()
+    assert len(out) == 8  # days 2024-01-21 .. 2024-01-28
+    for r in out:
+        assert r.n_true == 8
+        assert r.n_reported == r.age + 1
+        assert r.completeness == pytest.approx((r.age + 1) / 8)
+        assert r.n_nowcast == pytest.approx(8.0)
+
+
+def test_nowcast_fixture_convergence(spark, sf_dir):
+    """On the real fixture (uniform hash delays) the correction must be
+    unbiased: completeness is monotone in age and the macro relative
+    error of the nowcast vs the known full count is far below the raw
+    truncation error it corrects."""
+    from sdp_spark.operators.analytics import ts_nowcast_delay
+
+    out = ts_nowcast_delay(spark, sf_dir).collect()
+    assert out
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.age)
+        comps = [r.completeness for r in rs]
+        assert comps == sorted(comps)
+    # per-day counts at sf0.001 are ~6 events (Poisson-noise-dominated);
+    # the honest accuracy claim is over the truncated WINDOW per type
+    errs_now, errs_raw = [], []
+    for rs in by_type.values():
+        st = sum(r.n_true for r in rs)
+        errs_now.append(abs(sum(r.n_nowcast for r in rs) - st) / st)
+        errs_raw.append(abs(sum(r.n_reported for r in rs) - st) / st)
+    err_now = sum(errs_now) / len(errs_now)
+    err_raw = sum(errs_raw) / len(errs_raw)
+    assert err_now < err_raw / 2
+    assert err_now < 0.25
+
+
+# ---------------------------------------------------------------------------
 # MMWR epiweek calendar
 # ---------------------------------------------------------------------------
 
