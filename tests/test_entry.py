@@ -68,23 +68,26 @@ def test_sweep_priority_matches_registry():
     }
     assert len(_SWEEP_PRIORITY) == len(set(_SWEEP_PRIORITY)), "duplicate keys"
     ordered = list(specs)
-    # Round-9 head — the ladder-closing sweep: every key WITHOUT a current
-    # driver verdict must lead. That is (a) keys never swept in r1-r8,
-    # (b) keys whose latest verdict predates their rows-only -> hash
-    # oracle promotion (latest sweep recorded err == 'no_oracle' but the
-    # registry now carries an oracle), and (c) the precautionary
-    # re-proofs of green keys whose code changed after certification.
-    # The whole head must fit the driver's ~50-key budget so this sweep
-    # leaves every registry key driver-certified.
+    # Round-10 head: (a) keys never swept in r1-r9, (b) keys whose latest
+    # verdict predates a rows-only -> hash oracle promotion, and (c) the
+    # precautionary re-proofs of green keys whose code/output changed
+    # after certification. Behind them, the sweep budget's remaining
+    # slots ROTATE the keys with the OLDEST driver verdicts (r9 VERDICT
+    # next-round #6: no verdict should age past ~6 rounds), so every
+    # budget slot either certifies something new or refreshes the
+    # stalest certification.
     import glob
     import json
     from pathlib import Path
 
     root = Path(__file__).parent.parent
     latest: dict[str, dict] = {}
-    for f in sorted(glob.glob(str(root / "CORRECTNESS_r0[1-8].json"))):
+    latest_round: dict[str, int] = {}
+    for f in sorted(glob.glob(str(root / "CORRECTNESS_r0[1-9].json"))):
+        rnd = int(f.rsplit("_r", 1)[1][:2])
         for k, v in json.load(open(f)).items():
             latest[k] = v
+            latest_round[k] = rnd
     never = {k for k in specs if k not in latest}
     stale_promoted = {
         k
@@ -94,17 +97,21 @@ def test_sweep_priority_matches_registry():
         and latest[k].get("err") == "no_oracle"
     }
     reproofs = {
-        "llm_quality_score",
-        "llm_hard_negatives",
-        "llm_boilerplate_ngrams",
+        "llm_ann_recall_eval",
+        "fulltext_query_expansion",
     }
     need = never | stale_promoted | reproofs
+    assert len(need) <= 50, f"{len(need) - 50} keys would miss the sweep"
     head = ordered[: len(need)]
     assert set(head) == need, {
         "missing_from_head": need - set(head),
         "wasted_slots": set(head) - need,
     }
-    assert len(need) <= 50, f"{len(need) - 50} keys would miss the sweep"
+    oldest = min(latest_round[k] for k in specs if k in latest_round)
+    rotation = ordered[len(need) : 50]
+    assert all(latest_round.get(k) == oldest for k in rotation), [
+        (k, latest_round.get(k)) for k in rotation if latest_round.get(k) != oldest
+    ]
 
 
 def test_catalog_in_sync():
