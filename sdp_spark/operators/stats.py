@@ -2163,3 +2163,303 @@ def query_spatial_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ratio").desc(), "cx", "cy")
         .limit(_HOT_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Kulldorff variable-window spatial scan statistic
+# ---------------------------------------------------------------------------
+
+# Candidate zones: square windows of Chebyshev radius 0/1/2 cells around
+# every occupied cell (1x1 / 3x3 / 5x5) — the variable-window ladder that
+# lets the scan localize BOTH a single hot cell and a spread cluster, which
+# the fixed 3x3 of query_spatial_hotspot cannot (its own docstring names
+# this upgrade). Kulldorff's circles become squares on the cell grid; the
+# likelihood machinery is unchanged.
+_KULL_RADII = (0, 1, 2)
+_KULL_OFFS = [
+    (dx, dy, max(abs(dx), abs(dy)))
+    for dx in range(-2, 3)
+    for dy in range(-2, 3)
+]
+_KULL_OFFS_SQL = ", ".join(f"({dx}, {dy}, {ch})" for dx, dy, ch in _KULL_OFFS)
+_KULL_REPS = 19  # conditional Monte-Carlo replicates -> p resolution 1/20
+_KULL_TOPK = 10
+
+# Shared LLR expression (spelled identically in Spark and DuckDB): the
+# Poisson scan-statistic log-likelihood ratio over exact integer obs (c),
+# zone size (k) and totals (C over n occupied cells), with expectation
+# e = C*k/n. Zero when the zone is not in excess (c <= e) and the
+# second term dropped when the zone holds ALL cases (C == c).
+def _kull_llr_sql(c: str, k: str, ctot: str, n: str) -> str:
+    e = f"(CAST({ctot} * {k} AS DOUBLE) / {n})"
+    return (
+        f"CASE WHEN {c} > {e} AND {ctot} > {c} THEN"
+        f" {c} * ln({c} / {e})"
+        f" + ({ctot} - {c}) * ln(({ctot} - {c}) / ({ctot} - {e}))"
+        f" WHEN {c} > {e} THEN {c} * ln({c} / {e})"
+        f" ELSE 0.0 END"
+    )
+
+
+def _kulldorff_oracle() -> str:
+    llr = _kull_llr_sql("z.obs", "z.k", "t.total", "t.n")
+    llr6 = sql_dround("llr_raw", 6)
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             ((((c_custkey + 17) * {KNUTH}) % {KNUTH_MOD}) % 1200) / 10.0
+               - 60.0 AS lat,
+             ((((c_custkey + 31) * {KNUTH}) % {KNUTH_MOD}) % 3600) / 10.0
+               - 180.0 AS lon
+      FROM customer
+    ), cells0 AS (
+      SELECT CAST(FLOOR(lon / 15.0) AS INTEGER) AS cx,
+             CAST(FLOOR(lat / 15.0) AS INTEGER) AS cy,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2
+    ), cells AS (
+      SELECT cx, cy, cnt,
+             (CAST(cx AS BIGINT) + 12) * 8 + (CAST(cy AS BIGINT) + 4) AS cid
+      FROM cells0
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM cells
+    ), vals AS (
+      SELECT cx, cy, ROW_NUMBER() OVER (ORDER BY cid) AS pos FROM cells
+    ), sim AS (
+      -- synthetic case i of replicate j lands in the hash-chosen cell:
+      -- the conditional multinomial null (total C fixed, uniform over
+      -- the n occupied cells), deterministic per (i, j)
+      SELECT r.j,
+             1 + ((s.i * {_KULL_REPS} + r.j) * {KNUTH}) % {KNUTH_MOD}
+                 % t.n AS pos
+      FROM tot t,
+           UNNEST(generate_series(1, t.total)) AS s(i),
+           range(1, {_KULL_REPS + 1}) r(j)
+    ), simc AS (
+      SELECT j, pos, CAST(COUNT(*) AS BIGINT) AS cnt FROM sim GROUP BY 1, 2
+    ), pcells AS (
+      -- j = 0: observed counts; j >= 1: simulated counts on the FIXED
+      -- zone geometry (zero-case cells stay, with cnt 0)
+      SELECT 0 AS j, cx, cy, cnt FROM cells
+      UNION ALL
+      SELECT r.j, v.cx, v.cy, COALESCE(s.cnt, 0) AS cnt
+      FROM vals v
+      CROSS JOIN range(1, {_KULL_REPS + 1}) r(j)
+      LEFT JOIN simc s ON s.j = r.j AND s.pos = v.pos
+    ), wins AS (
+      SELECT a.j, a.cx, a.cy, o.ch,
+             CAST(COUNT(*) AS BIGINT) AS kk, CAST(SUM(b.cnt) AS BIGINT) AS oo
+      FROM pcells a
+      JOIN (VALUES {_KULL_OFFS_SQL}) o(dx, dy, ch) ON TRUE
+      JOIN pcells b ON b.j = a.j AND b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+      GROUP BY 1, 2, 3, 4
+    ), zones AS (
+      SELECT j, cx, cy, rr.r,
+             SUM(CASE WHEN ch <= rr.r THEN kk ELSE 0 END) AS k,
+             SUM(CASE WHEN ch <= rr.r THEN oo ELSE 0 END) AS obs
+      FROM wins CROSS JOIN (VALUES (0), (1), (2)) rr(r)
+      GROUP BY 1, 2, 3, 4
+    ), scoredz AS (
+      SELECT z.j, z.cx, z.cy, z.r,
+             CAST(z.k AS BIGINT) AS k, CAST(z.obs AS BIGINT) AS obs,
+             {sql_dround('CAST(t.total * z.k AS DOUBLE) / t.n', 4)}
+               AS expected,
+             {llr} AS llr_raw
+      FROM zones z CROSS JOIN tot t
+    ), repmax AS (
+      SELECT j, MAX({llr6}) AS m6 FROM scoredz WHERE j >= 1 GROUP BY j
+    ), obsz AS (
+      SELECT cx, cy, r, k, obs, expected, llr_raw, {llr6} AS llr6
+      FROM scoredz WHERE j = 0
+    )
+    SELECT o.cx, o.cy, CAST(o.r AS INTEGER) AS r, o.k, o.obs, o.expected,
+           {sql_dround('o.llr_raw', 4)} AS llr,
+           {sql_dround(
+               f'(1.0 + SUM(CASE WHEN m.m6 >= o.llr6 THEN 1 ELSE 0 END))'
+               f' / {_KULL_REPS + 1}.0', 4)} AS p_value
+    FROM obsz o CROSS JOIN repmax m
+    GROUP BY o.cx, o.cy, o.r, o.k, o.obs, o.expected, o.llr_raw, o.llr6
+    ORDER BY {sql_dround('o.llr_raw', 4)} DESC, o.cx, o.cy, o.r
+    LIMIT {_KULL_TOPK}
+    """
+
+
+@register(
+    "query_spatial_scan_kulldorff",
+    oracle=_kulldorff_oracle(),
+    section=_SEC,
+)
+def query_spatial_scan_kulldorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kulldorff spatial scan statistic (Kulldorff 1997) with VARIABLE
+    window sizes — the upgrade `query_spatial_hotspot`'s docstring names:
+    the fixed 3x3 obs/exp scan smears a single-cell cluster across nine
+    windows and under-scores a spread one, while the scan ladder (1x1 /
+    3x3 / 5x5 Chebyshev windows around every occupied cell) scores each
+    candidate zone by the Poisson log-likelihood ratio
+    LLR = c*ln(c/e) + (C-c)*ln((C-c)/(C-e)) for zones in excess — the
+    likelihood-ratio ordering is NOT monotone in obs/exp across different
+    window sizes, which is exactly why Kulldorff ranks by LLR.
+
+    Significance is Kulldorff's conditional Monte-Carlo: each replicate
+    redistributes the C cases MULTINOMIALLY over the n occupied cells
+    (total fixed, uniform null — matching e = C*k/n) on the FIXED zone
+    geometry, recomputes the max zone LLR, and p(zone) =
+    (1 + #{replicates whose max >= zone's LLR}) / (R+1) — secondary
+    zones compare against the same max-distribution, as in SaTScan
+    practice. (Permuting cell COUNTS would be wrong here: an extreme
+    count stays extreme under permutation, so a genuine cluster would
+    get p = 1 — the planted-cluster pytest guards this.) Replicates are
+    DETERMINISTIC hash-addressed draws (the agg_bootstrap_ci idiom):
+    case i of replicate j lands in cell rank ((i*R + j)*KNUTH) % 2^32
+    % n, so every engine and partitioning replays the identical
+    simulation set.
+
+    Determinism: counts/zone sizes/totals are exact BIGINTs; LLR is one
+    shared IEEE expression chain (ln agrees across engines on these
+    arguments — the dq_benford/agg_entropy precedent), snapped to the
+    1e-6 grid before any >= comparison and to 1e-4 for output; every
+    ranking carries a unique (cx, cy, r) tiebreak.
+
+    Scale: points collapse to resolution-bounded cells in the ONE
+    data-scale pass (same skeleton as agg_moran_grid); the permutation
+    frame is |cells| x (R+1) rows, the window join fans out 25 offsets
+    on the tiny cell frame, and the top-k is TakeOrderedAndProject. At
+    100 TB only the first grouped exchange grows; everything downstream
+    is O(cells * R), independent of data volume."""
+    c = table(spark, sf_dir, "customer")
+    lat = (
+        ((F.col("c_custkey") + 17) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1200
+    ) / 10.0 - 60.0
+    lon = (
+        ((F.col("c_custkey") + 31) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 3600
+    ) / 10.0 - 180.0
+    cells = (
+        c.select(
+            F.floor(lon / 15.0).cast("int").alias("cx"),
+            F.floor(lat / 15.0).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn(
+            "cid",
+            (F.col("cx").cast("bigint") + 12) * 8
+            + (F.col("cy").cast("bigint") + 4),
+        )
+        .localCheckpoint()  # tiny; consumed by tot, perm, vals
+    )
+    tot = cells.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("total"),
+    )
+    reps = spark.range(1, _KULL_REPS + 1).select(F.col("id").cast("bigint").alias("j"))
+    vals = cells.select(
+        "cx", "cy", F.row_number().over(Window.orderBy("cid")).alias("pos")
+    )
+    # conditional multinomial null: case i of replicate j -> cell rank
+    # ((i*R + j) * KNUTH) % 2^32 % n, deterministic on every engine
+    sim = (
+        tot.select(
+            "n", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("total"))).alias("i")
+        )
+        .crossJoin(F.broadcast(reps))
+        .select(
+            "j",
+            (
+                F.lit(1)
+                + ((F.col("i") * _KULL_REPS + F.col("j")) * F.lit(KNUTH))
+                % F.lit(KNUTH_MOD)
+                % F.col("n")
+            ).alias("pos"),
+        )
+    )
+    simc = sim.groupBy("j", "pos").agg(F.count("*").cast("bigint").alias("cnt"))
+    pcells = (
+        cells.select(F.lit(0).cast("bigint").alias("j"), "cx", "cy", "cnt")
+        .unionByName(
+            vals.crossJoin(F.broadcast(reps))
+            .join(simc, ["j", "pos"], "left")
+            .select(
+                "j", "cx", "cy", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt")
+            )
+        )
+        .localCheckpoint()  # both sides of the window self-join
+    )
+
+    offs = spark.createDataFrame(_KULL_OFFS, "dx int, dy int, ch int")
+    a = pcells.select(
+        F.col("j").alias("aj"), F.col("cx").alias("acx"), F.col("cy").alias("acy")
+    )
+    wins = (
+        a.crossJoin(F.broadcast(offs))
+        .join(
+            pcells,
+            (F.col("j") == F.col("aj"))
+            & (F.col("cx") == F.col("acx") + F.col("dx"))
+            & (F.col("cy") == F.col("acy") + F.col("dy")),
+        )
+        .groupBy("aj", "acx", "acy", "ch")
+        .agg(
+            F.count("*").cast("bigint").alias("kk"),
+            F.sum("cnt").cast("bigint").alias("oo"),
+        )
+    )
+    radii = spark.createDataFrame([(r,) for r in _KULL_RADII], "r int")
+    zones = (
+        wins.crossJoin(F.broadcast(radii))
+        .groupBy(
+            F.col("aj").alias("j"),
+            F.col("acx").alias("cx"),
+            F.col("acy").alias("cy"),
+            "r",
+        )
+        .agg(
+            F.sum(F.when(F.col("ch") <= F.col("r"), F.col("kk")).otherwise(0))
+            .cast("bigint")
+            .alias("k"),
+            F.sum(F.when(F.col("ch") <= F.col("r"), F.col("oo")).otherwise(0))
+            .cast("bigint")
+            .alias("obs"),
+        )
+    )
+    scoredz = zones.crossJoin(F.broadcast(tot)).withColumn(
+        "llr_raw",
+        F.expr(_kull_llr_sql("obs", "k", "total", "n")),
+    ).withColumn("expected", dround((F.col("total") * F.col("k")).cast("double") / F.col("n"), 4))
+    scoredz = scoredz.localCheckpoint()  # obs zones + replicate maxima
+    repmax = (
+        scoredz.filter(F.col("j") >= 1)
+        .groupBy("j")
+        .agg(F.max(dround(F.col("llr_raw"), 6)).alias("m6"))
+    )
+    obsz = scoredz.filter(F.col("j") == 0).withColumn(
+        "llr6", dround(F.col("llr_raw"), 6)
+    )
+    return (
+        obsz.crossJoin(F.broadcast(repmax))
+        .groupBy("cx", "cy", "r", "k", "obs", "expected", "llr_raw", "llr6")
+        .agg(
+            dround(
+                (
+                    F.lit(1.0)
+                    + F.sum(
+                        F.when(F.col("m6") >= F.col("llr6"), 1).otherwise(0)
+                    )
+                )
+                / F.lit(float(_KULL_REPS + 1)),
+                4,
+            ).alias("p_value")
+        )
+        .select(
+            "cx",
+            "cy",
+            F.col("r").cast("int").alias("r"),
+            "k",
+            "obs",
+            "expected",
+            dround(F.col("llr_raw"), 4).alias("llr"),
+            "p_value",
+        )
+        .orderBy(F.col("llr").desc(), "cx", "cy", "r")
+        .limit(_KULL_TOPK)
+    )

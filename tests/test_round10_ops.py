@@ -95,6 +95,91 @@ def test_farrington_overdispersion_widens_bound(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Kulldorff spatial scan
+# ---------------------------------------------------------------------------
+
+
+def _cell_id_pools(max_ids: int = 400_000) -> dict[tuple[int, int], list[int]]:
+    """Map grid cell -> candidate c_custkeys landing there. The lat and
+    lon hashes share the Knuth multiplier (constant offset), so (lat,
+    lon) pairs lie on a 1-D lattice and only ~100 cells are REACHABLE —
+    the tests must plant clusters on reachable cells."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    pools: dict[tuple[int, int], list[int]] = {}
+    for i in range(1, max_ids):
+        lat = ((i + 17) * KNUTH) % KNUTH_MOD % 1200 / 10.0 - 60.0
+        lon = ((i + 31) * KNUTH) % KNUTH_MOD % 3600 / 10.0 - 180.0
+        pools.setdefault((int(lon // 15), int(lat // 15)), []).append(i)
+    return pools
+
+
+def _run_kulldorff(spark, tmp_path, name, need):
+    import pandas as pd
+
+    from sdp_spark.operators.stats import query_spatial_scan_kulldorff
+
+    pools = _cell_id_pools()
+    keys = []
+    for cell, n in need.items():
+        assert len(pools.get(cell, [])) >= n, (cell, n)
+        keys.extend(pools[cell][:n])
+    sf = str(tmp_path / name)
+    os.makedirs(sf)
+    pd.DataFrame({"c_custkey": keys}).to_parquet(f"{sf}/customer.parquet")
+    return query_spatial_scan_kulldorff(spark, sf).collect()
+
+
+def _cheb(a, b):
+    return max(abs(a[0] - b[0]), abs(a[1] - b[1]))
+
+
+def test_kulldorff_localizes_single_cell_cluster(spark, tmp_path):
+    """Uniform background (2 points in each of 40 reachable cells) + one
+    hot cell at +30: the top zone must be that single cell at RADIUS 0
+    with the smallest attainable p (1/20) — the fixed 3x3 scan smears
+    the same cluster across nine windows."""
+    cells = sorted(_cell_id_pools().keys())
+    hot = cells[0]
+    need = {c: 2 for c in cells[:40]}
+    need[hot] = 32
+    out = _run_kulldorff(spark, tmp_path, "kull1", need)
+    top = out[0]
+    assert (top.cx, top.cy, top.r) == (hot[0], hot[1], 0), top
+    assert (top.obs, top.k) == (32, 1)
+    assert top.p_value == pytest.approx(1 / 20)
+    assert all(r.llr <= top.llr for r in out[1:])
+
+
+def test_kulldorff_prefers_wide_zone_for_spread_cluster(spark, tmp_path):
+    """A SPREAD cluster (every reachable cell within Chebyshev radius 2
+    of a chosen center elevated to 8 points) over a distant background:
+    the top zone must be a radius-2 window capturing the WHOLE cluster
+    and nothing else — the variable window the 3x3 scan lacks."""
+    pools = _cell_id_pools()
+    cells = sorted(pools.keys())
+    # center with the most reachable neighbors within cheb <= 2,
+    # requiring one at cheb exactly 2 so radius 2 is genuinely needed
+    best, elev = None, []
+    for c in cells:
+        near = [d for d in cells if _cheb(c, d) <= 2 and len(pools[d]) >= 8]
+        if len(pools[c]) >= 8 and any(_cheb(c, d) == 2 for d in near):
+            if len(near) > len(elev):
+                best, elev = c, near
+    assert best is not None and len(elev) >= 3, (best, elev)
+    background = [d for d in cells if all(_cheb(d, e) >= 3 for e in elev)][:40]
+    assert len(background) >= 20
+    need = {d: 2 for d in background}
+    for d in elev:
+        need[d] = 8
+    out = _run_kulldorff(spark, tmp_path, "kull2", need)
+    top = out[0]
+    assert top.r == 2, top
+    assert (top.obs, top.k) == (8 * len(elev), len(elev)), (top, len(elev))
+    assert top.p_value == pytest.approx(1 / 20)
+
+
+# ---------------------------------------------------------------------------
 # Reporting-delay nowcast
 # ---------------------------------------------------------------------------
 
