@@ -1866,3 +1866,212 @@ def fn_epiweek(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("epiyear", "epiweek", "week_ending")
         .agg(F.count("*").cast("bigint").alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# WKT LINESTRING / POLYGON + rectangle-polygon ST_Intersects arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _rect_poly_intersects_sql(poly) -> str:
+    """Exact rectangle-x-polygon ST_Intersects predicate over rect columns
+    (x0, x1, y0, y1), generated once and evaluated VERBATIM by both Spark
+    (F.expr) and DuckDB — a literally identical expression chain. A rect
+    and a polygon intersect iff (a) a rect corner lies in the polygon,
+    (b) a polygon vertex lies in the rect, or (c) a polygon edge crosses
+    one of the 4 rect boundary segments; (a) covers rect-inside-poly,
+    (b) poly-inside-rect, (c) boundary crossings with no vertex
+    containment. Vertical polygon edges make the crossing ordinate a
+    division by zero — IEEE Inf in both engines, and the strict
+    (e1 > X) != (e2 > X) clause is already false there, so the term is
+    false without needing short-circuit evaluation. bbox prefilter ANDed
+    in front (necessary condition), so most candidates exit cheaply."""
+    bx0, bx1, by0, by1 = _poly_bbox(poly)
+    v = list(poly)
+    edges = [(v[i], v[(i + 1) % len(v)]) for i in range(len(v))]
+    corner_in_poly = [
+        f"({_pip_sql(cx, cy, poly)})"
+        for cx, cy in (("x0", "y0"), ("x1", "y0"), ("x1", "y1"), ("x0", "y1"))
+    ]
+    vertex_in_rect = [
+        f"({vx} BETWEEN x0 AND x1 AND {vy} BETWEEN y0 AND y1)" for vx, vy in v
+    ]
+    crossings = []
+    for (ex1, ey1), (ex2, ey2) in edges:
+        for xline in ("x0", "x1"):
+            crossings.append(
+                f"((({ex1}) > {xline}) != (({ex2}) > {xline})"
+                f" AND ({ey1}) + (({ey2}) - ({ey1})) * ({xline} - ({ex1}))"
+                f" / (({ex2}) - ({ex1})) BETWEEN y0 AND y1)"
+            )
+        for yline in ("y0", "y1"):
+            crossings.append(
+                f"((({ey1}) > {yline}) != (({ey2}) > {yline})"
+                f" AND ({ex1}) + (({ex2}) - ({ex1})) * ({yline} - ({ey1}))"
+                f" / (({ey2}) - ({ey1})) BETWEEN x0 AND x1)"
+            )
+    body = " OR ".join(corner_in_poly + vertex_in_rect + crossings)
+    return (
+        f"(x0 <= {bx1} AND x1 >= {bx0} AND y0 <= {by1} AND y1 >= {by0}"
+        f" AND ({body}))"
+    )
+
+
+# second/third hashed vertices for the shape round trip (salts differ so
+# the three points are uncorrelated... within the 1-D lattice the shared
+# multiplier allows)
+_WKT_SALTS = ((17, 31), (43, 59), (71, 83))
+
+
+def _wkt_shape_points_sql() -> list[tuple[str, str]]:
+    return [
+        (_geo_lon_sql("c_custkey", sx), _geo_lat_sql("c_custkey", sy))
+        for sy, sx in _WKT_SALTS
+    ]
+
+
+@register(
+    "fn_geo_wkt_shapes",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {", ".join(
+                 f"{_geo_lon_sql('c_custkey', sx)} AS lon{i},"
+                 f" {_geo_lat_sql('c_custkey', sy)} AS lat{i}"
+                 for i, (sy, sx) in enumerate(_WKT_SALTS))}
+      FROM customer WHERE c_custkey % 13 = 0
+    ), w AS (
+      SELECT c_custkey,
+             'LINESTRING(' ||
+               printf('%.1f %.1f', lon0, lat0) || ', ' ||
+               printf('%.1f %.1f', lon1, lat1) || ', ' ||
+               printf('%.1f %.1f', lon2, lat2) || ')' AS ls_wkt,
+             'POLYGON((' ||
+               printf('%.1f %.1f', lon0, lat0) || ', ' ||
+               printf('%.1f %.1f', lon1, lat1) || ', ' ||
+               printf('%.1f %.1f', lon2, lat2) || ', ' ||
+               printf('%.1f %.1f', lon0, lat0) || '))' AS poly_wkt
+      FROM c
+    ), p AS (
+      SELECT c_custkey, ls_wkt, poly_wkt,
+             string_split(regexp_extract(ls_wkt,
+               'LINESTRING\\((.*)\\)', 1), ', ') AS ls_toks,
+             string_split(regexp_extract(poly_wkt,
+               'POLYGON\\(\\((.*)\\)\\)', 1), ', ') AS poly_toks
+      FROM w
+    )
+    SELECT c_custkey, ls_wkt, poly_wkt,
+           CAST(len(ls_toks) AS INTEGER) AS ls_npoints,
+           ls_toks[1] = ls_toks[len(ls_toks)] AS ls_ring_closed,
+           poly_toks[1] = poly_toks[len(poly_toks)] AS poly_ring_closed,
+           'LINESTRING(' || array_to_string(list_transform(ls_toks,
+               t -> printf('%.1f %.1f',
+                           CAST(string_split(t, ' ')[1] AS DOUBLE),
+                           CAST(string_split(t, ' ')[2] AS DOUBLE))),
+             ', ') || ')' = ls_wkt AS ls_roundtrip_ok,
+           'POLYGON((' || array_to_string(list_transform(poly_toks,
+               t -> printf('%.1f %.1f',
+                           CAST(string_split(t, ' ')[1] AS DOUBLE),
+                           CAST(string_split(t, ' ')[2] AS DOUBLE))),
+             ', ') || '))' = poly_wkt AS poly_roundtrip_ok
+    FROM p
+    """,
+    section=_SEC,
+)
+def fn_geo_wkt_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT LINESTRING / POLYGON text I/O — completes `fn_geo_wkt`'s
+    POINT-only coverage of the [ENGINE] 5.6 GEOMETRY interchange surface
+    (ST_AsText / ST_GeomFromText over multi-vertex shapes): serialize a
+    3-vertex linestring and its closed 4-vertex ring with pinned %.1f
+    rendering, parse the coordinate lists back (regex body extract +
+    delimiter splits + double casts), then PROVE the round trip by
+    re-serializing the parsed doubles and comparing strings, plus the
+    structural checks a geometry validator runs (vertex count, POLYGON
+    ring closure, LINESTRING non-closure).
+
+    Plan: pure codegen string/regex/array expressions over one
+    projection — zero exchanges, no UDF; the parsed coordinate arrays
+    are what the cell/bbox machinery (join_polygon_intersects) consumes
+    at scale. The oracle replays the identical parse with DuckDB list
+    functions; 1-based list indexing there vs element_at here, same
+    semantics."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    pts = [
+        (
+            (
+                ((F.col("c_custkey") + sx) * F.lit(KNUTH))
+                % F.lit(KNUTH_MOD)
+                % 3600
+            )
+            / 10.0
+            - 180.0,
+            (
+                ((F.col("c_custkey") + sy) * F.lit(KNUTH))
+                % F.lit(KNUTH_MOD)
+                % 1200
+            )
+            / 10.0
+            - 60.0,
+        )
+        for sy, sx in _WKT_SALTS
+    ]
+    fmt = lambda lon, lat: F.format_string("%.1f %.1f", lon, lat)  # noqa: E731
+    ls_wkt = F.concat(
+        F.lit("LINESTRING("),
+        fmt(*pts[0]), F.lit(", "), fmt(*pts[1]), F.lit(", "), fmt(*pts[2]),
+        F.lit(")"),
+    )
+    poly_wkt = F.concat(
+        F.lit("POLYGON(("),
+        fmt(*pts[0]), F.lit(", "), fmt(*pts[1]), F.lit(", "), fmt(*pts[2]),
+        F.lit(", "), fmt(*pts[0]),
+        F.lit("))"),
+    )
+    w = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 13 == 0)
+        .select("c_custkey", ls_wkt.alias("ls_wkt"), poly_wkt.alias("poly_wkt"))
+        .withColumn(
+            "ls_toks",
+            F.split(F.regexp_extract("ls_wkt", r"LINESTRING\((.*)\)", 1), ", "),
+        )
+        .withColumn(
+            "poly_toks",
+            F.split(
+                F.regexp_extract("poly_wkt", r"POLYGON\(\((.*)\)\)", 1), ", "
+            ),
+        )
+    )
+    reser = lambda toks: F.array_join(  # noqa: E731
+        F.transform(
+            toks,
+            lambda t: F.format_string(
+                "%.1f %.1f",
+                F.split(t, " ")[0].cast("double"),
+                F.split(t, " ")[1].cast("double"),
+            ),
+        ),
+        ", ",
+    )
+    return w.select(
+        "c_custkey",
+        "ls_wkt",
+        "poly_wkt",
+        F.size("ls_toks").alias("ls_npoints"),
+        (
+            F.col("ls_toks")[0] == F.element_at("ls_toks", F.size("ls_toks"))
+        ).alias("ls_ring_closed"),
+        (
+            F.col("poly_toks")[0]
+            == F.element_at("poly_toks", F.size("poly_toks"))
+        ).alias("poly_ring_closed"),
+        (
+            F.concat(F.lit("LINESTRING("), reser(F.col("ls_toks")), F.lit(")"))
+            == F.col("ls_wkt")
+        ).alias("ls_roundtrip_ok"),
+        (
+            F.concat(F.lit("POLYGON(("), reser(F.col("poly_toks")), F.lit("))"))
+            == F.col("poly_wkt")
+        ).alias("poly_roundtrip_ok"),
+    )

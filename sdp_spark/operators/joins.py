@@ -1187,3 +1187,126 @@ def join_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "poly_id")
         .orderBy("c_custkey", "poly_id")
     )
+
+
+def _polygon_intersects_oracle() -> str:
+    from sdp_spark.functions.families import (
+        _GEO_POLY_SET,
+        _geo_lat_sql,
+        _geo_lon_sql,
+        _rect_poly_intersects_sql,
+    )
+
+    arms = [
+        f"SELECT c_custkey, {pid} AS poly_id FROM rects"
+        f" WHERE {_rect_poly_intersects_sql(poly)}"
+        for pid, poly in sorted(_GEO_POLY_SET.items())
+    ]
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             {_geo_lat_sql('c_custkey', 17)} AS lat,
+             {_geo_lon_sql('c_custkey', 31)} AS lon
+      FROM customer WHERE c_custkey % 5 = 0
+    ), rects AS (
+      SELECT c_custkey, lon - 3.0 AS x0, lon + 3.0 AS x1,
+             lat - 3.0 AS y0, lat + 3.0 AS y1
+      FROM pts
+    )
+    {" UNION ALL ".join(arms)}
+    ORDER BY c_custkey, poly_id
+    """
+
+
+@register(
+    "join_polygon_intersects",
+    oracle=_polygon_intersects_oracle(),
+    section=_SEC,
+)
+def join_polygon_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon ST_Intersects JOIN — the predicate that completes
+    the GIS family beyond point containment (`join_polygon_contains`):
+    which customer service RECTANGLES (6-degree buffers around each
+    hashed site, i.e. axis-aligned polygons) intersect which literal
+    service-area polygons. The exact predicate is shared arithmetic text
+    (`_rect_poly_intersects_sql`, evaluated verbatim by F.expr AND the
+    DuckDB oracle): rect-corner-in-polygon (ray-cast parity, covers
+    rect-inside-poly) OR polygon-vertex-in-rect (covers poly-inside-
+    rect) OR polygon-edge crossing any of the 4 rect boundary segments
+    (covers boundary crossings with no vertex containment) — the three
+    disjunct classes that exhaust planar region intersection.
+
+    Scale pattern is the contains join's, generalized to EXTENDED
+    geometries: each rect explodes to the grid cells its bbox covers
+    (<= 4 cells at this buffer/cell ratio — a codegen sequence explode,
+    no UDF), each polygon pre-rasterizes its bbox cells into a tiny
+    broadcast frame, and candidates come from the (cx, cy) EQUI-join —
+    never rect x polygon all-pairs. The bbox prefilter inside the shared
+    predicate exits most candidates before the O(edges) crossing terms.
+    At 100 TB the cell key partitions both sides and AQE splits hot
+    cells; the oracle replays the naive per-polygon full-scan predicate,
+    which is the grid's losslessness claim (cell cover >= bbox overlap
+    >= intersection)."""
+    from sdp_spark.functions.families import (
+        _GEO_CELL_DEG,
+        _GEO_POLY_SET,
+        _poly_cells,
+        _rect_poly_intersects_sql,
+    )
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    lat = (
+        ((F.col("c_custkey") + 17) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1200
+    ) / 10.0 - 60.0
+    lon = (
+        ((F.col("c_custkey") + 31) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 3600
+    ) / 10.0 - 180.0
+    rects = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+        .select(
+            "c_custkey",
+            (F.col("lon") - 3.0).alias("x0"),
+            (F.col("lon") + 3.0).alias("x1"),
+            (F.col("lat") - 3.0).alias("y0"),
+            (F.col("lat") + 3.0).alias("y1"),
+        )
+        .withColumn(
+            "cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("x0") / _GEO_CELL_DEG),
+                    F.floor(F.col("x1") / _GEO_CELL_DEG),
+                )
+            ),
+        )
+        .withColumn(
+            "cy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("y0") / _GEO_CELL_DEG),
+                    F.floor(F.col("y1") / _GEO_CELL_DEG),
+                )
+            ),
+        )
+    )
+    cell_rows = [
+        (pid, cx, cy)
+        for pid, poly in sorted(_GEO_POLY_SET.items())
+        for cx, cy in _poly_cells(poly)
+    ]
+    cells = spark.createDataFrame(cell_rows, "poly_id int, cx bigint, cy bigint")
+    cand = (
+        rects.join(F.broadcast(cells), ["cx", "cy"])
+        .dropDuplicates(["c_custkey", "poly_id"])
+    )
+    keep = None
+    for pid, poly in sorted(_GEO_POLY_SET.items()):
+        hit = (F.col("poly_id") == pid) & F.expr(_rect_poly_intersects_sql(poly))
+        keep = hit if keep is None else keep | hit
+    return (
+        cand.filter(keep)
+        .select("c_custkey", "poly_id")
+        .orderBy("c_custkey", "poly_id")
+    )

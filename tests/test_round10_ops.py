@@ -95,6 +95,64 @@ def test_farrington_overdispersion_widens_bound(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# WKT shapes + polygon-intersects join
+# ---------------------------------------------------------------------------
+
+
+def _plan(spark, df, mode: str = "simple") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_wkt_shapes_roundtrip_all_true(spark, sf_dir):
+    from sdp_spark.functions.families import fn_geo_wkt_shapes
+
+    out = fn_geo_wkt_shapes(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.ls_npoints == 3
+        assert not r.ls_ring_closed  # a linestring is open
+        assert r.poly_ring_closed    # a POLYGON ring closes on vertex 1
+        assert r.ls_roundtrip_ok and r.poly_roundtrip_ok, r
+    # zero exchanges: pure codegen projection
+    plan = _plan(spark, fn_geo_wkt_shapes(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_polygon_intersects_superset_of_contains(spark, sf_dir):
+    """If a customer's POINT is inside a polygon, the rect buffered
+    around that point must intersect it — the intersects join is a
+    superset of the contains join on the shared customer subset."""
+    from sdp_spark.operators.joins import (
+        join_polygon_contains,
+        join_polygon_intersects,
+    )
+
+    inter = {
+        (r.c_custkey, r.poly_id)
+        for r in join_polygon_intersects(spark, sf_dir).collect()
+    }
+    contains = {
+        (r.c_custkey, r.poly_id)
+        for r in join_polygon_contains(spark, sf_dir).collect()
+        if r.c_custkey % 5 == 0
+    }
+    assert contains <= inter
+    assert len(inter) > len(contains)  # buffers also CROSS boundaries
+
+
+def test_polygon_intersects_plan_is_cell_bucketed(spark, sf_dir):
+    """Candidates must come from the broadcast (cx, cy) equi-join — no
+    all-pairs nested loop anywhere in the plan."""
+    from sdp_spark.operators.joins import join_polygon_intersects
+
+    plan = _plan(spark, join_polygon_intersects(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
 # Kulldorff spatial scan
 # ---------------------------------------------------------------------------
 
