@@ -211,16 +211,20 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
     per-query rows."""
     rows = REGISTRY["llm_ann_recall_eval"].fn(spark, sf_dir).collect()
     methods = {r["method"] for r in rows}
-    assert methods == {"ivf", "lsh", "pq"}
+    assert methods == {"ivf", "ivfpq", "lsh", "pq"}
     assert all(0.0 <= r["recall_at_5"] <= 1.0 for r in rows)
     macro = {r["method"]: r["recall_at_5"] for r in rows if r["query_id"] == -1}
-    assert len(macro) == 3
+    assert len(macro) == 4
     for m in methods:
         per_q = [r["recall_at_5"] for r in rows if r["method"] == m and r["query_id"] >= 0]
         assert abs(macro[m] - sum(per_q) / len(per_q)) < 1e-3
     assert macro["lsh"] >= 0.8
     assert macro["ivf"] >= 0.6
     assert macro["pq"] >= 0.75
+    # the composed index's deeper probe (4 vs 2 cells) must at least
+    # recover IVF-flat's recall while reading 32x-compressed candidates
+    assert macro["ivfpq"] >= macro["ivf"]
+    assert macro["ivfpq"] >= 0.8
 
 
 def test_embed_lsh_collapse_equals_uncollapsed(spark, sf_dir):
