@@ -106,6 +106,11 @@ EXTRA = [
     "query_spatial_hotspot",        # 3x3 obs/exp cell-window scan (r9)
     "filter_fulltext_phrase",       # positional phrase match (r9)
     "fulltext_query_expansion",     # two-pass blind feedback (r9)
+    "query_outbreak_farrington",    # reference-window trend detector (r10)
+    "ts_nowcast_delay",             # reporting-triangle completeness (r10)
+    "query_spatial_scan_kulldorff", # variable-window Poisson scan + MC (r10)
+    "join_polygon_intersects",      # cell-bucketed rect x poly predicate (r10)
+    "fn_epiweek",                   # MMWR weekly rollup (r10)
 ]
 
 
