@@ -2478,6 +2478,17 @@ def llm_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" (a, m) -> a + element_at(lut, m * {_PQ_KS}"
         f" + element_at(codes, m + 1) + 1))"
     )
+    # the rerank pool scales with the corpus (20% of it, floor 100): a
+    # FIXED pool shrinks relative to the probed candidates as the corpus
+    # grows, and ADC quantization noise then squeezes true neighbors out
+    # before the exact rescore can save them (measured at sf0.1:
+    # fixed-100 pool recall 0.745 < IVF-flat's 0.891; the scaled pool
+    # lifts the composed index above IVF-flat at every sf — 0.87/0.82/
+    # 0.91 vs 0.84/0.75/0.89). Production FAISS exposes exactly this as
+    # the reranking budget; at billion scale it is set absolute (e.g.
+    # 10-100k), far below 20%, because nprobe/K already bounds the
+    # candidate share.
+    pool_n = max(_PQ_POOL, emb.count() // 5)
     pool_w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id")
     )
@@ -2492,7 +2503,7 @@ def llm_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rn", F.row_number().over(pool_w))
-        .filter(F.col("rn") <= _PQ_POOL)
+        .filter(F.col("rn") <= pool_n)
         .select("query_id", "neighbor_id")
     )
     cand = pool.join(
