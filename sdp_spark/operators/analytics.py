@@ -3627,11 +3627,11 @@ def ts_nowcast_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram (|types x delays| rows) and the truncated recent counts
     (|types x Dmax| rows); the completeness join is a broadcast of the
     tiny cumulative-distribution frame. Nothing downstream of the first
-    grouped exchange scales with data volume."""
+    grouped exchange scales with data volume. Scoring runs through
+    `nowcast_scored`, the SAME core the streaming twin calls."""
     from sdp_spark.functions.num import KNUTH, KNUTH_MOD
 
     e = table(spark, sf_dir, "events")
-    asof = F.lit(_NC_ASOF).cast("date")
     ev = e.select(
         "event_type",
         F.date_trunc("day", "ts").cast("date").alias("d"),
@@ -3641,10 +3641,24 @@ def ts_nowcast_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _NC_DMAX
         ).alias("delay"),
     )
+    counts = ev.groupBy("event_type", "d", "delay").agg(
+        F.count("*").alias("n")
+    )
+    return nowcast_scored(counts)
+
+
+def nowcast_scored(counts: DataFrame) -> DataFrame:
+    """Reporting-triangle scoring over a (event_type, d, delay, n) count
+    frame: delay CDF from the complete historical days, completeness
+    correction on the truncated recent ones. Exact BIGINT counts +
+    single IEEE divisions, rounded once — identical under any
+    partitioning/trigger schedule. Shared by the batch capstone and the
+    streaming twin (stream == batch structural)."""
+    asof = F.lit(_NC_ASOF).cast("date")
     hist = (
-        ev.filter(F.col("d") <= F.date_sub(asof, _NC_DMAX))
+        counts.filter(F.col("d") <= F.date_sub(asof, _NC_DMAX))
         .groupBy("event_type", "delay")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("n").alias("n"))
     )
     wcum = (
         Window.partitionBy("event_type")
@@ -3652,27 +3666,30 @@ def ts_nowcast_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wtot = Window.partitionBy("event_type")
+    # cumd and scored share lineage (a self-join on the same counts
+    # frame, which under a memory-sink view shares attribute ids) —
+    # rename the CDF side's keys so resolution is by NAME, not id
     cumd = hist.select(
-        "event_type",
-        "delay",
+        F.col("event_type").alias("cdf_type"),
+        F.col("delay").alias("cdf_delay"),
         F.sum("n").over(wcum).alias("cum"),
         F.sum("n").over(wtot).alias("total"),
     )
-    aged = ev.filter(
+    aged = counts.filter(
         (F.col("d") > F.date_sub(asof, _NC_DMAX)) & (F.col("d") <= asof)
     ).withColumn("age", F.datediff(asof, F.col("d")).cast("bigint"))
     scored = aged.groupBy("event_type", "d", "age").agg(
-        F.sum(F.when(F.col("delay") <= F.col("age"), 1).otherwise(0)).alias(
+        F.sum(F.when(F.col("delay") <= F.col("age"), F.col("n")).otherwise(0)).alias(
             "n_reported"
         ),
-        F.count("*").alias("n_true"),
+        F.sum("n").alias("n_true"),
     )
     return scored.join(
         F.broadcast(cumd),
-        (scored["event_type"] == cumd["event_type"])
-        & (cumd["delay"] == scored["age"]),
+        (F.col("event_type") == F.col("cdf_type"))
+        & (F.col("cdf_delay") == F.col("age")),
     ).select(
-        scored["event_type"],
+        F.col("event_type"),
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.col("age").cast("int").alias("age"),
         F.col("n_reported").cast("bigint").alias("n_reported"),

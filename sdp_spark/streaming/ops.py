@@ -1896,3 +1896,62 @@ def stream_farrington_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n_events", "expected", "threshold")
         .orderBy("event_type", "day")
     )
+
+
+from sdp_spark.operators.analytics import _NC_SQL  # noqa: E402
+
+
+@register(
+    "stream_nowcast_delay",
+    oracle=f"""
+    SELECT event_type, day, age, n_reported, completeness, n_nowcast
+    FROM ({_NC_SQL}) t
+    WHERE completeness < 1.0
+    ORDER BY event_type, day
+    """,
+    section=_SEC,
+)
+def stream_nowcast_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE reporting-delay nowcasting — the streaming twin of
+    `ts_nowcast_delay`, and the form the correction actually runs in: a
+    surveillance dashboard re-nowcasts the still-maturing days after
+    EVERY ingest trigger, because each arriving report batch changes
+    both the numerators (reported-so-far) and, for newly-matured days,
+    the delay CDF itself. Same two-stage split as the seven detector
+    twins: the STREAM incrementally maintains per-(type, day, delay)
+    report counts — bounded state, |types x days x Dmax| rows — and the
+    `nowcast_scored` core (the SAME function the batch capstone calls,
+    so stream == batch is structural) recomputes the CDF and corrected
+    counts over the materialized count table after each trigger,
+    emitting the days whose reporting is still incomplete
+    (completeness < 1). At 100 TB/day the stream shuffles grouped
+    delay-states, never events; scoring is metadata-sized. The DuckDB
+    oracle pins the live corrected counts to the batch recurrence
+    end-to-end (n_true is omitted from the live emission — a live
+    system cannot see it; the oracle drops the same column)."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+    from sdp_spark.operators.analytics import (
+        _NC_DMAX,
+        _NC_SALT,
+        nowcast_scored,
+    )
+
+    sdf = _events_stream(spark, sf_dir)
+    counts = sdf.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        (
+            ((F.col("event_id") + _NC_SALT) * F.lit(KNUTH))
+            % F.lit(KNUTH_MOD)
+            % _NC_DMAX
+        ).alias("delay"),
+    ).agg(F.count("*").alias("n"))
+    snap = _run_to_memory(counts, "complete", "nowcastcnt")
+    return (
+        nowcast_scored(snap)
+        .filter(F.col("completeness") < 1.0)
+        .select(
+            "event_type", "day", "age", "n_reported", "completeness", "n_nowcast"
+        )
+        .orderBy("event_type", "day")
+    )

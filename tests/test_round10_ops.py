@@ -275,6 +275,24 @@ def test_nowcast_recovers_true_counts_exactly(spark, tmp_path):
         assert r.n_nowcast == pytest.approx(8.0)
 
 
+def test_nowcast_stream_equals_batch(spark, sf_dir):
+    """The live nowcast must equal the batch recurrence on the incomplete
+    days (same core, structural equality)."""
+    from sdp_spark.operators.analytics import ts_nowcast_delay
+    from sdp_spark.streaming.ops import stream_nowcast_delay
+
+    batch = {
+        (r.event_type, r.day): (r.n_reported, r.completeness, r.n_nowcast)
+        for r in ts_nowcast_delay(spark, sf_dir).collect()
+        if r.completeness < 1.0
+    }
+    live = {
+        (r.event_type, r.day): (r.n_reported, r.completeness, r.n_nowcast)
+        for r in stream_nowcast_delay(spark, sf_dir).collect()
+    }
+    assert live == batch and batch
+
+
 def test_nowcast_fixture_convergence(spark, sf_dir):
     """On the real fixture (uniform hash delays) the correction must be
     unbiased: completeness is monotone in age and the macro relative
