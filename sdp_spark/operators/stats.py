@@ -2463,3 +2463,120 @@ def query_spatial_scan_kulldorff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("llr").desc(), "cx", "cy", "r")
         .limit(_KULL_TOPK)
     )
+
+
+@register(
+    "agg_direct_standardization",
+    oracle=f"""
+    WITH cn AS (
+      SELECT c.c_custkey, n.n_name, c.c_mktsegment AS seg
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), cust AS (
+      SELECT n_name, seg, CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM cn GROUP BY 1, 2
+    ), ord AS (
+      SELECT cn.n_name, cn.seg, CAST(COUNT(*) AS BIGINT) AS n_ord
+      FROM orders o JOIN cn ON o.o_custkey = cn.c_custkey
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT c.n_name, c.seg, c.n_cust, COALESCE(o.n_ord, 0) AS n_ord
+      FROM cust c LEFT JOIN ord o ON c.n_name = o.n_name AND c.seg = o.seg
+    ), tot AS (
+      SELECT CAST(SUM(n_cust) AS BIGINT) AS n_all FROM j
+    ), refw AS (
+      SELECT seg, CAST(SUM(n_cust) AS DOUBLE) / t.n_all AS w
+      FROM j CROSS JOIN tot t GROUP BY seg, t.n_all
+    ), x AS (
+      SELECT j.n_name, j.n_cust, j.n_ord,
+             CAST(FLOOR(r.w * (j.n_ord / CAST(j.n_cust AS DOUBLE))
+                  * 100000000 + 0.5) / 100000000 AS DECIMAL(30,8)) AS term
+      FROM j JOIN refw r ON j.seg = r.seg
+    )
+    SELECT n_name,
+           CAST(SUM(n_ord) AS BIGINT) AS observed,
+           {sql_dround('SUM(n_ord) / CAST(SUM(n_cust) AS DOUBLE)', 4)}
+             AS crude_rate,
+           {sql_dround('CAST(SUM(term) AS DOUBLE)', 4)} AS dsr
+    FROM x GROUP BY n_name ORDER BY n_name
+    """,
+    section=_SEC,
+)
+def agg_direct_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directly standardized rate (DSR) per nation — the companion to
+    `agg_indirect_standardization` and the other half of THE classical
+    epidemiology adjustment pair: indirect answers 'how does this
+    group's observed count compare to what the reference rates predict
+    for its population?' (SIR — stable when group strata are thin);
+    direct answers 'what WOULD this group's rate be on the reference
+    population structure?' (DSR — the only form whose values are
+    comparable BETWEEN groups, which is why published inter-regional
+    rate tables are direct). DSR_g = sum_s w_s * rate(g, s) with w_s the
+    reference (whole-population) share of stratum s and rate(g, s) the
+    group's stratum-specific orders-per-customer; strata the group lacks
+    contribute 0 by the standard convention.
+
+    Determinism: counts exact BIGINT; w_s and rate(g, s) are single
+    IEEE divisions; each product snaps to the 1e-8 grid and sums as
+    DECIMAL, so the 5-term weighted sum is order-independent; crude rate
+    divides exact sums once.
+
+    Scale: the same two partial-aggregated (nation, segment) rollups as
+    the indirect key — the only data-scale exchanges; reference weights
+    are a broadcast |segments| frame and everything downstream is
+    |nations x segments| metadata."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "n_name", F.col("c_mktsegment").alias("seg")
+    )
+    cust = cn.groupBy("n_name", "seg").agg(
+        F.count("*").cast("bigint").alias("n_cust")
+    )
+    ordc = (
+        o.join(cn, o.o_custkey == cn.c_custkey)
+        .groupBy("n_name", "seg")
+        .agg(F.count("*").cast("bigint").alias("n_ord"))
+    )
+    j = (
+        cust.join(ordc, ["n_name", "seg"], "left")
+        .select(
+            "n_name",
+            "seg",
+            "n_cust",
+            F.coalesce(F.col("n_ord"), F.lit(0)).cast("bigint").alias("n_ord"),
+        )
+        .localCheckpoint()  # consumed by weights + the standardized rollup
+    )
+    tot = j.agg(F.sum("n_cust").cast("bigint").alias("n_all"))
+    refw = (
+        j.crossJoin(F.broadcast(tot))
+        .groupBy("seg", "n_all")
+        .agg(F.sum("n_cust").alias("segsum"))
+        .select(
+            "seg", (F.col("segsum").cast("double") / F.col("n_all")).alias("w")
+        )
+    )
+    term = (
+        F.floor(
+            F.col("w")
+            * (F.col("n_ord") / F.col("n_cust").cast("double"))
+            * 100000000
+            + F.lit(0.5)
+        )
+        / 100000000
+    ).cast(DEC)
+    x = j.join(F.broadcast(refw), "seg").select(
+        "n_name", "n_cust", "n_ord", term.alias("term")
+    )
+    return (
+        x.groupBy("n_name")
+        .agg(
+            F.sum("n_ord").cast("bigint").alias("observed"),
+            dround(
+                F.sum("n_ord") / F.sum("n_cust").cast("double"), 4
+            ).alias("crude_rate"),
+            dround(F.sum("term").cast("double"), 4).alias("dsr"),
+        )
+        .orderBy("n_name")
+    )

@@ -95,6 +95,55 @@ def test_farrington_overdispersion_widens_bound(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Direct standardization
+# ---------------------------------------------------------------------------
+
+
+def test_direct_standardization_resolves_simpsons_paradox(spark, tmp_path):
+    """Plant the textbook confounding case: nation A has the HIGHER rate
+    in EVERY stratum but the LOWER crude rate (its population skews to
+    the low-rate stratum). The directly standardized rate must rank A
+    above B — resolving the paradox is exactly what DSR is for — and
+    equal the hand-computed 0.5-weighted stratum rates."""
+    import pandas as pd
+
+    from sdp_spark.operators.stats import agg_direct_standardization
+
+    sf = str(tmp_path / "dsr")
+    os.makedirs(sf)
+    pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["AAA", "BBB"]}
+    ).to_parquet(f"{sf}/nation.parquet")
+    cust, orders, ck, ok = [], [], 0, 0
+    # (nation, segment, n_cust, n_orders): A beats B per-stratum, loses crude
+    for nk, seg, nc, no in [
+        (0, "YOUNG", 90, 18),  # A young rate 0.2
+        (0, "OLD", 10, 10),    # A old   rate 1.0  -> crude 0.28
+        (1, "YOUNG", 10, 1),   # B young rate 0.1
+        (1, "OLD", 90, 81),    # B old   rate 0.9  -> crude 0.82
+    ]:
+        first = ck
+        for _ in range(nc):
+            cust.append((ck, nk, seg))
+            ck += 1
+        for i in range(no):
+            orders.append((ok, first + (i % nc)))
+            ok += 1
+    pd.DataFrame(cust, columns=["c_custkey", "c_nationkey", "c_mktsegment"]).to_parquet(
+        f"{sf}/customer.parquet"
+    )
+    pd.DataFrame(orders, columns=["o_orderkey", "o_custkey"]).to_parquet(
+        f"{sf}/orders.parquet"
+    )
+    out = {r.n_name: r for r in agg_direct_standardization(spark, sf).collect()}
+    a, b = out["AAA"], out["BBB"]
+    assert a.crude_rate < b.crude_rate          # the paradox
+    assert a.dsr > b.dsr                        # resolved
+    assert a.dsr == pytest.approx(0.6, abs=1e-6)   # 0.5*0.2 + 0.5*1.0
+    assert b.dsr == pytest.approx(0.5, abs=1e-6)   # 0.5*0.1 + 0.5*0.9
+
+
+# ---------------------------------------------------------------------------
 # WKT shapes + polygon-intersects join
 # ---------------------------------------------------------------------------
 
