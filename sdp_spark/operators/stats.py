@@ -2186,12 +2186,11 @@ _KULL_REPS = 19  # conditional Monte-Carlo replicates -> p resolution 1/20
 _KULL_TOPK = 10
 
 # Shared LLR expression (spelled identically in Spark and DuckDB): the
-# Poisson scan-statistic log-likelihood ratio over exact integer obs (c),
-# zone size (k) and totals (C over n occupied cells), with expectation
-# e = C*k/n. Zero when the zone is not in excess (c <= e) and the
-# second term dropped when the zone holds ALL cases (C == c).
-def _kull_llr_sql(c: str, k: str, ctot: str, n: str) -> str:
-    e = f"(CAST({ctot} * {k} AS DOUBLE) / {n})"
+# Poisson scan-statistic log-likelihood ratio over exact integer obs (c)
+# and total C, for any expectation expression e. Zero when the zone is
+# not in excess (c <= e); the second term drops when the zone holds ALL
+# cases (C == c).
+def _llr_sql(c: str, e: str, ctot: str) -> str:
     return (
         f"CASE WHEN {c} > {e} AND {ctot} > {c} THEN"
         f" {c} * ln({c} / {e})"
@@ -2199,6 +2198,11 @@ def _kull_llr_sql(c: str, k: str, ctot: str, n: str) -> str:
         f" WHEN {c} > {e} THEN {c} * ln({c} / {e})"
         f" ELSE 0.0 END"
     )
+
+
+def _kull_llr_sql(c: str, k: str, ctot: str, n: str) -> str:
+    # spatial-scan expectation: uniform over the n occupied cells
+    return _llr_sql(c, f"(CAST({ctot} * {k} AS DOUBLE) / {n})", ctot)
 
 
 def _kulldorff_oracle() -> str:
@@ -2579,4 +2583,263 @@ def agg_direct_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("term").cast("double"), 4).alias("dsr"),
         )
         .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prospective space-time permutation scan (Kulldorff et al. 2005)
+# ---------------------------------------------------------------------------
+
+_ST_EPOCH = "2024-01-01"
+_ST_END_T = 29            # last event day index in the fixture window
+_ST_WINS = (1, 3, 7)      # trailing window lengths (days) ending at T
+_ST_RADII = (0, 1)        # Chebyshev cell radii (1x1 / 3x3 zones)
+_ST_OFFS = [(dx, dy, max(abs(dx), abs(dy)))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+_ST_OFFS_SQL = ", ".join(f"({dx}, {dy}, {ch})" for dx, dy, ch in _ST_OFFS)
+_ST_TOPK = 10
+
+
+def _st_scan_oracle() -> str:
+    e = "(CAST(z.n_space * t.wmarg AS DOUBLE) / t.c_all)"
+    llr = _llr_sql("z.obs", e, "t.c_all")
+    win_cases = {
+        ln: f"SUM(CASE WHEN b.t >= {_ST_END_T + 1 - ln} THEN b.n ELSE 0 END)"
+        for ln in _ST_WINS
+    }
+    wsel = ", ".join(
+        f"CAST({expr} AS BIGINT) AS nw{ln}" for ln, expr in win_cases.items()
+    )
+    gsel = ", ".join(
+        f"CAST(SUM(CASE WHEN t >= {_ST_END_T + 1 - ln} THEN n ELSE 0 END)"
+        f" AS BIGINT) AS w{ln}"
+        for ln in _ST_WINS
+    )
+    warm = " ".join(
+        f"WHEN {ln} THEN t.w{ln}" for ln in _ST_WINS
+    )
+    zarm = " ".join(
+        f"WHEN {ln} THEN z.nw{ln}" for ln in _ST_WINS
+    )
+    return f"""
+    WITH ev AS (
+      SELECT CAST(FLOOR(((((user_id + 31) * {KNUTH}) % {KNUTH_MOD}) % 3600)
+                  / 10.0 / 15.0 - 12.0) AS INTEGER) AS cx,
+             CAST(FLOOR(((((user_id + 17) * {KNUTH}) % {KNUTH_MOD}) % 1200)
+                  / 10.0 / 15.0 - 4.0) AS INTEGER) AS cy,
+             date_diff('day', DATE '{_ST_EPOCH}', date_trunc('day', ts)) AS t
+      FROM events
+    ), cellday AS (
+      SELECT cx, cy, t, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS c_all, {gsel} FROM cellday
+    ), wins AS (
+      SELECT a.cx, a.cy, o.ch,
+             CAST(SUM(b.n) AS BIGINT) AS n_all, {wsel}
+      FROM (SELECT DISTINCT cx, cy FROM cellday) a
+      JOIN (VALUES {_ST_OFFS_SQL}) o(dx, dy, ch) ON TRUE
+      JOIN cellday b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+      GROUP BY 1, 2, 3
+    ), zones0 AS (
+      SELECT cx, cy, rr.r,
+             {", ".join(
+                 f"SUM(CASE WHEN ch <= rr.r THEN nw{ln} ELSE 0 END) AS nw{ln}"
+                 for ln in _ST_WINS)},
+             SUM(CASE WHEN ch <= rr.r THEN n_all ELSE 0 END) AS n_space
+      FROM wins CROSS JOIN (VALUES (0), (1)) rr(r)
+      GROUP BY 1, 2, 3
+    ), zones AS (
+      SELECT z0.cx, z0.cy, z0.r, ww.win_days,
+             CAST(z0.n_space AS BIGINT) AS n_space,
+             CAST(CASE ww.win_days {" ".join(
+                 f"WHEN {ln} THEN z0.nw{ln}" for ln in _ST_WINS)} END
+                  AS BIGINT) AS obs
+      FROM zones0 z0
+      CROSS JOIN (VALUES {", ".join(f"({ln})" for ln in _ST_WINS)}) ww(win_days)
+    ), scoredz AS (
+      SELECT z.cx, z.cy, CAST(z.r AS INTEGER) AS r,
+             CAST(z.win_days AS INTEGER) AS win_days,
+             z.obs, z.n_space,
+             CAST(CASE z.win_days {warm} END AS BIGINT) AS wmarg_i
+      FROM zones z CROSS JOIN tot t
+    )
+    SELECT z.cx, z.cy, z.r, z.win_days, z.obs,
+           {sql_dround('CAST(z.n_space * z.wmarg_i AS DOUBLE) / t.c_all', 4)}
+             AS expected,
+           {sql_dround(
+               _llr_sql('z.obs',
+                        '(CAST(z.n_space * z.wmarg_i AS DOUBLE) / t.c_all)',
+                        't.c_all'), 4)} AS llr
+    FROM scoredz z CROSS JOIN tot t
+    ORDER BY {sql_dround(
+        _llr_sql('z.obs',
+                 '(CAST(z.n_space * z.wmarg_i AS DOUBLE) / t.c_all)',
+                 't.c_all'), 4)} DESC, z.cx, z.cy, z.r, z.win_days
+    LIMIT {_ST_TOPK}
+    """
+
+
+@register(
+    "query_spacetime_scan",
+    oracle=_st_scan_oracle(),
+    section=_SEC,
+)
+def query_spacetime_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROSPECTIVE space-time permutation scan (Kulldorff, Heffernan,
+    Hartman, Assuncao, Mostashari 2005) — the algorithm live syndromic
+    surveillance actually schedules nightly (SaTScan's daily mode): is
+    there a cylinder (spatial zone x trailing time window ending NOW)
+    with more cases than its own space and time marginals predict? The
+    permutation-model expectation e(z, w) = space_marginal(z) x
+    time_marginal(w) / C needs NO population denominator — purely the
+    case stream — which is what makes it deployable on an events feed.
+    Cylinders: 1x1 / 3x3 cell zones x {{1, 3, 7}}-day trailing windows;
+    only windows touching the study end are evaluated (the prospective
+    restriction — elapsed clusters are the RETROSPECTIVE
+    `query_spatial_scan_kulldorff`'s job). Ranked by the same Poisson
+    LLR (`_llr_sql`, shared expression text); p-values follow the
+    spatial key's deterministic hash-addressed replicate pattern and are
+    omitted here to keep the cylinder enumeration the focus.
+
+    Event geography is the user_id Knuth hash (the repo's derived-
+    attribute idiom; the fixture has no native coordinates).
+
+    Determinism: all marginals and observed counts are exact BIGINTs;
+    e is one exact integer product cast to double and divided once; LLR
+    is the shared ln chain rounded to 1e-4 with a unique (cx, cy, r,
+    win) tiebreak.
+
+    Scale: the (cell, day) rollup is the ONLY data-scale pass (a single
+    partial-aggregated exchange); zones are |cells| x 9 offsets with the
+    per-window sums as conditional aggregates in the SAME pass, and the
+    marginals frame is one broadcast row. At 100 TB/day the rollup
+    shuffles day-local cell states and everything downstream is
+    O(cells x radii x windows) metadata."""
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        F.floor(
+            (((F.col("user_id") + 31) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 3600)
+            / 10.0
+            / 15.0
+            - 12.0
+        )
+        .cast("int")
+        .alias("cx"),
+        F.floor(
+            (((F.col("user_id") + 17) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1200)
+            / 10.0
+            / 15.0
+            - 4.0
+        )
+        .cast("int")
+        .alias("cy"),
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit(_ST_EPOCH).cast("date")
+        ).alias("t"),
+    )
+    cellday = (
+        ev.groupBy("cx", "cy", "t")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint()  # consumed by marginals + the zone join
+    )
+    tot = cellday.agg(
+        F.sum("n").cast("bigint").alias("c_all"),
+        *[
+            F.sum(F.when(F.col("t") >= _ST_END_T + 1 - ln, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias(f"w{ln}")
+            for ln in _ST_WINS
+        ],
+    )
+    offs = spark.createDataFrame(_ST_OFFS, "dx int, dy int, ch int")
+    a = cellday.select("cx", "cy").distinct().select(
+        F.col("cx").alias("acx"), F.col("cy").alias("acy")
+    )
+    wins = (
+        a.crossJoin(F.broadcast(offs))
+        .join(
+            cellday,
+            (F.col("cx") == F.col("acx") + F.col("dx"))
+            & (F.col("cy") == F.col("acy") + F.col("dy")),
+        )
+        .groupBy("acx", "acy", "ch")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_all"),
+            *[
+                F.sum(
+                    F.when(F.col("t") >= _ST_END_T + 1 - ln, F.col("n")).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"nw{ln}")
+                for ln in _ST_WINS
+            ],
+        )
+    )
+    radii = spark.createDataFrame([(r,) for r in _ST_RADII], "r int")
+    zones0 = (
+        wins.crossJoin(F.broadcast(radii))
+        .groupBy(
+            F.col("acx").alias("cx"), F.col("acy").alias("cy"), "r"
+        )
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("ch") <= F.col("r"), F.col(f"nw{ln}")).otherwise(0)
+                ).alias(f"nw{ln}")
+                for ln in _ST_WINS
+            ],
+            F.sum(
+                F.when(F.col("ch") <= F.col("r"), F.col("n_all")).otherwise(0)
+            ).alias("n_space"),
+        )
+    )
+    winsdf = spark.createDataFrame([(ln,) for ln in _ST_WINS], "win_days int")
+    obs_expr = None
+    for ln in _ST_WINS:
+        cond = F.when(F.col("win_days") == ln, F.col(f"nw{ln}"))
+        obs_expr = cond if obs_expr is None else obs_expr.when(
+            F.col("win_days") == ln, F.col(f"nw{ln}")
+        )
+    wmarg_expr = None
+    for ln in _ST_WINS:
+        wmarg_expr = (
+            F.when(F.col("win_days") == ln, F.col(f"w{ln}"))
+            if wmarg_expr is None
+            else wmarg_expr.when(F.col("win_days") == ln, F.col(f"w{ln}"))
+        )
+    zones = (
+        zones0.crossJoin(F.broadcast(winsdf))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cx",
+            "cy",
+            F.col("r").cast("int").alias("r"),
+            F.col("win_days").cast("int").alias("win_days"),
+            obs_expr.cast("bigint").alias("obs"),
+            F.col("n_space").cast("bigint").alias("n_space"),
+            wmarg_expr.cast("bigint").alias("wmarg_i"),
+            "c_all",
+        )
+    )
+    llr = F.expr(
+        _llr_sql(
+            "obs", "(CAST(n_space * wmarg_i AS DOUBLE) / c_all)", "c_all"
+        )
+    )
+    return (
+        zones.select(
+            "cx",
+            "cy",
+            "r",
+            "win_days",
+            "obs",
+            dround(
+                (F.col("n_space") * F.col("wmarg_i")).cast("double")
+                / F.col("c_all"),
+                4,
+            ).alias("expected"),
+            dround(llr, 4).alias("llr"),
+        )
+        .orderBy(F.col("llr").desc(), "cx", "cy", "r", "win_days")
+        .limit(_ST_TOPK)
     )

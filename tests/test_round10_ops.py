@@ -95,6 +95,61 @@ def test_farrington_overdispersion_widens_bound(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Prospective space-time scan
+# ---------------------------------------------------------------------------
+
+
+def test_spacetime_scan_flags_emerging_not_endemic(spark, tmp_path):
+    """The space-time permutation scan's defining property: a cell that
+    is ALWAYS hot (endemic) is absorbed by its own space marginal and
+    scores zero, while a cell that became hot in the last 3 days (an
+    EMERGING cluster) tops the ranking at exactly the 3-day trailing
+    window — neither the purely spatial scan nor a level detector can
+    make that distinction."""
+    from sdp_spark.operators.stats import query_spacetime_scan
+
+    pools = _cell_id_pools()  # user_id hashing == customer hashing (17/31)
+    cells = sorted(pools.keys())
+    emerging = cells[0]
+    # keep the endemic cell's zones disjoint from the emerging cluster
+    endemic = next(c for c in cells[1:] if _cheb(c, emerging) >= 3)
+    background = [c for c in cells if c not in (emerging, endemic)][:40]
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+
+    def emit(cell, day, n):
+        nonlocal eid
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    base + dt.timedelta(days=day, minutes=i),
+                    pools[cell][i % len(pools[cell])],
+                    "case",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+
+    for day in range(30):
+        for c in background:
+            emit(c, day, 1)
+        emit(endemic, day, 10)              # hot EVERY day
+        emit(emerging, day, 1 + (20 if day >= 27 else 0))  # spikes at the end
+    sf = _write_events(spark, str(tmp_path / "st"), rows)
+    out = query_spacetime_scan(spark, sf).collect()
+    top = out[0]
+    assert (top.cx, top.cy) == emerging, (top, emerging)
+    assert top.r == 0 and top.win_days == 3
+    assert top.obs == 63  # 3 x (1 + 20)
+    # the endemic cell must not appear with a positive LLR anywhere
+    assert all(
+        r.llr == 0.0 for r in out if (r.cx, r.cy) == endemic
+    )
+
+
+# ---------------------------------------------------------------------------
 # Direct standardization
 # ---------------------------------------------------------------------------
 
