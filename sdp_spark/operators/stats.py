@@ -2737,11 +2737,22 @@ def query_spacetime_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", "ts"), F.lit(_ST_EPOCH).cast("date")
         ).alias("t"),
     )
-    cellday = (
-        ev.groupBy("cx", "cy", "t")
-        .agg(F.count("*").cast("bigint").alias("n"))
-        .localCheckpoint()  # consumed by marginals + the zone join
+    cellday = ev.groupBy("cx", "cy", "t").agg(
+        F.count("*").cast("bigint").alias("n")
     )
+    return spacetime_scored(cellday)
+
+
+def spacetime_scored(cellday: DataFrame) -> DataFrame:
+    """Space-time permutation scoring over a (cx, cy, t, n) cell-day
+    count frame: marginals, cylinder sums, permutation-model
+    expectations and Poisson LLR ranking. Exact BIGINT marginals +
+    single IEEE divisions + the shared ln chain, so the ranking is
+    identical under any partitioning/trigger schedule. Shared by the
+    batch capstone and the streaming twin (stream == batch
+    structural)."""
+    spark = cellday.sparkSession
+    cellday = cellday.localCheckpoint()  # marginals + the zone join
     tot = cellday.agg(
         F.sum("n").cast("bigint").alias("c_all"),
         *[

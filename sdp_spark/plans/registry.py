@@ -101,7 +101,7 @@ _SWEEP_PRIORITY = (
     "ts_nowcast_delay", "query_spatial_scan_kulldorff", "fn_geo_wkt_shapes",
     "join_polygon_intersects", "llm_sim_search_ivfpq",
     "stream_nowcast_delay", "agg_direct_standardization",
-    "query_spacetime_scan",
+    "query_spacetime_scan", "stream_spacetime_alerts",
     # --- r10 precautionary re-proofs: llm_ann_recall_eval grows an
     #     ivfpq method row; fulltext_query_expansion re-planned onto
     #     shared tf postings (hash unchanged by construction) ---

@@ -1955,3 +1955,67 @@ def stream_nowcast_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def _spacetime_stream_oracle() -> str:
+    from sdp_spark.operators.stats import _st_scan_oracle
+
+    return f"""
+    SELECT * FROM ({_st_scan_oracle()}) t
+    WHERE llr > 0.0
+    ORDER BY llr DESC, cx, cy, r, win_days
+    """
+
+
+@register(
+    "stream_spacetime_alerts",
+    oracle=_spacetime_stream_oracle(),
+    section=_SEC,
+)
+def stream_spacetime_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE prospective space-time scan — the streaming twin of
+    `query_spacetime_scan` and the NINTH batch+stream pair. This is the
+    algorithm's native habitat: SaTScan's prospective mode exists
+    precisely to re-evaluate 'is a cluster emerging ENDING NOW?' after
+    every ingest, and the permutation-model expectation (space marginal
+    x time marginal / C) self-updates as cases arrive. Same two-stage
+    split as the other eight twins: the STREAM incrementally maintains
+    per-(cell, day) case counts — bounded state, |cells x days| rows —
+    and the `spacetime_scored` core (the SAME function the batch
+    capstone calls, so stream == batch is structural) re-ranks the
+    cylinders after each trigger, emitting those in genuine excess
+    (LLR > 0). At 100 TB/day the stream shuffles grouped cell-day
+    states, never events; cylinder scoring is O(cells x radii x
+    windows) metadata per trigger. The DuckDB oracle pins the live
+    alerts to the batch ranking end-to-end."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+    from sdp_spark.operators.stats import _ST_EPOCH, spacetime_scored
+
+    sdf = _events_stream(spark, sf_dir)
+    counts = sdf.groupBy(
+        F.floor(
+            (((F.col("user_id") + 31) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 3600)
+            / 10.0
+            / 15.0
+            - 12.0
+        )
+        .cast("int")
+        .alias("cx"),
+        F.floor(
+            (((F.col("user_id") + 17) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1200)
+            / 10.0
+            / 15.0
+            - 4.0
+        )
+        .cast("int")
+        .alias("cy"),
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit(_ST_EPOCH).cast("date")
+        ).alias("t"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    snap = _run_to_memory(counts, "complete", "stscancnt")
+    return (
+        spacetime_scored(snap)
+        .filter(F.col("llr") > 0.0)
+        .orderBy(F.col("llr").desc(), "cx", "cy", "r", "win_days")
+    )

@@ -149,6 +149,22 @@ def test_spacetime_scan_flags_emerging_not_endemic(spark, tmp_path):
     )
 
 
+def test_spacetime_stream_equals_batch(spark, sf_dir):
+    from sdp_spark.operators.stats import query_spacetime_scan
+    from sdp_spark.streaming.ops import stream_spacetime_alerts
+
+    batch = [
+        (r.cx, r.cy, r.r, r.win_days, r.obs, r.llr)
+        for r in query_spacetime_scan(spark, sf_dir).collect()
+        if r.llr > 0.0
+    ]
+    live = [
+        (r.cx, r.cy, r.r, r.win_days, r.obs, r.llr)
+        for r in stream_spacetime_alerts(spark, sf_dir).collect()
+    ]
+    assert live == batch
+
+
 # ---------------------------------------------------------------------------
 # Direct standardization
 # ---------------------------------------------------------------------------
