@@ -2399,9 +2399,91 @@ def llm_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The composed index probes DEEPER than IVF-flat (4 of 8 cells vs 2):
 # compressed candidates are ~32x cheaper to rank, so production IVF-PQ
-# spends the saved I/O on nprobe — measured recall@5 0.87/0.82 at
-# sf0.001/sf0.01 vs IVF-flat's 0.84/0.75, at 1/4 the raw-vector reads.
+# spends the saved I/O on nprobe.
 _IVFPQ_NPROBE = 4
+_IVFPQ_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _ivfpq_model(spark: SparkSession, sf_dir: str) -> tuple:
+    """(centroids, residual codebooks) for the composed index — the
+    production IVF-PQ refinement: codebooks are trained on RESIDUALS
+    v - centroid(v), which are smaller and more isotropic than raw
+    vectors, so the same 8x4-bit budget quantizes them with less error
+    (Jegou et al. 2011 §V.A). Same bounded driver-side fit as
+    _pq_codebooks (sample cap, deterministic seeds, lowest-index ties,
+    4 Lloyd iterations); centroids are the first _IVF_K normalized
+    vectors, matching the relational assignment expression."""
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _IVFPQ_CACHE:
+        return _IVFPQ_CACHE[key]
+    emb = _emb_normed(spark, sf_dir)
+    cap = _km_fit_sample_cap(spark)
+    rows = (
+        emb.select("vec_id", "dvec", "norm").orderBy("vec_id").limit(cap).collect()
+    )
+    mat = np.array([r["dvec"] for r in rows], dtype=np.float64)
+    mat /= np.array([r["norm"] for r in rows], dtype=np.float64)[:, None]
+    cmat = mat[:_IVF_K].copy()
+    assign = (mat @ cmat.T).argmax(axis=1)
+    resid = mat - cmat[assign]
+    books = []
+    for m in range(_PQ_M):
+        sub = resid[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+        cb = sub[:_PQ_KS].copy()
+        for _ in range(_KM_ITERS):
+            d = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cb.T)
+                + (cb * cb).sum(axis=1)[None, :]
+            )
+            a = d.argmin(axis=1)
+            for c in range(len(cb)):
+                members = sub[a == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books.append(cb)
+    _IVFPQ_CACHE[key] = (cmat, books)
+    return _IVFPQ_CACHE[key]
+
+
+def _ivfpq_encode_udf(spark: SparkSession, cmat, books):
+    """Residual PQ encoder: (dvec, norm, cell) -> 8 code ints over
+    v/||v|| - centroid[cell]. One Arrow pass, centroids + codebooks in a
+    broadcast variable."""
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast(
+        (np.asarray(cmat, dtype=np.float64),
+         [np.asarray(b, dtype=np.float64) for b in books])
+    )
+    m_sub, d_sub = _PQ_M, _PQ_DSUB
+
+    @F.pandas_udf("array<int>")
+    def _encode(dvec: pd.Series, norm: pd.Series, cell: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        cm, cbs = bc.value
+        x = _np.array([list(v) for v in dvec], dtype=_np.float64)
+        if len(x) == 0:
+            return _pd.Series([], dtype=object)
+        x /= _np.asarray(norm, dtype=_np.float64)[:, None]
+        x -= cm[_np.asarray(cell, dtype=_np.int64)]
+        codes = _np.empty((len(x), m_sub), dtype=_np.int32)
+        for m in range(m_sub):
+            sub = x[:, m * d_sub : (m + 1) * d_sub]
+            cb = cbs[m]
+            d = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cb.T)
+                + (cb * cb).sum(axis=1)[None, :]
+            )
+            codes[:, m] = d.argmin(axis=1)
+        return _pd.Series([c.tolist() for c in codes])
+
+    return _encode
 
 
 @register("llm_sim_search_ivfpq", oracle=None, section=_SEC)
@@ -2426,15 +2508,17 @@ def llm_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed here, noted rather than hidden.
 
     Plan: centroid assignment is the IVF key's zero-shuffle codegen
-    argmax (K literal similarity structs, array_sort); encoding is the
-    shared ONE-pass Arrow UDF with broadcast codebooks; probes x cells
-    is a broadcast equi-join on the cell id; ADC is a pure codegen fold;
-    only (query, id, adc) pool rows ever move, and the exact rescore
-    joins just the pooled ids back to raw vectors. rows-only oracle
-    (k-means codebooks are not SQL-replayable); recall@5 is pinned in
-    pytest and tracked per-round beside ivf/lsh/pq in BENCH_DETAIL via
-    `llm_ann_recall_eval`."""
-    books = _pq_codebooks(spark, sf_dir)
+    argmax (K literal similarity structs, array_sort); encoding is ONE
+    Arrow pass with broadcast centroids + codebooks; probes x cells
+    is a broadcast equi-join on the cell id; ADC is a pure codegen fold
+    over per-(query, cell) lookup tables; only (query, id, adc) pool
+    rows ever move, and the exact rescore joins just the pooled ids
+    back to raw vectors. rows-only oracle (k-means codebooks are not
+    SQL-replayable); recall@5 is pinned in pytest and tracked per-round
+    beside ivf/lsh/pq in BENCH_DETAIL via `llm_ann_recall_eval`."""
+    import numpy as np
+
+    cmat, books = _ivfpq_model(spark, sf_dir)
     emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")
     cents = (
         emb.filter(F.col("vec_id") < _IVF_K)
@@ -2458,10 +2542,14 @@ def llm_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = emb.withColumn("ranked", ranked)
     # inverted lists: cell id + 8x4-bit codes per corpus vector — the
     # compressed index a 100 TB deployment holds in executor RAM
-    coded = assigned.select(
+    coded = assigned.withColumn(
+        "cell", F.col("ranked")[0]["k"]
+    ).select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("ranked")[0]["k"].alias("cell"),
-        _pq_encode_udf(spark, books)("dvec", "norm").alias("codes"),
+        "cell",
+        _ivfpq_encode_udf(spark, cmat, books)("dvec", "norm", "cell").alias(
+            "codes"
+        ),
     )
     probes = (
         assigned.filter(F.col("vec_id") <= 10)
@@ -2472,7 +2560,28 @@ def llm_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cell"),
         )
     )
-    luts = _pq_query_luts(spark, emb, books)
+    # per-(query, cell) ADC tables: the residual LUT depends on BOTH the
+    # query and the probed cell (||(q - c)_sub - codeword||^2) — 11
+    # queries x 8 cells x 128 doubles, one broadcast-able literal frame
+    qrows = (
+        emb.filter(F.col("vec_id") <= 10)
+        .select("vec_id", "dvec", "norm")
+        .collect()
+    )
+    lut_rows = []
+    for r in qrows:
+        qv = np.array(r["dvec"], dtype=np.float64) / r["norm"]
+        for cell in range(_IVF_K):
+            qr = qv - cmat[cell]
+            flat = []
+            for m in range(_PQ_M):
+                qs = qr[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+                cb = np.asarray(books[m])
+                flat.extend(((cb - qs[None, :]) ** 2).sum(axis=1).tolist())
+            lut_rows.append((r["vec_id"], cell, flat))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, cell int, lut array<double>"
+    )
     adc = F.expr(
         f"aggregate(sequence(0, {_PQ_M - 1}), cast(0.0 as double),"
         f" (a, m) -> a + element_at(lut, m * {_PQ_KS}"
@@ -2483,8 +2592,8 @@ def llm_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grows, and ADC quantization noise then squeezes true neighbors out
     # before the exact rescore can save them (measured at sf0.1:
     # fixed-100 pool recall 0.745 < IVF-flat's 0.891; the scaled pool
-    # lifts the composed index above IVF-flat at every sf — 0.87/0.82/
-    # 0.91 vs 0.84/0.75/0.89). Production FAISS exposes exactly this as
+    # keeps the composed index at/above IVF-flat at every sf —
+    # 0.85/0.84/0.89 vs 0.84/0.75/0.89). Production FAISS exposes exactly this as
     # the reranking budget; at billion scale it is set absolute (e.g.
     # 10-100k), far below 20%, because nprobe/K already bounds the
     # candidate share.
@@ -2496,7 +2605,7 @@ def llm_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probes)
         .join(coded, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(F.broadcast(luts), "query_id")
+        .join(F.broadcast(luts), ["query_id", "cell"])
         .withColumn("adc", adc)
         # multi-probe duplicates collapse on the SAME query_id clustering
         # the pool window needs — one shuffle serves dedup AND ranking
