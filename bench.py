@@ -111,6 +111,8 @@ EXTRA = [
     "query_spatial_scan_kulldorff", # variable-window Poisson scan + MC (r10)
     "join_polygon_intersects",      # cell-bucketed rect x poly predicate (r10)
     "fn_epiweek",                   # MMWR weekly rollup (r10)
+    "query_spacetime_scan",         # prospective space-time cylinders (r10)
+    "agg_direct_standardization",   # DSR, the standardization pair (r10)
 ]
 
 
