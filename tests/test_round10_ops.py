@@ -568,3 +568,54 @@ def test_farrington_stream_equals_batch(spark, sf_dir):
         for r in stream_farrington_alerts(spark, sf_dir).collect()
     }
     assert live == batch
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape assertions for the round-10 batch (the docstrings' scale
+# claims, pinned)
+# ---------------------------------------------------------------------------
+
+
+def test_farrington_plan_single_events_scan_broadcast_small_sides(spark, sf_dir):
+    """The daily rollup is the only data-scale pass: exactly ONE events
+    scan in the plan, and the pairing/coefficient/dispersion joins are
+    broadcast (no shuffled join of the metadata frames)."""
+    from sdp_spark.operators.analytics import query_outbreak_farrington
+
+    df = query_outbreak_farrington(spark, sf_dir)
+    plan = _plan(spark, df)
+    assert plan.count("events.parquet") <= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_nowcast_plan_single_events_scan(spark, sf_dir):
+    from sdp_spark.operators.analytics import ts_nowcast_delay
+
+    plan = _plan(spark, ts_nowcast_delay(spark, sf_dir))
+    # one scan feeds both the delay histogram and the truncated counts
+    # branch (two Filter consumers of the same relation are fine; no SMJ)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_spacetime_plan_no_datascale_join(spark, sf_dir):
+    """Cylinder enumeration joins only the resolution-bounded cell-day
+    frame: the single events scan feeds one grouped exchange, and no
+    sort-merge join appears anywhere (offsets/marginals broadcast)."""
+    from sdp_spark.operators.stats import query_spacetime_scan
+
+    plan = _plan(spark, query_spacetime_scan(spark, sf_dir))
+    assert plan.count("events.parquet") <= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_epiweek_plan_one_exchange(spark, sf_dir):
+    """Row-level date arithmetic + ONE grouped exchange — nothing else."""
+    from sdp_spark.functions.families import fn_epiweek
+
+    plan = (
+        fn_epiweek(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 2, plan  # partial+final agg exchange (+AQE read)
