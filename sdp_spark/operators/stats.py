@@ -2598,29 +2598,29 @@ _ST_OFFS = [(dx, dy, max(abs(dx), abs(dy)))
             for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 _ST_OFFS_SQL = ", ".join(f"({dx}, {dy}, {ch})" for dx, dy, ch in _ST_OFFS)
 _ST_TOPK = 10
+_ST_REPS = 9           # Monte-Carlo replicates -> p resolution 1/10
+# case hash is md5-based (the repo's portable-md5 idiom): an AFFINE
+# Knuth-stride hash was measured SYSTEMATIC mod C (per-cell replicate
+# marginals within ~2 of observed where multinomial sd is ~18) — a
+# low-discrepancy lattice, not a multinomial draw, which shrinks the
+# replicate max-LLR distribution and makes p-values anti-conservative.
 
 
 def _st_scan_oracle() -> str:
-    e = "(CAST(z.n_space * t.wmarg AS DOUBLE) / t.c_all)"
-    llr = _llr_sql("z.obs", e, "t.c_all")
-    win_cases = {
-        ln: f"SUM(CASE WHEN b.t >= {_ST_END_T + 1 - ln} THEN b.n ELSE 0 END)"
-        for ln in _ST_WINS
-    }
     wsel = ", ".join(
-        f"CAST({expr} AS BIGINT) AS nw{ln}" for ln, expr in win_cases.items()
+        f"CAST(SUM(CASE WHEN b.t >= {_ST_END_T + 1 - ln} THEN b.n ELSE 0 END)"
+        f" AS BIGINT) AS nw{ln}"
+        for ln in _ST_WINS
     )
     gsel = ", ".join(
         f"CAST(SUM(CASE WHEN t >= {_ST_END_T + 1 - ln} THEN n ELSE 0 END)"
         f" AS BIGINT) AS w{ln}"
         for ln in _ST_WINS
     )
-    warm = " ".join(
-        f"WHEN {ln} THEN t.w{ln}" for ln in _ST_WINS
-    )
-    zarm = " ".join(
-        f"WHEN {ln} THEN z.nw{ln}" for ln in _ST_WINS
-    )
+    warm = " ".join(f"WHEN {ln} THEN t.w{ln}" for ln in _ST_WINS)
+    e = "(CAST(z.n_space * z.wmarg_i AS DOUBLE) / z.c_all)"
+    llr = _llr_sql("z.obs", e, "z.c_all")
+    llr6 = sql_dround("llr_raw", 6)
     return f"""
     WITH ev AS (
       SELECT CAST(FLOOR(((((user_id + 31) * {KNUTH}) % {KNUTH_MOD}) % 3600)
@@ -2633,23 +2633,55 @@ def _st_scan_oracle() -> str:
       SELECT cx, cy, t, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2, 3
     ), tot AS (
       SELECT CAST(SUM(n) AS BIGINT) AS c_all, {gsel} FROM cellday
+    ), cells0 AS (
+      SELECT cx, cy, CAST(SUM(n) AS BIGINT) AS ns FROM cellday GROUP BY 1, 2
+    ), cum AS (
+      SELECT cx, cy, ns,
+             SUM(ns) OVER (ORDER BY (CAST(cx AS BIGINT) + 12) * 8
+                           + (CAST(cy AS BIGINT) + 4)) AS cum_hi
+      FROM cells0
+    ), daymarg AS (
+      SELECT t, CAST(SUM(n) AS BIGINT) AS nt FROM cellday GROUP BY 1
+    ), sim AS (
+      SELECT r.j, dm.t,
+             list_reduce(list_transform(
+               string_split(substring(md5(
+                 CAST(dm.t AS VARCHAR) || '_' || CAST(s.i AS VARCHAR)
+                 || '_' || CAST(r.j AS VARCHAR)), 1, 12), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % tt.c_all AS h
+      FROM daymarg dm,
+           UNNEST(generate_series(1, dm.nt)) AS s(i),
+           range(1, {_ST_REPS + 1}) r(j),
+           tot tt
+    ), simcell AS (
+      SELECT s.j, c.cx, c.cy, s.t, CAST(COUNT(*) AS BIGINT) AS n
+      FROM sim s JOIN cum c ON s.h >= c.cum_hi - c.ns AND s.h < c.cum_hi
+      GROUP BY 1, 2, 3, 4
+    ), pc AS (
+      SELECT 0 AS j, cx, cy, t, n FROM cellday
+      UNION ALL
+      SELECT j, cx, cy, t, n FROM simcell
+    ), reps AS (
+      SELECT 0 AS j UNION ALL SELECT j FROM range(1, {_ST_REPS + 1}) r(j)
     ), wins AS (
-      SELECT a.cx, a.cy, o.ch,
+      SELECT r2.j, a.cx, a.cy, o.ch,
              CAST(SUM(b.n) AS BIGINT) AS n_all, {wsel}
       FROM (SELECT DISTINCT cx, cy FROM cellday) a
+      CROSS JOIN reps r2
       JOIN (VALUES {_ST_OFFS_SQL}) o(dx, dy, ch) ON TRUE
-      JOIN cellday b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
-      GROUP BY 1, 2, 3
+      JOIN pc b ON b.j = r2.j AND b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+      GROUP BY 1, 2, 3, 4
     ), zones0 AS (
-      SELECT cx, cy, rr.r,
+      SELECT j, cx, cy, rr.r,
              {", ".join(
                  f"SUM(CASE WHEN ch <= rr.r THEN nw{ln} ELSE 0 END) AS nw{ln}"
                  for ln in _ST_WINS)},
              SUM(CASE WHEN ch <= rr.r THEN n_all ELSE 0 END) AS n_space
       FROM wins CROSS JOIN (VALUES (0), (1)) rr(r)
-      GROUP BY 1, 2, 3
+      GROUP BY 1, 2, 3, 4
     ), zones AS (
-      SELECT z0.cx, z0.cy, z0.r, ww.win_days,
+      SELECT z0.j, z0.cx, z0.cy, z0.r, ww.win_days,
              CAST(z0.n_space AS BIGINT) AS n_space,
              CAST(CASE ww.win_days {" ".join(
                  f"WHEN {ln} THEN z0.nw{ln}" for ln in _ST_WINS)} END
@@ -2657,24 +2689,31 @@ def _st_scan_oracle() -> str:
       FROM zones0 z0
       CROSS JOIN (VALUES {", ".join(f"({ln})" for ln in _ST_WINS)}) ww(win_days)
     ), scoredz AS (
-      SELECT z.cx, z.cy, CAST(z.r AS INTEGER) AS r,
+      SELECT z.j, z.cx, z.cy, CAST(z.r AS INTEGER) AS r,
              CAST(z.win_days AS INTEGER) AS win_days,
-             z.obs, z.n_space,
-             CAST(CASE z.win_days {warm} END AS BIGINT) AS wmarg_i
-      FROM zones z CROSS JOIN tot t
+             z.obs, z.n_space, z.wmarg_i, z.c_all,
+             {llr} AS llr_raw
+      FROM (SELECT zz.*, CAST(CASE zz.win_days {warm} END AS BIGINT)
+                     AS wmarg_i, t.c_all
+            FROM zones zz CROSS JOIN tot t) z
+    ), repmax AS (
+      SELECT j, MAX({llr6}) AS m6 FROM scoredz WHERE j >= 1 GROUP BY j
+    ), obsz AS (
+      SELECT cx, cy, r, win_days, obs, n_space, wmarg_i, c_all,
+             llr_raw, {llr6} AS llr6
+      FROM scoredz WHERE j = 0
     )
-    SELECT z.cx, z.cy, z.r, z.win_days, z.obs,
-           {sql_dround('CAST(z.n_space * z.wmarg_i AS DOUBLE) / t.c_all', 4)}
+    SELECT o.cx, o.cy, o.r, o.win_days, o.obs,
+           {sql_dround('CAST(o.n_space * o.wmarg_i AS DOUBLE) / o.c_all', 4)}
              AS expected,
+           {sql_dround('o.llr_raw', 4)} AS llr,
            {sql_dround(
-               _llr_sql('z.obs',
-                        '(CAST(z.n_space * z.wmarg_i AS DOUBLE) / t.c_all)',
-                        't.c_all'), 4)} AS llr
-    FROM scoredz z CROSS JOIN tot t
-    ORDER BY {sql_dround(
-        _llr_sql('z.obs',
-                 '(CAST(z.n_space * z.wmarg_i AS DOUBLE) / t.c_all)',
-                 't.c_all'), 4)} DESC, z.cx, z.cy, z.r, z.win_days
+               f'(1.0 + SUM(CASE WHEN m.m6 >= o.llr6 THEN 1 ELSE 0 END))'
+               f' / {_ST_REPS + 1}.0', 4)} AS p_value
+    FROM obsz o CROSS JOIN repmax m
+    GROUP BY o.cx, o.cy, o.r, o.win_days, o.obs, o.n_space, o.wmarg_i,
+             o.c_all, o.llr_raw, o.llr6
+    ORDER BY {sql_dround('o.llr_raw', 4)} DESC, o.cx, o.cy, o.r, o.win_days
     LIMIT {_ST_TOPK}
     """
 
@@ -2746,13 +2785,34 @@ def query_spacetime_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def spacetime_scored(cellday: DataFrame) -> DataFrame:
     """Space-time permutation scoring over a (cx, cy, t, n) cell-day
     count frame: marginals, cylinder sums, permutation-model
-    expectations and Poisson LLR ranking. Exact BIGINT marginals +
-    single IEEE divisions + the shared ln chain, so the ranking is
-    identical under any partitioning/trigger schedule. Shared by the
-    batch capstone and the streaming twin (stream == batch
-    structural)."""
+    expectations, Poisson LLR ranking, and Monte-Carlo p-values. Each
+    replicate redraws every case's CELL from the observed space
+    marginal while keeping its DAY fixed (a deterministic multinomial:
+    case i of day t in replicate j hashes to the cell whose cumulative
+    space-marginal interval contains md5(t_i_j)[:12hex] % C — md5, not
+    an affine Knuth stride, which is low-discrepancy mod C and would
+    under-disperse the null; see the constants note) — the time
+    marginal is preserved EXACTLY by construction and
+    the space marginal in expectation; Kulldorff 2005 permutes, which
+    preserves both, but permutation is not expressible as deterministic
+    order-free arithmetic, and the multinomial null is the same
+    conditional family (the spatial key documents the identical
+    choice). p(cylinder) = (1 + #{replicates whose MAX cylinder LLR >=
+    this LLR}) / (R+1), the SaTScan convention for secondary clusters.
+
+    Exact BIGINT marginals + single IEEE divisions + the shared ln
+    chain, 1e-6-snapped before comparisons — identical under any
+    partitioning/trigger schedule. Shared by the batch capstone and the
+    streaming twin (stream == batch structural).
+
+    Scale: the simulate explodes R x C synthetic case rows (a LINEAR
+    constant of 9; at true deployment scale the replicates run per-cell
+    binomial draws on the margins instead), assigns cells via a
+    broadcast range probe against the resolution-bounded cumulative
+    table, and shuffles once to (j, cell, day); everything downstream
+    is O(cells x radii x windows x R) metadata."""
     spark = cellday.sparkSession
-    cellday = cellday.localCheckpoint()  # marginals + the zone join
+    cellday = cellday.localCheckpoint()  # marginals + zone join + sims
     tot = cellday.agg(
         F.sum("n").cast("bigint").alias("c_all"),
         *[
@@ -2762,18 +2822,80 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
             for ln in _ST_WINS
         ],
     )
+    # deterministic multinomial replicates: cumulative space marginal...
+    cum = (
+        cellday.groupBy("cx", "cy")
+        .agg(F.sum("n").cast("bigint").alias("ns"))
+        .withColumn(
+            "cum_hi",
+            F.sum("ns").over(
+                Window.orderBy(
+                    (F.col("cx").cast("bigint") + 12) * 8
+                    + (F.col("cy").cast("bigint") + 4)
+                )
+            ),
+        )
+    )
+    daymarg = cellday.groupBy("t").agg(F.sum("n").cast("bigint").alias("nt"))
+    repsj = spark.range(1, _ST_REPS + 1).select(F.col("id").cast("bigint").alias("j"))
+    sim = (
+        daymarg.crossJoin(F.broadcast(tot.select("c_all")))
+        .select(
+            "t",
+            "c_all",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("nt"))).alias("i"),
+        )
+        .crossJoin(F.broadcast(repsj))
+        .select(
+            "j",
+            "t",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("_", F.col("t"), F.col("i"), F.col("j"))),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                % F.col("c_all")
+            ).alias("h"),
+        )
+    )
+    simcell = (
+        sim.join(
+            F.broadcast(cum),
+            (F.col("h") >= F.col("cum_hi") - F.col("ns"))
+            & (F.col("h") < F.col("cum_hi")),
+        )
+        .groupBy("j", "cx", "cy", "t")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    pc = cellday.select(
+        F.lit(0).cast("bigint").alias("j"), "cx", "cy", "t", "n"
+    ).unionByName(simcell)
+
     offs = spark.createDataFrame(_ST_OFFS, "dx int, dy int, ch int")
-    a = cellday.select("cx", "cy").distinct().select(
-        F.col("cx").alias("acx"), F.col("cy").alias("acy")
+    reps_all = spark.range(0, _ST_REPS + 1).select(
+        F.col("id").cast("bigint").alias("aj")
+    )
+    a = (
+        cellday.select("cx", "cy")
+        .distinct()
+        .select(F.col("cx").alias("acx"), F.col("cy").alias("acy"))
+        .crossJoin(F.broadcast(reps_all))
     )
     wins = (
         a.crossJoin(F.broadcast(offs))
         .join(
-            cellday,
-            (F.col("cx") == F.col("acx") + F.col("dx"))
+            pc,
+            (F.col("j") == F.col("aj"))
+            & (F.col("cx") == F.col("acx") + F.col("dx"))
             & (F.col("cy") == F.col("acy") + F.col("dy")),
         )
-        .groupBy("acx", "acy", "ch")
+        .groupBy("aj", "acx", "acy", "ch")
         .agg(
             F.sum("n").cast("bigint").alias("n_all"),
             *[
@@ -2790,7 +2912,10 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
     zones0 = (
         wins.crossJoin(F.broadcast(radii))
         .groupBy(
-            F.col("acx").alias("cx"), F.col("acy").alias("cy"), "r"
+            F.col("aj").alias("j"),
+            F.col("acx").alias("cx"),
+            F.col("acy").alias("cy"),
+            "r",
         )
         .agg(
             *[
@@ -2807,9 +2932,10 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
     winsdf = spark.createDataFrame([(ln,) for ln in _ST_WINS], "win_days int")
     obs_expr = None
     for ln in _ST_WINS:
-        cond = F.when(F.col("win_days") == ln, F.col(f"nw{ln}"))
-        obs_expr = cond if obs_expr is None else obs_expr.when(
-            F.col("win_days") == ln, F.col(f"nw{ln}")
+        obs_expr = (
+            F.when(F.col("win_days") == ln, F.col(f"nw{ln}"))
+            if obs_expr is None
+            else obs_expr.when(F.col("win_days") == ln, F.col(f"nw{ln}"))
         )
     wmarg_expr = None
     for ln in _ST_WINS:
@@ -2822,6 +2948,7 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
         zones0.crossJoin(F.broadcast(winsdf))
         .crossJoin(F.broadcast(tot))
         .select(
+            "j",
             "cx",
             "cy",
             F.col("r").cast("int").alias("r"),
@@ -2833,12 +2960,36 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
         )
     )
     llr = F.expr(
-        _llr_sql(
-            "obs", "(CAST(n_space * wmarg_i AS DOUBLE) / c_all)", "c_all"
-        )
+        _llr_sql("obs", "(CAST(n_space * wmarg_i AS DOUBLE) / c_all)", "c_all")
+    )
+    scoredz = zones.withColumn("llr_raw", llr).localCheckpoint()
+    repmax = (
+        scoredz.filter(F.col("j") >= 1)
+        .groupBy("j")
+        .agg(F.max(dround(F.col("llr_raw"), 6)).alias("m6"))
+    )
+    obsz = scoredz.filter(F.col("j") == 0).withColumn(
+        "llr6", dround(F.col("llr_raw"), 6)
     )
     return (
-        zones.select(
+        obsz.crossJoin(F.broadcast(repmax))
+        .groupBy(
+            "cx", "cy", "r", "win_days", "obs", "n_space", "wmarg_i",
+            "c_all", "llr_raw", "llr6",
+        )
+        .agg(
+            dround(
+                (
+                    F.lit(1.0)
+                    + F.sum(
+                        F.when(F.col("m6") >= F.col("llr6"), 1).otherwise(0)
+                    )
+                )
+                / F.lit(float(_ST_REPS + 1)),
+                4,
+            ).alias("p_value")
+        )
+        .select(
             "cx",
             "cy",
             "r",
@@ -2849,7 +3000,8 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
                 / F.col("c_all"),
                 4,
             ).alias("expected"),
-            dround(llr, 4).alias("llr"),
+            dround(F.col("llr_raw"), 4).alias("llr"),
+            "p_value",
         )
         .orderBy(F.col("llr").desc(), "cx", "cy", "r", "win_days")
         .limit(_ST_TOPK)

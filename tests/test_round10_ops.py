@@ -143,6 +143,9 @@ def test_spacetime_scan_flags_emerging_not_endemic(spark, tmp_path):
     assert (top.cx, top.cy) == emerging, (top, emerging)
     assert top.r == 0 and top.win_days == 3
     assert top.obs == 63  # 3 x (1 + 20)
+    # the planted cluster must be SIGNIFICANT: no multinomial replicate's
+    # max cylinder LLR reaches it -> the smallest attainable p, 1/(R+1)
+    assert top.p_value == pytest.approx(0.1)
     # the endemic cell must not appear with a positive LLR anywhere
     assert all(
         r.llr == 0.0 for r in out if (r.cx, r.cy) == endemic
