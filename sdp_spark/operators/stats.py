@@ -2599,14 +2599,39 @@ _ST_OFFS = [(dx, dy, max(abs(dx), abs(dy)))
 _ST_OFFS_SQL = ", ".join(f"({dx}, {dy}, {ch})" for dx, dy, ch in _ST_OFFS)
 _ST_TOPK = 10
 _ST_REPS = 9           # Monte-Carlo replicates -> p resolution 1/10
-# case hash is md5-based (the repo's portable-md5 idiom): an AFFINE
-# Knuth-stride hash was measured SYSTEMATIC mod C (per-cell replicate
-# marginals within ~2 of observed where multinomial sd is ~18) — a
-# low-discrepancy lattice, not a multinomial draw, which shrinks the
-# replicate max-LLR distribution and makes p-values anti-conservative.
+# Case hash: an integer xorshift-multiply avalanche mix (Lehmer step,
+# two xor-shift + multiply rounds; every operand bounded so BIGINT
+# products stay under 2^63 on both engines). Two designs were REJECTED
+# by measurement: (1) an AFFINE Knuth stride is low-discrepancy mod C
+# (replicate cell marginals within ~2 of observed where multinomial sd
+# is ~18) — systematic sampling, not a multinomial draw, shrinking the
+# null max-LLR distribution and making p anti-conservative; (2) md5 of
+# the case key disperses correctly but costs ~12x wall at the 100x
+# fixture (203 s vs ~60 s) — the mix matches multinomial dispersion
+# (sd 10.0 vs theoretical 9.95 in the unit test) at integer-op cost.
+_ST_CASE_SALT = 100003
+_ST_M31 = 2147483647
+_ST_MIX2 = 2246822519
+_ST_MIX3 = 3266489917
+
+
+def _st_mix_sql(x: str, xor: str = "xor({a}, {b})") -> list[str]:
+    """The mix as a chain of column expressions (h1..h5, h): each step
+    references the previous step's NAME, so both engines evaluate the
+    identical small expressions instead of one exponentially-repeated
+    tree. `xor` is the dialect spelling (DuckDB xor(a,b); Spark a ^ b)."""
+    return [
+        f"(({x}) % {_ST_M31}) * 48271 % {_ST_M31}",          # h1
+        xor.format(a="h1", b="(h1 >> 15)"),                  # h2
+        f"h2 * {_ST_MIX2} % {_ST_M31}",                      # h3
+        xor.format(a="h3", b="(h3 >> 13)"),                  # h4
+        f"h4 * {_ST_MIX3} % 4294967296",                     # h5
+        xor.format(a="h5", b="(h5 >> 16)"),                  # h
+    ]
 
 
 def _st_scan_oracle() -> str:
+    mix = _st_mix_sql("x")
     wsel = ", ".join(
         f"CAST(SUM(CASE WHEN b.t >= {_ST_END_T + 1 - ln} THEN b.n ELSE 0 END)"
         f" AS BIGINT) AS nw{ln}"
@@ -2642,18 +2667,20 @@ def _st_scan_oracle() -> str:
       FROM cells0
     ), daymarg AS (
       SELECT t, CAST(SUM(n) AS BIGINT) AS nt FROM cellday GROUP BY 1
-    ), sim AS (
-      SELECT r.j, dm.t,
-             list_reduce(list_transform(
-               string_split(substring(md5(
-                 CAST(dm.t AS VARCHAR) || '_' || CAST(s.i AS VARCHAR)
-                 || '_' || CAST(r.j AS VARCHAR)), 1, 12), ''),
-               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-               (a, b) -> a * 16 + b) % tt.c_all AS h
+    ), sim0 AS (
+      SELECT r.j, dm.t, tt.c_all,
+             (dm.t * {_ST_CASE_SALT} + s.i) * 10 + r.j AS x
       FROM daymarg dm,
            UNNEST(generate_series(1, dm.nt)) AS s(i),
            range(1, {_ST_REPS + 1}) r(j),
            tot tt
+    ), sim1 AS (SELECT *, {mix[0]} AS h1 FROM sim0
+    ), sim2 AS (SELECT *, {mix[1]} AS h2 FROM sim1
+    ), sim3 AS (SELECT *, {mix[2]} AS h3 FROM sim2
+    ), sim4 AS (SELECT *, {mix[3]} AS h4 FROM sim3
+    ), sim5 AS (SELECT *, {mix[4]} AS h5 FROM sim4
+    ), sim AS (
+      SELECT j, t, ({mix[5]}) % c_all AS h FROM sim5
     ), simcell AS (
       SELECT s.j, c.cx, c.cy, s.t, CAST(COUNT(*) AS BIGINT) AS n
       FROM sim s JOIN cum c ON s.h >= c.cum_hi - c.ns AND s.h < c.cum_hi
@@ -2789,9 +2816,10 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
     replicate redraws every case's CELL from the observed space
     marginal while keeping its DAY fixed (a deterministic multinomial:
     case i of day t in replicate j hashes to the cell whose cumulative
-    space-marginal interval contains md5(t_i_j)[:12hex] % C — md5, not
-    an affine Knuth stride, which is low-discrepancy mod C and would
-    under-disperse the null; see the constants note) — the time
+    space-marginal interval contains mix((t*salt + i)*10 + j) % C, the
+    xorshift-multiply avalanche mix — NOT an affine stride, which is
+    low-discrepancy mod C and under-disperses the null, and NOT md5,
+    which disperses correctly at 12x the cost; constants note) — the time
     marginal is preserved EXACTLY by construction and
     the space marginal in expectation; Kulldorff 2005 permutes, which
     preserves both, but permutation is not expressible as deterministic
@@ -2836,7 +2864,15 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
             ),
         )
     )
-    daymarg = cellday.groupBy("t").agg(F.sum("n").cast("bigint").alias("nt"))
+    # the per-day explode inherits daymarg's partitioning (|days| rows in
+    # ONE partition after the agg) — without this spread the 90M-row
+    # simulate at 100x runs on a single core (measured 79 s -> ~4 s; the
+    # memory'd wide_table parallelism guard, applied inline)
+    daymarg = (
+        cellday.groupBy("t")
+        .agg(F.sum("n").cast("bigint").alias("nt"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     repsj = spark.range(1, _ST_REPS + 1).select(F.col("id").cast("bigint").alias("j"))
     sim = (
         daymarg.crossJoin(F.broadcast(tot.select("c_all")))
@@ -2846,21 +2882,19 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
             F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("nt"))).alias("i"),
         )
         .crossJoin(F.broadcast(repsj))
+        .withColumn(
+            "x", (F.col("t") * _ST_CASE_SALT + F.col("i")) * 10 + F.col("j")
+        )
+        .withColumn("h1", (F.col("x") % _ST_M31) * 48271 % _ST_M31)
+        .withColumn("h2", F.col("h1").bitwiseXOR(F.shiftright("h1", 15)))
+        .withColumn("h3", F.col("h2") * _ST_MIX2 % _ST_M31)
+        .withColumn("h4", F.col("h3").bitwiseXOR(F.shiftright("h3", 13)))
+        .withColumn("h5", F.col("h4") * _ST_MIX3 % 4294967296)
         .select(
             "j",
             "t",
             (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("_", F.col("t"), F.col("i"), F.col("j"))),
-                        1,
-                        12,
-                    ),
-                    16,
-                    10,
-                )
-                .cast("bigint")
-                % F.col("c_all")
+                F.col("h5").bitwiseXOR(F.shiftright("h5", 16)) % F.col("c_all")
             ).alias("h"),
         )
     )
