@@ -622,3 +622,43 @@ def test_epiweek_plan_one_exchange(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange") <= 2, plan  # partial+final agg exchange (+AQE read)
+
+
+def test_spacetime_mix_hash_portable_and_dispersed(ddb):
+    """The replicate case hash must (a) replay EXACTLY in DuckDB (the
+    oracle evaluates the same chain) and (b) disperse like a true
+    multinomial — the affine-stride failure mode this mix replaced was
+    per-bucket sd ~2 where multinomial sd is ~10 (see the constants
+    note in stats.py)."""
+    import statistics
+
+    from sdp_spark.operators.stats import (
+        _ST_M31,
+        _ST_MIX2,
+        _ST_MIX3,
+        _st_mix_sql,
+    )
+
+    def mix(x: int) -> int:
+        h = (x % _ST_M31) * 48271 % _ST_M31
+        h = h ^ (h >> 15)
+        h = h * _ST_MIX2 % _ST_M31
+        h = h ^ (h >> 13)
+        h = h * _ST_MIX3 % 4294967296
+        return h ^ (h >> 16)
+
+    steps = _st_mix_sql("x")
+    chain = "SELECT CAST(range AS BIGINT) AS x FROM range(1, 2001)"
+    for name, expr in zip(("h1", "h2", "h3", "h4", "h5", "h"), steps):
+        chain = f"SELECT *, {expr} AS {name} FROM ({chain})"
+    dd = [r[0] for r in ddb.execute(f"SELECT h FROM ({chain})").fetchall()]
+    assert dd == [mix(x) for x in range(1, 2000 + 1)]
+
+    # dispersion: 10000 synthetic cases of one day/replicate over 100
+    # equal buckets — multinomial sd = sqrt(n p (1-p)) ~ 9.95
+    c = 10000
+    buckets = [0] * 100
+    for i in range(1, c + 1):
+        buckets[mix((5 * 100003 + i) * 10 + 3) % c * 100 // c] += 1
+    sd = statistics.pstdev(buckets)
+    assert 7.0 < sd < 13.5, sd
