@@ -2166,6 +2166,53 @@ def query_spatial_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared Monte-Carlo case hash (used by BOTH scan statistics below)
+# ---------------------------------------------------------------------------
+# Case hash: an integer xorshift-multiply avalanche mix (Lehmer step,
+# two xor-shift + multiply rounds; every operand bounded so BIGINT
+# products stay under 2^63 on both engines). Two designs were REJECTED
+# by measurement: (1) an AFFINE Knuth stride is low-discrepancy mod C
+# (replicate cell marginals within ~2 of observed where multinomial sd
+# is ~18) — systematic sampling, not a multinomial draw, shrinking the
+# null max-LLR distribution and making p anti-conservative; (2) md5 of
+# the case key disperses correctly but costs ~12x wall at the 100x
+# fixture (203 s vs ~60 s) — the mix matches multinomial dispersion
+# (sd 10.0 vs theoretical 9.95 in the unit test) at integer-op cost.
+_ST_CASE_SALT = 100003
+_ST_M31 = 2147483647
+_ST_MIX2 = 2246822519
+_ST_MIX3 = 3266489917
+
+
+def _st_mix_sql(x: str, xor: str = "xor({a}, {b})") -> list[str]:
+    """The mix as a chain of column expressions (h1..h5, h): each step
+    references the previous step's NAME, so both engines evaluate the
+    identical small expressions instead of one exponentially-repeated
+    tree. `xor` is the dialect spelling (DuckDB xor(a,b); Spark a ^ b)."""
+    return [
+        f"(({x}) % {_ST_M31}) * 48271 % {_ST_M31}",          # h1
+        xor.format(a="h1", b="(h1 >> 15)"),                  # h2
+        f"h2 * {_ST_MIX2} % {_ST_M31}",                      # h3
+        xor.format(a="h3", b="(h3 >> 13)"),                  # h4
+        f"h4 * {_ST_MIX3} % 4294967296",                     # h5
+        xor.format(a="h5", b="(h5 >> 16)"),                  # h
+    ]
+
+
+def _mix_cols(df: DataFrame) -> DataFrame:
+    """Spark-side spelling of the same chain over an existing `x` column
+    (bitwiseXOR/shiftright are the `a ^ b` dialect of _st_mix_sql)."""
+    return (
+        df.withColumn("h1", (F.col("x") % _ST_M31) * 48271 % _ST_M31)
+        .withColumn("h2", F.col("h1").bitwiseXOR(F.shiftright("h1", 15)))
+        .withColumn("h3", F.col("h2") * _ST_MIX2 % _ST_M31)
+        .withColumn("h4", F.col("h3").bitwiseXOR(F.shiftright("h3", 13)))
+        .withColumn("h5", F.col("h4") * _ST_MIX3 % 4294967296)
+        .withColumn("h", F.col("h5").bitwiseXOR(F.shiftright("h5", 16)))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Kulldorff variable-window spatial scan statistic
 # ---------------------------------------------------------------------------
 
@@ -2182,7 +2229,7 @@ _KULL_OFFS = [
     for dy in range(-2, 3)
 ]
 _KULL_OFFS_SQL = ", ".join(f"({dx}, {dy}, {ch})" for dx, dy, ch in _KULL_OFFS)
-_KULL_REPS = 19  # conditional Monte-Carlo replicates -> p resolution 1/20
+_KULL_REPS = 99  # conditional Monte-Carlo replicates -> p resolution 1/100
 _KULL_TOPK = 10
 
 # Shared LLR expression (spelled identically in Spark and DuckDB): the
@@ -2208,6 +2255,7 @@ def _kull_llr_sql(c: str, k: str, ctot: str, n: str) -> str:
 def _kulldorff_oracle() -> str:
     llr = _kull_llr_sql("z.obs", "z.k", "t.total", "t.n")
     llr6 = sql_dround("llr_raw", 6)
+    mix = _st_mix_sql("x")
     return f"""
     WITH pts AS (
       SELECT c_custkey,
@@ -2230,16 +2278,25 @@ def _kulldorff_oracle() -> str:
       FROM cells
     ), vals AS (
       SELECT cx, cy, ROW_NUMBER() OVER (ORDER BY cid) AS pos FROM cells
-    ), sim AS (
+    ), sim0 AS (
       -- synthetic case i of replicate j lands in the hash-chosen cell:
       -- the conditional multinomial null (total C fixed, uniform over
-      -- the n occupied cells), deterministic per (i, j)
-      SELECT r.j,
-             1 + ((s.i * {_KULL_REPS} + r.j) * {KNUTH}) % {KNUTH_MOD}
-                 % t.n AS pos
+      -- the n occupied cells), deterministic per (i, j). Hash = the
+      -- shared xorshift-multiply mix; the affine Knuth stride this key
+      -- first shipped with is a low-discrepancy lattice mod n that
+      -- under-disperses replicate marginals (anti-conservative p) —
+      -- see the mix's rationale comment and the dispersion pytest.
+      SELECT r.j, t.n, s.i * {_KULL_REPS + 1} + r.j AS x
       FROM tot t,
            UNNEST(generate_series(1, t.total)) AS s(i),
            range(1, {_KULL_REPS + 1}) r(j)
+    ), sim1 AS (SELECT *, {mix[0]} AS h1 FROM sim0
+    ), sim2 AS (SELECT *, {mix[1]} AS h2 FROM sim1
+    ), sim3 AS (SELECT *, {mix[2]} AS h3 FROM sim2
+    ), sim4 AS (SELECT *, {mix[3]} AS h4 FROM sim3
+    ), sim5 AS (SELECT *, {mix[4]} AS h5 FROM sim4
+    ), sim AS (
+      SELECT j, 1 + ({mix[5]}) % n AS pos FROM sim5
     ), simc AS (
       SELECT j, pos, CAST(COUNT(*) AS BIGINT) AS cnt FROM sim GROUP BY 1, 2
     ), pcells AS (
@@ -2315,9 +2372,14 @@ def query_spatial_scan_kulldorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     count stays extreme under permutation, so a genuine cluster would
     get p = 1 — the planted-cluster pytest guards this.) Replicates are
     DETERMINISTIC hash-addressed draws (the agg_bootstrap_ci idiom):
-    case i of replicate j lands in cell rank ((i*R + j)*KNUTH) % 2^32
-    % n, so every engine and partitioning replays the identical
-    simulation set.
+    case i of replicate j lands in cell rank 1 + mix(i*(R+1)+j) % n via
+    the shared xorshift-multiply avalanche mix, so every engine and
+    partitioning replays the identical simulation set. (The affine
+    Knuth stride this key first shipped with is a low-discrepancy
+    lattice mod n: replicate cell marginals hugged the uniform mean far
+    tighter than a multinomial draw, shrinking the null max-LLR and
+    making p anti-conservative — the dispersion pytest now pins the
+    mix's multinomial spread.)
 
     Determinism: counts/zone sizes/totals are exact BIGINTs; LLR is one
     shared IEEE expression chain (ln agrees across engines on these
@@ -2361,21 +2423,22 @@ def query_spatial_scan_kulldorff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cx", "cy", F.row_number().over(Window.orderBy("cid")).alias("pos")
     )
     # conditional multinomial null: case i of replicate j -> cell rank
-    # ((i*R + j) * KNUTH) % 2^32 % n, deterministic on every engine
+    # 1 + mix(i*(R+1) + j) % n via the shared xorshift-multiply mix
+    # (deterministic on every engine; the affine stride it replaces is
+    # a low-discrepancy lattice mod n — see the mix rationale above).
+    # tot is ONE row, so the explode would land all `total` rows on a
+    # single core — the repartition spreads the total*R simulate across
+    # the cluster (explode-parallelism guard, as in the space-time scan).
     sim = (
         tot.select(
             "n", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("total"))).alias("i")
         )
+        .repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(F.broadcast(reps))
-        .select(
-            "j",
-            (
-                F.lit(1)
-                + ((F.col("i") * _KULL_REPS + F.col("j")) * F.lit(KNUTH))
-                % F.lit(KNUTH_MOD)
-                % F.col("n")
-            ).alias("pos"),
-        )
+        .withColumn("x", F.col("i") * (_KULL_REPS + 1) + F.col("j"))
+    )
+    sim = _mix_cols(sim).select(
+        "j", (F.lit(1) + F.col("h") % F.col("n")).alias("pos")
     )
     simc = sim.groupBy("j", "pos").agg(F.count("*").cast("bigint").alias("cnt"))
     pcells = (
@@ -2598,36 +2661,13 @@ _ST_OFFS = [(dx, dy, max(abs(dx), abs(dy)))
             for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 _ST_OFFS_SQL = ", ".join(f"({dx}, {dy}, {ch})" for dx, dy, ch in _ST_OFFS)
 _ST_TOPK = 10
-_ST_REPS = 9           # Monte-Carlo replicates -> p resolution 1/10
-# Case hash: an integer xorshift-multiply avalanche mix (Lehmer step,
-# two xor-shift + multiply rounds; every operand bounded so BIGINT
-# products stay under 2^63 on both engines). Two designs were REJECTED
-# by measurement: (1) an AFFINE Knuth stride is low-discrepancy mod C
-# (replicate cell marginals within ~2 of observed where multinomial sd
-# is ~18) — systematic sampling, not a multinomial draw, shrinking the
-# null max-LLR distribution and making p anti-conservative; (2) md5 of
-# the case key disperses correctly but costs ~12x wall at the 100x
-# fixture (203 s vs ~60 s) — the mix matches multinomial dispersion
-# (sd 10.0 vs theoretical 9.95 in the unit test) at integer-op cost.
-_ST_CASE_SALT = 100003
-_ST_M31 = 2147483647
-_ST_MIX2 = 2246822519
-_ST_MIX3 = 3266489917
-
-
-def _st_mix_sql(x: str, xor: str = "xor({a}, {b})") -> list[str]:
-    """The mix as a chain of column expressions (h1..h5, h): each step
-    references the previous step's NAME, so both engines evaluate the
-    identical small expressions instead of one exponentially-repeated
-    tree. `xor` is the dialect spelling (DuckDB xor(a,b); Spark a ^ b)."""
-    return [
-        f"(({x}) % {_ST_M31}) * 48271 % {_ST_M31}",          # h1
-        xor.format(a="h1", b="(h1 >> 15)"),                  # h2
-        f"h2 * {_ST_MIX2} % {_ST_M31}",                      # h3
-        xor.format(a="h3", b="(h3 >> 13)"),                  # h4
-        f"h4 * {_ST_MIX3} % 4294967296",                     # h5
-        xor.format(a="h5", b="(h5 >> 16)"),                  # h
-    ]
+_ST_REPS = 99          # Monte-Carlo replicates -> p resolution 1/100
+# (SaTScan's convention is 999; 99 makes the 0.05 threshold meaningful
+# while keeping the simulate — linear in R, fully parallel — bench-cheap.)
+# Case hash: the shared xorshift-multiply mix `_st_mix_sql` / `_mix_cols`
+# defined with the Kulldorff scan above (rationale + rejected designs
+# documented there; dispersion pinned by
+# test_spacetime_mix_hash_portable_and_dispersed).
 
 
 def _st_scan_oracle() -> str:
@@ -2669,7 +2709,7 @@ def _st_scan_oracle() -> str:
       SELECT t, CAST(SUM(n) AS BIGINT) AS nt FROM cellday GROUP BY 1
     ), sim0 AS (
       SELECT r.j, dm.t, tt.c_all,
-             (dm.t * {_ST_CASE_SALT} + s.i) * 10 + r.j AS x
+             (dm.t * {_ST_CASE_SALT} + s.i) * {_ST_REPS + 1} + r.j AS x
       FROM daymarg dm,
            UNNEST(generate_series(1, dm.nt)) AS s(i),
            range(1, {_ST_REPS + 1}) r(j),
@@ -2763,9 +2803,11 @@ def query_spacetime_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     only windows touching the study end are evaluated (the prospective
     restriction — elapsed clusters are the RETROSPECTIVE
     `query_spatial_scan_kulldorff`'s job). Ranked by the same Poisson
-    LLR (`_llr_sql`, shared expression text); p-values follow the
-    spatial key's deterministic hash-addressed replicate pattern and are
-    omitted here to keep the cylinder enumeration the focus.
+    LLR (`_llr_sql`, shared expression text); p-values come from
+    {_ST_REPS} conditional Monte-Carlo replicates whose case-to-cell
+    assignment is the hash-addressed multinomial draw (`_st_mix_sql` /
+    `_mix_cols`) — p = (1 + #replicate maxima >= observed LLR) / (R+1),
+    the standard scan-statistic convention.
 
     Event geography is the user_id Knuth hash (the repo's derived-
     attribute idiom; the fixture has no native coordinates).
@@ -2883,20 +2925,13 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
         )
         .crossJoin(F.broadcast(repsj))
         .withColumn(
-            "x", (F.col("t") * _ST_CASE_SALT + F.col("i")) * 10 + F.col("j")
+            "x",
+            (F.col("t") * _ST_CASE_SALT + F.col("i")) * (_ST_REPS + 1)
+            + F.col("j"),
         )
-        .withColumn("h1", (F.col("x") % _ST_M31) * 48271 % _ST_M31)
-        .withColumn("h2", F.col("h1").bitwiseXOR(F.shiftright("h1", 15)))
-        .withColumn("h3", F.col("h2") * _ST_MIX2 % _ST_M31)
-        .withColumn("h4", F.col("h3").bitwiseXOR(F.shiftright("h3", 13)))
-        .withColumn("h5", F.col("h4") * _ST_MIX3 % 4294967296)
-        .select(
-            "j",
-            "t",
-            (
-                F.col("h5").bitwiseXOR(F.shiftright("h5", 16)) % F.col("c_all")
-            ).alias("h"),
-        )
+    )
+    sim = _mix_cols(sim).select(
+        "j", "t", (F.col("h") % F.col("c_all")).alias("h")
     )
     simcell = (
         sim.join(

@@ -95,154 +95,173 @@ def register(key: str, oracle: str | None = None, section: str = ""):
 # driver-green keys newest-round-first. An unlisted key sorts before
 # everything (rank -1) and would displace the backlog past the cap — to
 # deprioritize, list it; test_entry enforces registry == list exactly.
+# Keys whose OUTPUT or semantics changed after their last driver
+# certification — they must re-sweep this round even though green
+# (test_entry reads this to check the head of _SWEEP_PRIORITY).
+_SWEEP_REPROOFS = frozenset({
+    # r11: Monte-Carlo R 19/9 -> 99 and the Kulldorff case hash moved
+    # to the shared xorshift mix (ADVICE r10 high) — p_value columns
+    # and replicate draws changed on all three.
+    "query_spatial_scan_kulldorff",
+    "query_spacetime_scan",
+    "stream_spacetime_alerts",
+})
+
 _SWEEP_PRIORITY = (
-    # --- new round-10 keys (never driver-swept) ---
-    "query_outbreak_farrington", "stream_farrington_alerts", "fn_epiweek",
-    "ts_nowcast_delay", "query_spatial_scan_kulldorff", "fn_geo_wkt_shapes",
-    "join_polygon_intersects", "llm_sim_search_ivfpq",
-    "stream_nowcast_delay", "agg_direct_standardization",
-    "query_spacetime_scan", "stream_spacetime_alerts",
-    # --- r10 precautionary re-proofs: llm_ann_recall_eval grows an
-    #     ivfpq method row; fulltext_query_expansion re-planned onto
-    #     shared tf postings (hash unchanged by construction) ---
-    "llm_ann_recall_eval", "fulltext_query_expansion",
-    # --- freshness rotation (VERDICT r9 next-round #6): the 48 keys
-    #     whose latest driver verdict dates to ROUND 1 — the sweep
-    #     budget's remaining ~40 slots re-certify the oldest of them;
-    #     the overflow rotates in round 11. ---
-    "agg_approx_distinct", "agg_bool_bit", "agg_count_distinct", "agg_cube",
-    "agg_global", "agg_group_concat", "agg_groupby", "agg_having",
-    "agg_percentile", "agg_pivot", "agg_rollup", "agg_stats",
-    "dedup_distinct", "dml_update_delete", "filter_basic", "filter_between",
-    "filter_collation_ci", "filter_compound", "filter_in", "filter_like",
-    "filter_null", "filter_regexp", "join_anti", "join_asof",
-    "join_broadcast", "join_cross", "join_full", "join_inner", "join_left",
-    "join_multiway", "join_right", "join_salted", "join_self", "join_semi",
-    "join_theta_range", "project_case", "project_cast", "project_select",
-    "scan_csv", "scan_json", "scan_orc", "scan_parquet",
-    "scan_partition_pruned", "sink_append", "sink_overwrite",
+    # The driver certifies ~50 keys per round, taking exactly this
+    # tuple's first 50 (an unlisted key sorts before everything —
+    # rank -1 — so test_entry enforces registry == list exactly).
+    # Round-11 head, in order:
+    #   (a) the 12 keys whose only driver verdict dates to ROUND 1
+    #       (VERDICT r10 next-round #1 — the final freshness stragglers);
+    #   (b) the 3 Monte-Carlo scan keys whose OUTPUT changed this round
+    #       (R 19/9 -> 99 and the Kulldorff case hash moved to the
+    #       shared xorshift mix — ADVICE r10 high);
+    #   (c) new round-11 keys (inserted in section (c) as built);
+    # then every other key oldest-latest-verdict-first (alphabetical
+    # within a round), so the tuple IS the freshness queue: future
+    # rounds prepend new/changed keys and the rotation self-heals.
+    # --- (a) round-1 stragglers ---
+    "project_cast", "project_select", "scan_csv", "scan_json", "scan_orc",
+    "scan_parquet", "scan_partition_pruned", "sink_append", "sink_overwrite",
     "sink_partitioned", "sink_upsert", "sort_nulls",
-    # --- driver-green keys, newest-round-first (r9 ... r2) ---
-    "agg_capture_recapture", "agg_proportion_ztest", "dq_l_diversity",
-    "query_outbreak_ewma", "stream_ewma_alerts", "fn_geo_haversine",
-    "stream_rt_alerts", "llm_rouge_overlap", "llm_quality_score",
-    "llm_hard_negatives", "llm_fingerprint", "llm_dedup_simhash",
-    "llm_cdc_chunk", "llm_sim_search_lsh", "llm_dedup_embed_lsh",
-    "stream_sliding_wm", "stream_session_wm", "stream_stream_join_outer",
-    "stream_stateful_timeout", "graph_pagerank", "llm_boilerplate_ngrams",
-    "fn_geo_polygon", "dml_changelog_trigger", "catalog_information_schema",
-    "query_outbreak_serfling", "stream_serfling_alerts",
-    "sample_balanced_class", "graph_k_core", "join_polygon_contains",
-    "llm_sim_search_pq", "win_event_sequence", "llm_span_corruption",
-    "fn_geo_wkt", "agg_diagnostic_accuracy", "agg_cmh_stratified",
-    "agg_moran_grid", "ts_theil_sen", "ts_holt_linear",
-    "graph_label_propagation", "mm_patch_grid", "llm_keyword_rake",
-    "filter_fulltext_phrase", "query_spatial_hotspot", "ts_mann_kendall",
-    "join_geo_nearest", "fn_geo_geohash", "dq_benford",
-    "llm_curriculum_order", "dq_drift_psi", "ts_changepoint_meanshift",
-    "agg_market_basket", "llm_sample_importance", "llm_winnow_fingerprint",
-    "stream_drift_psi", "llm_dedup_containment", "agg_retention_cohort",
-    "agg_period_growth", "agg_pareto_abc", "dq_k_anonymity",
-    "llm_embed_feature_hash", "llm_quality_classifier_linear",
-    "mm_payload_cdc", "llm_corpus_diff", "query_outbreak_histlimits",
-    "ts_autocorr", "ts_decompose_seasonal", "ts_max_drawdown",
-    "agg_rfm_segmentation", "agg_chi2_independence", "dq_expectations_suite",
-    "graph_common_neighbors", "sample_hash_group", "stream_histlimits_alerts",
-    "agg_markov_transitions", "agg_time_to_event",
-    "graph_degree_assortativity", "llm_zipf_slope", "agg_survival_km",
-    "agg_relative_risk", "llm_token_budget_alloc", "llm_pmi_collocations",
-    "llm_bigram_perplexity", "agg_welch_ttest", "agg_mann_whitney",
-    "ts_cross_correlation", "llm_readability", "llm_knn_graph",
-    "llm_novelty_rate", "sample_weighted_reservoir", "agg_hhi_concentration",
-    "agg_bootstrap_ci", "agg_indirect_standardization", "ts_rt_ratio",
-    "sample_neyman_allocation", "agg_gini", "graph_bipartite_projection",
-    "dialect_pipe_syntax", "agg_observe_metrics", "stream_dedup_wm",
-    "scan_recursive_glob", "udf_grouped_arrow", "filter_collation_native",
-    "dialect_identifier_param", "win_fill_forward", "scan_file_metadata",
-    "fn_url_parse", "sink_compressed", "agg_bitmap_distinct",
-    "dialect_dml_roundtrip", "llm_quality_c4", "dq_anomaly_iqr",
-    "join_interval_overlap", "graph_connected_components",
-    "graph_triangle_count", "ts_interpolate_linear", "dq_profile_table",
-    "llm_repetition_ngram", "agg_histogram_equiwidth", "dq_winsorize",
-    "graph_shortest_path_bfs", "win_rolling_corr", "llm_dup_cluster_stats",
-    "catalog_matview_incremental", "agg_entropy", "dq_mad_outlier",
-    "agg_weighted_percentile", "ts_seasonal_error", "stream_matview_upkeep",
-    "query_outbreak_cusum", "agg_skew_kurtosis", "stream_cusum_alerts",
-    "llm_dataset_card", "subq_any_all", "udf_pandas_iter", "mm_payload_dedup",
-    "dq_freshness_check", "dq_duplicate_pk_check", "win_cumulative_distinct",
-    "llm_dedup_near", "stream_watermark", "stream_tumbling_wm",
-    "win_sliding_median", "win_ewma", "llm_blocklist_filter",
-    "subq_correlated_scalar", "filter_row_constructor", "agg_regression",
-    "query_forecast_revenue", "join_existence", "fn_try_arith",
-    "fn_week_modes", "fn_mysql_string2", "fn_inet", "fn_aes_roundtrip",
-    "join_null_safe", "win_ratio_to_report", "stream_approx_distinct",
-    "mm_modality_stats", "llm_pipeline_multimodal", "query_outbreak_ears",
-    "join_fuzzy_blocked", "stream_ears_alerts", "llm_corpus_lineage",
-    "catalog_cross_db", "sink_dynamic_overwrite", "sink_stream_partitioned",
-    "fn_regex_advanced", "scan_numbers_table", "scan_incremental_files",
-    "dialect_prepared_stmt", "udtf_python_native", "udf_map_in_arrow",
-    "fn_variant_json", "catalog_sql_udf", "query_small_qty_orders",
-    "query_market_share", "query_product_profit", "query_shipmode_priority",
-    "query_parts_supplier_cnt", "query_waiting_suppliers",
-    "query_min_cost_supplier", "query_important_stock",
-    "query_dominant_suppliers", "scan_xml", "scan_python_datasource",
-    "catalog_sql_script", "cte_recursive", "graph_degree",
-    "dq_referential_check", "scan_csv_malformed", "llm_perplexity_proxy",
-    "llm_sample_stratified", "llm_chunk_windows", "scan_multiformat_union",
-    "agg_percentile_disc", "fn_trig", "dml_truncate_partition",
-    "llm_url_normalize", "llm_shard_export", "llm_semdedup",
-    "llm_cluster_kmeans", "fulltext_bm25", "llm_inverted_index",
-    "limit_found_rows", "agg_ohlc_resample", "ts_gap_fill",
-    "llm_dedup_substring", "llm_embed_normalize", "llm_embed_pca",
-    "sink_zorder", "llm_embed_quantize", "llm_bpe_pair_counts",
-    "llm_mix_epochs", "join_scd2_pointintime", "subq_not_in_null",
-    "fn_convert_tz", "query_cust_order_counts", "stream_ohlc",
-    "dialect_mysql_query", "llm_dedup_url_docs", "llm_vocab_oov",
-    "agg_approx_topk", "query_large_volume_cust",
-    "query_local_supplier_volume", "query_volume_shipping",
-    "query_promo_effect", "query_top_supplier", "query_disjunctive_parts",
-    "query_dormant_customers", "dialect_user_var_rownum", "sink_odku",
-    "llm_hybrid_search_rrf", "llm_dedup_incremental", "join_runtime_bloom",
-    "stream_topk_windowed", "llm_bpe_apply", "sink_sized_files", "join_dpp",
-    "sink_insert_ignore", "sink_replace", "llm_pii_scrub",
-    "llm_decontaminate", "llm_sample_temperature", "llm_pack_sequences",
-    "llm_quality_gopher", "fn_encode", "join_spatial_grid",
-    "agg_sketch_rollup", "sink_stream_upsert", "scan_binary_files",
-    "fn_spatial", "agg_funnel", "llm_ngram_counts", "sink_outfile_csv",
-    "sink_compact", "llm_doc_len_histogram", "agg_approx_percentile",
-    "mm_decode_pipeline", "scan_jdbc", "join_bucketed", "sink_autoincrement",
-    "scan_text", "agg_filtered", "win_sessionize", "join_range_bucketed",
-    "catalog_ctas", "llm_dedup_softnorm", "llm_dedup_prefix",
-    "llm_domain_mix", "llm_corpus_stats", "query_shipping_priority",
-    "query_returned_items", "query_late_orders", "agg_mode", "sink_jsonl",
-    "fn_json_struct", "win_zscore", "join_asof_tolerance",
-    "llm_cross_split_dedup", "stream_late_metrics", "win_gap_islands",
-    "dml_merge_scd2", "source_stream_files", "sink_stream_foreachBatch",
-    "sink_jdbc", "sink_stream_jdbc",
-    "stream_ingest", "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_dedup", "stream_stateful", "stream_join_dim", "filter_fulltext",
-    "filter_fulltext_bool", "catalog_ddl", "catalog_views", "llm_langid",
-    "llm_dedup_embed", "llm_dedup_ngram_jaccard", "llm_sim_search_ivf",
-    "llm_token_count_bpe", "llm_pipeline_e2e", "llm_pipeline_train_corpus",
-    "agg_grouping_sets", "agg_corr", "filter_collation_accent",
-    "sample_systematic", "agg_unpivot", "project_cast_lenient",
-    "catalog_analyze_stats", "fn_fuzzy", "scan_schema_evolution",
-    "catalog_show_describe", "join_hinted", "mm_frame_sample",
-    "stream_stream_join", "llm_dedup_near_resolve",
-    "llm_pipeline_train_corpus_nd", "project_enum_check", "fn_time_year",
-    "project_set_check", "win_row_number", "win_rank", "win_lag_lead",
-    "win_running", "win_sliding_rows", "win_range_frame", "win_topk_group",
-    "win_first_last", "win_cume_dist", "win_nth_value", "win_ntile",
-    "sort_multikey", "limit_offset", "topk", "set_union_all", "set_union",
-    "set_intersect", "set_except", "set_intersect_all", "set_except_all",
-    "fn_string", "fn_string_regex", "fn_date", "fn_math", "fn_conditional",
-    "fn_json", "fn_array_map", "fn_hash", "fn_map", "fn_substring_index",
-    "fn_datetime_arith", "fn_bitwise", "fn_mysql_misc", "subq_scalar",
-    "subq_in_exists", "subq_derived", "cte_with", "subq_lateral",
-    "udf_python", "udf_pandas_scalar", "udf_pandas_grouped_agg",
-    "udf_grouped_map", "udtf_explode", "llm_dedup_exact", "llm_sim_search",
-    "llm_text_stats", "llm_tfidf_topterms", "llm_lang_filter",
-    "llm_multimodal_cols",
+    # --- (b) changed-output MC scan keys ---
+    "query_spatial_scan_kulldorff", "query_spacetime_scan",
+    "stream_spacetime_alerts",
+    # --- (c) new round-11 keys ---
+    # --- oldest-first rotation (latest verdict r2 ... r10) ---
+    "cte_with", "fn_array_map", "fn_bitwise", "fn_conditional", "fn_date",
+    "fn_datetime_arith", "fn_hash", "fn_json", "fn_map", "fn_math",
+    "fn_mysql_misc", "fn_string", "fn_string_regex", "fn_substring_index",
+    "limit_offset", "llm_dedup_exact", "llm_lang_filter",
+    "llm_multimodal_cols", "llm_sim_search", "llm_text_stats",
+    "llm_tfidf_topterms", "set_except", "set_except_all", "set_intersect",
+    "set_intersect_all", "set_union", "set_union_all", "sort_multikey",
+    "subq_derived", "subq_in_exists", "subq_lateral", "subq_scalar", "topk",
+    "udf_grouped_map", "udf_pandas_grouped_agg", "udf_pandas_scalar",
+    "udf_python", "udtf_explode", "win_cume_dist", "win_first_last",
+    "win_lag_lead", "win_nth_value", "win_ntile", "win_range_frame",
+    "win_rank", "win_row_number", "win_running", "win_sliding_rows",
+    "win_topk_group", "agg_corr", "agg_grouping_sets", "agg_unpivot",
+    "catalog_analyze_stats", "catalog_ddl", "catalog_show_describe",
+    "catalog_views", "filter_collation_accent", "filter_fulltext",
+    "filter_fulltext_bool", "fn_fuzzy", "fn_time_year", "join_hinted",
+    "llm_dedup_embed", "llm_dedup_near_resolve", "llm_dedup_ngram_jaccard",
+    "llm_langid", "llm_pipeline_e2e", "llm_pipeline_train_corpus",
+    "llm_pipeline_train_corpus_nd", "llm_sim_search_ivf",
+    "llm_token_count_bpe", "mm_frame_sample", "project_cast_lenient",
+    "project_enum_check", "project_set_check", "sample_systematic",
+    "scan_schema_evolution", "sink_jdbc", "sink_stream_foreachBatch",
+    "sink_stream_jdbc", "source_stream_files", "stream_dedup",
+    "stream_ingest", "stream_join_dim", "stream_session", "stream_sliding",
+    "stream_stateful", "stream_stream_join", "stream_tumbling",
+    "agg_approx_percentile", "agg_filtered", "agg_funnel", "agg_mode",
+    "agg_sketch_rollup", "catalog_ctas", "dml_merge_scd2", "fn_encode",
+    "fn_json_struct", "fn_spatial", "join_asof_tolerance", "join_bucketed",
+    "join_range_bucketed", "join_spatial_grid", "llm_corpus_stats",
+    "llm_cross_split_dedup", "llm_decontaminate", "llm_dedup_prefix",
+    "llm_dedup_softnorm", "llm_doc_len_histogram", "llm_domain_mix",
+    "llm_ngram_counts", "llm_pack_sequences", "llm_pii_scrub",
+    "llm_quality_gopher", "llm_sample_temperature", "mm_decode_pipeline",
+    "query_late_orders", "query_returned_items", "query_shipping_priority",
+    "scan_binary_files", "scan_jdbc", "scan_text", "sink_autoincrement",
+    "sink_compact", "sink_insert_ignore", "sink_jsonl", "sink_outfile_csv",
+    "sink_replace", "sink_stream_upsert", "stream_late_metrics",
+    "win_gap_islands", "win_sessionize", "win_zscore", "agg_approx_topk",
+    "agg_ohlc_resample", "agg_percentile_disc", "dialect_mysql_query",
+    "dialect_user_var_rownum", "dml_truncate_partition", "fn_convert_tz",
+    "fn_trig", "fulltext_bm25", "join_dpp", "join_runtime_bloom",
+    "join_scd2_pointintime", "limit_found_rows", "llm_bpe_apply",
+    "llm_bpe_pair_counts", "llm_chunk_windows", "llm_cluster_kmeans",
+    "llm_dedup_incremental", "llm_dedup_substring", "llm_dedup_url_docs",
+    "llm_embed_normalize", "llm_embed_pca", "llm_embed_quantize",
+    "llm_hybrid_search_rrf", "llm_inverted_index", "llm_mix_epochs",
+    "llm_perplexity_proxy", "llm_sample_stratified", "llm_semdedup",
+    "llm_shard_export", "llm_url_normalize", "llm_vocab_oov",
+    "query_cust_order_counts", "query_disjunctive_parts",
+    "query_dormant_customers", "query_large_volume_cust",
+    "query_local_supplier_volume", "query_promo_effect", "query_top_supplier",
+    "query_volume_shipping", "scan_csv_malformed", "scan_multiformat_union",
+    "sink_odku", "sink_sized_files", "sink_zorder", "stream_ohlc",
+    "stream_topk_windowed", "subq_not_in_null", "ts_gap_fill",
+    "agg_regression", "catalog_cross_db", "catalog_sql_script",
+    "catalog_sql_udf", "cte_recursive", "dialect_prepared_stmt",
+    "dq_referential_check", "filter_row_constructor", "fn_aes_roundtrip",
+    "fn_inet", "fn_mysql_string2", "fn_regex_advanced", "fn_try_arith",
+    "fn_variant_json", "fn_week_modes", "graph_degree", "join_existence",
+    "join_fuzzy_blocked", "join_null_safe", "llm_blocklist_filter",
+    "llm_corpus_lineage", "llm_pipeline_multimodal", "mm_modality_stats",
+    "query_dominant_suppliers", "query_forecast_revenue",
+    "query_important_stock", "query_market_share", "query_min_cost_supplier",
+    "query_outbreak_ears", "query_parts_supplier_cnt", "query_product_profit",
+    "query_shipmode_priority", "query_small_qty_orders",
+    "query_waiting_suppliers", "scan_incremental_files", "scan_numbers_table",
+    "scan_python_datasource", "scan_xml", "sink_dynamic_overwrite",
+    "sink_stream_partitioned", "stream_approx_distinct", "stream_ears_alerts",
+    "subq_correlated_scalar", "udf_map_in_arrow", "udtf_python_native",
+    "win_ewma", "win_ratio_to_report", "win_sliding_median",
+    "agg_bitmap_distinct", "agg_entropy", "agg_gini",
+    "agg_histogram_equiwidth", "agg_observe_metrics", "agg_skew_kurtosis",
+    "agg_weighted_percentile", "catalog_matview_incremental",
+    "dialect_dml_roundtrip", "dialect_identifier_param",
+    "dialect_pipe_syntax", "dq_anomaly_iqr", "dq_duplicate_pk_check",
+    "dq_freshness_check", "dq_mad_outlier", "dq_profile_table",
+    "dq_winsorize", "filter_collation_native", "fn_url_parse",
+    "graph_bipartite_projection", "graph_connected_components",
+    "graph_shortest_path_bfs", "graph_triangle_count",
+    "join_interval_overlap", "llm_dataset_card", "llm_dedup_near",
+    "llm_dup_cluster_stats", "llm_quality_c4", "llm_repetition_ngram",
+    "mm_payload_dedup", "query_outbreak_cusum", "scan_file_metadata",
+    "scan_recursive_glob", "sink_compressed", "stream_cusum_alerts",
+    "stream_dedup_wm", "stream_matview_upkeep", "stream_tumbling_wm",
+    "stream_watermark", "subq_any_all", "ts_interpolate_linear",
+    "ts_seasonal_error", "udf_grouped_arrow", "udf_pandas_iter",
+    "win_cumulative_distinct", "win_fill_forward", "win_rolling_corr",
+    "agg_bootstrap_ci", "agg_chi2_independence", "agg_hhi_concentration",
+    "agg_indirect_standardization", "agg_mann_whitney", "agg_market_basket",
+    "agg_markov_transitions", "agg_pareto_abc", "agg_period_growth",
+    "agg_relative_risk", "agg_retention_cohort", "agg_rfm_segmentation",
+    "agg_survival_km", "agg_time_to_event", "agg_welch_ttest",
+    "dq_expectations_suite", "dq_k_anonymity", "graph_common_neighbors",
+    "graph_degree_assortativity", "llm_bigram_perplexity", "llm_corpus_diff",
+    "llm_dedup_containment", "llm_embed_feature_hash", "llm_knn_graph",
+    "llm_novelty_rate", "llm_pmi_collocations",
+    "llm_quality_classifier_linear", "llm_readability",
+    "llm_sample_importance", "llm_token_budget_alloc",
+    "llm_winnow_fingerprint", "llm_zipf_slope", "mm_payload_cdc",
+    "query_outbreak_histlimits", "sample_hash_group",
+    "sample_neyman_allocation", "sample_weighted_reservoir",
+    "stream_drift_psi", "stream_histlimits_alerts", "ts_autocorr",
+    "ts_changepoint_meanshift", "ts_cross_correlation",
+    "ts_decompose_seasonal", "ts_max_drawdown", "ts_rt_ratio",
+    "agg_capture_recapture", "agg_cmh_stratified", "agg_diagnostic_accuracy",
+    "agg_moran_grid", "agg_proportion_ztest", "catalog_information_schema",
+    "dml_changelog_trigger", "dq_benford", "dq_drift_psi", "dq_l_diversity",
+    "filter_fulltext_phrase", "fn_geo_geohash", "fn_geo_haversine",
+    "fn_geo_polygon", "fn_geo_wkt", "graph_k_core", "graph_label_propagation",
+    "graph_pagerank", "join_geo_nearest", "join_polygon_contains",
+    "llm_boilerplate_ngrams", "llm_cdc_chunk", "llm_curriculum_order",
+    "llm_dedup_embed_lsh", "llm_dedup_simhash", "llm_fingerprint",
+    "llm_hard_negatives", "llm_keyword_rake", "llm_quality_score",
+    "llm_rouge_overlap", "llm_sim_search_lsh", "llm_sim_search_pq",
+    "llm_span_corruption", "mm_patch_grid", "query_outbreak_ewma",
+    "query_outbreak_serfling", "query_spatial_hotspot",
+    "sample_balanced_class", "stream_ewma_alerts", "stream_rt_alerts",
+    "stream_serfling_alerts", "stream_session_wm", "stream_sliding_wm",
+    "stream_stateful_timeout", "stream_stream_join_outer", "ts_holt_linear",
+    "ts_mann_kendall", "ts_theil_sen", "win_event_sequence",
+    "agg_approx_distinct", "agg_bool_bit", "agg_count_distinct", "agg_cube",
+    "agg_direct_standardization", "agg_global", "agg_group_concat",
+    "agg_groupby", "agg_having", "agg_percentile", "agg_pivot", "agg_rollup",
+    "agg_stats", "dedup_distinct", "dml_update_delete", "filter_basic",
+    "filter_between", "filter_collation_ci", "filter_compound", "filter_in",
+    "filter_like", "filter_null", "filter_regexp", "fn_epiweek",
+    "fn_geo_wkt_shapes", "fulltext_query_expansion", "join_anti", "join_asof",
+    "join_broadcast", "join_cross", "join_full", "join_inner", "join_left",
+    "join_multiway", "join_polygon_intersects", "join_right", "join_salted",
+    "join_self", "join_semi", "join_theta_range", "llm_ann_recall_eval",
+    "llm_sim_search_ivfpq", "project_case", "query_outbreak_farrington",
+    "stream_farrington_alerts", "stream_nowcast_delay", "ts_nowcast_delay",
 )
 
 

@@ -68,23 +68,30 @@ def test_sweep_priority_matches_registry():
     }
     assert len(_SWEEP_PRIORITY) == len(set(_SWEEP_PRIORITY)), "duplicate keys"
     ordered = list(specs)
-    # Round-10 head: (a) keys never swept in r1-r9, (b) keys whose latest
-    # verdict predates a rows-only -> hash oracle promotion, and (c) the
-    # precautionary re-proofs of green keys whose code/output changed
-    # after certification. Behind them, the sweep budget's remaining
-    # slots ROTATE the keys with the OLDEST driver verdicts (r9 VERDICT
-    # next-round #6: no verdict should age past ~6 rounds), so every
-    # budget slot either certifies something new or refreshes the
-    # stalest certification.
+    # The tuple is a FRESHNESS QUEUE (r11 regime): every key that NEEDS
+    # external certification this round — never swept, rows-only verdict
+    # that has since gained a hash oracle, or listed in _SWEEP_REPROOFS
+    # (green keys whose output/semantics changed after certification) —
+    # must sit inside the driver's ~50-key budget; every other key must
+    # appear oldest-latest-verdict-first, so each budget slot either
+    # certifies something new or refreshes the stalest certification
+    # (r9 VERDICT next-round #6: no verdict should age past ~6 rounds).
     import glob
     import json
+    import re
     from pathlib import Path
+
+    from sdp_spark.plans.registry import _SWEEP_REPROOFS
 
     root = Path(__file__).parent.parent
     latest: dict[str, dict] = {}
     latest_round: dict[str, int] = {}
-    for f in sorted(glob.glob(str(root / "CORRECTNESS_r0[1-9].json"))):
-        rnd = int(f.rsplit("_r", 1)[1][:2])
+    files = sorted(
+        glob.glob(str(root / "CORRECTNESS_r*.json")),
+        key=lambda f: int(re.search(r"_r(\d+)", f).group(1)),
+    )
+    for f in files:
+        rnd = int(re.search(r"_r(\d+)", f).group(1))
         for k, v in json.load(open(f)).items():
             latest[k] = v
             latest_round[k] = rnd
@@ -96,22 +103,15 @@ def test_sweep_priority_matches_registry():
         and k in latest
         and latest[k].get("err") == "no_oracle"
     }
-    reproofs = {
-        "llm_ann_recall_eval",
-        "fulltext_query_expansion",
-    }
-    need = never | stale_promoted | reproofs
+    need = never | stale_promoted | set(_SWEEP_REPROOFS)
     assert len(need) <= 50, f"{len(need) - 50} keys would miss the sweep"
-    head = ordered[: len(need)]
-    assert set(head) == need, {
-        "missing_from_head": need - set(head),
-        "wasted_slots": set(head) - need,
-    }
-    oldest = min(latest_round[k] for k in specs if k in latest_round)
-    rotation = ordered[len(need) : 50]
-    assert all(latest_round.get(k) == oldest for k in rotation), [
-        (k, latest_round.get(k)) for k in rotation if latest_round.get(k) != oldest
-    ]
+    head50 = set(ordered[:50])
+    assert need <= head50, {"missing_from_sweep_budget": need - head50}
+    # outside `need`, the queue must never put a fresher verdict before a
+    # staler one (new/changed keys are exempt — they sort wherever the
+    # head puts them)
+    rounds = [latest_round[k] for k in ordered if k not in need and k in latest_round]
+    assert rounds == sorted(rounds), "freshness queue out of order"
 
 
 def test_catalog_in_sync():

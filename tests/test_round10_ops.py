@@ -145,7 +145,9 @@ def test_spacetime_scan_flags_emerging_not_endemic(spark, tmp_path):
     assert top.obs == 63  # 3 x (1 + 20)
     # the planted cluster must be SIGNIFICANT: no multinomial replicate's
     # max cylinder LLR reaches it -> the smallest attainable p, 1/(R+1)
-    assert top.p_value == pytest.approx(0.1)
+    from sdp_spark.operators.stats import _ST_REPS
+
+    assert top.p_value == pytest.approx(1 / (_ST_REPS + 1))
     # the endemic cell must not appear with a positive LLR anywhere
     assert all(
         r.llr == 0.0 for r in out if (r.cx, r.cy) == endemic
@@ -321,6 +323,8 @@ def test_kulldorff_localizes_single_cell_cluster(spark, tmp_path):
     with the smallest attainable p (1/20) — the fixed 3x3 scan smears
     the same cluster across nine windows."""
     cells = sorted(_cell_id_pools().keys())
+    from sdp_spark.operators.stats import _KULL_REPS
+
     hot = cells[0]
     need = {c: 2 for c in cells[:40]}
     need[hot] = 32
@@ -328,7 +332,7 @@ def test_kulldorff_localizes_single_cell_cluster(spark, tmp_path):
     top = out[0]
     assert (top.cx, top.cy, top.r) == (hot[0], hot[1], 0), top
     assert (top.obs, top.k) == (32, 1)
-    assert top.p_value == pytest.approx(1 / 20)
+    assert top.p_value == pytest.approx(1 / (_KULL_REPS + 1))
     assert all(r.llr <= top.llr for r in out[1:])
 
 
@@ -353,11 +357,13 @@ def test_kulldorff_prefers_wide_zone_for_spread_cluster(spark, tmp_path):
     need = {d: 2 for d in background}
     for d in elev:
         need[d] = 8
+    from sdp_spark.operators.stats import _KULL_REPS
+
     out = _run_kulldorff(spark, tmp_path, "kull2", need)
     top = out[0]
     assert top.r == 2, top
     assert (top.obs, top.k) == (8 * len(elev), len(elev)), (top, len(elev))
-    assert top.p_value == pytest.approx(1 / 20)
+    assert top.p_value == pytest.approx(1 / (_KULL_REPS + 1))
 
 
 # ---------------------------------------------------------------------------
