@@ -3416,7 +3416,11 @@ _FARR_SQL = f"""
 """
 
 
-def farrington_scored(daily: DataFrame) -> DataFrame:
+def farrington_scored(
+    daily: DataFrame,
+    count_col: str = "n_events",
+    integer_counts: bool = True,
+) -> DataFrame:
     """Farrington(-flexible) scoring over a (event_type, d, c) daily frame:
     for each scored day, fit a LINEAR TREND by closed-form OLS over the
     day's reference window (baseline days within +-w weekly phase,
@@ -3503,10 +3507,18 @@ def farrington_scored(daily: DataFrame) -> DataFrame:
     g = F.lit(1.0) + F.lit(2.0 * _FARR_Z / 3.0) * F.sqrt(F.col("phi") / F.col("muc"))
     fin = fin.withColumn("g", g)
     thr = dround(F.col("muc") * F.col("g") * F.sqrt(F.col("g")), 4)
+    # integer_counts: the raw detector's counts are exact integers and
+    # ship as BIGINT; the nowcast-composed detector feeds CORRECTED
+    # (rational) counts, which ship rounded to the output grid.
+    cnt = (
+        F.col("cs").cast("bigint")
+        if integer_counts
+        else dround(F.col("cs"), 4)
+    )
     return fin.select(
         "event_type",
         F.date_format("ds", "yyyy-MM-dd").alias("day"),
-        F.col("cs").cast("bigint").alias("n_events"),
+        cnt.alias(count_col),
         dround(F.col("muc"), 4).alias("expected"),
         dround(F.col("phi"), 4).alias("dispersion"),
         thr.alias("threshold"),
@@ -3702,3 +3714,188 @@ def nowcast_scored(counts: DataFrame) -> DataFrame:
             4,
         ).alias("n_nowcast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Detector-on-nowcast composition: Farrington over completeness-corrected
+# counts — the operationally correct prospective pipeline
+# ---------------------------------------------------------------------------
+
+_FARR_NC_SQL = f"""
+    WITH ev AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             ((event_id + {_NC_SALT}) * 2654435761) % 4294967296
+               % {_NC_DMAX} AS delay
+      FROM events
+      WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '{_NC_ASOF}'
+    ), hist AS (
+      SELECT event_type, delay, COUNT(*) AS n
+      FROM ev WHERE d <= DATE '{_NC_ASOF}' - {_NC_DMAX}
+      GROUP BY 1, 2
+    ), cumd AS (
+      SELECT event_type, delay,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY delay) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    ), rep AS (
+      -- counts VISIBLE as of the nowcast date: only reports whose delay
+      -- has elapsed (the right truncation a live system sees)
+      SELECT event_type, d, date_diff('day', d, DATE '{_NC_ASOF}') AS age,
+             SUM(CASE WHEN delay <= date_diff('day', d, DATE '{_NC_ASOF}')
+                 THEN 1 ELSE 0 END) AS n_reported
+      FROM ev GROUP BY 1, 2, 3
+    ), daily AS (
+      -- the nowcasted series: complete days pass through, truncated
+      -- days inflate by cumulative completeness F(age) = cum/total
+      SELECT r.event_type, r.d,
+             CASE WHEN r.age >= {_NC_DMAX} THEN CAST(r.n_reported AS DOUBLE)
+                  ELSE CAST(r.n_reported * c.total AS DOUBLE) / c.cum
+             END AS c,
+             date_diff('day', DATE '{_FARR_EPOCH}', r.d) AS t
+      FROM rep r LEFT JOIN cumd c
+        ON c.event_type = r.event_type AND c.delay = r.age
+    ), pairs AS (
+      SELECT s.event_type, s.t AS ts_, s.d AS ds, s.c AS cs,
+             r.t AS tr, r.c AS cr
+      FROM daily s JOIN daily r ON r.event_type = s.event_type
+      WHERE s.t >= {_FARR_SPLIT_T} AND r.t < {_FARR_SPLIT_T}
+        AND LEAST(ABS(s.t % {_FARR_PERIOD} - r.t % {_FARR_PERIOD}),
+                  {_FARR_PERIOD} - ABS(s.t % {_FARR_PERIOD}
+                                       - r.t % {_FARR_PERIOD})) <= {_FARR_W}
+    ), mom AS (
+      SELECT event_type, ts_, ds, cs,
+             CAST(COUNT(*) AS DOUBLE) AS nn,
+             CAST(SUM(tr) AS DOUBLE) AS st,
+             CAST(SUM(tr * tr) AS DOUBLE) AS stt,
+             CAST(SUM(CAST(FLOOR(cr * {_FARR_SNAP} + 0.5) / {_FARR_SNAP}
+                  AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(FLOOR(cr * tr * {_FARR_SNAP} + 0.5) / {_FARR_SNAP}
+                  AS DECIMAL(30,8))) AS DOUBLE) AS syt
+      FROM pairs GROUP BY 1, 2, 3, 4
+    ), coef AS (
+      SELECT *, (nn * syt - st * sy) / (nn * stt - st * st) AS b FROM mom
+    ), coef2 AS (
+      SELECT *, (sy - b * st) / nn AS a FROM coef
+    ), resid AS (
+      SELECT p.event_type, p.ts_,
+             GREATEST(CAST(SUM(CAST(FLOOR(
+               (p.cr - (k.a + k.b * p.tr)) * (p.cr - (k.a + k.b * p.tr))
+               / GREATEST(k.a + k.b * p.tr, 0.5)
+               * {_FARR_SNAP} + 0.5) / {_FARR_SNAP}
+               AS DECIMAL(30,8))) AS DOUBLE) / (COUNT(*) - 2.0), 1.0) AS phi
+      FROM pairs p JOIN coef2 k
+        ON k.event_type = p.event_type AND k.ts_ = p.ts_
+      GROUP BY 1, 2
+    ), fin AS (
+      SELECT k.event_type, k.ds, k.cs,
+             GREATEST(k.a + k.b * k.ts_, 0.5) AS muc, r.phi
+      FROM coef2 k JOIN resid r
+        ON r.event_type = k.event_type AND r.ts_ = k.ts_
+    ), fin2 AS (
+      SELECT *, 1.0 + {_FARR_Z23} * sqrt(phi / muc) AS g FROM fin
+    )
+    SELECT event_type, strftime(ds, '%Y-%m-%d') AS day,
+           {sql_dround('cs', 4)} AS n_nowcast,
+           {sql_dround('muc', 4)} AS expected,
+           {sql_dround('phi', 4)} AS dispersion,
+           {sql_dround('muc * g * sqrt(g)', 4)} AS threshold,
+           cs > {sql_dround('muc * g * sqrt(g)', 4)} AS alert
+    FROM fin2
+"""
+
+
+@register(
+    "query_outbreak_nowcasted",
+    oracle=_FARR_NC_SQL,
+    section=_SEC,
+)
+def query_outbreak_nowcasted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farrington aberration detection over NOWCASTED counts — the
+    composition real surveillance shops actually schedule (VERDICT r10
+    next-round #3): every detector in this repo scores a daily series,
+    but the last Dmax days of a live series are right-truncated (recent
+    reports haven't arrived), which is exactly where PROSPECTIVE
+    detection looks — so raw detectors systematically under-alert on
+    emerging outbreaks. The pipeline: (1) estimate the reporting-delay
+    CDF F(a) from fully-observed historical days (`ts_nowcast_delay`'s
+    reporting triangle), (2) build the as-of-date visible series (only
+    reports whose delay has elapsed — the truncation a live system
+    sees), (3) inflate each truncated day by 1/F(age), (4) run the
+    Farrington reference-window detector (`farrington_scored`, the
+    SHARED core — integer_counts=False ships the corrected rational
+    counts) on the corrected series. The pytest plants a spike 1 day
+    before the as-of date with a back-loaded delay mix: the raw
+    truncated series shows baseline-level counts (raw Farrington is
+    silent) while the nowcasted detector alerts — the operational loop
+    the composition closes.
+
+    Determinism: F and the correction are single IEEE divisions of
+    exact BIGINT counts (identical both engines); the corrected counts
+    then flow through Farrington's 1e-8 DECIMAL moment snaps, so the
+    OLS/dispersion chain stays order-independent; the alert compares
+    the corrected count to the ROUNDED threshold (the repo's detector
+    convention).
+
+    Scale: ONE pass over events builds both the delay histogram and the
+    visible daily counts (the only data-scale exchanges); the CDF is a
+    broadcast |types x Dmax| frame and the Farrington scoring runs on
+    |types x days| metadata exactly as in the raw key."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    e = table(spark, sf_dir, "events")
+    asof = F.lit(_NC_ASOF).cast("date")
+    ev = e.select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        (
+            ((F.col("event_id") + _NC_SALT) * F.lit(KNUTH))
+            % F.lit(KNUTH_MOD)
+            % _NC_DMAX
+        ).alias("delay"),
+    ).filter(F.col("d") <= asof)
+    hist = (
+        ev.filter(F.col("d") <= F.date_sub(asof, _NC_DMAX))
+        .groupBy("event_type", "delay")
+        .agg(F.count("*").alias("n"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("delay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cumd = hist.select(
+        F.col("event_type").alias("cdf_type"),
+        F.col("delay").alias("cdf_delay"),
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wtot).alias("total"),
+    )
+    rep = (
+        ev.withColumn("age", F.datediff(asof, F.col("d")).cast("bigint"))
+        .groupBy("event_type", "d", "age")
+        .agg(
+            F.sum(
+                F.when(F.col("delay") <= F.col("age"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_reported")
+        )
+    )
+    daily = rep.join(
+        F.broadcast(cumd),
+        (F.col("event_type") == F.col("cdf_type"))
+        & (F.col("cdf_delay") == F.col("age")),
+        "left",
+    ).select(
+        "event_type",
+        "d",
+        F.when(
+            F.col("age") >= _NC_DMAX, F.col("n_reported").cast("double")
+        )
+        .otherwise(
+            (F.col("n_reported") * F.col("total")).cast("double")
+            / F.col("cum")
+        )
+        .alias("c"),
+    )
+    return farrington_scored(daily, count_col="n_nowcast", integer_counts=False)

@@ -87,3 +87,115 @@ def test_kulldorff_null_p_values_not_anticonservative(spark, tmp_path):
     floor = 1 / (_KULL_REPS + 1)
     for r in out:
         assert r.p_value >= 10 * floor, (r, floor)
+
+
+# ---------------------------------------------------------------------------
+# Detector-on-nowcast composition (VERDICT r10 next-round #3)
+# ---------------------------------------------------------------------------
+
+
+def _delay_pools(n_ids=20000):
+    """Bucket candidate event_ids by their hash delay (the repo's
+    derived-attribute idiom — delays aren't stored, they're a Knuth hash
+    of event_id, so a test plants a delay by CHOOSING the id)."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+    from sdp_spark.operators.analytics import _NC_DMAX, _NC_SALT
+
+    pools = {d: [] for d in range(_NC_DMAX)}
+    for i in range(n_ids):
+        pools[((i + _NC_SALT) * KNUTH) % KNUTH_MOD % _NC_DMAX].append(i)
+    return pools
+
+
+def test_nowcasted_detector_flags_spike_raw_farrington_misses(spark, tmp_path):
+    """The composition's reason to exist: a real spike 1 day before the
+    as-of date with a BACK-LOADED delay mix (only ~2/10 of reports
+    visible at age 1). The raw truncated series shows baseline-level
+    counts on the spike day, so Farrington over what's visible stays
+    silent; the nowcasted detector inflates by 1/F(1) and alerts."""
+    from sdp_spark.operators.analytics import (
+        _NC_ASOF,
+        farrington_scored,
+        query_outbreak_nowcasted,
+    )
+    from pyspark.sql import functions as F
+
+    pools = _delay_pools()
+    take = {d: 0 for d in pools}
+
+    def ids_for(delays):
+        out = []
+        for d in delays:
+            out.append(pools[d][take[d]])
+            take[d] += 1
+        return out
+
+    # stationary delay mix, 10 cases/day: delays (0,1,2,3,4,5,6,7,6,7)
+    # -> F(0)=.1, F(1)=.2 ... back-loaded tail so age-1 visibility is 20%
+    base_mix = [0, 1, 2, 3, 4, 5, 6, 7, 6, 7]
+    asof = dt.date.fromisoformat(_NC_ASOF)
+    day0 = asof - dt.timedelta(days=27)  # 28 days: t = 0..27
+    rows = []
+    for t in range(28):
+        d = day0 + dt.timedelta(days=t)
+        mixes = list(base_mix)
+        if t == 26:  # spike 1 day before asof (age 1): +40 cases
+            mixes += base_mix * 4
+        for i, ev_id in enumerate(ids_for(mixes)):
+            rows.append(
+                (
+                    ev_id,
+                    dt.datetime(d.year, d.month, d.day, 12, 0, i % 60, i),
+                    1,
+                    "case",
+                    1.0,
+                    "{}",
+                )
+            )
+    sf = str(tmp_path / "nc")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+
+    spike_day = (day0 + dt.timedelta(days=26)).isoformat()
+
+    # raw Farrington over the VISIBLE (truncated) series: silent on the
+    # spike day — visibility at age 1 is F(1) = 0.2, so the 50-case day
+    # reports only 10 = baseline
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+    from sdp_spark.operators.analytics import _NC_DMAX, _NC_SALT
+    from sdp_spark.sources.fixtures import table
+
+    e = table(spark, sf, "events")
+    asof_c = F.lit(_NC_ASOF).cast("date")
+    visible = (
+        e.select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+            (
+                ((F.col("event_id") + _NC_SALT) * F.lit(KNUTH))
+                % F.lit(KNUTH_MOD)
+                % _NC_DMAX
+            ).alias("delay"),
+        )
+        .filter(F.col("d") <= asof_c)
+        .filter(F.col("delay") <= F.datediff(asof_c, F.col("d")))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    raw = {r.day: r for r in farrington_scored(visible).collect()}
+    assert raw[spike_day].alert is False, raw[spike_day]
+    assert raw[spike_day].n_events == 10  # 50 * F(1) = 10 = baseline
+
+    # the nowcasted detector recovers the true magnitude and alerts
+    out = {r.day: r for r in query_outbreak_nowcasted(spark, sf).collect()}
+    spiked = out[spike_day]
+    assert spiked.alert is True, spiked
+    assert spiked.n_nowcast == pytest.approx(50.0, abs=0.01)
+    # non-spike scored days stay quiet under the composition
+    for day, r in out.items():
+        if day != spike_day:
+            assert r.alert is False, r
