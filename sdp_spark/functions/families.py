@@ -2075,3 +2075,493 @@ def fn_geo_wkt_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("poly_wkt")
         ).alias("poly_roundtrip_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MySQL 5.6 misc built-ins, round 2: CRC32, COMPRESS/UNCOMPRESS,
+# EXPORT_SET, MAKE_SET, deterministic UUID formatting
+# ---------------------------------------------------------------------------
+
+# CRC-32 (IEEE 802.3, the zlib/MySQL polynomial) for the ORACLE: DuckDB has
+# no crc32(), so the oracle derives the 256-entry table with 8 chained CTEs
+# (one xor-shift round each over range(256)) and folds the string's bytes
+# with a recursive CTE — crc = (crc >> 8) XOR table[(crc XOR byte) & 0xFF],
+# init/final 0xFFFFFFFF. The fixture names are pure ASCII, so unicode() of
+# each char IS the byte. Verified against zlib.crc32 for the fixture shape.
+_CRC32_POLY = 3988292384  # 0xEDB88320 reflected polynomial
+_CRC32_TAB_SQL = "".join(
+    f", t{k} AS (SELECT i, xor(x >> 1, CASE WHEN x % 2 = 1"
+    f" THEN {_CRC32_POLY} ELSE 0 END) AS x FROM t{k - 1})"
+    for k in range(1, 9)
+)
+_EXPORT_BITS = 8
+_MAKE_SET_NAMES = ("read", "write", "exec", "admin")
+
+_MISC2_EXPORT_SQL = "concat_ws(','," + ", ".join(
+    f"CASE WHEN (c_custkey % 256 >> {j}) % 2 = 1 THEN 'Y' ELSE 'N' END"
+    for j in range(_EXPORT_BITS)
+) + ")"
+_MISC2_MAKESET_SQL = "concat_ws(','," + ", ".join(
+    f"CASE WHEN (c_custkey % 16 >> {j}) % 2 = 1 THEN '{nm}' END"
+    for j, nm in enumerate(_MAKE_SET_NAMES)
+) + ")"
+
+
+@register(
+    "fn_mysql_misc2",
+    oracle=f"""
+    WITH RECURSIVE t0 AS (
+      SELECT range AS i, CAST(range AS BIGINT) AS x FROM range(256)
+    ){_CRC32_TAB_SQL}, crctab AS (
+      SELECT i, x AS v FROM t8
+    ), crc AS (
+      SELECT c_custkey, c_name, 0 AS pos,
+             CAST(4294967295 AS BIGINT) AS c
+      FROM customer
+      UNION ALL
+      SELECT crc.c_custkey, crc.c_name, crc.pos + 1, xor(crc.c >> 8, tb.v)
+      FROM crc JOIN crctab tb
+        ON tb.i = xor(crc.c % 256,
+                      unicode(substr(crc.c_name, crc.pos + 1, 1)))
+      WHERE crc.pos < length(crc.c_name)
+    ), fin AS (
+      SELECT c_custkey, c_name, xor(c, 4294967295) AS crc32v
+      FROM crc WHERE pos = length(c_name)
+    )
+    SELECT c_custkey,
+           CAST(crc32v AS BIGINT) AS name_crc32,
+           lpad(to_hex(octet_length(CAST(c_name AS BLOB)) % 256), 2, '0')
+             || lpad(to_hex((octet_length(CAST(c_name AS BLOB)) // 256)
+                            % 256), 2, '0')
+             || '0000789C' AS comp_prefix_hex,
+           c_name AS comp_roundtrip,
+           {_MISC2_EXPORT_SQL} AS export_flags,
+           {_MISC2_MAKESET_SQL} AS privileges,
+           substr(md5(c_name), 1, 8) || '-' || substr(md5(c_name), 9, 4)
+             || '-4' || substr(md5(c_name), 14, 3)
+             || '-8' || substr(md5(c_name), 18, 3)
+             || '-' || substr(md5(c_name), 21, 12) AS uuid_det
+    FROM fin
+    """,
+    section=_SEC,
+)
+def fn_mysql_misc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last uncovered MySQL 5.6 misc built-ins (VERDICT r10
+    next-round #5): CRC32, COMPRESS/UNCOMPRESS, EXPORT_SET, MAKE_SET,
+    and a DETERMINISTIC UUID-shape formatter (MySQL's UUID() is v1 —
+    time/MAC-dependent and untestable — so the oracle-checkable variant
+    derives the 8-4-4-4-12 shape from md5 with the version/variant
+    nibbles forced to 4/8, the idiom migration scripts use for stable
+    synthetic keys).
+
+    - CRC32: Spark's built-in crc32 (java.util.zip.CRC32 — the IEEE
+      802.3 polynomial MySQL/zlib use). The oracle derives the full
+      CRC table + byte fold in SQL (see _CRC32_TAB_SQL), so the hash
+      proves the polynomial, init and final-xor — not just output shape.
+    - COMPRESS: MySQL's format is a 4-byte little-endian uncompressed
+      length prefix + the zlib stream ('' stays ''). The Spark side runs
+      REAL zlib in an Arrow-batched pandas UDF; the oracle verifies the
+      analytically-predictable first 6 bytes (LE length + the 0x789C
+      zlib default-level header) and the UNCOMPRESS round-trip; the
+      pytest pins exact zlib bytes for a literal.
+    - EXPORT_SET(bits,'Y','N',',',8) / MAKE_SET(bits, names...): pure
+      bit-test expression chains (lowest bit first, concat_ws skipping
+      the NULLs MAKE_SET drops) — identical spelling both engines.
+
+    Scale: everything except COMPRESS is JVM codegen; the zlib UDF is
+    Arrow-batched (pandas_udf) and embarrassingly parallel — no shuffle
+    anywhere in the key."""
+    import pandas as pd  # noqa: F401 — pandas_udf signature types
+
+    c = table(spark, sf_dir, "customer")
+
+    @F.pandas_udf("binary")
+    def mysql_compress(s):
+        import struct
+        import zlib
+
+        def one(x):
+            if x == "":
+                return b""
+            b = x.encode("utf-8")
+            return struct.pack("<I", len(b)) + zlib.compress(b)
+
+        return s.map(one)
+
+    @F.pandas_udf("string")
+    def mysql_uncompress(b):
+        import zlib
+
+        def one(x):
+            if x is None or len(x) == 0:
+                return ""
+            return zlib.decompress(bytes(x[4:])).decode("utf-8")
+
+        return b.map(one)
+
+    comp = mysql_compress(F.col("c_name"))
+    bits8 = F.col("c_custkey") % 256
+    bits4 = F.col("c_custkey") % 16
+    h = F.md5(F.col("c_name").cast("binary"))
+    return c.select(
+        "c_custkey",
+        F.crc32(F.col("c_name").cast("binary")).alias("name_crc32"),
+        F.substring(F.hex(comp), 1, 12).alias("comp_prefix_hex"),
+        mysql_uncompress(comp).alias("comp_roundtrip"),
+        F.concat_ws(
+            ",",
+            *[
+                F.when(bits8.bitwiseAND(F.lit(1 << j)) != 0, "Y").otherwise("N")
+                for j in range(_EXPORT_BITS)
+            ],
+        ).alias("export_flags"),
+        F.concat_ws(
+            ",",
+            *[
+                F.when(bits4.bitwiseAND(F.lit(1 << j)) != 0, nm)
+                for j, nm in enumerate(_MAKE_SET_NAMES)
+            ],
+        ).alias("privileges"),
+        F.concat(
+            F.substring(h, 1, 8), F.lit("-"),
+            F.substring(h, 9, 4), F.lit("-4"),
+            F.substring(h, 14, 3), F.lit("-8"),
+            F.substring(h, 18, 3), F.lit("-"),
+            F.substring(h, 21, 12),
+        ).alias("uuid_det"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Polygon metrics (ST_Area / ST_Centroid / ST_Envelope) + WKB round-trip —
+# the remaining [ENGINE] 5.6 spatial surface beyond predicates
+# ---------------------------------------------------------------------------
+
+# Integer decidegree vertices: the WKT-shape coordinates times 10 are EXACT
+# BIGINTs straight off the Knuth hash, so the shoelace cross products and
+# centroid sums are exact integer arithmetic; each output is ONE final IEEE
+# division — identical on both engines with no accumulation anywhere.
+
+
+def _deci_x_sql(key: str, salt: int) -> str:
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    return f"((({key} + {salt}) * {KNUTH}) % {KNUTH_MOD} % 3600) - 1800"
+
+
+def _deci_y_sql(key: str, salt: int) -> str:
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    return f"((({key} + {salt}) * {KNUTH}) % {KNUTH_MOD} % 1200) - 600"
+
+
+_PMET_XY_SQL = ", ".join(
+    f"{_deci_x_sql('c_custkey', sx)} AS x{i}, "
+    f"{_deci_y_sql('c_custkey', sy)} AS y{i}"
+    for i, (sy, sx) in enumerate(_WKT_SALTS)
+)
+# signed ring cross-product sum over edges 0->1, 1->2, 2->0 (the closing
+# edge of the WKT ring) and the centroid numerators, all exact BIGINT
+_PMET_CR_SQL = (
+    "(x0 * y1 - x1 * y0) + (x1 * y2 - x2 * y1) + (x2 * y0 - x0 * y2)"
+)
+_PMET_SX_SQL = (
+    "(x0 + x1) * (x0 * y1 - x1 * y0) + (x1 + x2) * (x1 * y2 - x2 * y1)"
+    " + (x2 + x0) * (x2 * y0 - x0 * y2)"
+)
+_PMET_SY_SQL = (
+    "(y0 + y1) * (x0 * y1 - x1 * y0) + (y1 + y2) * (x1 * y2 - x2 * y1)"
+    " + (y2 + y0) * (x2 * y0 - x0 * y2)"
+)
+
+
+@register(
+    "fn_geo_polygon_metrics",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, {_PMET_XY_SQL}
+      FROM customer WHERE c_custkey % 13 = 0
+    ), m AS (
+      SELECT c_custkey, x0, y0, x1, y1, x2, y2,
+             {_PMET_CR_SQL} AS cr, {_PMET_SX_SQL} AS sx,
+             {_PMET_SY_SQL} AS sy,
+             LEAST(x0, x1, x2) AS mnx, GREATEST(x0, x1, x2) AS mxx,
+             LEAST(y0, y1, y2) AS mny, GREATEST(y0, y1, y2) AS mxy
+      FROM c
+    )
+    SELECT c_custkey,
+           {sql_dround('ABS(cr) / 200.0', 6)} AS area_deg2,
+           CASE WHEN cr = 0 THEN NULL
+                ELSE {sql_dround('CAST(sx AS DOUBLE) / (30.0 * cr)', 6)}
+           END AS centroid_lon,
+           CASE WHEN cr = 0 THEN NULL
+                ELSE {sql_dround('CAST(sy AS DOUBLE) / (30.0 * cr)', 6)}
+           END AS centroid_lat,
+           cr < 0 AS ring_is_clockwise,
+           'POLYGON((' ||
+             printf('%.1f %.1f', mnx / 10.0, mny / 10.0) || ', ' ||
+             printf('%.1f %.1f', mxx / 10.0, mny / 10.0) || ', ' ||
+             printf('%.1f %.1f', mxx / 10.0, mxy / 10.0) || ', ' ||
+             printf('%.1f %.1f', mnx / 10.0, mxy / 10.0) || ', ' ||
+             printf('%.1f %.1f', mnx / 10.0, mny / 10.0) || '))'
+             AS env_wkt,
+           {sql_dround('(mxx - mnx) * (mxy - mny) / 100.0', 6)}
+             AS env_area_deg2
+    FROM m
+    """,
+    section=_SEC,
+)
+def fn_geo_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Area / ST_Centroid / ST_Envelope over the WKT triangle rings of
+    `fn_geo_wkt_shapes` — the metric half of the [ENGINE] 5.6 spatial
+    function surface (the predicate half is `fn_spatial` + the polygon
+    joins). Area is the shoelace formula; the centroid is the
+    area-weighted ring centroid Cx = sum((x_i + x_j) * cross_ij) / (3 *
+    sum(cross_ij)) (NULL for a degenerate/collinear ring, where the
+    formula divides by zero); the envelope is the axis-aligned MBR
+    serialized as the standard 5-point WKT ring (CCW from the SW
+    corner), plus the ring-orientation bit ST_Area implementations
+    branch on.
+
+    Determinism: vertices times 10 are exact BIGINTs off the Knuth hash,
+    so every cross product and centroid numerator is exact integer
+    arithmetic; each output is ONE final IEEE division snapped to the
+    1e-6 grid — no float accumulation, no engine divergence.
+
+    Plan: pure codegen projection over the filtered scan — zero
+    exchanges, no UDF. At 100 TB this is embarrassingly parallel map
+    work; the only cost is the scan itself."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 13 == 0)
+    xs, ys = [], []
+    for sy, sx in _WKT_SALTS:
+        xs.append(
+            ((F.col("c_custkey") + sx) * F.lit(KNUTH))
+            % F.lit(KNUTH_MOD) % 3600 - 1800
+        )
+        ys.append(
+            ((F.col("c_custkey") + sy) * F.lit(KNUTH))
+            % F.lit(KNUTH_MOD) % 1200 - 600
+        )
+    edges = [(0, 1), (1, 2), (2, 0)]
+    crosses = [xs[i] * ys[j] - xs[j] * ys[i] for i, j in edges]
+    cr = crosses[0] + crosses[1] + crosses[2]
+    sx_ = sum((xs[i] + xs[j]) * crs for (i, j), crs in zip(edges, crosses))
+    sy_ = sum((ys[i] + ys[j]) * crs for (i, j), crs in zip(edges, crosses))
+    mnx, mxx = F.least(*xs), F.greatest(*xs)
+    mny, mxy = F.least(*ys), F.greatest(*ys)
+    corner = lambda x, y: F.format_string("%.1f %.1f", x / 10.0, y / 10.0)  # noqa: E731
+    return c.select(
+        "c_custkey",
+        dround(F.abs(cr) / 200.0, 6).alias("area_deg2"),
+        F.when(cr == 0, F.lit(None).cast("double"))
+        .otherwise(dround(sx_.cast("double") / (30.0 * cr), 6))
+        .alias("centroid_lon"),
+        F.when(cr == 0, F.lit(None).cast("double"))
+        .otherwise(dround(sy_.cast("double") / (30.0 * cr), 6))
+        .alias("centroid_lat"),
+        (cr < 0).alias("ring_is_clockwise"),
+        F.concat(
+            F.lit("POLYGON(("),
+            corner(mnx, mny), F.lit(", "),
+            corner(mxx, mny), F.lit(", "),
+            corner(mxx, mxy), F.lit(", "),
+            corner(mnx, mxy), F.lit(", "),
+            corner(mnx, mny), F.lit("))"),
+        ).alias("env_wkt"),
+        dround((mxx - mnx) * (mxy - mny) / 100.0, 6).alias("env_area_deg2"),
+    )
+
+
+# --- WKB (well-known binary) round-trip -----------------------------------
+# 5.6 STORES geometry as WKB, so the interchange surface isn't complete
+# without the binary codec. There is no float<->bits builtin in either
+# engine, but the IEEE-754 encode/decode is EXACT ARITHMETIC: the fixture
+# coordinates are k/10 - 180 doubles in [-180, 180], so |v| lies in
+# [0.0625, 256) -> exponent in [-4, 7] found by an exact power-of-two
+# comparison ladder; mantissa = |v| * 2^(52-e) is an exact power-of-two
+# scaling of the stored double (CAST to BIGINT loses nothing); decode
+# inverts with the same exact operations. The same generated expression
+# text drives BOTH engines (Spark F.expr / DuckDB), differing only in the
+# integer-division token.
+
+_WKB_HEXD = "0123456789ABCDEF"
+_WKB_EXP_LADDER = " ".join(
+    f"WHEN ABS({{v}}) >= {2.0 ** e!r} THEN {e}" for e in range(7, -5, -1)
+)
+
+
+def _wkb_enc_steps(v: str, p: str, div: str) -> list[tuple[str, str]]:
+    """(name, expr) chain: double column `v` -> 16-char little-endian
+    IEEE-754 hex `{p}le`. Exact arithmetic only (see block comment)."""
+    be = f"{p}be"
+    return [
+        (f"{p}e", f"CASE {_WKB_EXP_LADDER.format(v=v)} ELSE -4 END"),
+        (
+            f"{p}f",
+            f"CAST(ABS({v}) * pow(2.0, 52 - {p}e) AS BIGINT)"
+            f" - 4503599627370496",
+        ),
+        (
+            f"{p}hi",
+            f"CASE WHEN {v} < 0 THEN 2147483648 ELSE 0 END"
+            f" + (CAST({p}e AS BIGINT) + 1023) * 1048576"
+            f" + {p}f {div} 4294967296",
+        ),
+        (f"{p}lo", f"{p}f % 4294967296"),
+        (
+            be,
+            f"CASE WHEN {v} = 0.0 THEN '0000000000000000'"
+            f" ELSE lpad(hex({p}hi), 8, '0') || lpad(hex({p}lo), 8, '0')"
+            f" END",
+        ),
+        (
+            f"{p}le",
+            " || ".join(f"substr({be}, {i}, 2)" for i in (15, 13, 11, 9, 7, 5, 3, 1)),
+        ),
+    ]
+
+
+def _wkb_dec_steps(h: str, p: str, div: str) -> list[tuple[str, str]]:
+    """(name, expr) chain: 16-char little-endian hex `h` (an expression)
+    -> decoded double `{p}v`. Inverse of _wkb_enc_steps, same exactness."""
+
+    def nib(src: str, i: int, w: int) -> str:
+        # CAST to BIGINT: Spark's instr is INT and ANSI mode overflows
+        # on INT * 16^7; DuckDB would auto-promote, Spark must be told
+        return (
+            f"(CAST(instr('{_WKB_HEXD}', substr({src}, {i}, 1)) AS BIGINT)"
+            f" - 1) * {16 ** w}"
+        )
+
+    beh = f"{p}beh"
+    return [
+        (
+            beh,
+            " || ".join(f"substr({h}, {i}, 2)" for i in (15, 13, 11, 9, 7, 5, 3, 1)),
+        ),
+        (f"{p}uhi", " + ".join(nib(beh, i, 8 - i) for i in range(1, 9))),
+        (f"{p}ulo", " + ".join(nib(beh, i, 16 - i) for i in range(9, 17))),
+        (f"{p}ue", f"({p}uhi % 2147483648) {div} 1048576 - 1023"),
+        (f"{p}uf", f"({p}uhi % 1048576) * 4294967296 + {p}ulo"),
+        (
+            f"{p}v",
+            f"CASE WHEN {p}uhi = 0 AND {p}ulo = 0 THEN 0.0"
+            f" ELSE (CASE WHEN {p}uhi >= 2147483648 THEN -1.0 ELSE 1.0 END)"
+            f" * (1.0 + {p}uf * pow(2.0, -52)) * pow(2.0, {p}ue) END",
+        ),
+    ]
+
+
+def _wkb_oracle() -> str:
+    steps = (
+        _wkb_enc_steps("lon", "x", "//")
+        + _wkb_enc_steps("lat", "y", "//")
+    )
+    chain = (
+        "SELECT c_custkey, "
+        f"{_geo_lon_sql('c_custkey', 31)} AS lon, "
+        f"{_geo_lat_sql('c_custkey', 17)} AS lat "
+        "FROM customer WHERE c_custkey % 13 = 0"
+    )
+    for name, expr in steps:
+        chain = f"SELECT *, {expr} AS {name} FROM ({chain})"
+    chain = (
+        f"SELECT c_custkey, lon, lat,"
+        f" '0101000000' || xle || yle AS wkb_hex FROM ({chain})"
+    )
+    dec = (
+        _wkb_dec_steps("substr(wkb_hex, 11, 16)", "dx", "//")
+        + _wkb_dec_steps("substr(wkb_hex, 27, 16)", "dy", "//")
+    )
+    for name, expr in dec:
+        chain = f"SELECT *, {expr} AS {name} FROM ({chain})"
+    return f"""
+    SELECT c_custkey, lon, lat, wkb_hex,
+           substr(wkb_hex, 1, 2) = '01' AS is_little_endian,
+           CAST((instr('{_WKB_HEXD}', substr(wkb_hex, 3, 1)) - 1) * 16
+                + instr('{_WKB_HEXD}', substr(wkb_hex, 4, 1)) - 1
+                AS INTEGER) AS geom_type,
+           dxv AS lon_rt, dyv AS lat_rt,
+           dxv = lon AND dyv = lat AS roundtrip_ok
+    FROM ({chain})
+    """
+
+
+@register(
+    "fn_geo_wkb",
+    oracle=_wkb_oracle(),
+    section=_SEC,
+)
+def fn_geo_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB (well-known BINARY) point codec — [ENGINE] 5.6 stores every
+    GEOMETRY value as WKB, so this completes the interchange surface the
+    WKT keys opened: serialize POINT(lon lat) to standard little-endian
+    WKB hex (byte-order 01, uint32 type 1, two IEEE-754 LE doubles),
+    then PARSE the hex back and prove bit-exact recovery of both
+    coordinates plus the header fields. The float<->bits conversion has
+    no builtin in either engine, so it is done as EXACT ARITHMETIC: an
+    exponent ladder over exact powers of two, mantissa extraction by
+    exact power-of-two scaling, nibble-weighted sums for the decode —
+    the identical generated expression text runs on both engines (see
+    _wkb_enc_steps/_wkb_dec_steps), so the oracle hash proves the full
+    encode-decode loop, not just output shape.
+
+    Determinism: every intermediate is an exact BIGINT or an exact
+    power-of-two-scaled double; `roundtrip_ok` uses = on doubles
+    deliberately — the codec is exact or it is wrong.
+
+    Plan: one codegen projection, zero exchanges, no UDF; at 100 TB the
+    codec is map-side work on the scan."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    # lon/lat via F expressions (Python float division -> DOUBLE): the
+    # oracle's SQL text would parse `10.0` as DECIMAL under Spark SQL
+    df = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 13 == 0)
+        .select(
+            "c_custkey",
+            (
+                ((F.col("c_custkey") + 31) * F.lit(KNUTH))
+                % F.lit(KNUTH_MOD) % 3600 / 10.0 - 180.0
+            ).alias("lon"),
+            (
+                ((F.col("c_custkey") + 17) * F.lit(KNUTH))
+                % F.lit(KNUTH_MOD) % 1200 / 10.0 - 60.0
+            ).alias("lat"),
+        )
+    )
+    for name, expr in _wkb_enc_steps("lon", "x", "DIV") + _wkb_enc_steps(
+        "lat", "y", "DIV"
+    ):
+        df = df.withColumn(name, F.expr(expr))
+    df = df.select(
+        "c_custkey",
+        "lon",
+        "lat",
+        F.concat(F.lit("0101000000"), F.col("xle"), F.col("yle")).alias(
+            "wkb_hex"
+        ),
+    )
+    for name, expr in _wkb_dec_steps(
+        "substr(wkb_hex, 11, 16)", "dx", "DIV"
+    ) + _wkb_dec_steps("substr(wkb_hex, 27, 16)", "dy", "DIV"):
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "c_custkey",
+        "lon",
+        "lat",
+        "wkb_hex",
+        (F.substring("wkb_hex", 1, 2) == "01").alias("is_little_endian"),
+        F.expr(
+            f"CAST((instr('{_WKB_HEXD}', substr(wkb_hex, 3, 1)) - 1) * 16"
+            f" + instr('{_WKB_HEXD}', substr(wkb_hex, 4, 1)) - 1 AS INT)"
+        ).alias("geom_type"),
+        F.col("dxv").alias("lon_rt"),
+        F.col("dyv").alias("lat_rt"),
+        ((F.col("dxv") == F.col("lon")) & (F.col("dyv") == F.col("lat"))).alias(
+            "roundtrip_ok"
+        ),
+    )

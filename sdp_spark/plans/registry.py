@@ -129,7 +129,8 @@ _SWEEP_PRIORITY = (
     "query_spatial_scan_kulldorff", "query_spacetime_scan",
     "stream_spacetime_alerts",
     # --- (c) new round-11 keys ---
-    "query_outbreak_nowcasted",
+    "query_outbreak_nowcasted", "fn_mysql_misc2", "fn_geo_polygon_metrics",
+    "fn_geo_wkb",
     # --- oldest-first rotation (latest verdict r2 ... r10) ---
     "cte_with", "fn_array_map", "fn_bitwise", "fn_conditional", "fn_date",
     "fn_datetime_arith", "fn_hash", "fn_json", "fn_map", "fn_math",
