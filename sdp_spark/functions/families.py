@@ -1882,9 +1882,11 @@ def _rect_poly_intersects_sql(poly) -> str:
     one of the 4 rect boundary segments; (a) covers rect-inside-poly,
     (b) poly-inside-rect, (c) boundary crossings with no vertex
     containment. Vertical polygon edges make the crossing ordinate a
-    division by zero — IEEE Inf in both engines, and the strict
-    (e1 > X) != (e2 > X) clause is already false there, so the term is
-    false without needing short-circuit evaluation. bbox prefilter ANDed
+    division by zero — Spark SQL (non-ANSI) yields NULL there, DuckDB
+    IEEE Inf, but the strict (e1 > X) != (e2 > X) conjunct is already
+    FALSE on such edges and FALSE AND NULL = FALSE under three-valued
+    logic, so the term is false identically in both engines without
+    relying on the division's value. bbox prefilter ANDed
     in front (necessary condition), so most candidates exit cheaply."""
     bx0, bx1, by0, by1 = _poly_bbox(poly)
     v = list(poly)

@@ -221,10 +221,11 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
     assert macro["lsh"] >= 0.8
     assert macro["ivf"] >= 0.6
     assert macro["pq"] >= 0.75
-    # the composed index's deeper probe (4 vs 2 cells) must at least
-    # recover IVF-flat's recall while reading 32x-compressed candidates
+    # the composed index (trained spherical-k-means cells + 2-way
+    # boundary replication + nprobe 5) must beat IVF-flat while reading
+    # 32x-compressed candidates; 0.9 is the measured sf0.001 floor
     assert macro["ivfpq"] >= macro["ivf"]
-    assert macro["ivfpq"] >= 0.8
+    assert macro["ivfpq"] >= 0.9
 
 
 def test_embed_lsh_collapse_equals_uncollapsed(spark, sf_dir):
