@@ -105,6 +105,11 @@ _SWEEP_REPROOFS = frozenset({
     "query_spatial_scan_kulldorff",
     "query_spacetime_scan",
     "stream_spacetime_alerts",
+    # r11: IVF-PQ gained the trained spherical-k-means coarse quantizer
+    # + 2-way boundary replication at nprobe 5 (recall 0.891 -> 0.945);
+    # both rows-only keys' row VALUES changed (counts unchanged).
+    "llm_sim_search_ivfpq",
+    "llm_ann_recall_eval",
 })
 
 _SWEEP_PRIORITY = (
@@ -125,9 +130,10 @@ _SWEEP_PRIORITY = (
     "project_cast", "project_select", "scan_csv", "scan_json", "scan_orc",
     "scan_parquet", "scan_partition_pruned", "sink_append", "sink_overwrite",
     "sink_partitioned", "sink_upsert", "sort_nulls",
-    # --- (b) changed-output MC scan keys ---
+    # --- (b) changed-output keys (MC scans at R=99; retrained IVF-PQ) ---
     "query_spatial_scan_kulldorff", "query_spacetime_scan",
-    "stream_spacetime_alerts",
+    "stream_spacetime_alerts", "llm_sim_search_ivfpq",
+    "llm_ann_recall_eval",
     # --- (c) new round-11 keys ---
     "query_outbreak_nowcasted", "fn_mysql_misc2", "fn_geo_polygon_metrics",
     "fn_geo_wkb",
@@ -261,8 +267,8 @@ _SWEEP_PRIORITY = (
     "fn_geo_wkt_shapes", "fulltext_query_expansion", "join_anti", "join_asof",
     "join_broadcast", "join_cross", "join_full", "join_inner", "join_left",
     "join_multiway", "join_polygon_intersects", "join_right", "join_salted",
-    "join_self", "join_semi", "join_theta_range", "llm_ann_recall_eval",
-    "llm_sim_search_ivfpq", "project_case", "query_outbreak_farrington",
+    "join_self", "join_semi", "join_theta_range",
+    "project_case", "query_outbreak_farrington",
     "stream_farrington_alerts", "stream_nowcast_delay", "ts_nowcast_delay",
 )
 
