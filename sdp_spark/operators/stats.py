@@ -3075,3 +3075,238 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
         .orderBy(F.col("llr").desc(), "cx", "cy", "r", "win_days")
         .limit(_ST_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (Fellegi & Sunter 1969)
+# ---------------------------------------------------------------------------
+
+# The fixture's slim customer table carries (name, nation, acctbal,
+# segment); a 7-digit pseudo-phone is derived per key with the repo's
+# Knuth multiplicative hash (the same fixture-augmentation idiom the
+# spatial ops use for lat/lon) — shared SQL text, exact BIGINT
+# arithmetic in both engines.
+_RL_PHONE = (
+    f"lpad(CAST((c_custkey + 7) * {KNUTH} % {KNUTH_MOD} % 10000000"
+    " AS STRING), 7, '0')"
+)
+
+# System B = the customer master deterministically corrupted per key (the
+# two-reporting-systems shape a surveillance platform links nightly:
+# case reports re-keyed by a lab system with casing, typo, and
+# lost-attribute noise). Corruption expressions are shared SQL evaluated
+# VERBATIM by both engines.
+_RL_B_NAME = "CASE WHEN c_custkey % 3 = 0 THEN lower(c_name) ELSE c_name END"
+_RL_B_PHONE = (
+    "CASE WHEN c_custkey % 5 = 0"
+    f" THEN concat(substr({_RL_PHONE}, 1, 6), '9')"
+    f" ELSE {_RL_PHONE} END"
+)
+_RL_B_BAL = (
+    "CASE WHEN c_custkey % 7 = 0"
+    " THEN c_acctbal + CAST(0.01 AS DOUBLE) ELSE c_acctbal END"
+)
+_RL_B_SEG = (
+    "CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END"
+)
+
+# Fellegi-Sunter field weights: agreement weight ln(m/u), disagreement
+# weight ln((1-m)/(1-u)), PRECOMPUTED to fixed 4-dp literals (model
+# constants, like any published m/u table) so the score is an exact
+# shared decimal expression — no transcendental evaluated at query time.
+#   name  m=0.67  u=0.0001  (1/3 of B names case-folded)
+#   phone m=0.80  u=0.0001  (1/5 of B phones last-digit typo)
+#   bal   m=0.857 u=0.0001  (1/7 of B balances off by a cent)
+#   seg   m=0.909 u=0.2     (1/11 corrupted; 5 segments -> u = 1/5)
+_RL_SCORE = (
+    "CAST(CASE WHEN a_name = b_name THEN 8.8099 ELSE -1.1086 END AS DOUBLE)"
+    " + CAST(CASE WHEN a_phone = b_phone THEN 8.9872 ELSE -1.6093 END"
+    " AS DOUBLE)"
+    " + CAST(CASE WHEN a_bal = b_bal THEN 9.0560 ELSE -1.9448 END"
+    " AS DOUBLE)"
+    " + CAST(CASE WHEN a_seg = b_seg THEN 1.5140 ELSE -2.1738 END"
+    " AS DOUBLE)"
+)
+_RL_LINK = 12.0      # >= : classify 'link' (auto-accept)
+_RL_POSSIBLE = 2.0   # >= : classify 'possible' (clerical review)
+# Pass-1 block-entropy ladder: phone digits appended to the
+# (nation, segment) block as the corpus grows — the join_geo_nearest
+# density doctrine applied to linkage blocking (a fixed coarse block
+# makes within-block pairs quadratic in deployment scale). The appended
+# digits are phone PREFIX positions the typo corruption never touches.
+_RL_LADDER = "CASE WHEN n <= 20000 THEN 0 WHEN n <= 200000 THEN 1 ELSE 2 END"
+
+_RL_PAIR_COLS = (
+    "a_key, a_name, a_phone, a_bal, a_seg, "
+    "b_key, b_name, b_phone, b_bal, b_seg"
+)
+
+
+def _record_linkage_oracle() -> str:
+    return f"""
+    WITH kcfg AS (
+      SELECT {_RL_LADDER} AS k FROM (SELECT COUNT(*) AS n FROM customer)
+    ), a AS (
+      SELECT c_custkey AS a_key, c_name AS a_name,
+             {_RL_PHONE} AS a_phone, c_acctbal AS a_bal,
+             c_mktsegment AS a_seg, c_nationkey AS a_nat
+      FROM customer
+    ), b AS (
+      SELECT c_custkey AS b_key,
+             {_RL_B_NAME} AS b_name,
+             {_RL_B_PHONE} AS b_phone,
+             {_RL_B_BAL} AS b_bal,
+             {_RL_B_SEG} AS b_seg,
+             c_nationkey AS b_nat
+      FROM customer
+    ), a1 AS (
+      SELECT a.*, concat(CAST(a_nat AS STRING), '|', a_seg, '|',
+                         substr(a_phone, 1, kcfg.k)) AS blk
+      FROM a CROSS JOIN kcfg
+    ), b1 AS (
+      SELECT b.*, concat(CAST(b_nat AS STRING), '|', b_seg, '|',
+                         substr(b_phone, 1, kcfg.k)) AS blk
+      FROM b CROSS JOIN kcfg
+    ), pairs AS (
+      SELECT {_RL_PAIR_COLS}
+      FROM a1 JOIN b1 ON a1.blk = b1.blk
+      UNION
+      SELECT {_RL_PAIR_COLS}
+      FROM a JOIN b
+        ON substr(upper(a.a_name), 1, 17) = substr(upper(b.b_name), 1, 17)
+    ), scored AS (
+      SELECT a_key, b_key,
+             CAST(CASE WHEN a_name = b_name THEN 1 ELSE 0 END AS INT)
+               AS agree_name,
+             CAST(CASE WHEN a_phone = b_phone THEN 1 ELSE 0 END AS INT)
+               AS agree_phone,
+             CAST(CASE WHEN a_bal = b_bal THEN 1 ELSE 0 END AS INT)
+               AS agree_bal,
+             CAST(CASE WHEN a_seg = b_seg THEN 1 ELSE 0 END AS INT)
+               AS agree_seg,
+             {sql_dround(_RL_SCORE, 4)} AS score
+      FROM pairs
+    )
+    SELECT a_key, b_key, agree_name, agree_phone, agree_bal, agree_seg,
+           score,
+           CASE WHEN score >= {_RL_LINK} THEN 'link'
+                ELSE 'possible' END AS match_class
+    FROM scored
+    WHERE score >= {_RL_POSSIBLE}
+    ORDER BY score DESC, a_key, b_key
+    """
+
+
+@register(
+    "query_record_linkage",
+    oracle=_record_linkage_oracle(),
+    section=_SEC,
+)
+def query_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter, JASA 1969) — the
+    algorithm public-health platforms run to match case reports across
+    reporting systems without a shared key. System B is the customer
+    master under deterministic per-key corruption (case-folded names,
+    last-digit phone typos, off-by-a-cent balances, lost segments);
+    each candidate pair gets a log-likelihood score = sum over fields of
+    ln(m/u) on agreement or ln((1-m)/(1-u)) on disagreement (precomputed
+    literal weights — the published-m/u-table shape), then three-way
+    classification: link (auto-accept), possible (clerical review),
+    non-link (dropped from output). A pair with too much corruption
+    (name+phone+bal all hit: keys = 0 mod 105, except those whose
+    pseudo-phone already ends in '9' so the typo is a no-op) scores
+    below the review cutoff and is correctly LOST — the false-negative
+    band every real linkage operation owns and monitors.
+
+    Candidate generation is MULTI-PASS BLOCKING, the production recall
+    strategy (any single block key can itself be corrupted): pass 1
+    blocks on (nation, segment) + a DENSITY-LADDERED phone-prefix
+    suffix (0/1/2 digits by corpus size — a fixed coarse block makes
+    within-block pairs QUADRATIC in deployment scale, the
+    join_geo_nearest doctrine; the appended digits come from phone
+    positions the typo never touches, so true-pair recall is unharmed),
+    pass 2 blocks on the case-normalized 17-char name prefix (catches
+    the pairs whose segment was corrupted away from pass 1). Both
+    passes are plain equi-joins — Catalyst never sees a cartesian — and
+    the UNION dedups the overlap. Scoring and classification are pure
+    projection; only link/possible rows (≈ one per true entity) are
+    emitted.
+
+    Cross-engine exactness: corruption, pseudo-phone, and score
+    expressions are shared SQL text; weights are fixed decimal literals
+    cast to double and summed in one fixed order, snapped to 4 dp
+    before the threshold compares."""
+    c = table(spark, sf_dir, "customer")
+    kcfg = c.agg(F.count("*").alias("n")).select(
+        F.expr(_RL_LADDER).alias("k")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.expr(_RL_PHONE).alias("a_phone"),
+        F.col("c_acctbal").alias("a_bal"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.col("c_nationkey").alias("a_nat"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.expr(_RL_B_NAME).alias("b_name"),
+        F.expr(_RL_B_PHONE).alias("b_phone"),
+        F.expr(_RL_B_BAL).alias("b_bal"),
+        F.expr(_RL_B_SEG).alias("b_seg"),
+        F.col("c_nationkey").alias("b_nat"),
+    )
+    pair_cols = [s.strip() for s in _RL_PAIR_COLS.split(",")]
+    # the block id is a COLUMN so the ladder digits join as part of the
+    # hash key (a join-condition substr on a runtime k would demote to a
+    # residual filter AFTER the coarse pairing — the exact quadratic
+    # blowup the ladder exists to prevent)
+    a1 = a.crossJoin(F.broadcast(kcfg)).withColumn(
+        "blk",
+        F.expr(
+            "concat(CAST(a_nat AS STRING), '|', a_seg, '|',"
+            " substr(a_phone, 1, k))"
+        ),
+    )
+    b1 = b.crossJoin(F.broadcast(kcfg)).withColumn(
+        "blk",
+        F.expr(
+            "concat(CAST(b_nat AS STRING), '|', b_seg, '|',"
+            " substr(b_phone, 1, k))"
+        ),
+    )
+    pass1 = a1.join(b1.drop("k"), "blk").select(*pair_cols)
+    pass2 = a.join(
+        b,
+        F.expr(
+            "substr(upper(a_name), 1, 17) = substr(upper(b_name), 1, 17)"
+        ),
+    ).select(*pair_cols)
+    pairs = pass1.unionByName(pass2).distinct()
+    scored = pairs.select(
+        "a_key",
+        "b_key",
+        F.expr("CASE WHEN a_name = b_name THEN 1 ELSE 0 END")
+        .cast("int")
+        .alias("agree_name"),
+        F.expr("CASE WHEN a_phone = b_phone THEN 1 ELSE 0 END")
+        .cast("int")
+        .alias("agree_phone"),
+        F.expr("CASE WHEN a_bal = b_bal THEN 1 ELSE 0 END")
+        .cast("int")
+        .alias("agree_bal"),
+        F.expr("CASE WHEN a_seg = b_seg THEN 1 ELSE 0 END")
+        .cast("int")
+        .alias("agree_seg"),
+        dround(F.expr(_RL_SCORE), 4).alias("score"),
+    )
+    return (
+        scored.filter(F.col("score") >= _RL_POSSIBLE)
+        .withColumn(
+            "match_class",
+            F.when(F.col("score") >= _RL_LINK, F.lit("link")).otherwise(
+                F.lit("possible")
+            ),
+        )
+        .orderBy(F.col("score").desc(), "a_key", "b_key")
+    )

@@ -374,3 +374,99 @@ def test_wkb_hex_matches_struct_pack(spark, tmp_path):
         assert r.roundtrip_ok is True
         assert r.geom_type == 1 and r.is_little_endian is True
         assert r.lon_rt == r.lon and r.lat_rt == r.lat
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record linkage: classification bands, false-negative
+# band, multi-pass recall, and the block-key density ladder
+# ---------------------------------------------------------------------------
+
+
+def test_record_linkage_classification_bands(spark, sf_dir):
+    """Per-key corruption determines the score exactly (fixed literal
+    weights summed in one order): a clean key is a 'link' with every
+    field agreeing; a case-folded name alone still auto-links; name+phone
+    corruption drops to 'possible' (clerical review); name+phone+balance
+    (keys = 0 mod 105) falls below the review cutoff and is correctly
+    LOST — the false-negative band a real linkage operation owns."""
+    from sdp_spark.plans.registry import load_all
+
+    rows = {
+        r["a_key"]: r
+        for r in load_all()["query_record_linkage"].fn(spark, sf_dir).collect()
+    }
+    assert all(r["a_key"] == r["b_key"] for r in rows.values())
+    clean = rows[1]  # 1 is coprime to 3, 5, 7, 11
+    assert clean["match_class"] == "link"
+    assert (
+        clean["agree_name"], clean["agree_phone"],
+        clean["agree_bal"], clean["agree_seg"],
+    ) == (1, 1, 1, 1)
+    assert clean["score"] == pytest.approx(28.3671, abs=1e-4)
+    name_only = rows[3]
+    assert name_only["match_class"] == "link"
+    assert name_only["agree_name"] == 0
+    assert name_only["score"] == pytest.approx(18.4486, abs=1e-4)
+    name_phone = rows[15]
+    assert name_phone["match_class"] == "possible"
+    assert name_phone["score"] == pytest.approx(7.8521, abs=1e-4)
+    assert 105 not in rows and 0 not in rows  # n+p+bal corrupted: lost
+    # pass-2 recall: a corrupted-segment key misses the pass-1 block but
+    # the name-prefix pass recovers it
+    seg_lost = rows[11]
+    assert seg_lost["agree_seg"] == 0
+    assert seg_lost["match_class"] == "link"
+
+
+def test_record_linkage_plan_no_cartesian_blk_equijoin(spark, sf_dir):
+    """Both blocking passes must plan as equi-joins: the ladder digits
+    ride INSIDE the pass-1 hash key (a runtime-k substr in the join
+    condition would demote to a residual filter after the coarse
+    pairing — the quadratic blowup the ladder exists to prevent), and
+    no data-scale cartesian appears anywhere."""
+    from sdp_spark.plans.registry import load_all
+
+    df = load_all()["query_record_linkage"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "[blk" in plan  # pass-1 hash key IS the laddered block id
+
+
+def test_record_linkage_ladder_extends_block_key(spark, tmp_path):
+    """Above 20k records the ladder appends a phone-prefix digit to the
+    pass-1 block key. Recall must be unharmed: on a 25k synthetic
+    master, every key except the designed 0-mod-105 false-negative band
+    links back to its corrupted twin."""
+    import os
+
+    from sdp_spark.plans.registry import load_all
+
+    n = 25_000
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    d = str(tmp_path / "master")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [
+            (
+                k,
+                f"Customer#{k:09d}",
+                k % 25,
+                round(k * 0.37 + 1.0, 2),
+                segs[k % 5],
+            )
+            for k in range(1, n + 1)
+        ],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+    out = load_all()["query_record_linkage"].fn(spark, d)
+    got = {r["a_key"] for r in out.collect()}
+    # the phone typo overwrites the LAST digit with '9' — a no-op when
+    # the pseudo-phone already ends in 9, so those 0-mod-105 keys keep
+    # the phone agreement and survive as 'possible'
+    lost = {
+        k
+        for k in range(1, n + 1)
+        if k % 105 == 0 and ((k + 7) * 2654435761) % 2**32 % 10 != 9
+    }
+    assert got == set(range(1, n + 1)) - lost
