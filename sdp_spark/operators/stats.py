@@ -3310,3 +3310,182 @@ def query_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), "a_key", "b_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes: distributed TRAINING as aggregation
+# ---------------------------------------------------------------------------
+
+# Deterministic 80/20 split on the Knuth hash (the sample_systematic
+# idiom) — shared SQL text.
+_NB_TRAIN = (
+    f"CASE WHEN (doc_id * {KNUTH}) % {KNUTH_MOD} % 10 < 8"
+    " THEN 1 ELSE 0 END"
+)
+# Per-(token, class) Laplace-smoothed log-likelihood and the class
+# prior, both snapped to INTEGER MICRO-NATS (floor(ln(x)*1e6 + 0.5) as
+# BIGINT): per-token terms become exact integers, so per-document sums
+# are order-free BIGINT arithmetic on both engines — the ln need only
+# be reproducible to 5e-7, far coarser than libm's ~1-ulp agreement on
+# identical IEEE arguments (the dq_benford/agg_entropy precedent).
+_NB_LL = (
+    "CAST(FLOOR(LN((n_tc + 1.0) / (t_c + v)) * 1000000 + 0.5) AS BIGINT)"
+)
+_NB_PRIOR = (
+    "CAST(FLOOR(LN(CAST(d_c AS DOUBLE) / CAST(d_all AS DOUBLE))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+def _nb_oracle() -> str:
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, lang, text, {_NB_TRAIN} AS is_train FROM documents
+    ), tok AS (
+      SELECT doc_id, lang, is_train, unnest(string_split(text, ' ')) AS token
+      FROM docs
+    ), cls AS (
+      SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS d_c
+      FROM docs WHERE is_train = 1 GROUP BY lang
+    ), pri AS (
+      SELECT c, {_NB_PRIOR} AS pr_micro
+      FROM cls, (SELECT CAST(COUNT(*) AS BIGINT) AS d_all
+                 FROM docs WHERE is_train = 1)
+    ), cnt AS (
+      SELECT token, lang AS c, CAST(COUNT(*) AS BIGINT) AS n_tc0
+      FROM tok WHERE is_train = 1 GROUP BY token, lang
+    ), tot AS (
+      SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS t_c
+      FROM tok WHERE is_train = 1 GROUP BY lang
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+      FROM tok WHERE is_train = 1
+    ), grid AS (
+      SELECT tt.token, cls.c
+      FROM (SELECT DISTINCT token FROM tok WHERE is_train = 0) tt
+           CROSS JOIN cls
+    ), lik AS (
+      SELECT g.token, g.c,
+             {_NB_LL.replace("n_tc", "COALESCE(cnt.n_tc0, 0)")} AS ll_micro
+      FROM grid g
+      LEFT JOIN cnt ON cnt.token = g.token AND cnt.c = g.c
+      JOIN tot ON tot.c = g.c
+      CROSS JOIN vocab
+    ), sums AS (
+      SELECT t.doc_id, t.lang AS lang_true, l.c AS cand,
+             SUM(l.ll_micro) AS s
+      FROM tok t JOIN lik l ON l.token = t.token
+      WHERE t.is_train = 0
+      GROUP BY t.doc_id, t.lang, l.c
+    ), post AS (
+      SELECT s.doc_id, s.lang_true, s.cand,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.doc_id
+               ORDER BY s.s + p.pr_micro DESC, s.cand) AS rn
+      FROM sums s JOIN pri p ON p.c = s.cand
+    )
+    SELECT lang_true, cand AS lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM post WHERE rn = 1
+    GROUP BY lang_true, cand
+    ORDER BY lang_true, lang_pred
+    """
+
+
+@register("llm_nb_classifier", oracle=_nb_oracle(), section=_SEC)
+def llm_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes text classifier, TRAINED AND APPLIED in
+    one declarative plan — the classic demonstration that NB training IS
+    aggregation (per-(token, class) counts + class totals + vocabulary
+    size), which is why it is the one classifier a 100 TB engine can fit
+    with nothing but groupBy: the 'model' is a (V x C) count table built
+    by one explode+groupBy pass with map-side partial aggregation, and
+    scoring is a token-level equi-join + BIGINT sum. Deterministic 80/20
+    Knuth-hash split; Laplace smoothing; argmax with a lexicographic
+    tiebreak; output is the holdout confusion matrix (lang_true x
+    lang_pred counts).
+
+    The fixture's `lang` labels are independent of `text` BY
+    CONSTRUCTION (one shared vocabulary, uniform word draws), so
+    holdout accuracy lands at the majority-class floor — the NULL
+    behavior an honest learner must show on signal-free data; the
+    planted-corpus pytest shows the same plan reaching a perfect
+    diagonal when class vocabularies actually differ (the
+    Kulldorff-style signal/no-signal pair, applied to ML).
+
+    Cross-engine exactness: every log term is snapped to integer
+    micro-nats (floor(ln(x)*1e6 + 0.5) AS BIGINT, shared expression
+    text) BEFORE summation, so per-document posteriors are exact
+    order-free BIGINT sums — ln needs to reproduce only to 5e-7 across
+    engines, versus libm's ~1-ulp agreement on identical IEEE args.
+
+    Scale: training = one token-level exchange to (V x C) rows; the
+    likelihood table is model-sized (V x C, the executor-RAM bound any
+    NB deployment carries) and broadcastable; scoring shuffles only
+    (doc, class) partial sums. No data-scale join ever exceeds the
+    token explode."""
+    from sdp_spark.operators.llm import _docs_tokens
+
+    docs = _docs_tokens(spark, sf_dir).select(
+        "doc_id", "lang", "toks"
+    ).withColumn("is_train", F.expr(_NB_TRAIN))
+    tok = docs.select(
+        "doc_id", "lang", "is_train", F.explode("toks").alias("token")
+    )
+    train_tok = tok.filter(F.col("is_train") == 1)
+    cls = (
+        docs.filter(F.col("is_train") == 1)
+        .groupBy(F.col("lang").alias("c"))
+        .agg(F.count("*").cast("bigint").alias("d_c"))
+    )
+    d_all = docs.filter(F.col("is_train") == 1).agg(
+        F.count("*").cast("bigint").alias("d_all")
+    )
+    pri = cls.crossJoin(F.broadcast(d_all)).select(
+        "c", F.expr(_NB_PRIOR).alias("pr_micro")
+    )
+    cnt = train_tok.groupBy(
+        "token", F.col("lang").alias("c")
+    ).agg(F.count("*").cast("bigint").alias("n_tc0"))
+    tot = train_tok.groupBy(F.col("lang").alias("c")).agg(
+        F.count("*").cast("bigint").alias("t_c")
+    )
+    vocab = train_tok.agg(
+        F.countDistinct("token").cast("bigint").alias("v")
+    )
+    test_tok = tok.filter(F.col("is_train") == 0)
+    grid = (
+        test_tok.select("token").distinct()
+        .crossJoin(F.broadcast(cls.select("c")))
+    )
+    lik = (
+        grid.join(cnt, ["token", "c"], "left")
+        .join(F.broadcast(tot), "c")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "token",
+            "c",
+            F.expr(
+                _NB_LL.replace("n_tc", "COALESCE(n_tc0, 0)")
+            ).alias("ll_micro"),
+        )
+    )
+    sums = (
+        test_tok.join(lik, "token")
+        .groupBy(
+            "doc_id", F.col("lang").alias("lang_true"), F.col("c").alias("cand")
+        )
+        .agg(F.sum("ll_micro").alias("s"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("s") + F.col("pr_micro")).desc(), F.col("cand")
+    )
+    post = (
+        sums.join(F.broadcast(pri), sums.cand == pri.c)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        post.groupBy("lang_true", F.col("cand").alias("lang_pred"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )

@@ -470,3 +470,57 @@ def test_record_linkage_ladder_extends_block_key(spark, tmp_path):
         if k % 105 == 0 and ((k + 7) * 2654435761) % 2**32 % 10 != 9
     }
     assert got == set(range(1, n + 1)) - lost
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes: signal/no-signal pair (the ML analogue of the null-data
+# scan tests)
+# ---------------------------------------------------------------------------
+
+
+def test_nb_classifier_perfect_on_separable_corpus(spark, tmp_path):
+    """Plant three classes with DISJOINT vocabularies: the holdout
+    confusion matrix must be perfectly diagonal (every test doc carries
+    only its own class's tokens, so the smoothed likelihood dominates
+    any prior imbalance)."""
+    import os
+
+    from sdp_spark.plans.registry import load_all
+
+    vocabs = {
+        "aa": ["alpha", "apex", "arrow", "audit"],
+        "bb": ["bravo", "bend", "bloom", "basin"],
+        "cc": ["cedar", "crisp", "cloud", "canal"],
+    }
+    langs = sorted(vocabs)
+    rows = []
+    for i in range(300):
+        lang = langs[i % 3]
+        words = [vocabs[lang][(i + j) % 4] for j in range(12)]
+        rows.append((i, " ".join(words), lang, f"src{i % 4}", 60))
+    d = str(tmp_path / "sep")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    out = load_all()["llm_nb_classifier"].fn(spark, d).collect()
+    assert all(r["lang_true"] == r["lang_pred"] for r in out)
+    assert {r["lang_true"] for r in out} == set(langs)
+    n_test = sum(r["n_docs"] for r in out)
+    assert 30 <= n_test <= 90  # ~20% holdout of 300
+
+
+def test_nb_classifier_chance_on_label_independent_text(spark, sf_dir):
+    """The fixture's lang labels are independent of text by construction
+    (shared vocabulary, uniform draws) — an honest learner must land at
+    the majority-class floor, NOT find phantom signal."""
+    from sdp_spark.plans.registry import load_all
+
+    out = load_all()["llm_nb_classifier"].fn(spark, sf_dir).collect()
+    n = sum(r["n_docs"] for r in out)
+    correct = sum(r["n_docs"] for r in out if r["lang_true"] == r["lang_pred"])
+    assert n > 0
+    # between degenerate-all-wrong and any-real-signal: chance for 5
+    # classes is 0.2, the en-majority predictor lands ~0.33-0.45
+    assert 0.1 <= correct / n <= 0.6
