@@ -3489,3 +3489,147 @@ def llm_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("lang_true", "lang_pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cori gamma-posterior Rt (EpiEstim's estimate_R) — ts_rt_ratio's
+# inferential upgrade
+# ---------------------------------------------------------------------------
+
+# EpiEstim defaults: prior R ~ Gamma(shape a=1, rate 1/b=0.2). Posterior
+# over a trailing 7-day window: shape = a + Σ cases, rate = 1/b + Σ Λ.
+_RT_PRIOR_A = 1.0
+_RT_PRIOR_INVB = 0.2
+_RT_TAU = 7  # smoothing window (days), EpiEstim's weekly default
+# Shared posterior expressions over exact BIGINTs cases_w (window case
+# sum) and wn_w (window Σw·n in integer thirteenths): mean = (a+C)/R,
+# sd = sqrt(a+C)/R — + / sqrt only, identical IEEE on both engines.
+_RT_RATE = f"({_RT_PRIOR_INVB} + CAST(wn_w AS DOUBLE) / {_RT_W_TOT}.0)"
+_RT_MEAN = f"(({_RT_PRIOR_A} + cases_w) / {_RT_RATE})"
+_RT_SD = f"(sqrt({_RT_PRIOR_A} + cases_w) / {_RT_RATE})"
+
+
+def _rt_cori_oracle() -> str:
+    return f"""
+    WITH daily AS ({_XDAILY_SQL}),
+    lam AS (
+      SELECT b.event_type, b.day, b.n, CAST(SUM(a.n * ({_RT_W_SQL})) AS BIGINT) AS wn
+      FROM daily b JOIN daily a
+        ON a.event_type = b.event_type
+       AND date_diff('day', a.day, b.day) BETWEEN 1 AND 7
+      GROUP BY b.event_type, b.day, b.n
+    ), win AS (
+      SELECT b.event_type, b.day,
+             CAST(SUM(a.n) AS BIGINT) AS cases_w,
+             CAST(SUM(a.wn) AS BIGINT) AS wn_w
+      FROM lam b JOIN lam a
+        ON a.event_type = b.event_type
+       AND date_diff('day', a.day, b.day) BETWEEN 0 AND {_RT_TAU - 1}
+      GROUP BY b.event_type, b.day
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, cases_w,
+           {sql_dround(f'CAST(wn_w AS DOUBLE) / {_RT_W_TOT}.0', 4)}
+             AS lambda_w,
+           {sql_dround(_RT_MEAN, 4)} AS rt_mean,
+           {sql_dround(f'{_RT_MEAN} - 1.96 * {_RT_SD}', 4)} AS rt_low,
+           {sql_dround(f'{_RT_MEAN} + 1.96 * {_RT_SD}', 4)} AS rt_high,
+           CASE WHEN {sql_dround(f'{_RT_MEAN} - 1.96 * {_RT_SD}', 4)} > 1.0
+                THEN 'growing'
+                WHEN {sql_dround(f'{_RT_MEAN} + 1.96 * {_RT_SD}', 4)} < 1.0
+                THEN 'declining'
+                ELSE 'uncertain' END AS trend
+    FROM win WHERE wn_w > 0
+    ORDER BY event_type, day_s
+    """
+
+
+@register("ts_rt_cori", oracle=_rt_cori_oracle(), section=_SEC)
+def ts_rt_cori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian instantaneous reproduction number (Cori, Ferguson,
+    Fraser, Cauchemez, AJE 2013 — the EpiEstim estimate_R algorithm):
+    the inferential upgrade of `ts_rt_ratio`'s point ratio. Cases in a
+    trailing tau=7-day window are Poisson with mean R·Λ; under the
+    conjugate Gamma(a=1, rate=0.2) prior the posterior is
+    Gamma(a + Σ cases, 0.2 + Σ Λ), reported as mean and a 95% interval
+    (normal approximation mean ± 1.96·sd of the Gamma posterior —
+    exact-quantile Gamma inversion is not portable SQL; for the a+C
+    (> 30 in any reportable window) regimes this differs from the exact
+    quantile by < 2% and is stated as such). The window answers the
+    operational question the per-day ratio cannot: 'is Rt > 1
+    STATISTICALLY, or is today's blip noise?' — trend = growing /
+    declining only when the interval excludes 1.
+
+    Determinism: Λ keeps the serial-interval weights as exact integer
+    thirteenths (the ts_rt_ratio convention), so window sums cases_w
+    and wn_w are BIGINTs; the posterior mean/sd are one shared +,/,sqrt
+    expression over those integers, snapped to 4 dp before the trend
+    compares.
+
+    Scale: one event-scale (type, day) rollup; both the serial-interval
+    join and the tau-window join run on the |types|·|days| metadata
+    frame (banded self-joins — range-partitionable at long-history
+    scale, same algebra)."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    daily = daily.localCheckpoint()
+    a = daily.select(
+        F.col("event_type").alias("et_a"),
+        F.col("day").alias("day_a"),
+        F.col("n").alias("n_a"),
+    )
+    k = F.datediff("day", "day_a")
+    w = F.coalesce(
+        *[F.when(k == kk, F.lit(vv)) for kk, vv in _RT_W.items()]
+    )
+    lam = (
+        daily.join(
+            a, (F.col("event_type") == F.col("et_a")) & k.between(1, 7)
+        )
+        .select("event_type", "day", "n", (F.col("n_a") * w).alias("wn1"))
+        .groupBy("event_type", "day", "n")
+        .agg(F.sum("wn1").cast("bigint").alias("wn"))
+        .localCheckpoint()
+    )
+    la = lam.select(
+        F.col("event_type").alias("et_a"),
+        F.col("day").alias("day_a"),
+        F.col("n").alias("n_a"),
+        F.col("wn").alias("wn_a"),
+    )
+    kk = F.datediff("day", "day_a")
+    win = (
+        lam.join(
+            la,
+            (F.col("event_type") == F.col("et_a"))
+            & kk.between(0, _RT_TAU - 1),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_a").cast("bigint").alias("cases_w"),
+            F.sum("wn_a").cast("bigint").alias("wn_w"),
+        )
+        .filter(F.col("wn_w") > 0)
+    )
+    mean_c = dround(F.expr(_RT_MEAN), 4)
+    low_c = dround(F.expr(f"{_RT_MEAN} - 1.96 * {_RT_SD}"), 4)
+    high_c = dround(F.expr(f"{_RT_MEAN} + 1.96 * {_RT_SD}"), 4)
+    return (
+        win.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            "cases_w",
+            dround(
+                F.col("wn_w").cast("double") / F.lit(float(_RT_W_TOT)), 4
+            ).alias("lambda_w"),
+            mean_c.alias("rt_mean"),
+            low_c.alias("rt_low"),
+            high_c.alias("rt_high"),
+            F.when(low_c > 1.0, F.lit("growing"))
+            .when(high_c < 1.0, F.lit("declining"))
+            .otherwise(F.lit("uncertain"))
+            .alias("trend"),
+        )
+        .orderBy("event_type", "day_s")
+    )

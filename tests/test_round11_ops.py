@@ -524,3 +524,59 @@ def test_nb_classifier_chance_on_label_independent_text(spark, sf_dir):
     # between degenerate-all-wrong and any-real-signal: chance for 5
     # classes is 0.2, the en-majority predictor lands ~0.33-0.45
     assert 0.1 <= correct / n <= 0.6
+
+
+# ---------------------------------------------------------------------------
+# Cori gamma-posterior Rt: planted growth vs criticality
+# ---------------------------------------------------------------------------
+
+
+def test_rt_cori_growth_and_critical_series(spark, tmp_path):
+    """Two planted series: counts doubling every 3 days must report
+    trend='growing' with rt_mean near the Lotka-Euler value
+    13/Σ(w_k·2^(-k/3)) ≈ 2.23; a flat series sits at criticality —
+    rt_mean ≈ 1 and NEVER 'growing' once history fills (the posterior
+    interval correctly brackets 1 instead of flagging noise)."""
+    import os
+
+    from sdp_spark.plans.registry import load_all
+
+    rows, ev = [], 0
+    day0 = dt.date(2024, 3, 1)
+    for t in range(21):
+        d = day0 + dt.timedelta(days=t)
+        n_exp = max(1, round(8 * 2 ** (t / 3)))
+        for series, n in (("exp", n_exp), ("flat", 20)):
+            for i in range(n):
+                rows.append(
+                    (
+                        ev,
+                        dt.datetime(d.year, d.month, d.day, 10, i % 60, i % 60),
+                        1,
+                        series,
+                        1.0,
+                        "{}",
+                    )
+                )
+                ev += 1
+    sf = str(tmp_path / "rt")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = load_all()["ts_rt_cori"].fn(spark, sf).collect()
+    by = {(r["event_type"], r["day_s"]): r for r in out}
+    # late days: full 7-day serial history AND a full tau window
+    late = [by[("exp", (day0 + dt.timedelta(days=t)).isoformat())] for t in range(16, 21)]
+    assert all(r["trend"] == "growing" for r in late)
+    assert all(1.8 <= r["rt_mean"] <= 2.8 for r in late)
+    flat_late = [
+        by[("flat", (day0 + dt.timedelta(days=t)).isoformat())]
+        for t in range(16, 21)
+    ]
+    assert all(r["trend"] != "growing" for r in flat_late)
+    assert all(0.85 <= r["rt_mean"] <= 1.15 for r in flat_late)
+    # interval sanity: low < mean < high everywhere
+    assert all(r["rt_low"] < r["rt_mean"] < r["rt_high"] for r in out)
