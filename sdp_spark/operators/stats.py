@@ -3633,3 +3633,173 @@ def ts_rt_cori(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-density spatial clustering (GDBSCAN on cells) — arbitrary-SHAPE
+# cluster discovery beside the fixed-window scan statistics
+# ---------------------------------------------------------------------------
+
+_DB_CELL_DEG = 5.0   # cell size (degrees); finer than the 15-deg scan grid
+# density threshold: 2x the mean occupancy of OCCUPIED cells, floored at
+# 5 points — data-derived in-plan (both engines compute it from the same
+# grid), the classic grid-DBSCAN heuristic
+_DB_THR = (
+    "GREATEST(CAST(5 AS BIGINT),"
+    " CAST(CEIL(2.0 * total_pts / n_cells) AS BIGINT))"
+)
+_DB_ROUNDS = 64  # min-label rounds cap; the probe exits at the fixpoint
+
+
+def _dbscan_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT ((((c_custkey + 17) * {KNUTH}) % {KNUTH_MOD}) % 1200) / 10.0
+               - 60.0 AS lat,
+             ((((c_custkey + 31) * {KNUTH}) % {KNUTH_MOD}) % 3600) / 10.0
+               - 180.0 AS lon
+      FROM customer
+    ), cells AS (
+      SELECT CAST(FLOOR(lon / {_DB_CELL_DEG}) AS INTEGER) AS cx,
+             CAST(FLOOR(lat / {_DB_CELL_DEG}) AS INTEGER) AS cy,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2
+    ), thr AS (
+      SELECT {_DB_THR} AS minpts
+      FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS total_pts,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells)
+    ), dense AS (
+      SELECT cx, cy, cnt,
+             (CAST(cx AS BIGINT) + 36) * 24 + (CAST(cy AS BIGINT) + 12)
+               AS cid
+      FROM cells, thr WHERE cnt >= thr.minpts
+    ), e AS (
+      SELECT a.cid AS src, b.cid AS dst
+      FROM dense a JOIN dense b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       AND a.cid <> b.cid
+    ), walk(node, lab) AS (
+      SELECT cid, cid FROM dense
+      UNION
+      SELECT e.dst, walk.lab FROM walk JOIN e ON e.src = walk.node
+    ), comp AS (
+      SELECT node, MIN(lab) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT c.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_points,
+           MIN(d.cx) AS min_cx, MAX(d.cx) AS max_cx,
+           MIN(d.cy) AS min_cy, MAX(d.cy) AS max_cy
+    FROM comp c JOIN dense d ON d.cid = c.node
+    GROUP BY c.cluster_id
+    ORDER BY n_points DESC, c.cluster_id
+    """
+
+
+@register("query_spatial_dbscan", oracle=_dbscan_oracle(), section=_SEC)
+def query_spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density spatial clustering — GDBSCAN (Sander, Ester,
+    Kriegel, Xu, DMKD 1998) with grid cells as the density unit: cells
+    with >= minPts points are core, core cells within Chebyshev
+    distance 1 connect, clusters are the connected components, and
+    sparse-cell points are noise (dropped, DBSCAN semantics). The
+    ARBITRARY-SHAPE discovery tool beside the fixed-geometry scans: the
+    Kulldorff ladder scores circles-ish windows and the 3x3 hotspot a
+    fixed square, but an outbreak along a river/highway is a RIBBON —
+    exactly what density-connectivity finds and window scans smear.
+    minPts is derived in-plan (2x mean occupied-cell occupancy, floor
+    5); labels are the min reachable cell id, so cluster ids are
+    deterministic.
+
+    Plan: ONE data-scale pass (points -> 5-deg cells, partial-agg
+    count); everything after runs on the dense-cell metadata frame —
+    the 8-neighbor adjacency is an offsets-explode equi-join (the
+    kulldorff window idiom, never a cartesian), and min-label rounds
+    iterate with the graph_connected_components monotone-mass probe
+    (labels only decrease, so one tiny agg detects the fixpoint; the
+    oracle replays the closure as a recursive CTE). At 100 TB the cell
+    rollup absorbs the data; the component loop cost is bounded by the
+    dense-cell graph's diameter, independent of row count."""
+    c = table(spark, sf_dir, "customer")
+    lat = (
+        ((F.col("c_custkey") + 17) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1200
+    ) / 10.0 - 60.0
+    lon = (
+        ((F.col("c_custkey") + 31) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 3600
+    ) / 10.0 - 180.0
+    cells = (
+        c.select(
+            F.floor(lon / _DB_CELL_DEG).cast("int").alias("cx"),
+            F.floor(lat / _DB_CELL_DEG).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    thr = cells.agg(
+        F.sum("cnt").cast("bigint").alias("total_pts"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    ).select(F.expr(_DB_THR).alias("minpts"))
+    dense = (
+        cells.crossJoin(F.broadcast(thr))
+        .filter(F.col("cnt") >= F.col("minpts"))
+        .select(
+            "cx",
+            "cy",
+            "cnt",
+            (
+                (F.col("cx").cast("bigint") + 36) * 24
+                + (F.col("cy").cast("bigint") + 12)
+            ).alias("cid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    nbr = dense.select(
+        F.col("cid").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("nx"),
+                        (F.col("cy") + dy).alias("ny"),
+                    )
+                    for dx, dy in offs
+                ]
+            )
+        ).alias("o"),
+    ).select("src", F.col("o.nx").alias("cx"), F.col("o.ny").alias("cy"))
+    e = nbr.join(dense.select("cx", "cy", F.col("cid").alias("dst")),
+                 ["cx", "cy"]).select("src", "dst")
+    e = e.localCheckpoint(eager=True)
+    comp = dense.select(F.col("cid").alias("node")).withColumn(
+        "comp", F.col("node")
+    ).localCheckpoint(eager=True)
+    mass = comp.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(_DB_ROUNDS):
+        prop = e.join(comp, e.src == comp.node).select(
+            F.col("dst").alias("node"), "comp"
+        )
+        comp = (
+            comp.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        new_mass = comp.agg(F.sum("comp")).collect()[0][0]
+        if new_mass == mass:
+            break
+        mass = new_mass
+    return (
+        comp.join(dense, comp.node == dense.cid)
+        .groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum("cnt").cast("bigint").alias("n_points"),
+            F.min("cx").alias("min_cx"),
+            F.max("cx").alias("max_cx"),
+            F.min("cy").alias("min_cy"),
+            F.max("cy").alias("max_cy"),
+        )
+        .orderBy(F.col("n_points").desc(), "cluster_id")
+    )

@@ -580,3 +580,88 @@ def test_rt_cori_growth_and_critical_series(spark, tmp_path):
     assert all(0.85 <= r["rt_mean"] <= 1.15 for r in flat_late)
     # interval sanity: low < mean < high everywhere
     assert all(r["rt_low"] < r["rt_mean"] < r["rt_high"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Grid-DBSCAN: ribbon cluster found whole; sparse noise dropped
+# ---------------------------------------------------------------------------
+
+
+def _cells5_pools(n_keys=300000):
+    """Bucket candidate custkeys by their 5-deg grid cell (the derived
+    lat/lon lattice reaches only some cells — enumerate, never assume)."""
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    pools = {}
+    for k in range(1, n_keys):
+        lat = ((k + 17) * KNUTH) % KNUTH_MOD % 1200 / 10.0 - 60.0
+        lon = ((k + 31) * KNUTH) % KNUTH_MOD % 3600 / 10.0 - 180.0
+        cell = (int(lon // 5.0), int(lat // 5.0))
+        pools.setdefault(cell, []).append(k)
+    return pools
+
+
+def test_spatial_dbscan_ribbon_cluster_and_noise(spark, tmp_path):
+    """Plant a 5-cell horizontal RIBBON of dense cells (the shape
+    window scans smear) over a sparse background: the output must be
+    ONE cluster containing all 5 ribbon cells with the min-cid label,
+    and every sparse background cell must be absent (noise)."""
+    import os
+
+    import pandas as pd
+
+    from sdp_spark.plans.registry import load_all
+
+    pools = _cells5_pools()
+    # the derived lat/lon lattice reaches only ~288 of 1728 cells and no
+    # straight 5-run exists — walk the REACHABLE 8-neighbor adjacency
+    # for any connected 5-cell path instead (the ribbon follows the
+    # terrain, as real outbreaks do)
+    rich = {c for c, v in pools.items() if len(v) >= 30}
+
+    def path_from(start):
+        path, seen = [start], {start}
+        while len(path) < 5:
+            cx, cy = path[-1]
+            nxt = [
+                (cx + dx, cy + dy)
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0)
+                and (cx + dx, cy + dy) in rich
+                and (cx + dx, cy + dy) not in seen
+            ]
+            if not nxt:
+                return None
+            path.append(nxt[0])
+            seen.add(nxt[0])
+        return path
+
+    ribbon = next(
+        (p for p in (path_from(s) for s in sorted(rich)) if p), None
+    )
+    assert ribbon is not None
+    keys = []
+    for c in ribbon:
+        keys.extend(pools[c][:30])  # dense: 30 points/cell
+    background = [
+        c for c in sorted(pools)
+        if c not in ribbon and len(pools[c]) >= 2
+    ][:60]
+    for c in background:
+        keys.extend(pools[c][:2])  # sparse: 2 points/cell = noise
+    sf = str(tmp_path / "dbscan")
+    os.makedirs(sf)
+    pd.DataFrame({"c_custkey": keys}).to_parquet(f"{sf}/customer.parquet")
+    out = load_all()["query_spatial_dbscan"].fn(spark, sf).collect()
+    # threshold = max(5, ceil(2 * mean)): mean = (150+120)/65 ~ 4.2 ->
+    # minpts ~ 9; ribbon cells (30) are core, background (2) is noise
+    assert len(out) == 1, out
+    r = out[0]
+    assert r["n_cells"] == 5 and r["n_points"] == 150
+    assert r["min_cx"] == min(cx for cx, _ in ribbon)
+    assert r["max_cx"] == max(cx for cx, _ in ribbon)
+    assert r["min_cy"] == min(cy for _, cy in ribbon)
+    assert r["max_cy"] == max(cy for _, cy in ribbon)
+    cid = lambda cx, cy: (cx + 36) * 24 + (cy + 12)
+    assert r["cluster_id"] == min(cid(cx, cy) for cx, cy in ribbon)
