@@ -3573,6 +3573,15 @@ def ts_rt_cori(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
     ).agg(F.count("*").cast("bigint").alias("n"))
+    return rt_cori_scored(daily)
+
+
+def rt_cori_scored(daily: DataFrame) -> DataFrame:
+    """Cori posterior scoring over a (event_type, day, n) daily-count
+    frame: serial-interval Λ, tau-window sums, Gamma posterior, trend
+    classification. Shared by the batch key and the streaming twin
+    (`stream_rt_cori_alerts`), so stream==batch is structural — the
+    tenth batch+stream detector pair's shared core."""
     daily = daily.localCheckpoint()
     a = daily.select(
         F.col("event_type").alias("et_a"),

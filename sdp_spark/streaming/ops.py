@@ -2019,3 +2019,48 @@ def stream_spacetime_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("llr") > 0.0)
         .orderBy(F.col("llr").desc(), "cx", "cy", "r", "win_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: live Bayesian Rt monitoring — the TENTH batch+stream pair
+# ---------------------------------------------------------------------------
+
+from sdp_spark.operators.stats import _rt_cori_oracle  # noqa: E402
+
+
+@register(
+    "stream_rt_cori_alerts",
+    oracle=(
+        f"SELECT * FROM ({_rt_cori_oracle()}) t"
+        " WHERE trend = 'growing' ORDER BY event_type, day_s"
+    ),
+    section=_SEC,
+)
+def stream_rt_cori_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Bayesian reproduction-number monitoring — the streaming twin
+    of `ts_rt_cori` and the TENTH batch+stream detector pair: alerts
+    only when the Gamma-posterior 95% interval EXCLUDES 1 (rt_low > 1),
+    the statistically-disciplined upgrade of `stream_rt_alerts`' point
+    threshold — a small-count blip with a wide posterior stays silent
+    where the 1.2-ratio rule would page. Same architecture as every
+    twin: the stream incrementally maintains per-(type, day) counts
+    (bounded state, one row per type × day) and the `rt_cori_scored`
+    core — the SAME function the batch key calls, so stream==batch is
+    structural — runs over the materialized daily table after each
+    trigger. At 100 TB/day the stream shuffles grouped day-states,
+    never events; both scoring joins are |types×days| metadata. The
+    DuckDB oracle pins the live alerts to the batch posterior
+    end-to-end."""
+    from sdp_spark.operators.stats import rt_cori_scored
+
+    sdf = _events_stream(spark, sf_dir)
+    daily = sdf.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    snap = _run_to_memory(daily, "complete", "rtcoridaily")
+    return (
+        rt_cori_scored(snap)
+        .filter(F.col("trend") == "growing")
+        .orderBy("event_type", "day_s")
+    )

@@ -665,3 +665,24 @@ def test_spatial_dbscan_ribbon_cluster_and_noise(spark, tmp_path):
     assert r["max_cy"] == max(cy for _, cy in ribbon)
     cid = lambda cx, cy: (cx + 36) * 24 + (cy + 12)
     assert r["cluster_id"] == min(cid(cx, cy) for cx, cy in ribbon)
+
+
+def test_rt_cori_stream_equals_batch(spark, sf_dir):
+    """The tenth pair's structural guarantee: the streaming twin's
+    alert rows must equal the batch key's trend='growing' rows exactly
+    (same shared core, memory-sink snapshot in between)."""
+    from sdp_spark.plans.registry import load_all
+
+    REG = load_all()
+    batch = {
+        (r["event_type"], r["day_s"]): r
+        for r in REG["ts_rt_cori"].fn(spark, sf_dir).collect()
+        if r["trend"] == "growing"
+    }
+    stream = {
+        (r["event_type"], r["day_s"]): r
+        for r in REG["stream_rt_cori_alerts"].fn(spark, sf_dir).collect()
+    }
+    assert set(batch) == set(stream)
+    for k in batch:
+        assert batch[k].asDict() == stream[k].asDict()
