@@ -3812,3 +3812,195 @@ def query_spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_points").desc(), "cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-effects meta-analysis (inverse-variance pooling + Cochran's Q)
+# ---------------------------------------------------------------------------
+
+# Exposure/outcome frame: exposed = BUILDING-segment customers, outcome =
+# an urgent-priority order; stratum = nation. The classic "does the
+# association replicate across sites, and how heterogeneous is it?"
+# epi question, answered with ONLY +-*/sqrt arithmetic (risk DIFFERENCES,
+# not ratios, precisely so no ln/exp enters the chain).
+_META_EXPOSED = "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END"
+_META_OUTCOME = "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+# per-arm risk and variance share one expression text; DECIMAL(28,10)
+# casts make every cross-stratum sum exact and order-free (the
+# agg_indirect_standardization convention)
+_META_DEC = "DECIMAL(28,10)"
+
+
+def _meta_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT c.c_nationkey AS nat, {_META_EXPOSED} AS exposed,
+             {_META_OUTCOME} AS outcome
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), arms AS (
+      SELECT nat,
+             CAST(SUM(CASE WHEN exposed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN exposed = 1 THEN outcome ELSE 0 END) AS BIGINT) AS x1,
+             CAST(SUM(CASE WHEN exposed = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN exposed = 0 THEN outcome ELSE 0 END) AS BIGINT) AS x0
+      FROM base GROUP BY nat
+    ), strata AS (
+      SELECT nat, n1, x1, n0, x0,
+             (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0) AS rd,
+             ((CAST(x1 AS DOUBLE) / n1) * (1.0 - CAST(x1 AS DOUBLE) / n1) / n1
+              + (CAST(x0 AS DOUBLE) / n0) * (1.0 - CAST(x0 AS DOUBLE) / n0) / n0)
+               AS v
+      FROM arms
+      WHERE x1 > 0 AND x1 < n1 AND x0 > 0 AND x0 < n0
+    ), pooled AS (
+      SELECT CAST(SUM(CAST(1.0 / v AS {_META_DEC})) AS DOUBLE) AS w_sum,
+             CAST(SUM(CAST(rd / v AS {_META_DEC})) AS DOUBLE) AS wrd_sum,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM strata
+    ), q AS (
+      SELECT CAST(SUM(CAST(
+               (s.rd - p.wrd_sum / p.w_sum)
+               * (s.rd - p.wrd_sum / p.w_sum) / s.v
+             AS {_META_DEC})) AS DOUBLE) AS q_stat
+      FROM strata s CROSS JOIN pooled p
+    )
+    SELECT s.nat, s.n1, s.x1, s.n0, s.x0,
+           {sql_dround('s.rd', 6)} AS rd,
+           {sql_dround('1.0 / s.v', 4)} AS w,
+           {sql_dround('p.wrd_sum / p.w_sum', 6)} AS pooled_rd,
+           {sql_dround('p.wrd_sum / p.w_sum - 1.96 / sqrt(p.w_sum)', 6)}
+             AS pooled_low,
+           {sql_dround('p.wrd_sum / p.w_sum + 1.96 / sqrt(p.w_sum)', 6)}
+             AS pooled_high,
+           {sql_dround('q.q_stat', 4)} AS q_stat,
+           CAST(p.k - 1 AS BIGINT) AS q_df,
+           {sql_dround(
+               'CASE WHEN q.q_stat > CAST(p.k - 1 AS DOUBLE)'
+               ' THEN (q.q_stat - (p.k - 1)) / q.q_stat ELSE 0.0 END', 4)}
+             AS i2
+    FROM strata s CROSS JOIN pooled p CROSS JOIN q
+    ORDER BY s.nat
+    """
+
+
+@register("agg_meta_fixed_effects", oracle=_meta_oracle(), section=_SEC)
+def agg_meta_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effects meta-analysis of a stratified 2x2 association — the
+    forest-plot table every multi-site epi study ends with: per-stratum
+    (nation) risk DIFFERENCE between exposed (BUILDING-segment
+    customers) and unexposed arms for an urgent-order outcome,
+    inverse-variance weights w = 1/v with v = r1(1-r1)/n1 + r0(1-r0)/n0,
+    the pooled estimate Σw·rd / Σw with its 95% interval 1.96/sqrt(Σw),
+    and the heterogeneity panel: Cochran's Q = Σ w·(rd - pooled)^2,
+    df = k-1, and Higgins' I² = max(0, (Q - df)/Q) — 'is there ONE
+    effect, or does it vary by site?' (DerSimonian-Laird would feed Q
+    into a random-effects tau²; the fixed-effects half is the portable
+    part and states so). Risk DIFFERENCES, not ratios, keep the whole
+    chain inside +-*/sqrt — no ln/exp anywhere.
+
+    Determinism: arms are exact BIGINT counts; per-stratum rd/v are one
+    shared IEEE expression; every cross-stratum sum (Σw, Σw·rd, Q)
+    casts its terms to DECIMAL(28,10) first, so the 25-stratum sums are
+    exact and order-free (the agg_indirect_standardization convention);
+    degenerate arms (x=0 or x=n, v undefined) are excluded by an exact
+    integer predicate.
+
+    Scale: ONE orders-scale join+rollup to 25 strata (map-side
+    partials); the pooling and Q passes run on the 25-row metadata
+    frame with broadcast scalars."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nat"),
+        F.expr(_META_EXPOSED).alias("exposed"),
+        F.expr(_META_OUTCOME).alias("outcome"),
+    )
+    arms = base.groupBy("nat").agg(
+        F.sum(F.when(F.col("exposed") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("exposed") == 1, F.col("outcome")).otherwise(0))
+        .cast("bigint")
+        .alias("x1"),
+        F.sum(F.when(F.col("exposed") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("exposed") == 0, F.col("outcome")).otherwise(0))
+        .cast("bigint")
+        .alias("x0"),
+    )
+    strata = (
+        arms.filter(
+            (F.col("x1") > 0)
+            & (F.col("x1") < F.col("n1"))
+            & (F.col("x0") > 0)
+            & (F.col("x0") < F.col("n0"))
+        )
+        .withColumn(
+            "rd",
+            F.expr(
+                "CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0"
+            ),
+        )
+        .withColumn(
+            "v",
+            F.expr(
+                "(CAST(x1 AS DOUBLE) / n1) * (1.0 - CAST(x1 AS DOUBLE) / n1)"
+                " / n1 + (CAST(x0 AS DOUBLE) / n0)"
+                " * (1.0 - CAST(x0 AS DOUBLE) / n0) / n0"
+            ),
+        )
+        .localCheckpoint()
+    )
+    pooled = strata.agg(
+        F.sum(F.expr(f"CAST(1.0 / v AS {_META_DEC})"))
+        .cast("double")
+        .alias("w_sum"),
+        F.sum(F.expr(f"CAST(rd / v AS {_META_DEC})"))
+        .cast("double")
+        .alias("wrd_sum"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    q = (
+        strata.crossJoin(F.broadcast(pooled))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST((rd - wrd_sum / w_sum) * (rd - wrd_sum / w_sum)"
+                    f" / v AS {_META_DEC})"
+                )
+            )
+            .cast("double")
+            .alias("q_stat")
+        )
+    )
+    return (
+        strata.crossJoin(F.broadcast(pooled))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "nat",
+            "n1",
+            "x1",
+            "n0",
+            "x0",
+            dround(F.col("rd"), 6).alias("rd"),
+            dround(F.expr("1.0 / v"), 4).alias("w"),
+            dround(F.expr("wrd_sum / w_sum"), 6).alias("pooled_rd"),
+            dround(
+                F.expr("wrd_sum / w_sum - 1.96 / sqrt(w_sum)"), 6
+            ).alias("pooled_low"),
+            dround(
+                F.expr("wrd_sum / w_sum + 1.96 / sqrt(w_sum)"), 6
+            ).alias("pooled_high"),
+            dround(F.col("q_stat"), 4).alias("q_stat"),
+            (F.col("k") - 1).cast("bigint").alias("q_df"),
+            dround(
+                F.expr(
+                    "CASE WHEN q_stat > CAST(k - 1 AS DOUBLE)"
+                    " THEN (q_stat - (k - 1)) / q_stat ELSE 0.0 END"
+                ),
+                4,
+            ).alias("i2"),
+        )
+        .orderBy("nat")
+    )

@@ -686,3 +686,71 @@ def test_rt_cori_stream_equals_batch(spark, sf_dir):
     assert set(batch) == set(stream)
     for k in batch:
         assert batch[k].asDict() == stream[k].asDict()
+
+
+# ---------------------------------------------------------------------------
+# Fixed-effects meta-analysis: homogeneity vs planted heterogeneity
+# ---------------------------------------------------------------------------
+
+
+def _meta_fixture(spark, path, strata):
+    """strata: list of (nat, n1, x1, n0, x0) — build customer+orders
+    parquet with exactly those 2x2 arms (one order per customer)."""
+    import os
+
+    os.makedirs(path)
+    custs, orders, ck, ok = [], [], 1, 1
+    for nat, n1, x1, n0, x0 in strata:
+        for arm, n, x in (("BUILDING", n1, x1), ("MACHINERY", n0, x0)):
+            for i in range(n):
+                custs.append((ck, f"Customer#{ck:09d}", nat, 100.0, arm))
+                pri = "1-URGENT" if i < x else "3-MEDIUM"
+                orders.append(
+                    (ok, ck, "F", 50.0, dt.datetime(2024, 1, 2, 0, 0, 0), pri)
+                )
+                ck += 1
+                ok += 1
+    spark.createDataFrame(
+        custs,
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(f"{path}/customer.parquet")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{path}/orders.parquet")
+
+
+def test_meta_fixed_effects_homogeneous_and_heterogeneous(spark, tmp_path):
+    """Two identical strata (rd = 0.2 in both) must pool to exactly 0.2
+    with Q = 0 and I2 = 0; replacing one stratum with a NULL-effect arm
+    (rd = 0) must drive Q above df and I2 > 0.5, with the pooled value
+    strictly between the stratum effects — the 'one effect or many?'
+    panel behaving like the textbook says."""
+    from sdp_spark.plans.registry import load_all
+
+    REG = load_all()
+    d1 = str(tmp_path / "homog")
+    _meta_fixture(spark, d1, [(1, 100, 30, 100, 10), (2, 100, 30, 100, 10)])
+    out = REG["agg_meta_fixed_effects"].fn(spark, d1).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["rd"] == pytest.approx(0.2, abs=1e-6)
+        assert r["pooled_rd"] == pytest.approx(0.2, abs=1e-6)
+        assert r["q_stat"] == pytest.approx(0.0, abs=1e-6)
+        assert r["i2"] == 0.0 and r["q_df"] == 1
+        assert r["pooled_low"] < 0.2 < r["pooled_high"]
+
+    d2 = str(tmp_path / "heterog")
+    _meta_fixture(
+        spark, d2, [(1, 400, 120, 400, 40), (2, 400, 40, 400, 40)]
+    )
+    out2 = REG["agg_meta_fixed_effects"].fn(spark, d2).collect()
+    rds = sorted(r["rd"] for r in out2)
+    r0 = out2[0]
+    assert rds[0] == pytest.approx(0.0, abs=1e-6)
+    assert rds[1] == pytest.approx(0.2, abs=1e-6)
+    assert rds[0] < r0["pooled_rd"] < rds[1]
+    assert r0["q_stat"] > r0["q_df"]
+    assert r0["i2"] > 0.5
