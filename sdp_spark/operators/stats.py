@@ -3086,10 +3086,16 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
 # Knuth multiplicative hash (the same fixture-augmentation idiom the
 # spatial ops use for lat/lon) — shared SQL text, exact BIGINT
 # arithmetic in both engines.
-_RL_PHONE = (
-    f"lpad(CAST((c_custkey + 7) * {KNUTH} % {KNUTH_MOD} % 10000000"
-    " AS STRING), 7, '0')"
-)
+def _rl_phone_sql(key: str) -> str:
+    """7-digit pseudo-phone of a key column — shared SQL text (also used
+    by the incremental-linkage stream, keyed on user_id there)."""
+    return (
+        f"lpad(CAST(({key} + 7) * {KNUTH} % {KNUTH_MOD} % 10000000"
+        " AS STRING), 7, '0')"
+    )
+
+
+_RL_PHONE = _rl_phone_sql("c_custkey")
 
 # System B = the customer master deterministically corrupted per key (the
 # two-reporting-systems shape a surveillance platform links nightly:

@@ -138,7 +138,7 @@ _SWEEP_PRIORITY = (
     "query_outbreak_nowcasted", "fn_mysql_misc2", "fn_geo_polygon_metrics",
     "fn_geo_wkb", "query_record_linkage", "llm_nb_classifier", "ts_rt_cori",
     "query_spatial_dbscan", "stream_rt_cori_alerts",
-    "agg_meta_fixed_effects",
+    "agg_meta_fixed_effects", "stream_linkage_incremental",
     # --- oldest-first rotation (latest verdict r2 ... r10) ---
     "cte_with", "fn_array_map", "fn_bitwise", "fn_conditional", "fn_date",
     "fn_datetime_arith", "fn_hash", "fn_json", "fn_map", "fn_math",

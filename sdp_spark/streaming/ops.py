@@ -2064,3 +2064,141 @@ def stream_rt_cori_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("trend") == "growing")
         .orderBy("event_type", "day_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: incremental record linkage — arriving reports vs the master
+# ---------------------------------------------------------------------------
+
+from sdp_spark.operators.stats import _rl_phone_sql  # noqa: E402
+
+# Incoming "case reports": the sampled event feed (event_id % 7 = 0),
+# carrying a patient name + phone derived from user_id (user_id IS in
+# customer key space — the stream_join_dim precedent) with per-REPORT
+# corruption: case-folded name on event_id % 3, last-digit phone typo
+# on event_id % 5. Two-field Fellegi-Sunter scoring with the
+# query_record_linkage weight constants; both agree = auto-link
+# (17.797 >= 12), one agrees = clerical review (7.2-7.9 in [2, 12)),
+# both corrupted (event_id % 15) = correctly lost.
+_SLK_NAME_RAW = (
+    "concat('Customer#', lpad(CAST(user_id AS STRING), 9, '0'))"
+)
+_SLK_B_NAME = (
+    f"CASE WHEN event_id % 3 = 0 THEN lower({_SLK_NAME_RAW})"
+    f" ELSE {_SLK_NAME_RAW} END"
+)
+_SLK_B_PHONE = (
+    f"CASE WHEN event_id % 5 = 0"
+    f" THEN concat(substr({_rl_phone_sql('user_id')}, 1, 6), '9')"
+    f" ELSE {_rl_phone_sql('user_id')} END"
+)
+_SLK_SCORE = (
+    "CAST(CASE WHEN a_name = b_name THEN 8.8099 ELSE -1.1086 END AS DOUBLE)"
+    " + CAST(CASE WHEN a_phone = b_phone THEN 8.9872 ELSE -1.6093 END"
+    " AS DOUBLE)"
+)
+
+
+def _slk_oracle() -> str:
+    from sdp_spark.functions.num import sql_dround
+
+    return f"""
+    WITH m AS (
+      SELECT c_custkey AS a_key, c_name AS a_name,
+             {_rl_phone_sql('c_custkey')} AS a_phone
+      FROM customer
+    ), r AS (
+      SELECT event_id, {_SLK_B_NAME} AS b_name, {_SLK_B_PHONE} AS b_phone
+      FROM events WHERE event_id % 7 = 0
+    ), pairs AS (
+      SELECT r.event_id, r.b_name, r.b_phone, m.a_key, m.a_name, m.a_phone
+      FROM r JOIN m ON substr(r.b_phone, 1, 3) = substr(m.a_phone, 1, 3)
+      UNION
+      SELECT r.event_id, r.b_name, r.b_phone, m.a_key, m.a_name, m.a_phone
+      FROM r JOIN m
+        ON substr(upper(r.b_name), 1, 17) = substr(upper(m.a_name), 1, 17)
+    ), scored AS (
+      SELECT event_id, a_key,
+             CAST(CASE WHEN a_name = b_name THEN 1 ELSE 0 END AS INT)
+               AS agree_name,
+             CAST(CASE WHEN a_phone = b_phone THEN 1 ELSE 0 END AS INT)
+               AS agree_phone,
+             {sql_dround(_SLK_SCORE, 4)} AS score
+      FROM pairs
+    )
+    SELECT event_id, a_key AS master_key, agree_name, agree_phone, score,
+           CASE WHEN score >= 12.0 THEN 'link' ELSE 'possible' END
+             AS match_class
+    FROM scored WHERE score >= 2.0
+    ORDER BY event_id, master_key
+    """
+
+
+@register("stream_linkage_incremental", oracle=_slk_oracle(), section=_SEC)
+def stream_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL record linkage — the streaming operational mode of
+    `query_record_linkage`: case reports arrive on the event stream and
+    must be matched against the STATIC master registry as they land
+    (the nightly-batch linkage's intake-desk twin). The stream side is
+    pure projection (derive the report's name/phone, apply the
+    per-report corruption model); arrived reports append to the
+    memory-sink snapshot (bounded: one row per sampled report), and the
+    two-pass blocked Fellegi-Sunter core — phone-prefix block + the
+    case-normalized name-prefix block, UNION-deduped, scored with the
+    SAME literal weights and cutoffs as the batch key — runs over the
+    snapshot against the broadcast master after each trigger. Reports
+    with both fields corrupted (event_id % 15) score below review and
+    are correctly lost, the same owned false-negative band.
+
+    At 100 TB/day: the stream never shuffles (projection only); the
+    master is the broadcast dim (stream_join_dim doctrine); both
+    candidate joins are equi-joins on stable block prefixes — the typo
+    corruption touches only the phone's LAST digit and blocking uses
+    the FIRST 3, so recall is structural, not lucky."""
+    sdf = _events_stream(spark, sf_dir)
+    reports = sdf.filter(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        F.expr(_SLK_B_NAME).alias("b_name"),
+        F.expr(_SLK_B_PHONE).alias("b_phone"),
+    )
+    snap = _run_to_memory(reports, "append", "linkinc")
+    m = F.broadcast(
+        table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("a_key"),
+            F.col("c_name").alias("a_name"),
+            F.expr(_rl_phone_sql("c_custkey")).alias("a_phone"),
+        )
+    )
+    pair_cols = ["event_id", "b_name", "b_phone", "a_key", "a_name", "a_phone"]
+    p1 = snap.join(
+        m,
+        F.expr("substr(b_phone, 1, 3) = substr(a_phone, 1, 3)"),
+    ).select(*pair_cols)
+    p2 = snap.join(
+        m,
+        F.expr("substr(upper(b_name), 1, 17) = substr(upper(a_name), 1, 17)"),
+    ).select(*pair_cols)
+    pairs = p1.unionByName(p2).distinct()
+    from sdp_spark.functions.num import dround as _dr
+
+    scored = pairs.select(
+        "event_id",
+        F.col("a_key").alias("master_key"),
+        F.expr("CASE WHEN a_name = b_name THEN 1 ELSE 0 END")
+        .cast("int")
+        .alias("agree_name"),
+        F.expr("CASE WHEN a_phone = b_phone THEN 1 ELSE 0 END")
+        .cast("int")
+        .alias("agree_phone"),
+        _dr(F.expr(_SLK_SCORE), 4).alias("score"),
+    )
+    return (
+        scored.filter(F.col("score") >= 2.0)
+        .withColumn(
+            "match_class",
+            F.when(F.col("score") >= 12.0, F.lit("link")).otherwise(
+                F.lit("possible")
+            ),
+        )
+        .orderBy("event_id", "master_key")
+    )

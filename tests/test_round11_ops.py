@@ -754,3 +754,50 @@ def test_meta_fixed_effects_homogeneous_and_heterogeneous(spark, tmp_path):
     assert rds[0] < r0["pooled_rd"] < rds[1]
     assert r0["q_stat"] > r0["q_df"]
     assert r0["i2"] > 0.5
+
+
+def test_stream_linkage_incremental_bands(spark, sf_dir):
+    """Every surviving report links to its TRUE master (user_id): clean
+    reports auto-link, single-field-corrupted ones go to review, and
+    double-corrupted reports (event_id % 15) are absent — the owned
+    false-negative band, streaming edition."""
+    import duckdb
+
+    from sdp_spark.plans.registry import load_all
+
+    rows = load_all()["stream_linkage_incremental"].fn(spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    uid = {
+        e: u
+        for e, u in con.execute(
+            f"SELECT event_id, user_id FROM"
+            f" read_parquet('{sf_dir}/events.parquet')"
+            f" WHERE event_id % 7 = 0"
+        ).fetchall()
+    }
+    from sdp_spark.functions.num import KNUTH, KNUTH_MOD
+
+    def corrupt(ev):
+        # phone typo is a NO-OP when the pseudo-phone already ends in 9
+        name_c = ev % 3 == 0
+        phone_c = ev % 5 == 0 and ((uid[ev] + 7) * KNUTH) % KNUTH_MOD % 10 != 9
+        return name_c, phone_c
+
+    by_event = {}
+    for r in rows:
+        by_event.setdefault(r["event_id"], []).append(r)
+    for ev, rs in by_event.items():
+        true_master = [r for r in rs if r["master_key"] == uid[ev]]
+        assert true_master, (ev, rs)
+        r = true_master[0]
+        name_c, phone_c = corrupt(ev)
+        if not name_c and not phone_c:
+            assert r["match_class"] == "link"
+            assert (r["agree_name"], r["agree_phone"]) == (1, 1)
+        elif name_c != phone_c:  # exactly one field effectively corrupted
+            assert r["match_class"] == "possible"
+    # the double-corrupted band is lost entirely
+    for ev in uid:
+        if all(corrupt(ev)):
+            assert ev not in by_event, ev
