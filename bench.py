@@ -113,6 +113,12 @@ EXTRA = [
     "fn_epiweek",                   # MMWR weekly rollup (r10)
     "query_spacetime_scan",         # prospective space-time cylinders (r10)
     "agg_direct_standardization",   # DSR, the standardization pair (r10)
+    "query_record_linkage",         # Fellegi-Sunter two-pass blocking (r11)
+    "llm_nb_classifier",            # trained-in-plan multinomial NB (r11)
+    "ts_rt_cori",                   # gamma-posterior Rt + interval (r11)
+    "query_spatial_dbscan",         # grid GDBSCAN components (r11)
+    "agg_meta_fixed_effects",       # inverse-variance pooling + Q/I2 (r11)
+    "stream_linkage_incremental",   # live FS linkage vs master (r11)
 ]
 
 

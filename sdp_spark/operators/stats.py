@@ -3836,10 +3836,9 @@ _META_OUTCOME = "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
 # agg_indirect_standardization convention)
 _META_DEC = "DECIMAL(28,10)"
 
-
-def _meta_oracle() -> str:
-    return f"""
-    WITH base AS (
+# Shared CTE prefix (base 2x2 arms + per-stratum rd/v) for the fixed-
+# and random-effects oracles.
+_META_CORE_SQL = f"""base AS (
       SELECT c.c_nationkey AS nat, {_META_EXPOSED} AS exposed,
              {_META_OUTCOME} AS outcome
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -3858,7 +3857,12 @@ def _meta_oracle() -> str:
                AS v
       FROM arms
       WHERE x1 > 0 AND x1 < n1 AND x0 > 0 AND x0 < n0
-    ), pooled AS (
+    )"""
+
+
+def _meta_oracle() -> str:
+    return f"""
+    WITH {_META_CORE_SQL}, pooled AS (
       SELECT CAST(SUM(CAST(1.0 / v AS {_META_DEC})) AS DOUBLE) AS w_sum,
              CAST(SUM(CAST(rd / v AS {_META_DEC})) AS DOUBLE) AS wrd_sum,
              CAST(COUNT(*) AS BIGINT) AS k
@@ -3889,6 +3893,55 @@ def _meta_oracle() -> str:
     """
 
 
+def _meta_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum 2x2 arms with rd/v — the checkpointed 25-row frame
+    both meta-analysis keys pool from (one orders-scale exchange)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nat"),
+        F.expr(_META_EXPOSED).alias("exposed"),
+        F.expr(_META_OUTCOME).alias("outcome"),
+    )
+    arms = base.groupBy("nat").agg(
+        F.sum(F.when(F.col("exposed") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("exposed") == 1, F.col("outcome")).otherwise(0))
+        .cast("bigint")
+        .alias("x1"),
+        F.sum(F.when(F.col("exposed") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("exposed") == 0, F.col("outcome")).otherwise(0))
+        .cast("bigint")
+        .alias("x0"),
+    )
+    return (
+        arms.filter(
+            (F.col("x1") > 0)
+            & (F.col("x1") < F.col("n1"))
+            & (F.col("x0") > 0)
+            & (F.col("x0") < F.col("n0"))
+        )
+        .withColumn(
+            "rd",
+            F.expr(
+                "CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0"
+            ),
+        )
+        .withColumn(
+            "v",
+            F.expr(
+                "(CAST(x1 AS DOUBLE) / n1) * (1.0 - CAST(x1 AS DOUBLE) / n1)"
+                " / n1 + (CAST(x0 AS DOUBLE) / n0)"
+                " * (1.0 - CAST(x0 AS DOUBLE) / n0) / n0"
+            ),
+        )
+        .localCheckpoint()
+    )
+
+
 @register("agg_meta_fixed_effects", oracle=_meta_oracle(), section=_SEC)
 def agg_meta_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-effects meta-analysis of a stratified 2x2 association — the
@@ -3914,50 +3967,7 @@ def agg_meta_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE orders-scale join+rollup to 25 strata (map-side
     partials); the pooling and Q passes run on the 25-row metadata
     frame with broadcast scalars."""
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    base = o.join(c, o.o_custkey == c.c_custkey).select(
-        F.col("c_nationkey").alias("nat"),
-        F.expr(_META_EXPOSED).alias("exposed"),
-        F.expr(_META_OUTCOME).alias("outcome"),
-    )
-    arms = base.groupBy("nat").agg(
-        F.sum(F.when(F.col("exposed") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n1"),
-        F.sum(F.when(F.col("exposed") == 1, F.col("outcome")).otherwise(0))
-        .cast("bigint")
-        .alias("x1"),
-        F.sum(F.when(F.col("exposed") == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n0"),
-        F.sum(F.when(F.col("exposed") == 0, F.col("outcome")).otherwise(0))
-        .cast("bigint")
-        .alias("x0"),
-    )
-    strata = (
-        arms.filter(
-            (F.col("x1") > 0)
-            & (F.col("x1") < F.col("n1"))
-            & (F.col("x0") > 0)
-            & (F.col("x0") < F.col("n0"))
-        )
-        .withColumn(
-            "rd",
-            F.expr(
-                "CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0"
-            ),
-        )
-        .withColumn(
-            "v",
-            F.expr(
-                "(CAST(x1 AS DOUBLE) / n1) * (1.0 - CAST(x1 AS DOUBLE) / n1)"
-                " / n1 + (CAST(x0 AS DOUBLE) / n0)"
-                " * (1.0 - CAST(x0 AS DOUBLE) / n0) / n0"
-            ),
-        )
-        .localCheckpoint()
-    )
+    strata = _meta_strata(spark, sf_dir)
     pooled = strata.agg(
         F.sum(F.expr(f"CAST(1.0 / v AS {_META_DEC})"))
         .cast("double")
@@ -4007,6 +4017,132 @@ def agg_meta_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 4,
             ).alias("i2"),
+        )
+        .orderBy("nat")
+    )
+
+
+def _meta_re_oracle() -> str:
+    return f"""
+    WITH {_META_CORE_SQL}, pooled AS (
+      SELECT CAST(SUM(CAST(1.0 / v AS {_META_DEC})) AS DOUBLE) AS w_sum,
+             CAST(SUM(CAST(1.0 / v / v AS {_META_DEC})) AS DOUBLE) AS w2_sum,
+             CAST(SUM(CAST(rd / v AS {_META_DEC})) AS DOUBLE) AS wrd_sum,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM strata
+    ), q AS (
+      SELECT CAST(SUM(CAST(
+               (s.rd - p.wrd_sum / p.w_sum)
+               * (s.rd - p.wrd_sum / p.w_sum) / s.v
+             AS {_META_DEC})) AS DOUBLE) AS q_stat
+      FROM strata s CROSS JOIN pooled p
+    ), tau AS (
+      SELECT CASE WHEN q.q_stat > CAST(p.k - 1 AS DOUBLE)
+                  THEN (q.q_stat - (p.k - 1))
+                       / (p.w_sum - p.w2_sum / p.w_sum)
+                  ELSE 0.0 END AS tau2
+      FROM q CROSS JOIN pooled p
+    ), re AS (
+      SELECT CAST(SUM(CAST(1.0 / (s.v + t.tau2) AS {_META_DEC}))
+               AS DOUBLE) AS ws_sum,
+             CAST(SUM(CAST(s.rd / (s.v + t.tau2) AS {_META_DEC}))
+               AS DOUBLE) AS wsrd_sum
+      FROM strata s CROSS JOIN tau t
+    )
+    SELECT s.nat,
+           {sql_dround('s.rd', 6)} AS rd,
+           {sql_dround('1.0 / (s.v + t.tau2)', 4)} AS w_re,
+           {sql_dround('t.tau2', 6)} AS tau2,
+           {sql_dround('re.wsrd_sum / re.ws_sum', 6)} AS pooled_rd_re,
+           {sql_dround('re.wsrd_sum / re.ws_sum - 1.96 / sqrt(re.ws_sum)', 6)}
+             AS pooled_low_re,
+           {sql_dround('re.wsrd_sum / re.ws_sum + 1.96 / sqrt(re.ws_sum)', 6)}
+             AS pooled_high_re
+    FROM strata s CROSS JOIN tau t CROSS JOIN re
+    ORDER BY s.nat
+    """
+
+
+@register("agg_meta_random_effects", oracle=_meta_re_oracle(), section=_SEC)
+def agg_meta_random_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-effects meta-analysis (DerSimonian & Laird, Controlled
+    Clin Trials 1986) — the estimator a reviewer reaches for the moment
+    `agg_meta_fixed_effects`' I² says the site effects are NOT one
+    number: the between-site variance tau² = max(0, (Q - df) /
+    (Σw - Σw²/Σw)) widens every weight to w* = 1/(v + tau²), which
+    (a) pulls the pooled estimate toward the unweighted mean (small
+    sites regain voice) and (b) widens the interval to own the
+    heterogeneity. Same 2x2 arms, same risk-difference scale — the
+    whole DL chain is +-*/sqrt arithmetic, no ln/exp.
+
+    Determinism: every cross-stratum sum (Σw, Σw², Σw·rd, Q, Σw*,
+    Σw*·rd) casts its terms to DECIMAL(28,10) first (exact, order-free);
+    tau² is one shared scalar expression broadcast back to the strata.
+
+    Scale: identical to the fixed-effects key — one orders-scale rollup
+    to 25 strata, then three metadata passes over the 25-row frame."""
+    strata = _meta_strata(spark, sf_dir)
+    pooled = strata.agg(
+        F.sum(F.expr(f"CAST(1.0 / v AS {_META_DEC})"))
+        .cast("double")
+        .alias("w_sum"),
+        F.sum(F.expr(f"CAST(1.0 / v / v AS {_META_DEC})"))
+        .cast("double")
+        .alias("w2_sum"),
+        F.sum(F.expr(f"CAST(rd / v AS {_META_DEC})"))
+        .cast("double")
+        .alias("wrd_sum"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    q = (
+        strata.crossJoin(F.broadcast(pooled))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST((rd - wrd_sum / w_sum) * (rd - wrd_sum / w_sum)"
+                    f" / v AS {_META_DEC})"
+                )
+            )
+            .cast("double")
+            .alias("q_stat")
+        )
+    )
+    tau = (
+        q.crossJoin(F.broadcast(pooled))
+        .select(
+            F.expr(
+                "CASE WHEN q_stat > CAST(k - 1 AS DOUBLE)"
+                " THEN (q_stat - (k - 1)) / (w_sum - w2_sum / w_sum)"
+                " ELSE 0.0 END"
+            ).alias("tau2")
+        )
+    )
+    re = (
+        strata.crossJoin(F.broadcast(tau))
+        .agg(
+            F.sum(F.expr(f"CAST(1.0 / (v + tau2) AS {_META_DEC})"))
+            .cast("double")
+            .alias("ws_sum"),
+            F.sum(F.expr(f"CAST(rd / (v + tau2) AS {_META_DEC})"))
+            .cast("double")
+            .alias("wsrd_sum"),
+        )
+    )
+    return (
+        strata.crossJoin(F.broadcast(tau))
+        .crossJoin(F.broadcast(re))
+        .select(
+            "nat",
+            dround(F.col("rd"), 6).alias("rd"),
+            dround(F.expr("1.0 / (v + tau2)"), 4).alias("w_re"),
+            dround(F.col("tau2"), 6).alias("tau2"),
+            dround(F.expr("wsrd_sum / ws_sum"), 6).alias("pooled_rd_re"),
+            dround(
+                F.expr("wsrd_sum / ws_sum - 1.96 / sqrt(ws_sum)"), 6
+            ).alias("pooled_low_re"),
+            dround(
+                F.expr("wsrd_sum / ws_sum + 1.96 / sqrt(ws_sum)"), 6
+            ).alias("pooled_high_re"),
         )
         .orderBy("nat")
     )

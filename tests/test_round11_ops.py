@@ -801,3 +801,34 @@ def test_stream_linkage_incremental_bands(spark, sf_dir):
     for ev in uid:
         if all(corrupt(ev)):
             assert ev not in by_event, ev
+
+
+def test_meta_random_effects_widens_under_heterogeneity(spark, tmp_path):
+    """DL behavior under planted heterogeneity (rd 0.2 vs 0.0): tau2 > 0,
+    the random-effects pooled estimate sits closer to the unweighted
+    mean (0.1) than the fixed one does, and the interval is strictly
+    wider. Under homogeneity tau2 = 0 and DL == fixed exactly."""
+    from sdp_spark.plans.registry import load_all
+
+    REG = load_all()
+    d1 = str(tmp_path / "homog")
+    _meta_fixture(spark, d1, [(1, 100, 30, 100, 10), (2, 100, 30, 100, 10)])
+    fx = REG["agg_meta_fixed_effects"].fn(spark, d1).collect()[0]
+    re = REG["agg_meta_random_effects"].fn(spark, d1).collect()[0]
+    assert re["tau2"] == 0.0
+    assert re["pooled_rd_re"] == pytest.approx(fx["pooled_rd"], abs=1e-6)
+    assert re["pooled_low_re"] == pytest.approx(fx["pooled_low"], abs=1e-6)
+
+    d2 = str(tmp_path / "het")
+    # unequal sizes so fixed-vs-DL pooling actually differ: the big
+    # stratum carries rd=0.2, the small one rd=0.0
+    strata = [(1, 1600, 480, 1600, 160), (2, 100, 10, 100, 10)]
+    _meta_fixture(spark, d2, strata)
+    fx2 = REG["agg_meta_fixed_effects"].fn(spark, d2).collect()[0]
+    re2 = REG["agg_meta_random_effects"].fn(spark, d2).collect()[0]
+    assert re2["tau2"] > 0
+    mean_rd = 0.1
+    assert abs(re2["pooled_rd_re"] - mean_rd) < abs(fx2["pooled_rd"] - mean_rd)
+    width_fx = fx2["pooled_high"] - fx2["pooled_low"]
+    width_re = re2["pooled_high_re"] - re2["pooled_low_re"]
+    assert width_re > width_fx
