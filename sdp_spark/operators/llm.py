@@ -2150,7 +2150,8 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("llm_ann_recall_eval", oracle=None, section=_SEC)
 def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN self-evaluation: recall@5 of each approximate index (IVF-Flat,
-    multi-probe hyperplane LSH, PQ+ADC) against the exact brute-force top-5, per
+    multi-probe hyperplane LSH, PQ+ADC, IVF-PQ, NSW beam search) against
+    the exact brute-force top-5, per
     query, plus the macro average — the monitor a production vector
     platform runs after every index rebuild ('did the ANN quality
     regress?'), shipped as a first-class operator instead of a test-only
@@ -2191,6 +2192,7 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(recall_of("ivfpq", llm_sim_search_ivfpq(spark, sf_dir)))
         .unionAll(recall_of("lsh", llm_sim_search_lsh(spark, sf_dir)))
         .unionAll(recall_of("pq", llm_sim_search_pq(spark, sf_dir)))
+        .unionAll(recall_of("nsw", llm_sim_search_nsw(spark, sf_dir)))
     )
     macro = per_q.groupBy("method").agg(
         # query_id -1 = the macro-average row (real vec_ids start at 0)
@@ -2680,4 +2682,132 @@ def llm_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN (NSW beam search) — the fourth index family beside
+# cell-pruning (IVF), bucket-hashing (LSH), and compression (PQ)
+# ---------------------------------------------------------------------------
+
+_NSW_K = 8      # out-degree of the neighbor graph
+_NSW_BEAM = 16   # beam width per query
+_NSW_ROUNDS = 10  # expansion rounds (~log N greedy hops + slack)
+
+
+@register("llm_sim_search_nsw", oracle=None, section=_SEC)
+def llm_sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN — beam search over a navigable-small-world
+    neighbor graph (Malkov et al., Information Systems 2014; the single-
+    layer core of HNSW, today's dominant production ANN family): from a
+    fixed entry vertex, each round expands the per-query beam's
+    out-neighbors, scores ONLY those candidates, and keeps the best
+    BEAM; after T rounds the answer is the top-5 of everything visited.
+    Search cost is T x BEAM x degree score evaluations per query —
+    independent of corpus size, which is the family's 100 TB claim (the
+    other families prune by geometry or compress; graphs prune by
+    CONNECTIVITY).
+
+    The graph here is the exact k=8 cosine k-NN graph (llm_knn_graph's
+    algebra — quadratic to BUILD at fixture scale, the documented
+    tradeoff of that key; production builds it incrementally or from
+    IVF candidates and amortizes one build over every query). The
+    SEARCH path this key certifies is the per-query plan: per round,
+    one equi-join of the (query, beam) frame onto the edge list, one
+    narrow-row scoring join, one top-BEAM window — all metadata-sized.
+
+    Deterministic: entry = min vec_id; cosine is the shared fold
+    rounded to 4 dp; every ranking tiebreaks on neighbor_id; fixed
+    round count (no data-dependent convergence). rows-only oracle
+    (graph traversal is not replayable SQL); recall@5 is pinned in
+    pytest and tracked in BENCH_DETAIL via `llm_ann_recall_eval`."""
+    emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")
+    a = emb.select(
+        "vec_id", F.col("dvec").alias("va"), F.col("norm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("dvec").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored_all = a.join(
+        F.broadcast(b), F.col("vec_id") != F.col("neighbor_id")
+    ).select(
+        "vec_id",
+        "neighbor_id",
+        dround(dot / (F.col("na") * F.col("nb")), 4).alias("cos_sim"),
+    )
+    gw = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    edges = (
+        scored_all.withColumn("rnk", F.row_number().over(gw))
+        .filter(F.col("rnk") <= _NSW_K)
+        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    queries = emb.filter(F.col("vec_id") <= 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dvec").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    entry = emb.agg(F.min("vec_id").alias("node"))
+    frontier = queries.select("query_id").crossJoin(
+        F.broadcast(entry)
+    ).localCheckpoint(eager=True)
+    qdot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cframe = emb.select(
+        F.col("vec_id").alias("node"),
+        F.col("dvec").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    visited = None
+    bw = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("node")
+    )
+    for _ in range(_NSW_ROUNDS):
+        nbrs = frontier.join(edges, frontier.node == edges.src).select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = frontier.unionByName(nbrs).distinct()
+        scored = (
+            cand.join(cframe, "node")
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id",
+                "node",
+                dround(qdot / (F.col("qn") * F.col("cn")), 4).alias(
+                    "cos_sim"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        visited = (
+            scored
+            if visited is None
+            else visited.unionByName(scored).distinct()
+        ).localCheckpoint(eager=True)
+        frontier = (
+            scored.withColumn("rn", F.row_number().over(bw))
+            .filter(F.col("rn") <= _NSW_BEAM)
+            .select("query_id", "node")
+            .localCheckpoint(eager=True)
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("node")
+    )
+    return (
+        visited.filter(F.col("query_id") != F.col("node"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", F.col("node").alias("neighbor_id"), "cos_sim")
+        .orderBy("query_id", F.col("cos_sim").desc(), "neighbor_id")
     )

@@ -211,10 +211,10 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
     per-query rows."""
     rows = REGISTRY["llm_ann_recall_eval"].fn(spark, sf_dir).collect()
     methods = {r["method"] for r in rows}
-    assert methods == {"ivf", "ivfpq", "lsh", "pq"}
+    assert methods == {"ivf", "ivfpq", "lsh", "pq", "nsw"}
     assert all(0.0 <= r["recall_at_5"] <= 1.0 for r in rows)
     macro = {r["method"]: r["recall_at_5"] for r in rows if r["query_id"] == -1}
-    assert len(macro) == 4
+    assert len(macro) == 5
     for m in methods:
         per_q = [r["recall_at_5"] for r in rows if r["method"] == m and r["query_id"] >= 0]
         assert abs(macro[m] - sum(per_q) / len(per_q)) < 1e-3
@@ -226,6 +226,9 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
     # 32x-compressed candidates; 0.9 is the measured sf0.001 floor
     assert macro["ivfpq"] >= macro["ivf"]
     assert macro["ivfpq"] >= 0.9
+    # graph beam search (beam 16, 10 rounds over the exact k=8 graph)
+    # reaches the exact top-5 on every fixture
+    assert macro["nsw"] >= 0.9
 
 
 def test_embed_lsh_collapse_equals_uncollapsed(spark, sf_dir):
