@@ -1,6 +1,10 @@
 """Round-11 operator tests: Kulldorff MC hash dispersion at R=99,
 nowcast-composed outbreak detection, MySQL misc built-ins round 2,
-polygon metrics, WKB round-trip, IVF-PQ multi-probe recall."""
+polygon metrics, WKB round-trip, IVF-PQ boundary replication, the
+Fellegi-Sunter linkage pair (batch bands, block-key ladder, streaming
+intake), the naive-Bayes signal/no-signal pair, Cori gamma-posterior
+Rt (batch + the tenth stream pair), grid-GDBSCAN ribbon clustering,
+and the meta-analysis pair (fixed effects + DerSimonian-Laird)."""
 import datetime as dt
 import math
 import os
