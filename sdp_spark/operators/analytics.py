@@ -3899,3 +3899,106 @@ def query_outbreak_nowcasted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c"),
     )
     return farrington_scored(daily, count_col="n_nowcast", integer_counts=False)
+
+
+# ---------------------------------------------------------------------------
+# Detector concordance — the panel operations runs OVER the detectors
+# ---------------------------------------------------------------------------
+
+
+@register("query_detector_concordance", oracle=None, section=_SEC)
+def query_detector_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise concordance of the six batch aberration detectors (EARS
+    C2, CUSUM, EWMA, historical limits, Serfling, Farrington) — the
+    monitor a surveillance shop runs over its detector PANEL: 'which
+    detectors agree, and is any one firing alone?' A detector that
+    alerts where no peer does is either the panel's most sensitive
+    instrument or its noisiest — this table is how an epidemiologist
+    tells which, and the operational basis for n-of-m alert-escalation
+    rules. Composes the six REGISTRY operators (no reimplementation can
+    drift — the llm_ann_recall_eval doctrine applied to surveillance).
+
+    Per ordered pair (det_a < det_b): the comparison domain is the
+    INTERSECTION of scored (event_type, day) rows — detectors have
+    different warm-up windows (moving baselines, reference weeks), and
+    a day only one detector even scored says nothing about agreement —
+    then n alerts on each side, co-alerts, alert-set Jaccard
+    (co-alerts / alert-union, defined 1.0 when the union is empty:
+    agreeing that NOTHING is aberrant is agreement), and raw percent
+    agreement including joint silence.
+
+    rows-only oracle (the six inputs are certified individually; the
+    composition is bounded metadata — at most |types|·|days| rows per
+    detector). Deterministic: day keys normalize to ISO strings,
+    pair order is lexicographic, output sorts on (det_a, det_b)."""
+    from sdp_spark.operators.insights import query_outbreak_histlimits
+
+    dets = {
+        "cusum": query_outbreak_cusum(spark, sf_dir),
+        "ears": query_outbreak_ears(spark, sf_dir),
+        "ewma": query_outbreak_ewma(spark, sf_dir),
+        "farrington": query_outbreak_farrington(spark, sf_dir),
+        "histlimits": query_outbreak_histlimits(spark, sf_dir),
+        "serfling": query_outbreak_serfling(spark, sf_dir),
+    }
+    norm = None
+    for name, df in sorted(dets.items()):
+        daycol = "day_s" if "day_s" in df.columns else "day"
+        part = df.select(
+            F.lit(name).alias("det"),
+            "event_type",
+            F.col(daycol).cast("string").alias("day"),
+            F.col("alert").cast("boolean").alias("alert"),
+        )
+        norm = part if norm is None else norm.unionByName(part)
+    norm = norm.localCheckpoint()
+    a = norm.select(
+        F.col("det").alias("det_a"),
+        "event_type",
+        "day",
+        F.col("alert").alias("alert_a"),
+    )
+    b = norm.select(
+        F.col("det").alias("det_b"),
+        "event_type",
+        "day",
+        F.col("alert").alias("alert_b"),
+    )
+    pairs = a.join(b, ["event_type", "day"]).filter(
+        F.col("det_a") < F.col("det_b")
+    )
+    agg = pairs.groupBy("det_a", "det_b").agg(
+        F.count("*").cast("bigint").alias("n_scored_both"),
+        F.sum(F.col("alert_a").cast("int")).cast("bigint").alias("n_alert_a"),
+        F.sum(F.col("alert_b").cast("int")).cast("bigint").alias("n_alert_b"),
+        F.sum((F.col("alert_a") & F.col("alert_b")).cast("int"))
+        .cast("bigint")
+        .alias("n_alert_both"),
+    )
+    union_n = (
+        F.col("n_alert_a") + F.col("n_alert_b") - F.col("n_alert_both")
+    )
+    return agg.select(
+        "det_a",
+        "det_b",
+        "n_scored_both",
+        "n_alert_a",
+        "n_alert_b",
+        "n_alert_both",
+        dround(
+            F.when(union_n == 0, F.lit(1.0)).otherwise(
+                F.col("n_alert_both").cast("double") / union_n
+            ),
+            4,
+        ).alias("jaccard"),
+        dround(
+            (
+                F.col("n_scored_both")
+                - F.col("n_alert_a")
+                - F.col("n_alert_b")
+                + 2 * F.col("n_alert_both")
+            ).cast("double")
+            / F.col("n_scored_both"),
+            4,
+        ).alias("pct_agree"),
+    ).orderBy("det_a", "det_b")

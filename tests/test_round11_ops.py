@@ -836,3 +836,60 @@ def test_meta_random_effects_widens_under_heterogeneity(spark, tmp_path):
     width_fx = fx2["pooled_high"] - fx2["pooled_low"]
     width_re = re2["pooled_high_re"] - re2["pooled_low_re"]
     assert width_re > width_fx
+
+
+# ---------------------------------------------------------------------------
+# Detector-panel concordance
+# ---------------------------------------------------------------------------
+
+
+def test_detector_concordance_invariants_and_planted_spike(spark, sf_dir, tmp_path):
+    """Fixture invariants: all 15 unordered pairs present, every count
+    bounded by the scored domain, jaccard/pct_agree in [0, 1],
+    co-alerts never exceed either side. Planted 10x spike: the
+    moving-baseline triangle (ears, cusum, ewma) co-alerts on it, so
+    each of those pairs shows n_alert_both >= 1."""
+    from itertools import combinations
+
+    from sdp_spark.plans.registry import load_all
+
+    REG = load_all()
+    rows = REG["query_detector_concordance"].fn(spark, sf_dir).collect()
+    dets = ["cusum", "ears", "ewma", "farrington", "histlimits", "serfling"]
+    assert {(r["det_a"], r["det_b"]) for r in rows} == set(
+        combinations(dets, 2)
+    )
+    for r in rows:
+        assert 0 < r["n_scored_both"]
+        assert r["n_alert_both"] <= min(r["n_alert_a"], r["n_alert_b"])
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert 0.0 <= r["pct_agree"] <= 1.0
+
+    # planted spike: 30 flat days of 20/day, day 25 jumps to 200 — on
+    # the Jan-2024 calendar the detectors' baselines anchor to
+    # (_CUSUM_SPLIT = 2024-01-11 freezes the pre-split baseline)
+    rows_ev, ev = [], 0
+    for t in range(30):
+        d = dt.date(2024, 1, 1) + dt.timedelta(days=t)
+        # 18/22 jitter: EARS excludes zero-variance baselines (sd > 0
+        # applicability filter), so a perfectly flat plant scores nothing
+        n = 200 if t == 25 else (18 if t % 2 else 22)
+        for i in range(n):
+            rows_ev.append(
+                (ev, dt.datetime(d.year, d.month, d.day, 9, i % 60, i % 60),
+                 1, "spike", 1.0, "{}")
+            )
+            ev += 1
+    sf = str(tmp_path / "conc")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows_ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = {
+        (r["det_a"], r["det_b"]): r
+        for r in REG["query_detector_concordance"].fn(spark, sf).collect()
+    }
+    for pair in (("cusum", "ears"), ("cusum", "ewma"), ("ears", "ewma")):
+        assert out[pair]["n_alert_both"] >= 1, (pair, out[pair])
