@@ -893,3 +893,30 @@ def test_detector_concordance_invariants_and_planted_spike(spark, sf_dir, tmp_pa
     }
     for pair in (("cusum", "ears"), ("cusum", "ewma"), ("ears", "ewma")):
         assert out[pair]["n_alert_both"] >= 1, (pair, out[pair])
+
+
+def test_stat_normal_matches_erf_reference(spark, sf_dir):
+    """The A&S 26.2.17 CDF must track math.erf within its published
+    7.5e-8 bound plus the 1e-6 output grid; symmetry Φ(-z) = 1 - Φ(z)
+    and two-sided p = 2(1 - Φ(|z|)) hold row-wise; the CDF is monotone
+    in z."""
+    from sdp_spark.plans.registry import load_all
+
+    rows = load_all()["fn_stat_normal"].fn(spark, sf_dir).collect()
+    assert rows
+    by_z = []
+    for r in rows:
+        ref = 0.5 * (1 + math.erf(r["z"] / math.sqrt(2)))
+        assert abs(r["cdf"] - ref) < 2e-6, (r["z"], r["cdf"], ref)
+        assert abs(
+            r["p_two_sided"]
+            - 2 * (1 - 0.5 * (1 + math.erf(abs(r["z"]) / math.sqrt(2))))
+        ) < 4e-6
+        by_z.append((r["z"], r["cdf"]))
+    by_z.sort()
+    assert all(a[1] <= b[1] + 1e-9 for a, b in zip(by_z, by_z[1:]))
+    # symmetry via the mirrored grid rows
+    cdfs = {r["c_custkey"]: r for r in rows}
+    for k, r in cdfs.items():
+        if k > 0 and -k in cdfs:
+            assert abs(cdfs[-k]["cdf"] - (1 - r["cdf"])) < 2e-6
