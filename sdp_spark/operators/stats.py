@@ -4146,3 +4146,97 @@ def agg_meta_random_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nat")
     )
+
+
+# ---------------------------------------------------------------------------
+# SIR epidemic-model fitting by distributed grid search
+# ---------------------------------------------------------------------------
+
+_SIR_BETAS = [round(0.05 * k, 2) for k in range(1, 21)]   # 0.05 .. 1.00
+_SIR_GAMMAS = [round(0.05 * k, 2) for k in range(1, 11)]  # 0.05 .. 0.50
+_SIR_TOPK = 10
+
+
+@register("ts_sir_fit", oracle=None, section=_SEC)
+def ts_sir_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIR compartment-model fitting by DISTRIBUTED GRID SEARCH — the
+    mechanistic companion to the phenomenological Rt estimators
+    (`ts_rt_ratio` / `ts_rt_cori`): a 200-point (beta, gamma) grid,
+    each candidate simulating the discrete-time SIR recursion
+    S' = S - beta·S·I/N, I' = I + beta·S·I/N - gamma·I against the
+    observed daily incidence curve and scoring SSE; the top-10 fits
+    (with R0 = beta/gamma) are the answer an epi modeler reads off.
+    Grid-search model fitting is the canonically Spark-shaped
+    estimation strategy — candidates are embarrassingly parallel rows,
+    the observed series is a broadcast array — and the per-candidate
+    30-step simulation runs INSIDE Catalyst as a higher-order
+    `aggregate` fold over a struct state (S, I, sse): no UDF, no
+    Python, whole-stage codegen end to end.
+
+    Determinism: the observed series is a gap-filled BIGINT array in
+    day order; N = 2x total observed cases and I0 = max(first-day
+    count, 1) are exact-arithmetic data-derived constants; every
+    candidate's fold evaluates one shared IEEE expression chain; ties
+    rank by (sse, beta, gamma) after a 6-dp snap. rows-only oracle
+    (DuckDB lacks the lambda fold); the planted-curve pytest recovers
+    known (beta, gamma) from synthetic SIR data and pins the null
+    behavior on non-epidemic fixture data (fit exists, R0 finite).
+
+    Scale: ONE event-scale rollup to daily counts; the grid is 200
+    metadata rows — at production scale the grid widens (finer steps,
+    more compartments) and the same plan rides: parameters partition,
+    the series broadcasts, the fold stays codegen."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("ts").cast("timestamp").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    span = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid_days = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    obs = (
+        grid_days.join(daily, "day", "left")
+        .select("day", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(day, n))),"
+                " x -> x.n)"
+            ).alias("obs"),
+            F.sum("n").cast("double").alias("total"),
+        )
+        .select(
+            "obs",
+            (F.lit(2.0) * F.col("total")).alias("big_n"),
+            F.greatest(
+                F.element_at("obs", 1).cast("double"), F.lit(1.0)
+            ).alias("i0"),
+        )
+    )
+    params = spark.createDataFrame(
+        [(b, g) for b in _SIR_BETAS for g in _SIR_GAMMAS],
+        "beta double, gamma double",
+    )
+    sim = params.crossJoin(F.broadcast(obs))
+    fold = F.expr(
+        "aggregate(sequence(1, size(obs)),"
+        " struct(big_n - i0 AS s, i0 AS i, CAST(0.0 AS DOUBLE) AS sse),"
+        " (st, k) -> struct("
+        "   st.s - beta * st.s * st.i / big_n AS s,"
+        "   st.i + beta * st.s * st.i / big_n - gamma * st.i AS i,"
+        "   st.sse + (beta * st.s * st.i / big_n"
+        "             - CAST(element_at(obs, k) AS DOUBLE))"
+        "          * (beta * st.s * st.i / big_n"
+        "             - CAST(element_at(obs, k) AS DOUBLE)) AS sse),"
+        " st -> st.sse)"
+    )
+    w = Window.orderBy(F.col("sse").asc(), F.col("beta"), F.col("gamma"))
+    return (
+        sim.select("beta", "gamma", dround(fold, 6).alias("sse"))
+        .withColumn("r0", dround(F.col("beta") / F.col("gamma"), 4))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _SIR_TOPK)
+        .select("rnk", "beta", "gamma", "r0", "sse")
+        .orderBy("rnk")
+    )

@@ -140,7 +140,7 @@ _SWEEP_PRIORITY = (
     "query_spatial_dbscan", "stream_rt_cori_alerts",
     "agg_meta_fixed_effects", "stream_linkage_incremental",
     "agg_meta_random_effects", "llm_sim_search_nsw",
-    "query_detector_concordance", "fn_stat_normal",
+    "query_detector_concordance", "fn_stat_normal", "ts_sir_fit",
     # --- oldest-first rotation (latest verdict r2 ... r10) ---
     "cte_with", "fn_array_map", "fn_bitwise", "fn_conditional", "fn_date",
     "fn_datetime_arith", "fn_hash", "fn_json", "fn_map", "fn_math",

@@ -920,3 +920,43 @@ def test_stat_normal_matches_erf_reference(spark, sf_dir):
     for k, r in cdfs.items():
         if k > 0 and -k in cdfs:
             assert abs(cdfs[-k]["cdf"] - (1 - r["cdf"])) < 2e-6
+
+
+def test_sir_fit_recovers_planted_parameters(spark, tmp_path):
+    """Generate a synthetic epidemic with the operator's own recursion
+    (beta=0.5, gamma=0.2, R0=2.5), truncated where cumulative cases
+    reach N/2 so the operator's data-derived N = 2 x total matches the
+    generator's N: the grid search must rank the TRUE (beta, gamma)
+    first, and the fitted R0 must be 2.5."""
+    from sdp_spark.plans.registry import load_all
+
+    beta, gamma, n_pop, i0 = 0.5, 0.2, 20000.0, 50.0
+    s, i, obs = n_pop - i0, i0, [int(i0)]
+    while sum(obs) < n_pop / 2:
+        new = beta * s * i / n_pop
+        obs.append(max(1, round(new)))
+        s, i = s - new, i + new - gamma * i
+    rows, ev = [], 0
+    for t, n in enumerate(obs):
+        d = dt.date(2024, 1, 1) + dt.timedelta(days=t)
+        for j in range(n):
+            rows.append(
+                (ev, dt.datetime(d.year, d.month, d.day, 8, j % 60, j % 60),
+                 1, "case", 1.0, "{}")
+            )
+            ev += 1
+    sf = str(tmp_path / "sir")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = load_all()["ts_sir_fit"].fn(spark, sf).collect()
+    assert len(out) == 10
+    top = out[0]
+    assert (top["beta"], top["gamma"]) == (beta, gamma), out[:3]
+    assert top["r0"] == pytest.approx(2.5, abs=1e-4)
+    # ranked strictly by sse with deterministic tiebreak
+    sses = [r["sse"] for r in out]
+    assert sses == sorted(sses)
