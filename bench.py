@@ -119,6 +119,9 @@ EXTRA = [
     "query_spatial_dbscan",         # grid GDBSCAN components (r11)
     "agg_meta_fixed_effects",       # inverse-variance pooling + Q/I2 (r11)
     "stream_linkage_incremental",   # live FS linkage vs master (r11)
+    "agg_meta_random_effects",      # DerSimonian-Laird tau2 pooling (r11)
+    "fn_stat_normal",               # A&S normal CDF / p-values (r11)
+    "ts_sir_fit",                   # grid-search SIR fit, Catalyst fold (r11)
 ]
 
 
