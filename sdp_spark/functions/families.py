@@ -2132,10 +2132,12 @@ _MISC2_MAKESET_SQL = "concat_ws(','," + ", ".join(
     )
     SELECT c_custkey,
            CAST(crc32v AS BIGINT) AS name_crc32,
-           lpad(to_hex(octet_length(CAST(c_name AS BLOB)) % 256), 2, '0')
-             || lpad(to_hex((octet_length(CAST(c_name AS BLOB)) // 256)
-                            % 256), 2, '0')
-             || '0000789C' AS comp_prefix_hex,
+           CASE WHEN length(c_name) = 0 THEN ''
+                ELSE lpad(to_hex(octet_length(CAST(c_name AS BLOB)) % 256),
+                          2, '0')
+                  || lpad(to_hex((octet_length(CAST(c_name AS BLOB)) // 256)
+                                 % 256), 2, '0')
+                  || '0000789C' END AS comp_prefix_hex,
            c_name AS comp_roundtrip,
            {_MISC2_EXPORT_SQL} AS export_flags,
            {_MISC2_MAKESET_SQL} AS privileges,

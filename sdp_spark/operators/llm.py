@@ -2646,8 +2646,13 @@ def llm_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # boundary replication can surface the same (query, neighbor)
         # from both of the neighbor's cells with two different residual
         # ADCs — keep the tighter one deterministically (min), then
-        # rank; the groupBy's exchange doubles as the window's
-        # query_id clustering
+        # rank. The explicit repartition(query_id) makes ONE exchange
+        # serve both steps: HashPartitioning(query_id) satisfies the
+        # groupBy's ClusteredDistribution(query_id, neighbor_id) AND
+        # the window's ClusteredDistribution(query_id); a bare groupBy
+        # would hash on (query_id, neighbor_id) and force a second
+        # exchange for the window.
+        .repartition("query_id")
         .groupBy("query_id", "neighbor_id")
         .agg(F.min("adc").alias("adc"))
         .withColumn("rn", F.row_number().over(pool_w))

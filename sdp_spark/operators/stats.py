@@ -3519,8 +3519,12 @@ def _rt_cori_oracle() -> str:
     return f"""
     WITH daily AS ({_XDAILY_SQL}),
     lam AS (
-      SELECT b.event_type, b.day, b.n, CAST(SUM(a.n * ({_RT_W_SQL})) AS BIGINT) AS wn
-      FROM daily b JOIN daily a
+      -- LEFT join: a day with no prior-7-day history still belongs to
+      -- later tau-windows' CASE SUMS (wn = 0, cases counted) — an
+      -- inner join would silently drop its cases from cases_w
+      SELECT b.event_type, b.day, b.n,
+             CAST(COALESCE(SUM(a.n * ({_RT_W_SQL})), 0) AS BIGINT) AS wn
+      FROM daily b LEFT JOIN daily a
         ON a.event_type = b.event_type
        AND date_diff('day', a.day, b.day) BETWEEN 1 AND 7
       GROUP BY b.event_type, b.day, b.n
@@ -3598,13 +3602,21 @@ def rt_cori_scored(daily: DataFrame) -> DataFrame:
     w = F.coalesce(
         *[F.when(k == kk, F.lit(vv)) for kk, vv in _RT_W.items()]
     )
+    # LEFT join keeps history-less days (first day, post-gap days) in
+    # the frame with wn = 0 so their CASES still count into later
+    # tau-windows' cases_w — the inner-join shape would under-count the
+    # posterior shape a+C exactly where early-window inference happens
     lam = (
         daily.join(
-            a, (F.col("event_type") == F.col("et_a")) & k.between(1, 7)
+            a,
+            (F.col("event_type") == F.col("et_a")) & k.between(1, 7),
+            "left",
         )
         .select("event_type", "day", "n", (F.col("n_a") * w).alias("wn1"))
         .groupBy("event_type", "day", "n")
-        .agg(F.sum("wn1").cast("bigint").alias("wn"))
+        .agg(
+            F.coalesce(F.sum("wn1"), F.lit(0)).cast("bigint").alias("wn")
+        )
         .localCheckpoint()
     )
     la = lam.select(
@@ -3663,7 +3675,13 @@ _DB_THR = (
     "GREATEST(CAST(5 AS BIGINT),"
     " CAST(CEIL(2.0 * total_pts / n_cells) AS BIGINT))"
 )
-_DB_ROUNDS = 64  # min-label rounds cap; the probe exits at the fixpoint
+# Min-label rounds SAFETY cap only — the monotone-mass probe is the
+# real exit and must reach the fixpoint (the oracle's recursive CTE
+# runs to full closure, so an unconverged Spark side would split a
+# high-diameter component and hash-mismatch). The grid has 1,728 cells,
+# so component diameter — and therefore rounds — is bounded by 1,727;
+# exhausting the cap is a bug, not a result, and raises.
+_DB_ROUNDS = 2048
 
 
 def _dbscan_oracle() -> str:
@@ -3791,6 +3809,7 @@ def query_spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "comp", F.col("node")
     ).localCheckpoint(eager=True)
     mass = comp.agg(F.sum("comp")).collect()[0][0]
+    converged = False
     for _ in range(_DB_ROUNDS):
         prop = e.join(comp, e.src == comp.node).select(
             F.col("dst").alias("node"), "comp"
@@ -3803,8 +3822,15 @@ def query_spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_mass = comp.agg(F.sum("comp")).collect()[0][0]
         if new_mass == mass:
+            converged = True
             break
         mass = new_mass
+    if not converged:
+        raise RuntimeError(
+            "query_spatial_dbscan: min-label propagation exhausted "
+            f"{_DB_ROUNDS} rounds without a fixpoint — impossible for "
+            "the 1,728-cell grid; investigate"
+        )
     return (
         comp.join(dense, comp.node == dense.cid)
         .groupBy(F.col("comp").alias("cluster_id"))
@@ -4219,8 +4245,14 @@ def ts_sir_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "beta double, gamma double",
     )
     sim = params.crossJoin(F.broadcast(obs))
+    # step k advances the state from day k-2 to day k-1 (0-based) and
+    # predicts day k-1's NEW infections, so it scores against
+    # element_at(obs, k) with k running 2..len — obs[1] is the seed day
+    # that initialized i0, never a prediction target (an off-by-one
+    # here compares every prediction to the PREVIOUS day and biases
+    # the fit on any growing series)
     fold = F.expr(
-        "aggregate(sequence(1, size(obs)),"
+        "aggregate(sequence(2, size(obs)),"
         " struct(big_n - i0 AS s, i0 AS i, CAST(0.0 AS DOUBLE) AS sse),"
         " (st, k) -> struct("
         "   st.s - beta * st.s * st.i / big_n AS s,"

@@ -119,9 +119,10 @@ _SWEEP_PRIORITY = (
     # Round-11 head, in order:
     #   (a) the 12 keys whose only driver verdict dates to ROUND 1
     #       (VERDICT r10 next-round #1 — the final freshness stragglers);
-    #   (b) the 3 Monte-Carlo scan keys whose OUTPUT changed this round
-    #       (R 19/9 -> 99 and the Kulldorff case hash moved to the
-    #       shared xorshift mix — ADVICE r10 high);
+    #   (b) the 5 changed-output keys: 3 Monte-Carlo scan keys (R 19/9
+    #       -> 99 and the Kulldorff case hash moved to the shared
+    #       xorshift mix — ADVICE r10 high) + the 2 rows-only ANN keys
+    #       the IVF-PQ retrain re-valued;
     #   (c) new round-11 keys (inserted in section (c) as built);
     # then every other key oldest-latest-verdict-first (alphabetical
     # within a round), so the tuple IS the freshness queue: future

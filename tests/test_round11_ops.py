@@ -924,17 +924,26 @@ def test_stat_normal_matches_erf_reference(spark, sf_dir):
 
 def test_sir_fit_recovers_planted_parameters(spark, tmp_path):
     """Generate a synthetic epidemic with the operator's own recursion
-    (beta=0.5, gamma=0.2, R0=2.5), truncated where cumulative cases
-    reach N/2 so the operator's data-derived N = 2 x total matches the
-    generator's N: the grid search must rank the TRUE (beta, gamma)
-    first, and the fitted R0 must be 2.5."""
+    at R0 = 1.4 (beta=0.35, gamma=0.25), run to extinction — the
+    final-size equation makes the attack rate exactly 50% at that R0,
+    so the operator's data-derived N = 2 x total matches the
+    generator's N. The grid search must rank the TRUE (beta, gamma)
+    first, and the fitted R0 must be 1.4."""
     from sdp_spark.plans.registry import load_all
 
-    beta, gamma, n_pop, i0 = 0.5, 0.2, 20000.0, 50.0
+    # R0 = 1.4 is chosen ON PURPOSE: the final-size equation
+    # 1 - A = exp(-R0 * A) gives attack rate A = 0.5 at R0 = 1.4, so a
+    # run-to-extinction epidemic infects exactly half the population
+    # and the operator's data-derived N = 2 x total cases recovers the
+    # generator's N — no truncation gymnastics, no N bias shifting the
+    # best grid cell off the true parameters.
+    beta, gamma, n_pop, i0 = 0.35, 0.25, 20000.0, 50.0
     s, i, obs = n_pop - i0, i0, [int(i0)]
-    while sum(obs) < n_pop / 2:
+    while len(obs) < 400:
         new = beta * s * i / n_pop
-        obs.append(max(1, round(new)))
+        if round(new) < 1:
+            break
+        obs.append(round(new))
         s, i = s - new, i + new - gamma * i
     rows, ev = [], 0
     for t, n in enumerate(obs):
@@ -956,7 +965,7 @@ def test_sir_fit_recovers_planted_parameters(spark, tmp_path):
     assert len(out) == 10
     top = out[0]
     assert (top["beta"], top["gamma"]) == (beta, gamma), out[:3]
-    assert top["r0"] == pytest.approx(2.5, abs=1e-4)
+    assert top["r0"] == pytest.approx(1.4, abs=1e-4)
     # ranked strictly by sse with deterministic tiebreak
     sses = [r["sse"] for r in out]
     assert sses == sorted(sses)
