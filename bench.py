@@ -122,6 +122,9 @@ EXTRA = [
     "agg_meta_random_effects",      # DerSimonian-Laird tau2 pooling (r11)
     "fn_stat_normal",               # A&S normal CDF / p-values (r11)
     "ts_sir_fit",                   # grid-search SIR fit, Catalyst fold (r11)
+    "stream_rt_cori_alerts",        # Rt-threshold streaming alerts (r11)
+    "llm_sim_search_nsw",           # NSW beam-search ANN (r11)
+    "query_detector_concordance",   # detector-panel agreement matrix (r11)
 ]
 
 

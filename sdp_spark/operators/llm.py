@@ -2157,7 +2157,8 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     regress?'), shipped as a first-class operator instead of a test-only
     assertion.
 
-    Composes the four registry operators (no reimplementation can drift);
+    Composes the five registry index operators (no reimplementation can
+    drift);
     the comparison is a (query_id, neighbor_id) semi-join + per-query
     count — metadata-sized regardless of corpus scale, since every input
     is already a top-k. rows-only oracle (the IVF/LSH results are Spark

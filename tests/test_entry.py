@@ -55,6 +55,59 @@ def test_readme_counts_match_registry():
     )
 
 
+def test_readme_freshness_distribution():
+    """README's certification-freshness distribution line must equal a
+    recomputation from the CORRECTNESS_r*.json files (VERDICT r11 "What's
+    wrong" #2: the r11 README claimed "no certification predates r6" while
+    32 keys' latest verdict dated to r2). The README carries the literal
+    string `rN:count ...`; this test rebuilds it from disk. Tolerates the
+    driver having dropped a NEWER round's file after the README was last
+    written: if a round newer than any the README mentions exists on disk,
+    the exact-equality check degrades to the invariant that still holds
+    (sweeps only move keys FORWARD, so no claimed round may hold more
+    keys on disk than the README says)."""
+    import glob
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    readme = (root / "README.md").read_text()
+    m = re.search(r"((?:r\d+:\d+ )+r\d+:\d+)", readme)
+    assert m, "README freshness-distribution line not found"
+    claimed = dict(
+        (int(r), int(c))
+        for r, c in re.findall(r"r(\d+):(\d+)", m.group(1))
+    )
+    latest_round: dict[str, int] = {}
+    for f in sorted(
+        glob.glob(str(root / "CORRECTNESS_r*.json")),
+        key=lambda f: int(re.search(r"_r(\d+)", f).group(1)),
+    ):
+        rnd = int(re.search(r"_r(\d+)", f).group(1))
+        for k in json.load(open(f)):
+            latest_round[k] = rnd
+    actual: dict[int, int] = {}
+    for rnd in latest_round.values():
+        actual[rnd] = actual.get(rnd, 0) + 1
+    newest_claimed = max(claimed)
+    actual_known = {r: c for r, c in actual.items() if r <= newest_claimed}
+    if max(actual) > newest_claimed:
+        # A post-README sweep landed; its file re-binned some keys, so
+        # only the INVARIANT part holds: no round the README claims can
+        # have MORE keys than it claims (sweeps only move keys forward).
+        for rnd, cnt in actual_known.items():
+            assert cnt <= claimed.get(rnd, 0), (
+                f"README claims {claimed.get(rnd, 0)} keys at r{rnd}, "
+                f"disk has {cnt}"
+            )
+    else:
+        assert claimed == actual_known, {
+            "readme": claimed,
+            "recomputed": actual_known,
+        }
+
+
 def test_sweep_priority_matches_registry():
     """_SWEEP_PRIORITY and the registry must agree EXACTLY: an unlisted key
     sorts first and displaces the 45-key unverified backlog past the sweep
@@ -109,8 +162,18 @@ def test_sweep_priority_matches_registry():
     assert need <= head50, {"missing_from_sweep_budget": need - head50}
     # outside `need`, the queue must never put a fresher verdict before a
     # staler one (new/changed keys are exempt — they sort wherever the
-    # head puts them)
-    rounds = [latest_round[k] for k in ordered if k not in need and k in latest_round]
+    # head puts them). Keys whose latest verdict IS the newest round on
+    # disk are also exempt: the driver drops CORRECTNESS_r{N}.json AFTER
+    # the round's final commit, so the queue head the driver just swept
+    # becomes round-N-fresh without the static tuple moving — that head is
+    # definitionally fresh, not out of order (VERDICT r11 "What's wrong"
+    # #1: this very assertion went red on the post-round tree).
+    max_round = max(latest_round.values())
+    rounds = [
+        latest_round[k]
+        for k in ordered
+        if k not in need and latest_round.get(k, max_round) != max_round
+    ]
     assert rounds == sorted(rounds), "freshness queue out of order"
 
 
