@@ -427,6 +427,10 @@ _CAPSTONE_EXCHANGE_BUDGET = {
     "query_forecast_revenue": 1,
     "query_small_qty_orders": 1,
     "query_outbreak_ears": 3,
+    # all three EARS variants ride ONE daily-count + window chain (the
+    # variant pivot is a stack() Generate, not a per-variant recompute):
+    # count agg + window repartition + final sort, same as the C2 key.
+    "query_outbreak_ears_family": 3,
     "query_market_share": 2,
     "query_product_profit": 2,
     "query_shipmode_priority": 2,

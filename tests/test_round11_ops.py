@@ -844,18 +844,20 @@ def test_meta_random_effects_widens_under_heterogeneity(spark, tmp_path):
 
 
 def test_detector_concordance_invariants_and_planted_spike(spark, sf_dir, tmp_path):
-    """Fixture invariants: all 15 unordered pairs present, every count
-    bounded by the scored domain, jaccard/pct_agree in [0, 1],
-    co-alerts never exceed either side. Planted 10x spike: the
-    moving-baseline triangle (ears, cusum, ewma) co-alerts on it, so
-    each of those pairs shows n_alert_both >= 1."""
+    """Fixture invariants: all 28 unordered pairs present (the panel
+    gained ears_c1/ears_c3 in r12), every count bounded by the scored
+    domain, jaccard/pct_agree in [0, 1], co-alerts never exceed either
+    side. Planted 10x spike: the moving-baseline triangle (ears, cusum,
+    ewma) co-alerts on it, so each of those pairs shows
+    n_alert_both >= 1."""
     from itertools import combinations
 
     from sdp_spark.plans.registry import load_all
 
     REG = load_all()
     rows = REG["query_detector_concordance"].fn(spark, sf_dir).collect()
-    dets = ["cusum", "ears", "ewma", "farrington", "histlimits", "serfling"]
+    dets = ["cusum", "ears", "ears_c1", "ears_c3", "ewma", "farrington",
+            "histlimits", "serfling"]
     assert {(r["det_a"], r["det_b"]) for r in rows} == set(
         combinations(dets, 2)
     )
