@@ -123,7 +123,8 @@ EXTRA = [
     "fn_stat_normal",               # A&S normal CDF / p-values (r11)
     "ts_sir_fit",                   # grid-search SIR fit, Catalyst fold (r11)
     "stream_rt_cori_alerts",        # Rt-threshold streaming alerts (r11)
-    "llm_sim_search_nsw",           # NSW beam-search ANN (r11)
+    "llm_sim_search_nsw",           # NSW beam-search ANN (r11; r12 IVF build)
+    "llm_knn_graph_ivf",            # IVF-bootstrapped k-NN graph build (r12)
     "query_detector_concordance",   # detector-panel agreement matrix (r11)
 ]
 

@@ -130,7 +130,7 @@ _SWEEP_PRIORITY = (
     #       distribution then: r2:32 r3:40 r4:44 r5:49 r6:48 r7:47
     #       r8:45 r9:49 r10:45 r11:50).
     # --- (a) new round-12 keys ---
-    "query_outbreak_ears_family",
+    "query_outbreak_ears_family", "llm_knn_graph_ivf",
     # --- (b) r12 changed-output keys (see _SWEEP_REPROOFS) ---
     "query_spatial_scan_kulldorff", "query_spacetime_scan",
     "stream_spacetime_alerts", "llm_sim_search_nsw", "llm_ann_recall_eval",

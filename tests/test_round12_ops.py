@@ -86,6 +86,37 @@ def test_ears_family_planted_profiles(spark, tmp_path):
     assert family_c2 == standalone
 
 
+def test_knn_graph_ivf_edge_quality_and_bounds(spark, sf_dir):
+    """The IVF-bootstrapped k-NN graph (the scale-safe NSW edge source,
+    VERDICT r11 next-round #4) must (a) recover most of the exact
+    graph's edges — >= 0.7 of exact top-5 edges appear among its top-8
+    on the near-uniform-sphere fixture (the hard case for any
+    cell-pruning build; measured 0.75) — (b) respect the out-degree
+    cap with contiguous ranks, and (c) be run-to-run deterministic
+    (cached deterministic-seed fit, lowest-index ties)."""
+    from sdp_spark.plans.registry import load_all
+
+    REG = load_all()
+    approx = REG["llm_knn_graph_ivf"].fn(spark, sf_dir).collect()
+    exact = REG["llm_knn_graph"].fn(spark, sf_dir).collect()
+    a_edges = {(r["vec_id"], r["neighbor_id"]) for r in approx}
+    e_edges = {(r["vec_id"], r["neighbor_id"]) for r in exact}
+    assert len(e_edges & a_edges) / len(e_edges) >= 0.7
+    by_src = {}
+    for r in approx:
+        by_src.setdefault(r["vec_id"], []).append(r["rnk"])
+    for src, rnks in by_src.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), src
+        assert len(rnks) <= 8
+    again = {
+        (r["vec_id"], r["neighbor_id"], r["cos_sim"], r["rnk"])
+        for r in REG["llm_knn_graph_ivf"].fn(spark, sf_dir).collect()
+    }
+    assert again == {
+        (r["vec_id"], r["neighbor_id"], r["cos_sim"], r["rnk"]) for r in approx
+    }
+
+
 def test_ears_family_applicability_and_carryover(spark, tmp_path):
     """Applicability filters are per-variant: with exactly 8 days of data,
     day 8 has a complete C1 baseline (days 1-7) but an incomplete C2

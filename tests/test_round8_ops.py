@@ -226,9 +226,10 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
     # 32x-compressed candidates; 0.9 is the measured sf0.001 floor
     assert macro["ivfpq"] >= macro["ivf"]
     assert macro["ivfpq"] >= 0.9
-    # graph beam search (beam 16, 10 rounds over the exact k=8 graph)
-    # reaches the exact top-5 on every fixture
-    assert macro["nsw"] >= 0.9
+    # graph beam search (beam 16, 6 rounds, per-cell entries) over the
+    # IVF-BOOTSTRAPPED k=8 graph (r12: the O(N^1.5) build replaced the
+    # exact O(N^2) one) — measured 1.0/1.0/0.9818 across fixtures
+    assert macro["nsw"] >= 0.95
 
 
 def test_embed_lsh_collapse_equals_uncollapsed(spark, sf_dir):
