@@ -2229,7 +2229,10 @@ _KULL_OFFS = [
     for dy in range(-2, 3)
 ]
 _KULL_OFFS_SQL = ", ".join(f"({dx}, {dy}, {ch})" for dx, dy, ch in _KULL_OFFS)
-_KULL_REPS = 99  # conditional Monte-Carlo replicates -> p resolution 1/100
+_KULL_REPS = 999  # conditional Monte-Carlo replicates -> p floor 1/1000
+# (SaTScan's published convention; 0.01-level inference is real. Measured
+# overhead-dominated, not R-dominated: warm sf0.1 wall 5.6 s at R=999 vs
+# 13.4 s cold at R=99 — the replicate explode rides all cores.)
 _KULL_TOPK = 10
 
 # Shared LLR expression (spelled identically in Spark and DuckDB): the
@@ -2661,9 +2664,10 @@ _ST_OFFS = [(dx, dy, max(abs(dx), abs(dy)))
             for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 _ST_OFFS_SQL = ", ".join(f"({dx}, {dy}, {ch})" for dx, dy, ch in _ST_OFFS)
 _ST_TOPK = 10
-_ST_REPS = 99          # Monte-Carlo replicates -> p resolution 1/100
-# (SaTScan's convention is 999; 99 makes the 0.05 threshold meaningful
-# while keeping the simulate — linear in R, fully parallel — bench-cheap.)
+_ST_REPS = 999         # Monte-Carlo replicates -> p floor 1/1000
+# (SaTScan's convention — r12 raised 99 -> 999 after measuring the
+# simulate is overhead-dominated at fixture scale: warm sf0.1 wall
+# 14.7 s at R=999 vs 6.2 s at R=99, nowhere near the linear 10x.)
 # Case hash: the shared xorshift-multiply mix `_st_mix_sql` / `_mix_cols`
 # defined with the Kulldorff scan above (rationale + rejected designs
 # documented there; dispersion pinned by

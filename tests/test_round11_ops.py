@@ -1,4 +1,5 @@
-"""Round-11 operator tests: Kulldorff MC hash dispersion at R=99,
+"""Round-11 operator tests: Kulldorff MC hash dispersion (parametric in
+the registry's replicate count — R=999 since r12),
 nowcast-composed outbreak detection, MySQL misc built-ins round 2,
 polygon metrics, WKB round-trip, IVF-PQ boundary replication, the
 Fellegi-Sunter linkage pair (batch bands, block-key ladder, streaming
