@@ -86,6 +86,136 @@ def test_ears_family_planted_profiles(spark, tmp_path):
     assert family_c2 == standalone
 
 
+# ---------------------------------------------------------------------------
+# Streaming crash recovery — the exactly-once proof (VERDICT r11 #8)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_crash_recovery_exactly_once_jdbc(spark, sf_dir):
+    """Kill a checkpointed foreachBatch JDBC sink mid-stream and prove the
+    restart yields EXACTLY the batch result — the durability discipline
+    SURVEY §4's 'builtin (design discipline)' row promises, previously
+    certified only by clean single-trigger runs.
+
+    The crash is injected at the worst point: AFTER the sink write of
+    batch 1, BEFORE Spark commits that batch to the checkpoint. On
+    restart Spark REDELIVERS batch 1 (its offsets were reserved but
+    never committed); an append-only writer would duplicate those rows.
+    The writer here is idempotent-by-batchId (DELETE the batch's rows,
+    then INSERT — the JDBC stand-in for MERGE/upsert), so the redelivery
+    replaces instead of duplicating. Asserts: the crash actually fired,
+    the second run redelivers exactly the crashed batch, and the final
+    table equals the batch read of the same files — same rows, no
+    event_id seen twice."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import StreamingQueryException
+
+    from sdp_spark.operators.scans import jdbc_conn
+    from sdp_spark.streaming.ops import _events_stream
+
+    url, extra, _ = jdbc_conn(sf_dir)
+    table = "sdp_recovery_proof"
+    chk = tempfile.mkdtemp(prefix="sdp_recovery_chk_")
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("_batch_id", T.LongType()),
+        ]
+    )
+
+    def _writer(df, mode):
+        w = (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option(
+                "createTableColumnTypes",
+                "event_id BIGINT, user_id BIGINT, event_type VARCHAR(32),"
+                " _batch_id BIGINT",
+            )
+            .option("isolationLevel", "NONE")
+            .mode(mode)
+        )
+        for k, v in extra.items():
+            w = w.option(k, v)
+        return w
+
+    _writer(spark.createDataFrame([], schema), "overwrite").save()
+
+    def make_write_batch(crash_on, delivered):
+        def write_batch(df, batch_id):
+            delivered.append(batch_id)
+            # idempotent redelivery: clear this batch's rows, then append
+            # (foreachBatch runs driver-side; Derby is embedded in the
+            # same JVM, so a raw statement reaches the same database)
+            conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+            try:
+                st = conn.createStatement()
+                # Spark's JDBC writer passes dbtable unquoted (Derby folds
+                # it to upper case) but quotes COLUMN names at CREATE time
+                # (case preserved) — mirror that split here
+                st.executeUpdate(
+                    f'DELETE FROM {table} WHERE "_batch_id" = {batch_id}'
+                )
+                st.close()
+            finally:
+                conn.close()
+            _writer(
+                df.withColumn("_batch_id", F.lit(batch_id)).coalesce(4),
+                "append",
+            ).save()
+            if crash_on is not None and batch_id == crash_on:
+                raise RuntimeError("injected crash after sink write")
+
+        return write_batch
+
+    src = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    run1: list = []
+    q = (
+        src.writeStream.foreachBatch(make_write_batch(1, run1))
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        crashed = False
+    except StreamingQueryException:
+        crashed = True
+    assert crashed and run1 == [0, 1], run1
+
+    run2: list = []
+    q2 = (
+        src.writeStream.foreachBatch(make_write_batch(None, run2))
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert run2 == [1], run2  # exactly the uncommitted batch, redelivered
+
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in extra.items():
+        r = r.option(k, v)
+    got = r.load().select("event_id", "user_id", "event_type")
+    from sdp_spark.sources.fixtures import table as fixture_table
+
+    want = fixture_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    assert got.count() == want.count()
+    assert got.groupBy("event_id").count().filter("count > 1").count() == 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
 def test_knn_graph_ivf_edge_quality_and_bounds(spark, sf_dir):
     """The IVF-bootstrapped k-NN graph (the scale-safe NSW edge source,
     VERDICT r11 next-round #4) must (a) recover most of the exact
