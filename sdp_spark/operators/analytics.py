@@ -793,9 +793,9 @@ def ears_family_scored(daily: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "query_outbreak_ears_family",
-    oracle=f"""
+# Shared EARS-family core SQL (batch capstone + streaming twin register
+# off this SINGLE definition, mirroring the EARS_SCORED_SQL discipline):
+EARS_FAMILY_SQL = f"""
     WITH daily AS (
       SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
              CAST(COUNT(*) AS BIGINT) AS n
@@ -841,8 +841,12 @@ def ears_family_scored(daily: DataFrame) -> DataFrame:
              {sql_dround('c3raw', 4)}
       FROM c3d WHERE c2 IS NOT NULL
     ) t
-    ORDER BY variant, event_type, day_s
-    """,
+"""
+
+
+@register(
+    "query_outbreak_ears_family",
+    oracle=f"{EARS_FAMILY_SQL} ORDER BY variant, event_type, day_s",
     section=_SEC,
 )
 def query_outbreak_ears_family(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3071,6 +3075,77 @@ def query_outbreak_serfling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count("*").cast("double").alias("c"))
     return serfling_scored(daily)
+
+
+@register(
+    "ts_excess_burden",
+    oracle=f"""
+    SELECT event_type,
+           CAST(SUM(n_events) AS BIGINT) AS observed,
+           CAST(ROUND(SUM(CAST(expected AS DECIMAL(30,8))), 4) AS DOUBLE)
+             AS expected_total,
+           CAST(ROUND(SUM(CAST(GREATEST(0.0, n_events - expected)
+                                AS DECIMAL(30,8))), 4) AS DOUBLE)
+             AS excess,
+           CAST(SUM(CASE WHEN alert THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alert_days,
+           {sql_dround(
+               "CAST(SUM(CAST(GREATEST(0.0, n_events - expected)"
+               " AS DECIMAL(30,8))) AS DOUBLE)"
+               " / CAST(SUM(CAST(expected AS DECIMAL(30,8))) AS DOUBLE)",
+               4)} AS excess_ratio
+    FROM ({_SERF_SQL}) s
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    section=_SEC,
+)
+def ts_excess_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal EXCESS burden estimation — Serfling's original 1963
+    purpose (the method was built to estimate excess pneumonia-influenza
+    MORTALITY over the expected seasonal curve, before it was an alert
+    threshold): per event_type over the scored window, observed events,
+    the seasonally-expected total, the cumulative positive excess
+    sum(max(0, observed_d − expected_d)), alert-day count, and the
+    excess ratio — the season-summary number a health department
+    publishes ('X% above expected'). Composes the certified
+    `serfling_scored` core (same fitted baseline, same frozen-window
+    OLS), so the burden estimate can never drift from the detector that
+    flagged the days.
+
+    Determinism: expected_d is already 4 dp-rounded by the core; the
+    per-type totals sum those rounded doubles as DECIMAL (exact,
+    order-free) before one final rounding — the num.py dsum discipline.
+    Plan: the daily rollup is the only event-scale pass (shared shape
+    with every detector); burden is one further metadata-scale rollup
+    to |types| rows."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("c"))
+    scored = serfling_scored(daily)
+    excess_d = F.greatest(F.lit(0.0), F.col("n_events") - F.col("expected"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("observed"),
+            F.round(F.sum(F.col("expected").cast(DEC)), 4)
+            .cast("double")
+            .alias("expected_total"),
+            F.round(F.sum(excess_d.cast(DEC)), 4)
+            .cast("double")
+            .alias("excess"),
+            F.sum(F.col("alert").cast("int")).cast("bigint").alias(
+                "n_alert_days"
+            ),
+            dround(
+                F.sum(excess_d.cast(DEC)).cast("double")
+                / F.sum(F.col("expected").cast(DEC)).cast("double"),
+                4,
+            ).alias("excess_ratio"),
+        )
+        .orderBy("event_type")
+    )
 
 
 _TS_WIN_DAYS = 180  # Theil-Sen pair window: quadratic in DAYS, not rows

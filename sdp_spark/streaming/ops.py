@@ -1288,6 +1288,48 @@ def stream_ears_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from sdp_spark.operators.analytics import EARS_FAMILY_SQL  # noqa: E402
+
+
+@register(
+    "stream_ears_family_alerts",
+    oracle=f"""
+    SELECT variant, event_type, day_s, n, score
+    FROM ({EARS_FAMILY_SQL}) fam
+    WHERE score > {_EARS_Z_SHARED}
+    ORDER BY variant, event_type, day_s
+    """,
+    section=_SEC,
+)
+def stream_ears_family_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE monitoring over the COMPLETE EARS family — the ELEVENTH
+    batch+stream detector pair, the streaming twin of
+    `query_outbreak_ears_family`: the stream maintains per-(type, day)
+    counts (incremental, bounded per-day state) and all three variant
+    scores — C1 no-gap, C2 gapped, C3 cumulative carryover — run
+    batch-side through the SAME `ears_family_scored` core after each
+    trigger (window frames aren't incremental; the two-stage split
+    every detector twin uses). Emits only firing alerts, labeled by
+    variant, so the alert feed itself tells the epidemiologist WHICH
+    statistic fired — the n-of-m escalation input
+    `query_detector_concordance` quantifies. The oracle pins
+    stream==batch across all three variants end-to-end."""
+    from sdp_spark.operators.analytics import _EARS_Z, ears_family_scored
+
+    sdf = _events_stream(spark, sf_dir)
+    daily = (
+        sdf.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    snap = _run_to_memory(daily, "complete", "earsfamdaily")
+    return (
+        ears_family_scored(snap)
+        .filter(F.col("score") > _EARS_Z)
+        .select("variant", "event_type", "day_s", "n", "score")
+        .orderBy("variant", "event_type", "day_s")
+    )
+
+
 @register(
     "sink_stream_partitioned",
     oracle="""

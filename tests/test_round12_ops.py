@@ -86,6 +86,52 @@ def test_ears_family_planted_profiles(spark, tmp_path):
     assert family_c2 == standalone
 
 
+def test_excess_burden_planted_step(spark, tmp_path):
+    """Serfling excess burden on a planted corpus: a weekly-cycled
+    baseline (Jan 1-21, the frozen fit window) followed by the same
+    cycle ELEVATED by 10/day in the scored window (Jan 22 onward). The
+    fitted seasonal expectation tracks the cycle, so the excess must
+    come out ~10 x scored days and the ratio ~10/cycle-mean — the
+    'X% above expected' number, season-summarized. Tolerances are wide
+    (OLS on 21 noisy-phase days), but the planted step must dominate."""
+    from sdp_spark.plans.registry import load_all
+
+    sf = str(tmp_path / "excess")
+    cycle = [18, 22, 25, 20, 16, 24, 15]  # weekly shape, mean = 20
+    counts = [cycle[t % 7] + (10 if t >= 21 else 0) for t in range(35)]
+    _write_events(spark, sf, {"resp": counts})
+    rows = load_all()["ts_excess_burden"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n_scored = 35 - 21
+    assert r["observed"] == sum(counts[21:])
+    # expected tracks the un-elevated cycle: 20/day +- fit slack
+    assert abs(r["expected_total"] - 20.0 * n_scored) < 0.15 * 20 * n_scored
+    assert abs(r["excess"] - 10.0 * n_scored) < 0.35 * 10 * n_scored
+    assert 0.3 < r["excess_ratio"] < 0.75
+    assert r["n_alert_days"] >= n_scored // 2
+
+
+def test_stream_ears_family_equals_batch_alerts(spark, sf_dir):
+    """The eleventh batch+stream pair must agree STRUCTURALLY: the
+    stream's alert feed == the batch family's alert rows, variant by
+    variant (same core, two-stage split — the invariant every detector
+    twin in the repo carries)."""
+    from sdp_spark.plans.registry import load_all
+
+    REG = load_all()
+    stream = {
+        (r["variant"], r["event_type"], r["day_s"], r["n"], r["score"])
+        for r in REG["stream_ears_family_alerts"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["variant"], r["event_type"], r["day_s"], r["n"], r["score"])
+        for r in REG["query_outbreak_ears_family"].fn(spark, sf_dir).collect()
+        if r["alert"]
+    }
+    assert stream == batch
+
+
 # ---------------------------------------------------------------------------
 # Streaming crash recovery — the exactly-once proof (VERDICT r11 #8)
 # ---------------------------------------------------------------------------
