@@ -2835,8 +2835,18 @@ def _ivf_knn_edges(spark: SparkSession, sf_dir: str, k_out: int = _NSW_K):
     both = _knng_assigned(spark, sf_dir).select(
         "vec_id", "dvec", F.explode("cells").alias("cell")
     )
-    a = both.select("cell", "vec_id", F.col("dvec").alias("va"))
-    b = both.select(
+    return _cell_topk_edges(both, both, k_out)
+
+
+def _cell_topk_edges(
+    src_frame: DataFrame, dst_frame: DataFrame, k_out: int
+) -> DataFrame:
+    """Per-cell candidate join + exact rescore + per-source top-k_out
+    over (vec_id, dvec=UNIT vector, cell) frames. Shared by the full
+    graph build (src == dst == whole corpus) and incremental insertion
+    (src = arriving vectors, dst = the indexed corpus)."""
+    a = src_frame.select("cell", "vec_id", F.col("dvec").alias("va"))
+    b = dst_frame.select(
         "cell",
         F.col("vec_id").alias("neighbor_id"),
         F.col("dvec").alias("vb"),
@@ -2878,6 +2888,41 @@ def llm_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall row in `llm_ann_recall_eval` certifies the composed
     lifecycle (approximate build -> beam search) end to end."""
     return _ivf_knn_edges(spark, sf_dir, k_out=_NSW_K).orderBy(
+        "vec_id", "rnk"
+    )
+
+
+@register("llm_ann_insert_incremental", oracle=None, section=_SEC)
+def llm_ann_insert_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance — attach ARRIVING vectors to an
+    already-indexed corpus without rebuilding it: the last 20% of
+    vec_ids play the day's new arrivals, the first 80% the standing
+    index. Each arrival reuses the TRAINED coarse quantizer (production
+    inserts never refit per batch — the quantizer is versioned index
+    state), lands in its 3 nearest cells, candidate-joins ONLY the
+    indexed vectors in those cells, and takes its exact-rescored top-8
+    as its edge list (these, unioned with their reverses, are exactly
+    the links an NSW insert adds). Per-insert cost is
+    O(NASSIGN * cell size) — independent of total corpus growth when K
+    tracks sqrt(N) — which is what makes a daily-ingest vector platform
+    affordable: the O(N^1.5) full build (`llm_knn_graph_ivf`) runs at
+    bootstrap, THIS runs every batch thereafter.
+
+    Output: (vec_id, neighbor_id, cos_sim, rnk) for arriving vectors
+    only. Deterministic: split = floor(0.8 * max vec_id), cached
+    deterministic-seed quantizer, lowest-index ties, 4 dp cosine,
+    neighbor_id tiebreak. rows-only oracle (k-means cells are not SQL-
+    replayable); pytest pins edge recall vs the arrivals' true top-k
+    among the indexed set, the old/new partition discipline, and
+    determinism."""
+    both = _knng_assigned(spark, sf_dir).select(
+        "vec_id", "dvec", F.explode("cells").alias("cell")
+    )
+    max_id = both.agg(F.max("vec_id")).collect()[0][0]
+    split = int(max_id * 0.8)
+    arriving = both.filter(F.col("vec_id") >= split)
+    indexed = both.filter(F.col("vec_id") < split)
+    return _cell_topk_edges(arriving, indexed, _NSW_K).orderBy(
         "vec_id", "rnk"
     )
 

@@ -86,6 +86,52 @@ def test_ears_family_planted_profiles(spark, tmp_path):
     assert family_c2 == standalone
 
 
+def test_ann_insert_incremental_recall_and_partition(spark, sf_dir):
+    """Incremental insertion must attach arrivals to the standing index
+    correctly: (a) every output vec_id is an arrival (>= the 80% split)
+    and every neighbor an indexed vector (< split); (b) per-arrival
+    edges recover >= 0.6 of the TRUE top-8 among indexed vectors
+    (numpy ground truth on the small fixture; same coverage-bound
+    near-uniform-sphere caveat as the build key — measured ~0.75);
+    (c) rnk is contiguous from 1 and capped at 8; (d) deterministic
+    across runs."""
+    import numpy as np
+
+    from sdp_spark.operators.llm import _emb_normed
+    from sdp_spark.plans.registry import load_all
+
+    REG = load_all()
+    out = REG["llm_ann_insert_incremental"].fn(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.array(r["dvec"]) / r["norm"]
+        for r in _emb_normed(spark, sf_dir).collect()
+    }
+    split = int(max(emb) * 0.8)
+    assert all(r["vec_id"] >= split and r["neighbor_id"] < split for r in out)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["vec_id"], []).append(r)
+    idx_ids = sorted(i for i in emb if i < split)
+    idx_mat = np.stack([emb[i] for i in idx_ids])
+    recalls = []
+    for src, rows in by_src.items():
+        assert sorted(x["rnk"] for x in rows) == list(range(1, len(rows) + 1))
+        assert len(rows) <= 8
+        sims = idx_mat @ emb[src]
+        true_top = {
+            idx_ids[j]
+            for j in sorted(range(len(idx_ids)), key=lambda j: (-sims[j], idx_ids[j]))[:8]
+        }
+        got = {x["neighbor_id"] for x in rows}
+        recalls.append(len(got & true_top) / 8)
+    assert sum(recalls) / len(recalls) >= 0.6, sum(recalls) / len(recalls)
+    again = {
+        (r["vec_id"], r["neighbor_id"], r["rnk"])
+        for r in REG["llm_ann_insert_incremental"].fn(spark, sf_dir).collect()
+    }
+    assert again == {(r["vec_id"], r["neighbor_id"], r["rnk"]) for r in out}
+
+
 def test_excess_burden_planted_step(spark, tmp_path):
     """Serfling excess burden on a planted corpus: a weekly-cycled
     baseline (Jan 1-21, the frozen fit window) followed by the same
