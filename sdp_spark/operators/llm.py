@@ -2808,6 +2808,48 @@ def _knng_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-duplicate VECTOR groups, memoized per (app, sf_dir): (vec_id, gid)
+# with gid = the group's global-min vec_id. The ANN build's collapse gate
+# rides these the way the text-dedup chain rides _cached_clusters.
+_VEC_GROUPS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_VEC_DUP_DENSE: dict[tuple[str, str], bool] = {}
+
+
+def _vec_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VEC_GROUPS_CACHE:
+        emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec")
+        g = emb.groupBy("dvec").agg(F.min("vec_id").alias("gid"))
+        _VEC_GROUPS_CACHE[key] = (
+            emb.join(g, "dvec")
+            .select("vec_id", "gid")
+            .localCheckpoint(eager=True)
+        )
+    return _VEC_GROUPS_CACHE[key]
+
+
+def _vec_dup_dense(spark: SparkSession, sf_dir: str) -> bool:
+    """Duplicate-density gate for the ANN-graph collapse prefix — the
+    _collapse_dense doctrine applied to vectors: below the shared 5%
+    fraction the collapse's extra joins cost more than the O(copies^2)
+    per-cell candidate rows they avoid; above it (crawl-scale corpora
+    are routinely dup-heavy) the clone cliques make the per-cell
+    self-join output-bound and the collapse is the difference between
+    finishing and not (measured: the 90%-dup 100x fixture's plain build
+    did not finish in 10 min; collapsed, seconds)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VEC_DUP_DENSE:
+        stats = _vec_groups(spark, sf_dir).agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("vec_id") != F.col("gid")).cast("long")).alias("dups"),
+        ).first()
+        _VEC_DUP_DENSE[key] = (
+            stats["n"] > 0
+            and stats["dups"] / stats["n"] >= _NEAR_COLLAPSE_MIN_DUP_FRAC
+        )
+    return _VEC_DUP_DENSE[key]
+
+
 def _ivf_knn_edges(spark: SparkSession, sf_dir: str, k_out: int = _NSW_K):
     """IVF-bootstrapped approximate k-NN edge list — the scale-safe graph
     BUILD the exact `llm_knn_graph` cannot be (VERDICT r11 next-round
@@ -2832,10 +2874,97 @@ def _ivf_knn_edges(spark: SparkSession, sf_dir: str, k_out: int = _NSW_K):
     `_kmeans_fit`; ties in assignment break to the lowest centroid
     index; cosine is the shared 4 dp fold; ranking tiebreaks on
     neighbor_id. Returns (vec_id, neighbor_id, cos_sim, rnk)."""
+    if _vec_dup_dense(spark, sf_dir):
+        return _collapsed_edges(spark, sf_dir, k_out, None, None)
     both = _knng_assigned(spark, sf_dir).select(
         "vec_id", "dvec", F.explode("cells").alias("cell")
     )
     return _cell_topk_edges(both, both, k_out)
+
+
+def _collapsed_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    k_out: int,
+    src_pred,
+    dst_pred,
+) -> DataFrame:
+    """The duplicate-collapse branch of the ANN-graph build/insert: score
+    DIRECTIONS (exact-duplicate groups), expand to members arithmetically
+    — the _near_dedup_collapsed doctrine applied to vectors. A clone
+    clique's per-cell self-join is O(copies^2) in candidate rows while
+    its information content is one direction; so the cell machinery runs
+    at gid grain (one row per distinct direction), and member-grain
+    edges reconstruct exactly:
+
+    - clone-mates (same gid, cos 1.0 — identical unit vectors) come
+      first under the (cos desc, id asc) order, and only the k_out
+      smallest member ids per gid can ever appear in any top-k_out, so
+      the dst side pre-limits to those;
+    - cross-direction candidates = the gid's top-k_out neighbor
+      DIRECTIONS expanded to each one's k_out smallest members — the
+      k-th nearest member always belongs to one of the k nearest
+      directions, so the expansion is lossless for the top-k_out.
+
+    src_pred/dst_pred (column predicates on vec_id, or None) restrict
+    the two roles — the full build passes None/None; incremental
+    insertion passes arriving/indexed. On a dup-free corpus this
+    reduces to the plain branch computation (every group is a
+    singleton), pinned by the equality pytest."""
+    groups = _vec_groups(spark, sf_dir)
+    src_members = groups.filter(src_pred) if src_pred is not None else groups
+    dst_members = groups.filter(dst_pred) if dst_pred is not None else groups
+    emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")
+    unit = F.transform("dvec", lambda x: x / F.col("norm"))
+
+    def rep_frame(members, cents):
+        gids = members.select("gid").distinct()
+        rep = emb.join(gids, emb.vec_id == gids.gid).select(
+            F.col("gid").alias("vec_id"), unit.alias("dvec")
+        )
+        return _km_assign(rep, cents, probe_n=_KNNG_IVF_NASSIGN).select(
+            "vec_id", "dvec", F.explode("cells").alias("cell")
+        )
+
+    n_dst = dst_members.select("gid").distinct().count()
+    k_cells = max(8, min(256, int(n_dst ** 0.5)))
+    cents = _spherical_cells(spark, sf_dir, k_cells)
+    rep_edges = _cell_topk_edges(
+        rep_frame(src_members, cents), rep_frame(dst_members, cents), k_out
+    )
+    # dst-side member cap: ties at equal cos break on neighbor_id asc,
+    # so only each gid's k_out+1 smallest ids can surface anywhere
+    wg = Window.partitionBy("gid").orderBy("vec_id")
+    dst_top = (
+        dst_members.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= k_out + 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "gid")
+    )
+    mates = (
+        src_members.join(dst_top, "gid")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", F.lit(1.0).alias("cos_sim"))
+    )
+    cross = (
+        src_members.join(
+            rep_edges.select(
+                F.col("vec_id").alias("gid"),
+                F.col("neighbor_id").alias("ngid"),
+                "cos_sim",
+            ),
+            "gid",
+        )
+        .join(dst_top.withColumnRenamed("gid", "ngid"), "ngid")
+        .select("vec_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        mates.unionByName(cross)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k_out)
+    )
 
 
 def _cell_topk_edges(
@@ -2915,11 +3044,20 @@ def llm_ann_insert_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayable); pytest pins edge recall vs the arrivals' true top-k
     among the indexed set, the old/new partition discipline, and
     determinism."""
+    emb = _emb_normed(spark, sf_dir)
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    split = int(max_id * 0.8)
+    if _vec_dup_dense(spark, sf_dir):
+        return _collapsed_edges(
+            spark,
+            sf_dir,
+            _NSW_K,
+            F.col("vec_id") >= split,
+            F.col("vec_id") < split,
+        ).orderBy("vec_id", "rnk")
     both = _knng_assigned(spark, sf_dir).select(
         "vec_id", "dvec", F.explode("cells").alias("cell")
     )
-    max_id = both.agg(F.max("vec_id")).collect()[0][0]
-    split = int(max_id * 0.8)
     arriving = both.filter(F.col("vec_id") >= split)
     indexed = both.filter(F.col("vec_id") < split)
     return _cell_topk_edges(arriving, indexed, _NSW_K).orderBy(

@@ -132,6 +132,55 @@ def test_ann_insert_incremental_recall_and_partition(spark, sf_dir):
     assert again == {(r["vec_id"], r["neighbor_id"], r["rnk"]) for r in out}
 
 
+def test_knn_graph_collapse_branch(spark, sf_dir, tmp_path):
+    """The duplicate-collapse branch of the ANN-graph build must be
+    output-invisible where it's optional and correct where it's
+    mandatory: (a) on the dup-FREE fixture (below the 5% gate, every
+    group a singleton) forcing the collapsed path yields EXACTLY the
+    plain build's edges; (b) on a planted 90%-clone corpus (40
+    directions x 10 clones — the crawl-scale shape whose clone cliques
+    make the plain per-cell self-join output-bound) the gate fires, and
+    every member's edges are its 8 smallest-id clone-mates at cos 1.0 —
+    the exact (cos desc, id asc) answer."""
+    import numpy as np
+
+    from sdp_spark.operators import llm as L
+    from sdp_spark.plans.registry import load_all
+
+    REG = load_all()
+    plain = {
+        (r["vec_id"], r["neighbor_id"], r["cos_sim"], r["rnk"])
+        for r in REG["llm_knn_graph_ivf"].fn(spark, sf_dir).collect()
+    }
+    assert not L._vec_dup_dense(spark, sf_dir)
+    forced = {
+        (r["vec_id"], r["neighbor_id"], r["cos_sim"], r["rnk"])
+        for r in L._collapsed_edges(spark, sf_dir, 8, None, None).collect()
+    }
+    assert forced == plain
+
+    sf = str(tmp_path / "clones")
+    os.makedirs(sf)
+    rng = np.random.RandomState(7)
+    dirs = rng.randn(40, 64)
+    rows = []
+    for v in range(400):
+        rows.append((v, [float(x) for x in dirs[v % 40]], v % 40))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    assert L._vec_dup_dense(spark, sf)
+    out = REG["llm_knn_graph_ivf"].fn(spark, sf).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["vec_id"], []).append(r)
+    for src, edges in by_src.items():
+        mates = sorted(v for v in range(src % 40, 400, 40) if v != src)[:8]
+        got = sorted(e["neighbor_id"] for e in edges)
+        assert got == mates, (src, got, mates)
+        assert all(e["cos_sim"] == 1.0 for e in edges)
+
+
 def test_excess_burden_planted_step(spark, tmp_path):
     """Serfling excess burden on a planted corpus: a weekly-cycled
     baseline (Jan 1-21, the frozen fit window) followed by the same
