@@ -3152,10 +3152,10 @@ _RL_PAIR_COLS = (
 )
 
 
-def _record_linkage_oracle() -> str:
-    return f"""
-    WITH kcfg AS (
-      SELECT {_RL_LADDER} AS k FROM (SELECT COUNT(*) AS n FROM customer)
+# Engine-shared candidate-pair CTE chain (two-pass blocking) — the WITH
+# body both the linkage oracle and the EM-training key build on.
+_RL_PAIRS_CTES = f"""kcfg AS (
+      SELECT {_RL_LADDER} AS k FROM (SELECT COUNT(*) AS n FROM customer) t
     ), a AS (
       SELECT c_custkey AS a_key, c_name AS a_name,
              {_RL_PHONE} AS a_phone, c_acctbal AS a_bal,
@@ -3184,7 +3184,12 @@ def _record_linkage_oracle() -> str:
       SELECT {_RL_PAIR_COLS}
       FROM a JOIN b
         ON substr(upper(a.a_name), 1, 17) = substr(upper(b.b_name), 1, 17)
-    ), scored AS (
+    )"""
+
+
+def _record_linkage_oracle() -> str:
+    return f"""
+    WITH {_RL_PAIRS_CTES}, scored AS (
       SELECT a_key, b_key,
              CAST(CASE WHEN a_name = b_name THEN 1 ELSE 0 END AS INT)
                AS agree_name,
@@ -3320,6 +3325,164 @@ def query_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), "a_key", "b_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter EM weight training (Winkler 1988): estimate m/u/p from
+# the candidate pairs themselves — the step the published-table linkage
+# key takes as given. ONE engine-shared SQL text (both engines evaluate
+# the identical arithmetic): agreement vectors collapse to <= 16 pattern
+# counts, then _RL_EM_ITERS unrolled EM iterations run over that
+# metadata-sized table with DECIMAL-exact sums and 1e-12 grid snapping
+# per scalar — the Holt-recursion portability discipline, so the chain
+# is bit-identical across engines and the key is fully HASH-ORACLED
+# despite being an iterative fit.
+# ---------------------------------------------------------------------------
+
+_RL_EM_ITERS = 10
+_RL_EM_FIELDS = ["name", "phone", "bal", "seg"]  # g1..g4 in this order
+
+
+def _em_dec8(e: str) -> str:
+    return f"CAST(FLOOR(({e}) * 100000000 + 0.5) / 100000000 AS DECIMAL(30,8))"
+
+
+def _em_snap12(e: str) -> str:
+    return f"FLOOR(({e}) * 1000000000000 + 0.5) / 1000000000000"
+
+
+def _em_clamp(e: str) -> str:
+    # Winkler's boundary clamp: a parameter pinned at 0/1 freezes EM and
+    # makes ln(m/u) infinite; 1e-6 is the conventional floor
+    return f"GREATEST(0.000001, LEAST(0.999999, {e}))"
+
+
+def _em_step(prev: str) -> str:
+    pm = " * ".join(
+        f"(CASE WHEN g{i} = 1 THEN it.m{i} ELSE 1 - it.m{i} END)"
+        for i in range(1, 5)
+    )
+    pu = " * ".join(
+        f"(CASE WHEN g{i} = 1 THEN it.u{i} ELSE 1 - it.u{i} END)"
+        for i in range(1, 5)
+    )
+    sums = [
+        f"CAST(SUM({_em_dec8('w * cnt')}) AS DOUBLE) AS sw",
+        f"CAST(SUM({_em_dec8('(1 - w) * cnt')}) AS DOUBLE) AS sv",
+        f"CAST(SUM({_em_dec8('cnt')}) AS DOUBLE) AS nn",
+    ]
+    for i in range(1, 5):
+        sums.append(
+            f"CAST(SUM({_em_dec8(f'w * cnt * g{i}')}) AS DOUBLE) AS swg{i}"
+        )
+        sums.append(
+            f"CAST(SUM({_em_dec8(f'(1 - w) * cnt * g{i}')}) AS DOUBLE)"
+            f" AS svg{i}"
+        )
+    sel = [_em_snap12("sw / nn") + " AS p"]
+    for i in range(1, 5):
+        sel.append(_em_clamp(_em_snap12(f"swg{i} / sw")) + f" AS m{i}")
+        sel.append(_em_clamp(_em_snap12(f"svg{i} / sv")) + f" AS u{i}")
+    return f"""SELECT {", ".join(sel)} FROM (
+      SELECT {", ".join(sums)} FROM (
+        SELECT cnt, g1, g2, g3, g4,
+               {_em_snap12(f"(it.p * {pm}) / (it.p * {pm} + (1 - it.p) * {pu})")} AS w
+        FROM pat CROSS JOIN {prev} it
+      ) e
+    ) s"""
+
+
+def _linkage_em_sql() -> str:
+    agr = ", ".join(
+        f"CAST(CASE WHEN a_{f} = b_{f} THEN 1 ELSE 0 END AS INT) AS g{i}"
+        for i, f in enumerate(_RL_EM_FIELDS, 1)
+    )
+    iters = ",\n    ".join(
+        f"it{k} AS ({_em_step(f'it{k - 1}')})"
+        for k in range(1, _RL_EM_ITERS + 1)
+    )
+    m_case = "CASE f.i " + " ".join(
+        f"WHEN {i} THEN it.m{i}" for i in range(1, 5)
+    ) + " END"
+    u_case = "CASE f.i " + " ".join(
+        f"WHEN {i} THEN it.u{i}" for i in range(1, 5)
+    ) + " END"
+
+    def micronat(e: str) -> str:
+        return (
+            f"CAST(CAST(FLOOR(LN({e}) * 1000000 + 0.5) AS BIGINT)"
+            " AS DOUBLE) / 1000000"
+        )
+
+    vals = ", ".join(
+        f"({i}, '{f}')" for i, f in enumerate(_RL_EM_FIELDS, 1)
+    )
+    return f"""
+    WITH {_RL_PAIRS_CTES}, agr AS (
+      SELECT {agr} FROM pairs
+    ), pat AS (
+      SELECT g1, g2, g3, g4, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM agr GROUP BY g1, g2, g3, g4
+    ),
+    it0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
+                   CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+                   CAST(0.9 AS DOUBLE) AS m3, CAST(0.9 AS DOUBLE) AS m4,
+                   CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+                   CAST(0.1 AS DOUBLE) AS u3, CAST(0.1 AS DOUBLE) AS u4),
+    {iters}
+    SELECT f.field,
+           {m_case} AS m,
+           {u_case} AS u,
+           {micronat(f"({m_case}) / ({u_case})")} AS w_agree,
+           {micronat(f"(1 - ({m_case})) / (1 - ({u_case}))")} AS w_disagree,
+           it.p AS match_prevalence
+    FROM it{_RL_EM_ITERS} it
+    CROSS JOIN (SELECT * FROM (VALUES {vals}) AS t(i, field)) f
+    ORDER BY f.field
+    """
+
+
+@register("query_linkage_em_weights", oracle=_linkage_em_sql(), section=_SEC)
+def query_linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-trained Fellegi-Sunter parameters (Winkler 1988; Jaro's
+    UNIMATCH lineage) — the step `query_record_linkage` takes as given:
+    estimate each field's m = P(agree | match), u = P(agree | unmatch)
+    and the match prevalence p FROM THE CANDIDATE PAIRS THEMSELVES, no
+    labeled truth, then emit the ln(m/u) / ln((1-m)/(1-u)) agreement
+    weights a production linkage run would score with. This is how a
+    real linkage shop calibrates: published tables start somewhere, but
+    every new reporting system's error rates are estimated by EM over
+    its own blocked pairs.
+
+    Spark shape: the two-pass blocked pairs (the SAME shared CTE text
+    the linkage key certifies) collapse to <= 2^4 agreement-pattern
+    counts — ONE data-scale aggregation — and the {_RL_EM_ITERS}
+    unrolled EM iterations run entirely over that 16-row table:
+    E-step responsibilities and M-step re-estimates are plain SQL
+    arithmetic, so 100 TB of pairs cost one groupBy; the fit itself is
+    metadata-sized regardless of corpus. FULLY HASH-ORACLED despite
+    being iterative: per-pattern terms snap to the 1e-8 grid and sum as
+    DECIMAL (order-free), every scalar snaps to the 1e-12 grid, and
+    both engines evaluate the IDENTICAL SQL text (spark.sql == DuckDB
+    oracle), so the 10-step recursion is bit-portable — the Holt-
+    smoothing discipline. Weights land on the micro-nat grid (ln needs
+    only 5e-7 cross-engine agreement). Winkler's 1e-6 boundary clamp
+    keeps ln finite when a field's u estimate collapses to zero inside
+    blocked candidates (blocking removes most unmatched disagreement
+    mass — a real phenomenon the clamp convention exists for)."""
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    # ten chained CTEs of nested aggregates exceed the analyzer's default
+    # fixed-point budget (Max iterations (100) reached for batch
+    # Resolution) — raise it for this one statement, then restore (the
+    # SQL-scripting conf discipline)
+    prior = spark.conf.get("spark.sql.analyzer.maxIterations", "100")
+    spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
+    try:
+        return spark.sql(_linkage_em_sql())
+    finally:
+        spark.conf.set("spark.sql.analyzer.maxIterations", prior)
 
 
 # ---------------------------------------------------------------------------

@@ -132,6 +132,44 @@ def test_ann_insert_incremental_recall_and_partition(spark, sf_dir):
     assert again == {(r["vec_id"], r["neighbor_id"], r["rnk"]) for r in out}
 
 
+def test_linkage_em_recovers_planted_error_rates(spark, sf_dir):
+    """EM over the blocked candidate pairs must recover the fixture's
+    PLANTED corruption rates without any labeled truth: m(name) = 2/3
+    (1/3 of B names case-folded), m(phone) = 4/5, m(bal) = 6/7,
+    m(seg) = 10/11 — each within 0.05. u for the high-cardinality
+    fields collapses toward 0 inside blocked candidates; u(seg) is HIGH
+    (pass-1 blocks on segment, so unmatched blocked pairs usually agree
+    there) — the real-world blocked-sampling artifact the EM correctly
+    learns and the published-table key cannot. Prevalence lands near
+    true-pairs/candidates, and the learned agreement weights rank the
+    fields by discriminative power."""
+    from sdp_spark.plans.registry import load_all
+
+    rows = {
+        r["field"]: r
+        for r in load_all()["query_linkage_em_weights"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    truth = {"name": 2 / 3, "phone": 4 / 5, "bal": 6 / 7, "seg": 10 / 11}
+    for f, m_true in truth.items():
+        assert abs(rows[f]["m"] - m_true) < 0.05, (f, rows[f]["m"])
+    for f in ("name", "phone", "bal"):
+        assert rows[f]["u"] < 0.01, (f, rows[f]["u"])
+        assert rows[f]["w_agree"] > 5.0
+    # blocking keeps segment-agreeing pairs: u(seg) is orders above the
+    # high-cardinality fields' u (0.28 at sf0.001, 0.63 at sf0.01 — the
+    # pass-2 name-prefix pairs dilute it more on the smaller fixture)
+    assert rows["seg"]["u"] > 0.1
+    # seg is the panel's weakest discriminator by a wide margin
+    assert rows["seg"]["w_agree"] < min(
+        rows[f]["w_agree"] for f in ("name", "phone", "bal")
+    ) - 3.0
+    p = rows["name"]["match_prevalence"]
+    assert 0.005 < p < 0.15
+    assert all(r["w_disagree"] < 0 for r in rows.values())
+
+
 def test_knn_graph_collapse_branch(spark, sf_dir, tmp_path):
     """The duplicate-collapse branch of the ANN-graph build must be
     output-invisible where it's optional and correct where it's
