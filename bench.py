@@ -126,6 +126,12 @@ EXTRA = [
     "llm_sim_search_nsw",           # NSW beam-search ANN (r11; r12 IVF build)
     "llm_knn_graph_ivf",            # IVF-bootstrapped k-NN graph build (r12)
     "query_detector_concordance",   # detector-panel agreement matrix (r11)
+    "query_outbreak_ears_family",   # full EARS C1/C2/C3 panel (r12)
+    "ts_excess_burden",             # Serfling excess estimation (r12)
+    "llm_ann_insert_incremental",   # incremental index maintenance (r12)
+    # query_linkage_em_weights (r12) is intentionally NOT tracked here:
+    # its wall is ~35 s of ANALYZER time (10 unrolled EM CTEs), constant
+    # in data size — a compile benchmark, not a data-path one.
 ]
 
 
