@@ -3077,9 +3077,8 @@ def query_outbreak_serfling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serfling_scored(daily)
 
 
-@register(
-    "ts_excess_burden",
-    oracle=f"""
+# Shared excess-burden rollup SQL (batch key + streaming twin):
+EXCESS_BURDEN_SQL = f"""
     SELECT event_type,
            CAST(SUM(n_events) AS BIGINT) AS observed,
            CAST(ROUND(SUM(CAST(expected AS DECIMAL(30,8))), 4) AS DOUBLE)
@@ -3097,9 +3096,38 @@ def query_outbreak_serfling(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ({_SERF_SQL}) s
     GROUP BY event_type
     ORDER BY event_type
-    """,
-    section=_SEC,
-)
+    """
+
+
+def excess_burden_rollup(scored: DataFrame) -> DataFrame:
+    """Per-type burden rollup over a serfling_scored frame — the shared
+    core of `ts_excess_burden` and its streaming twin (exact-decimal
+    sums of the 4 dp-rounded dailies; see the batch key's docstring)."""
+    excess_d = F.greatest(F.lit(0.0), F.col("n_events") - F.col("expected"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("observed"),
+            F.round(F.sum(F.col("expected").cast(DEC)), 4)
+            .cast("double")
+            .alias("expected_total"),
+            F.round(F.sum(excess_d.cast(DEC)), 4)
+            .cast("double")
+            .alias("excess"),
+            F.sum(F.col("alert").cast("int")).cast("bigint").alias(
+                "n_alert_days"
+            ),
+            dround(
+                F.sum(excess_d.cast(DEC)).cast("double")
+                / F.sum(F.col("expected").cast(DEC)).cast("double"),
+                4,
+            ).alias("excess_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("ts_excess_burden", oracle=EXCESS_BURDEN_SQL, section=_SEC)
 def ts_excess_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal EXCESS burden estimation — Serfling's original 1963
     purpose (the method was built to estimate excess pneumonia-influenza
@@ -3123,27 +3151,89 @@ def ts_excess_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count("*").cast("double").alias("c"))
-    scored = serfling_scored(daily)
-    excess_d = F.greatest(F.lit(0.0), F.col("n_events") - F.col("expected"))
-    return (
-        scored.groupBy("event_type")
-        .agg(
-            F.sum("n_events").cast("bigint").alias("observed"),
-            F.round(F.sum(F.col("expected").cast(DEC)), 4)
-            .cast("double")
-            .alias("expected_total"),
-            F.round(F.sum(excess_d.cast(DEC)), 4)
-            .cast("double")
-            .alias("excess"),
-            F.sum(F.col("alert").cast("int")).cast("bigint").alias(
-                "n_alert_days"
-            ),
-            dround(
-                F.sum(excess_d.cast(DEC)).cast("double")
-                / F.sum(F.col("expected").cast(DEC)).cast("double"),
-                4,
-            ).alias("excess_ratio"),
+    return excess_burden_rollup(serfling_scored(daily))
+
+
+@register(
+    "ts_epidemic_onset",
+    oracle=f"""
+    WITH s AS ({_SERF_SQL}),
+    runs AS (
+      SELECT event_type, day, alert,
+             LEAD(alert) OVER (PARTITION BY event_type ORDER BY day) AS nxt
+      FROM s
+    ), onset AS (
+      SELECT event_type, MIN(day) AS onset_day
+      FROM runs WHERE alert AND COALESCE(nxt, FALSE)
+      GROUP BY event_type
+    ), offs AS (
+      SELECT r.event_type, MIN(r.day) AS offset_day
+      FROM runs r JOIN onset o ON r.event_type = o.event_type
+      WHERE r.day > o.onset_day
+        AND NOT r.alert AND NOT COALESCE(r.nxt, TRUE)
+      GROUP BY r.event_type
+    ), alerts AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN alert THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alert_days
+      FROM s GROUP BY event_type
+    )
+    SELECT a.event_type, o.onset_day, f.offset_day, a.n_alert_days
+    FROM alerts a
+    LEFT JOIN onset o ON a.event_type = o.event_type
+    LEFT JOIN offs f ON a.event_type = f.event_type
+    ORDER BY a.event_type
+    """,
+    section=_SEC,
+)
+def ts_epidemic_onset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epidemic onset/offset detection over the Serfling threshold — the
+    season-timing deliverable ('the epidemic period began week X and
+    ended week Y') behind the classic influenza epidemic-period curves:
+    onset = the first scored day that exceeds the seasonal threshold
+    AND is followed by another exceedance (the standard two-consecutive
+    rule that keeps one-day blips from declaring a season), offset =
+    the first post-onset day that is quiet and followed by another
+    quiet day. Types with no sustained run report NULL onset — 'no
+    epidemic this season' is an answer, not an absence (the fixture's
+    null data exercises exactly that; the planted step drives real
+    onsets/offsets in pytest). One row per event_type with the
+    alert-day total.
+
+    Plan: rides the certified `serfling_scored` core (the daily rollup
+    is the only event-scale pass); the run logic is one LEAD window +
+    two metadata-scale aggregates over |types x days| rows."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("c"))
+    s = serfling_scored(daily).localCheckpoint()
+    wl = Window.partitionBy("event_type").orderBy("day")
+    runs = s.select(
+        "event_type", "day", "alert", F.lead("alert").over(wl).alias("nxt")
+    )
+    onset = (
+        runs.filter(F.col("alert") & F.coalesce(F.col("nxt"), F.lit(False)))
+        .groupBy("event_type")
+        .agg(F.min("day").alias("onset_day"))
+    )
+    offs = (
+        runs.join(onset, "event_type")
+        .filter(
+            (F.col("day") > F.col("onset_day"))
+            & ~F.col("alert")
+            & ~F.coalesce(F.col("nxt"), F.lit(True))
         )
+        .groupBy("event_type")
+        .agg(F.min("day").alias("offset_day"))
+    )
+    alerts = s.groupBy("event_type").agg(
+        F.sum(F.col("alert").cast("int")).cast("bigint").alias("n_alert_days")
+    )
+    return (
+        alerts.join(F.broadcast(onset), "event_type", "left")
+        .join(F.broadcast(offs), "event_type", "left")
+        .select("event_type", "onset_day", "offset_day", "n_alert_days")
         .orderBy("event_type")
     )
 

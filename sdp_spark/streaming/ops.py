@@ -1330,6 +1330,38 @@ def stream_ears_family_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from sdp_spark.operators.analytics import EXCESS_BURDEN_SQL  # noqa: E402
+
+
+@register(
+    "stream_excess_burden",
+    oracle=EXCESS_BURDEN_SQL,
+    section=_SEC,
+)
+def stream_excess_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE seasonal excess-burden monitoring — the TWELFTH batch+stream
+    pair, the streaming twin of `ts_excess_burden`: the stream maintains
+    per-(type, day) counts incrementally and the Serfling fit + burden
+    rollup (the SAME serfling_scored / excess_burden_rollup cores) run
+    batch-side after each trigger, so the health department's
+    'X% above expected this season' number updates continuously as
+    reports land instead of waiting for the season-end batch job. The
+    oracle pins stream==batch end-to-end: same observed/expected/excess
+    totals, same alert-day counts, same ratio."""
+    from sdp_spark.operators.analytics import (
+        excess_burden_rollup,
+        serfling_scored,
+    )
+
+    sdf = _events_stream(spark, sf_dir)
+    daily = (
+        sdf.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    snap = _run_to_memory(daily, "complete", "excessdaily")
+    return excess_burden_rollup(serfling_scored(snap))
+
+
 @register(
     "sink_stream_partitioned",
     oracle="""

@@ -245,6 +245,37 @@ def test_excess_burden_planted_step(spark, tmp_path):
     assert r["n_alert_days"] >= n_scored // 2
 
 
+def test_epidemic_onset_planted_wave(spark, tmp_path):
+    """Onset/offset timing on planted seasons: a SUSTAINED step (elevated
+    from day 21 onward) must onset at the first scored day (two
+    consecutive exceedances) and never offset; a WAVE (elevated days
+    21-26 only) must onset the same day and offset at the first quiet
+    day followed by another quiet day; an all-baseline type must report
+    NULL onset — 'no epidemic this season' is an answer."""
+    from sdp_spark.plans.registry import load_all
+
+    sf = str(tmp_path / "onset")
+    cycle = [18, 22, 25, 20, 16, 24, 15]
+    base = [cycle[t % 7] for t in range(35)]
+    _write_events(spark, sf, {
+        "sustained": [base[t] + (30 if t >= 21 else 0) for t in range(35)],
+        "wave": [base[t] + (30 if 21 <= t <= 26 else 0) for t in range(35)],
+        "quiet": base,
+    })
+    rows = {
+        r["event_type"]: r
+        for r in load_all()["ts_epidemic_onset"].fn(spark, sf).collect()
+    }
+    assert rows["sustained"]["onset_day"] == "2024-01-22"
+    assert rows["sustained"]["offset_day"] is None
+    assert rows["wave"]["onset_day"] == "2024-01-22"
+    assert rows["wave"]["offset_day"] is not None
+    assert "2024-01-28" <= rows["wave"]["offset_day"] <= "2024-01-31"
+    assert rows["quiet"]["onset_day"] is None
+    assert rows["quiet"]["n_alert_days"] == 0
+    assert rows["sustained"]["n_alert_days"] == 14
+
+
 def test_stream_ears_family_equals_batch_alerts(spark, sf_dir):
     """The eleventh batch+stream pair must agree STRUCTURALLY: the
     stream's alert feed == the batch family's alert rows, variant by
