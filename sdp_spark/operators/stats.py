@@ -3152,9 +3152,10 @@ _RL_PAIR_COLS = (
 )
 
 
-# Engine-shared candidate-pair CTE chain (two-pass blocking) — the WITH
-# body both the linkage oracle and the EM-training key build on.
-_RL_PAIRS_CTES = f"""kcfg AS (
+# Engine-shared blocking CTE chain (sources + block keys) and the
+# candidate-pair union built on it — the linkage oracle and the
+# EM-training key compose these.
+_RL_BLOCK_CTES = f"""kcfg AS (
       SELECT {_RL_LADDER} AS k FROM (SELECT COUNT(*) AS n FROM customer) t
     ), a AS (
       SELECT c_custkey AS a_key, c_name AS a_name,
@@ -3177,7 +3178,9 @@ _RL_PAIRS_CTES = f"""kcfg AS (
       SELECT b.*, concat(CAST(b_nat AS STRING), '|', b_seg, '|',
                          substr(b_phone, 1, kcfg.k)) AS blk
       FROM b CROSS JOIN kcfg
-    ), pairs AS (
+    )"""
+
+_RL_PAIRS_CTES = f"""{_RL_BLOCK_CTES}, pairs AS (
       SELECT {_RL_PAIR_COLS}
       FROM a1 JOIN b1 ON a1.blk = b1.blk
       UNION
@@ -3392,13 +3395,44 @@ def _em_step(prev: str) -> str:
     ) s"""
 
 
-def _linkage_em_sql() -> str:
+def _linkage_em_pat_sql() -> str:
+    """Data-scale half: blocked pairs -> <=16 agreement-pattern counts.
+    Agreement bits are computed INSIDE each blocking pass so the
+    pair-identity dedup (a pair both passes find must count once) runs
+    over 6 NARROW columns, not the 10 wide attribute strings the
+    linkage key's pairs CTE dedups — the g's are functions of the pair,
+    so the two dedups are equivalent and the shuffle shrinks ~5x
+    (measured 97.9 s -> 31 s at the dup-dense 10x's 31.4M candidates)."""
     agr = ", ".join(
         f"CAST(CASE WHEN a_{f} = b_{f} THEN 1 ELSE 0 END AS INT) AS g{i}"
         for i, f in enumerate(_RL_EM_FIELDS, 1)
     )
+    return f"""
+    WITH {_RL_BLOCK_CTES}, cand AS (
+      SELECT DISTINCT a_key, b_key, g1, g2, g3, g4 FROM (
+        SELECT a_key, b_key, {agr}
+        FROM a1 JOIN b1 ON a1.blk = b1.blk
+        UNION ALL
+        SELECT a_key, b_key, {agr}
+        FROM a JOIN b
+          ON substr(upper(a.a_name), 1, 17) = substr(upper(b.b_name), 1, 17)
+      ) u
+    )
+    SELECT g1, g2, g3, g4, CAST(COUNT(*) AS DOUBLE) AS cnt
+    FROM cand GROUP BY g1, g2, g3, g4
+    """
+
+
+def _linkage_em_iter_sql(pat_rel: str) -> str:
+    """Metadata-scale half: the unrolled EM chain over a pattern relation
+    (`pat_rel` = a CTE name or a temp view of the checkpointed pattern
+    table — Spark inlines a WITH-CTE per reference, so feeding the chain
+    the raw pairs CTE would recompute the blocked join once per
+    iteration; measured 221.7 s -> 13.5 s at 10x with the split)."""
     iters = ",\n    ".join(
-        f"it{k} AS ({_em_step(f'it{k - 1}')})"
+        f"it{k} AS ({_em_step(f'it{k - 1}')})".replace(
+            "FROM pat ", f"FROM {pat_rel} "
+        )
         for k in range(1, _RL_EM_ITERS + 1)
     )
     m_case = "CASE f.i " + " ".join(
@@ -3418,13 +3452,7 @@ def _linkage_em_sql() -> str:
         f"({i}, '{f}')" for i, f in enumerate(_RL_EM_FIELDS, 1)
     )
     return f"""
-    WITH {_RL_PAIRS_CTES}, agr AS (
-      SELECT {agr} FROM pairs
-    ), pat AS (
-      SELECT g1, g2, g3, g4, CAST(COUNT(*) AS DOUBLE) AS cnt
-      FROM agr GROUP BY g1, g2, g3, g4
-    ),
-    it0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
+    WITH it0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
                    CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
                    CAST(0.9 AS DOUBLE) AS m3, CAST(0.9 AS DOUBLE) AS m4,
                    CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
@@ -3442,7 +3470,21 @@ def _linkage_em_sql() -> str:
     """
 
 
-@register("query_linkage_em_weights", oracle=_linkage_em_sql(), section=_SEC)
+def _linkage_em_oracle() -> str:
+    """DuckDB gets the whole thing as ONE text (it materializes the
+    multi-referenced pattern CTE; Spark runs the two halves split —
+    see _linkage_em_iter_sql)."""
+    iter_sql = _linkage_em_iter_sql("pat").strip()
+    assert iter_sql.startswith("WITH ")
+    return f"""
+    WITH pat AS ({_linkage_em_pat_sql()}),
+    {iter_sql[len("WITH "):]}
+    """
+
+
+@register(
+    "query_linkage_em_weights", oracle=_linkage_em_oracle(), section=_SEC
+)
 def query_linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EM-trained Fellegi-Sunter parameters (Winkler 1988; Jaro's
     UNIMATCH lineage) — the step `query_record_linkage` takes as given:
@@ -3473,6 +3515,15 @@ def query_linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdp_spark.sources.fixtures import load_tables
 
     load_tables(spark, sf_dir)
+    # Split execution: materialize the <=16-row pattern table first
+    # (localCheckpoint — bounded state, the k-means-fit doctrine), then
+    # run the EM chain over the checkpoint. Spark inlines a WITH-CTE per
+    # reference, so a single statement would recompute the blocked pair
+    # join once per iteration (measured 221.7 s -> 13.5 s at 10x).
+    # DuckDB replays the identical arithmetic as one text (the oracle).
+    pat = spark.sql(_linkage_em_pat_sql()).localCheckpoint(eager=True)
+    view = f"rl_em_pat_{abs(hash(sf_dir)) % 10**8}"
+    pat.createOrReplaceTempView(view)
     # ten chained CTEs of nested aggregates exceed the analyzer's default
     # fixed-point budget (Max iterations (100) reached for batch
     # Resolution) — raise it for this one statement, then restore (the
@@ -3480,7 +3531,7 @@ def query_linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = spark.conf.get("spark.sql.analyzer.maxIterations", "100")
     spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
     try:
-        return spark.sql(_linkage_em_sql())
+        return spark.sql(_linkage_em_iter_sql(view))
     finally:
         spark.conf.set("spark.sql.analyzer.maxIterations", prior)
 
