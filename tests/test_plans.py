@@ -431,6 +431,11 @@ _CAPSTONE_EXCHANGE_BUDGET = {
     # variant pivot is a stack() Generate, not a per-variant recompute):
     # count agg + window repartition + final sort, same as the C2 key.
     "query_outbreak_ears_family": 3,
+    # serfling core (daily agg + moments/resid rollups off the
+    # checkpointed daily) + one burden/onset rollup + final sort;
+    # the coef/sigma/onset frames all broadcast
+    "ts_excess_burden": 5,
+    "ts_epidemic_onset": 5,
     "query_market_share": 2,
     "query_product_profit": 2,
     "query_shipmode_priority": 2,
