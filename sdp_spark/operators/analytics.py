@@ -3154,9 +3154,8 @@ def ts_excess_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return excess_burden_rollup(serfling_scored(daily))
 
 
-@register(
-    "ts_epidemic_onset",
-    oracle=f"""
+# Shared onset/offset SQL (batch key + streaming twin):
+EPIDEMIC_ONSET_SQL = f"""
     WITH s AS ({_SERF_SQL}),
     runs AS (
       SELECT event_type, day, alert,
@@ -3183,31 +3182,14 @@ def ts_excess_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN onset o ON a.event_type = o.event_type
     LEFT JOIN offs f ON a.event_type = f.event_type
     ORDER BY a.event_type
-    """,
-    section=_SEC,
-)
-def ts_epidemic_onset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Epidemic onset/offset detection over the Serfling threshold — the
-    season-timing deliverable ('the epidemic period began week X and
-    ended week Y') behind the classic influenza epidemic-period curves:
-    onset = the first scored day that exceeds the seasonal threshold
-    AND is followed by another exceedance (the standard two-consecutive
-    rule that keeps one-day blips from declaring a season), offset =
-    the first post-onset day that is quiet and followed by another
-    quiet day. Types with no sustained run report NULL onset — 'no
-    epidemic this season' is an answer, not an absence (the fixture's
-    null data exercises exactly that; the planted step drives real
-    onsets/offsets in pytest). One row per event_type with the
-    alert-day total.
+    """
 
-    Plan: rides the certified `serfling_scored` core (the daily rollup
-    is the only event-scale pass); the run logic is one LEAD window +
-    two metadata-scale aggregates over |types x days| rows."""
-    e = table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.count("*").cast("double").alias("c"))
-    s = serfling_scored(daily).localCheckpoint()
+
+def epidemic_onset_rollup(scored: DataFrame) -> DataFrame:
+    """Onset/offset/alert-day rollup over a serfling_scored frame — the
+    shared core of `ts_epidemic_onset` and its streaming twin (see the
+    batch key's docstring for the two-consecutive rule)."""
+    s = scored.localCheckpoint()
     wl = Window.partitionBy("event_type").orderBy("day")
     runs = s.select(
         "event_type", "day", "alert", F.lead("alert").over(wl).alias("nxt")
@@ -3236,6 +3218,31 @@ def ts_epidemic_onset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "onset_day", "offset_day", "n_alert_days")
         .orderBy("event_type")
     )
+
+
+@register("ts_epidemic_onset", oracle=EPIDEMIC_ONSET_SQL, section=_SEC)
+def ts_epidemic_onset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epidemic onset/offset detection over the Serfling threshold — the
+    season-timing deliverable ('the epidemic period began week X and
+    ended week Y') behind the classic influenza epidemic-period curves:
+    onset = the first scored day that exceeds the seasonal threshold
+    AND is followed by another exceedance (the standard two-consecutive
+    rule that keeps one-day blips from declaring a season), offset =
+    the first post-onset day that is quiet and followed by another
+    quiet day. Types with no sustained run report NULL onset — 'no
+    epidemic this season' is an answer, not an absence (the fixture's
+    null data exercises exactly that; the planted step drives real
+    onsets/offsets in pytest). One row per event_type with the
+    alert-day total.
+
+    Plan: rides the certified `serfling_scored` core (the daily rollup
+    is the only event-scale pass); the run logic is one LEAD window +
+    two metadata-scale aggregates over |types x days| rows."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("c"))
+    return epidemic_onset_rollup(serfling_scored(daily))
 
 
 _TS_WIN_DAYS = 180  # Theil-Sen pair window: quadratic in DAYS, not rows

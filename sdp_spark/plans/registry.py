@@ -133,7 +133,7 @@ _SWEEP_PRIORITY = (
     "query_outbreak_ears_family", "llm_knn_graph_ivf",
     "stream_ears_family_alerts", "ts_excess_burden",
     "llm_ann_insert_incremental", "query_linkage_em_weights",
-    "ts_epidemic_onset", "stream_excess_burden",
+    "ts_epidemic_onset", "stream_excess_burden", "stream_epidemic_onset",
     # --- (b) r12 changed-output keys (see _SWEEP_REPROOFS) ---
     "query_spatial_scan_kulldorff", "query_spacetime_scan",
     "stream_spacetime_alerts", "llm_sim_search_nsw", "llm_ann_recall_eval",

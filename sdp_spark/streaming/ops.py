@@ -1330,7 +1330,37 @@ def stream_ears_family_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from sdp_spark.operators.analytics import EXCESS_BURDEN_SQL  # noqa: E402
+from sdp_spark.operators.analytics import (  # noqa: E402
+    EPIDEMIC_ONSET_SQL,
+    EXCESS_BURDEN_SQL,
+)
+
+
+@register(
+    "stream_epidemic_onset",
+    oracle=EPIDEMIC_ONSET_SQL,
+    section=_SEC,
+)
+def stream_epidemic_onset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE epidemic season timing — the THIRTEENTH batch+stream pair,
+    the streaming twin of `ts_epidemic_onset`: incremental daily counts,
+    then the Serfling fit + two-consecutive onset/offset rule (the SAME
+    serfling_scored / epidemic_onset_rollup cores) re-evaluate after
+    each trigger, so 'has the season started?' updates as reports land —
+    the question a surveillance shop asks its dashboard every morning of
+    flu season. NULL onset = not yet. The oracle pins stream==batch."""
+    from sdp_spark.operators.analytics import (
+        epidemic_onset_rollup,
+        serfling_scored,
+    )
+
+    sdf = _events_stream(spark, sf_dir)
+    daily = (
+        sdf.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    snap = _run_to_memory(daily, "complete", "onsetdaily")
+    return epidemic_onset_rollup(serfling_scored(snap))
 
 
 @register(
