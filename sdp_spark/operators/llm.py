@@ -1746,8 +1746,14 @@ def _km_assign(
       materialize N x K rows; this path never does.
     """
     k = len(cents)
-    if probe_n is not None:
-        assert probe_n <= k
+    if probe_n is not None and probe_n > k:
+        # a bare assert is stripped under python -O, and past the gate the
+        # literal path's F.slice / the pandas path's argsort would silently
+        # truncate to k cells — an under-replicated index, not an error
+        # (ADVICE r12 #3)
+        raise ValueError(
+            f"probe_n={probe_n} exceeds centroid count k={k}"
+        )
     if k <= _KM_LITERAL_MAX:
         if probe_n is not None:
             ranked = F.array_sort(
@@ -2747,6 +2753,13 @@ _NSW_ROUNDS = 6  # expansion rounds: with K ~ sqrt(N) per-cell entries the
 # plus slack (recall flat from 4 rounds up on every fixture incl. 10x;
 # 10 rounds measured 2.3x the wall for identical recall)
 _KNNG_IVF_NASSIGN = 3  # cells each vector lands in (boundary replication)
+_KNNG_REFINE_ROUNDS = 2   # NNDescent rounds over the cell-built edges
+_KNNG_REFINE_DEGREE = 16  # intermediate out-degree during build+refine
+# (VERDICT r12 next-round #3: at the final degree 8 the 2-hop frontier
+# saturates at edge recall ~0.69 on the near-uniform sf0.1 sphere — too
+# few hub paths in high intrinsic dimension; building and refining at
+# degree 16 and truncating to 8 at the end measures 0.60 -> 0.75 -> 0.83
+# over the two rounds, and each round stays O(N * (2*16)^2) = linear)
 
 # Spherical-k-means cell centroids memoized per (app, sf_dir, k): unit-norm
 # K x dim float lists — the parametric-K sibling of _ivfpq_model's coarse
@@ -2775,6 +2788,11 @@ def _spherical_cells(spark: SparkSession, sf_dir: str, k: int) -> list:
     )
     mat = np.array([r["dvec"] for r in rows], dtype=np.float64)
     mat /= np.array([r["norm"] for r in rows], dtype=np.float64)[:, None]
+    # k has a floor of 8 at every call site, but the collected sample can
+    # be smaller (a tiny corpus, or a pinned _km_fit_sample_cap): seeding
+    # takes mat[:k] so cmat would hold < k rows and cmat[c] below would
+    # raise IndexError (ADVICE r12 #1) — clamp to the sample
+    k = min(k, len(mat))
     cmat = mat[:k].copy()
     for _ in range(_KM_ITERS):
         assign = (mat @ cmat.T).argmax(axis=1)
@@ -2804,7 +2822,9 @@ def _knng_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _km_assign(
         emb.select("vec_id", unit.alias("dvec")),
         cents,
-        probe_n=_KNNG_IVF_NASSIGN,
+        # the fit clamps k to its sample (ADVICE r12 #1), so a tiny
+        # corpus can return fewer than NASSIGN centroids
+        probe_n=min(_KNNG_IVF_NASSIGN, len(cents)),
     )
 
 
@@ -2874,12 +2894,105 @@ def _ivf_knn_edges(spark: SparkSession, sf_dir: str, k_out: int = _NSW_K):
     `_kmeans_fit`; ties in assignment break to the lowest centroid
     index; cosine is the shared 4 dp fold; ranking tiebreaks on
     neighbor_id. Returns (vec_id, neighbor_id, cos_sim, rnk)."""
+    k_inner = max(k_out, _KNNG_REFINE_DEGREE)
     if _vec_dup_dense(spark, sf_dir):
-        return _collapsed_edges(spark, sf_dir, k_out, None, None)
-    both = _knng_assigned(spark, sf_dir).select(
-        "vec_id", "dvec", F.explode("cells").alias("cell")
+        base = _collapsed_edges(spark, sf_dir, k_inner, None, None)
+    else:
+        both = _knng_assigned(spark, sf_dir).select(
+            "vec_id", "dvec", F.explode("cells").alias("cell")
+        )
+        base = _cell_topk_edges(both, both, k_inner)
+    refined = _nndescent_refine(spark, sf_dir, base, k_inner)
+    return refined.filter(F.col("rnk") <= k_out)
+
+
+def _nndescent_refine(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame,
+    k_out: int,
+    rounds: int = _KNNG_REFINE_ROUNDS,
+) -> DataFrame:
+    """NNDescent-style edge refinement (Dong, Moses & Li, WWW 2011: "a
+    neighbor of a neighbor is likely a neighbor") over an approximate
+    k-NN edge list: per round, candidates = the UNDIRECTED 2-hop
+    neighborhood (one self-join of the undirected edge list on the
+    shared pivot) unioned with the current edges, exact-rescored on the
+    unit vectors, per-source top-k_out retaken. VERDICT r12 next-round
+    #3: the IVF cell build's edge recall vs the exact graph bottomed at
+    0.60 at sf0.1 (near-uniform sphere, the coverage-bound hard case) —
+    2-hop expansion recovers the cross-cell edges boundary replication
+    misses.
+
+    Cost per round: the undirected list has <= 2*k_out*N rows, so the
+    pivot self-join emits <= (2*k_out)^2 * N candidate pairs — O(N*k^2),
+    LINEAR in corpus size (vs the build's O(N^1.5) candidates), and the
+    rescore is two narrow hash joins onto the cached unit vectors + one
+    per-source window on the same vec_id partitioning the build already
+    uses. Deterministic end to end: candidates are a set (distinct),
+    cosine is the shared 4 dp fold on unit vectors, ranking tiebreaks on
+    neighbor_id."""
+    emb = _emb_normed(spark, sf_dir)
+    unit = emb.select(
+        "vec_id",
+        F.transform("dvec", lambda x: x / F.col("norm")).alias("uv"),
     )
-    return _cell_topk_edges(both, both, k_out)
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    # the incoming cell build is referenced 3+ times by round 1 (see the
+    # per-round note below) — materialize it once
+    ranked = edges.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        cur = ranked.select("vec_id", "neighbor_id")
+        und = cur.unionByName(
+            cur.select(
+                F.col("neighbor_id").alias("vec_id"),
+                F.col("vec_id").alias("neighbor_id"),
+            )
+        )
+        hop2 = und.alias("x").join(
+            und.alias("y"),
+            F.col("x.neighbor_id") == F.col("y.vec_id"),
+        ).select(
+            F.col("x.vec_id").alias("vec_id"),
+            F.col("y.neighbor_id").alias("neighbor_id"),
+        )
+        cand = (
+            cur.unionByName(hop2)
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .repartition("vec_id")
+            .distinct()
+        )
+        scored = (
+            cand.join(unit.withColumnRenamed("uv", "va"), "vec_id")
+            .join(
+                unit.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("uv").alias("vb"),
+                ),
+                "neighbor_id",
+            )
+            .select("vec_id", "neighbor_id", dround(dot, 4).alias("cos_sim"))
+        )
+        # checkpoint per round: the next round references this frame
+        # three+ times (und twice, cand once, scored's join input) — an
+        # unchecked lineage would re-run the whole prior round per
+        # reference (the NSW frontier-checkpoint doctrine; bounded state,
+        # <= k_out * N narrow rows)
+        ranked = (
+            scored.withColumn(
+                "rnk", F.row_number().over(w).cast("bigint")
+            )
+            .filter(F.col("rnk") <= k_out)
+            .localCheckpoint(eager=True)
+        )
+    return ranked
 
 
 def _collapsed_edges(
@@ -2922,9 +3035,9 @@ def _collapsed_edges(
         rep = emb.join(gids, emb.vec_id == gids.gid).select(
             F.col("gid").alias("vec_id"), unit.alias("dvec")
         )
-        return _km_assign(rep, cents, probe_n=_KNNG_IVF_NASSIGN).select(
-            "vec_id", "dvec", F.explode("cells").alias("cell")
-        )
+        return _km_assign(
+            rep, cents, probe_n=min(_KNNG_IVF_NASSIGN, len(cents))
+        ).select("vec_id", "dvec", F.explode("cells").alias("cell"))
 
     n_dst = dst_members.select("gid").distinct().count()
     k_cells = max(8, min(256, int(n_dst ** 0.5)))

@@ -191,9 +191,20 @@ def test_knn_graph_collapse_branch(spark, sf_dir, tmp_path):
         for r in REG["llm_knn_graph_ivf"].fn(spark, sf_dir).collect()
     }
     assert not L._vec_dup_dense(spark, sf_dir)
+    # force the collapsed CELL build, then run it through the SAME
+    # refine+truncate tail the registry key applies (r13: the build
+    # refines at degree 16 and truncates to 8 — see _ivf_knn_edges)
+    k_in = max(8, L._KNNG_REFINE_DEGREE)
     forced = {
         (r["vec_id"], r["neighbor_id"], r["cos_sim"], r["rnk"])
-        for r in L._collapsed_edges(spark, sf_dir, 8, None, None).collect()
+        for r in L._nndescent_refine(
+            spark,
+            sf_dir,
+            L._collapsed_edges(spark, sf_dir, k_in, None, None),
+            k_in,
+        )
+        .filter("rnk <= 8")
+        .collect()
     }
     assert forced == plain
 
@@ -429,11 +440,14 @@ def test_stream_crash_recovery_exactly_once_jdbc(spark, sf_dir):
 def test_knn_graph_ivf_edge_quality_and_bounds(spark, sf_dir):
     """The IVF-bootstrapped k-NN graph (the scale-safe NSW edge source,
     VERDICT r11 next-round #4) must (a) recover most of the exact
-    graph's edges — >= 0.7 of exact top-5 edges appear among its top-8
+    graph's edges — >= 0.8 of exact top-5 edges appear among its top-8
     on the near-uniform-sphere fixture (the hard case for any
-    cell-pruning build; measured 0.75) — (b) respect the out-degree
-    cap with contiguous ranks, and (c) be run-to-run deterministic
-    (cached deterministic-seed fit, lowest-index ties)."""
+    cell-pruning build; the r13 NNDescent refinement lifted the floor
+    from 0.7: build+refine at degree 16, truncate to 8 — measured
+    0.83/0.84/0.83 at sf0.001/0.01/0.1, VERDICT r12 next-round #3) —
+    (b) respect the out-degree cap with contiguous ranks, and (c) be
+    run-to-run deterministic (cached deterministic-seed fit,
+    lowest-index ties)."""
     from sdp_spark.plans.registry import load_all
 
     REG = load_all()
@@ -441,7 +455,7 @@ def test_knn_graph_ivf_edge_quality_and_bounds(spark, sf_dir):
     exact = REG["llm_knn_graph"].fn(spark, sf_dir).collect()
     a_edges = {(r["vec_id"], r["neighbor_id"]) for r in approx}
     e_edges = {(r["vec_id"], r["neighbor_id"]) for r in exact}
-    assert len(e_edges & a_edges) / len(e_edges) >= 0.7
+    assert len(e_edges & a_edges) / len(e_edges) >= 0.8
     by_src = {}
     for r in approx:
         by_src.setdefault(r["vec_id"], []).append(r["rnk"])

@@ -228,8 +228,8 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
     assert macro["ivfpq"] >= 0.9
     # graph beam search (beam 16, 6 rounds, per-cell entries) over the
     # IVF-BOOTSTRAPPED k=8 graph (r12: the O(N^1.5) build replaced the
-    # exact O(N^2) one) — measured 1.0/1.0/0.9818 across fixtures
-    assert macro["nsw"] >= 0.95
+    # exact O(N^2) one; r13: NNDescent-refined edges, VERDICT r12 #3)
+    assert macro["nsw"] >= 0.99
 
 
 def test_embed_lsh_collapse_equals_uncollapsed(spark, sf_dir):
