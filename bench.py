@@ -129,6 +129,8 @@ EXTRA = [
     "query_outbreak_ears_family",   # full EARS C1/C2/C3 panel (r12)
     "ts_excess_burden",             # Serfling excess estimation (r12)
     "llm_ann_insert_incremental",   # incremental index maintenance (r12)
+    "llm_ann_index_persist",        # build+persist the ANN index (r13)
+    "llm_ann_search_persisted",     # serve-only search from that index (r13)
     # query_linkage_em_weights (r12) is intentionally NOT tracked here:
     # its wall is ~35 s of ANALYZER time (10 unrolled EM CTEs), constant
     # in data size — a compile benchmark, not a data-path one.

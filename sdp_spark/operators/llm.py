@@ -3209,7 +3209,6 @@ def llm_sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     round count (no data-dependent convergence). rows-only oracle
     (graph traversal is not replayable SQL); recall@5 is pinned in
     pytest and tracked in BENCH_DETAIL via `llm_ann_recall_eval`."""
-    emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")
     knn = _ivf_knn_edges(spark, sf_dir, k_out=_NSW_K).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
@@ -3220,6 +3219,34 @@ def llm_sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    return _nsw_beam_search(
+        spark, sf_dir, edges, _nsw_entries(spark, sf_dir)
+    )
+
+
+def _nsw_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node) — one beam-search entry vertex per IVF cell (lowest member
+    vec_id by primary cell). See the entries block in _nsw_beam_search's
+    docstring for why multi-entry is load-bearing on dup-dense corpora."""
+    return (
+        _knng_assigned(spark, sf_dir)
+        .select("vec_id", F.col("cells")[0].alias("cell"))
+        .groupBy("cell")
+        .agg(F.min("vec_id").alias("node"))
+        .select("node")
+    )
+
+
+def _nsw_beam_search(
+    spark: SparkSession, sf_dir: str, edges: DataFrame, entries: DataFrame
+) -> DataFrame:
+    """The NSW beam-search SEARCH path over a prepared index: `edges` is
+    the UNDIRECTED (src, dst) link list, `entries` the (node) seed set.
+    Factored out of llm_sim_search_nsw (r13) so the persisted-index
+    search (`llm_ann_search_persisted`) runs the IDENTICAL plan over
+    parquet-read index state — search ≡ in-plan search is structural,
+    not copy-paste. Semantics and determinism: see llm_sim_search_nsw."""
+    emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")
     queries = emb.filter(F.col("vec_id") <= 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("dvec").alias("qv"),
@@ -3233,13 +3260,6 @@ def llm_sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 90%-dup 10x fixture: recall@5 0.09 single-entry vs 1.0 per-cell).
     # Entry count is K ~ sqrt(N) — bounded seed work per query, the
     # multi-entry discipline HNSW gets from its layer hierarchy.
-    entries = (
-        _knng_assigned(spark, sf_dir)
-        .select("vec_id", F.col("cells")[0].alias("cell"))
-        .groupBy("cell")
-        .agg(F.min("vec_id").alias("node"))
-        .select("node")
-    )
     frontier = queries.select("query_id").crossJoin(
         F.broadcast(entries)
     ).localCheckpoint(eager=True)
@@ -3300,3 +3320,142 @@ def llm_sim_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("node").alias("neighbor_id"), "cos_sim")
         .orderBy("query_id", F.col("cos_sim").desc(), "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN index LIFECYCLE: persist trained index state, serve searches from it
+# ---------------------------------------------------------------------------
+
+# Bump when the on-disk index layout or the build algorithm changes (r13a:
+# NNDescent-refined edges) — a stale-format index must never be read.
+_ANN_INDEX_VERSION = "r13a"
+
+
+def _ann_index_path(sf_dir: str) -> str:
+    from sdp_spark.sources.fixtures import cache_dir
+
+    return cache_dir(sf_dir, f"ann_index_{_ANN_INDEX_VERSION}")
+
+
+def ann_index_build(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Build the ANN index ONCE and persist its trained state as parquet
+    tables (VERDICT r12 next-round #1: every sim-search key trained its
+    quantizer and built its graph inside the query plan, then discarded
+    them — `llm_ann_insert_incremental`'s docstring promises "versioned
+    index state", this is that state). Four tables under a VERSIONED
+    directory:
+
+    - centroids(cell, centroid): the trained spherical-k-means coarse
+      quantizer — what future batches (incremental inserts, new query
+      routing) assign against without refitting;
+    - assignments(vec_id, cells): each indexed vector's replicated cell
+      ids — the IVF posting-list side of the index;
+    - edges(vec_id, neighbor_id, cos_sim, rnk): the NNDescent-refined
+      k=8 NSW edge list, written PARTITIONED by pmod(vec_id, 16) (the
+      sink_partitioned layout primitive): per-source neighbor lookups
+      prune to one directory instead of scanning the graph;
+    - entries(node): the per-cell beam-search seed vertices.
+
+    A _MANIFEST.json with per-table row counts commits the build LAST —
+    readers treat the index as present only when the manifest exists, so
+    a crashed half-written build is rebuilt, never served (the streaming
+    file-sink commit-marker discipline). Idempotent: an existing manifest
+    short-circuits unless `force` (the registry key forces, so its bench
+    timing measures a real build, never a cached no-op). Returns the
+    index directory."""
+    import json
+    import os
+    import shutil
+
+    path = _ann_index_path(sf_dir)
+    manifest = os.path.join(path, "_MANIFEST.json")
+    if os.path.exists(manifest):
+        if not force:
+            return path
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    cents = _spherical_cells(
+        spark,
+        sf_dir,
+        max(8, min(256, int(_emb_normed(spark, sf_dir).count() ** 0.5))),
+    )
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    assignments = _knng_assigned(spark, sf_dir).select("vec_id", "cells")
+    edges = _ivf_knn_edges(spark, sf_dir, k_out=_NSW_K)
+    entries = _nsw_entries(spark, sf_dir)
+    counts: dict[str, int] = {}
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    counts["centroids"] = len(cents)
+    assignments.write.mode("overwrite").parquet(
+        os.path.join(path, "assignments")
+    )
+    (
+        edges.withColumn("bucket", F.pmod(F.col("vec_id"), F.lit(16)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "edges"))
+    )
+    entries.write.mode("overwrite").parquet(os.path.join(path, "entries"))
+    for name in ("assignments", "edges", "entries"):
+        counts[name] = spark.read.parquet(os.path.join(path, name)).count()
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": _ANN_INDEX_VERSION, "tables": counts}, f)
+    os.replace(tmp, manifest)  # atomic commit marker
+    return path
+
+
+@register("llm_ann_index_persist", oracle=None, section=_SEC)
+def llm_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the trained ANN index (see ann_index_build) and return its
+    manifest as rows — (component, n_rows), one per persisted table. A
+    production vector platform builds once and serves many: this key
+    certifies the BUILD+PERSIST half of that lifecycle;
+    `llm_ann_search_persisted` certifies the serve half. rows-only
+    oracle (k-means training state is not SQL-replayable); pytest pins
+    manifest-vs-table count agreement, crash-marker semantics, and that
+    the persisted search needs zero build work."""
+    import json
+
+    path = ann_index_build(spark, sf_dir, force=True)
+    with open(f"{path}/_MANIFEST.json") as f:
+        counts = json.load(f)["tables"]
+    return spark.createDataFrame(
+        sorted(counts.items()),
+        "component string, n_rows bigint",
+    ).orderBy("component")
+
+
+@register("llm_ann_search_persisted", oracle=None, section=_SEC)
+def llm_ann_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 similarity search served FROM THE PERSISTED INDEX with zero
+    build work: reads the parquet edge list + entry seeds that
+    ann_index_build committed (bootstrapping the index first if absent)
+    and runs the identical `_nsw_beam_search` plan `llm_sim_search_nsw`
+    runs over its in-plan build — the output is EXACTLY equal (pytest-
+    pinned), but the serve path's cost is the beam search alone: no
+    k-means fit, no cell self-join, no refinement. This is the
+    build-once/serve-many split a 100 TB vector platform runs on —
+    BENCH_DETAIL tracks both keys so the build-vs-serve wall ratio is a
+    per-round artifact. rows-only oracle (graph traversal is not
+    replayable SQL)."""
+    import os
+
+    path = ann_index_build(spark, sf_dir)
+    knn = spark.read.parquet(os.path.join(path, "edges")).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    edges = (
+        knn.unionByName(
+            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    entries = spark.read.parquet(os.path.join(path, "entries")).select("node")
+    return _nsw_beam_search(spark, sf_dir, edges, entries)

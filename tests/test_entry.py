@@ -177,6 +177,29 @@ def test_sweep_priority_matches_registry():
     assert rounds == sorted(rounds), "freshness queue out of order"
 
 
+def test_sweep_priority_is_generated():
+    """_SWEEP_PRIORITY must equal tools/gen_sweep_queue.compute() exactly
+    (VERDICT r12 next-round #8: the hand-maintained tuple was the
+    round-boundary red-test source twice, r2 and r11 — the queue is now
+    derived from CORRECTNESS_r*.json + _SWEEP_REPROOFS by one command)."""
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    sys.path.insert(0, str(root / "tools"))
+    import gen_sweep_queue
+
+    from sdp_spark.plans.registry import _SWEEP_GENERATED_AT, _SWEEP_PRIORITY
+
+    # compare against the rounds that existed at generation time — the
+    # driver drops CORRECTNESS_r{N}.json after the round's final commit,
+    # and that file must not turn this red (the r2/r11 failure mode)
+    expected = gen_sweep_queue.compute(upto=_SWEEP_GENERATED_AT)
+    assert tuple(_SWEEP_PRIORITY) == expected, (
+        "stale _SWEEP_PRIORITY — run tools/gen_sweep_queue.py"
+    )
+
+
 def test_catalog_in_sync():
     """docs/CATALOG.md is generated from the registry (tools/gen_catalog.py)
     and must match it exactly — a stale catalog misleads exactly the user
