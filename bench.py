@@ -131,9 +131,10 @@ EXTRA = [
     "llm_ann_insert_incremental",   # incremental index maintenance (r12)
     "llm_ann_index_persist",        # build+persist the ANN index (r13)
     "llm_ann_search_persisted",     # serve-only search from that index (r13)
-    # query_linkage_em_weights (r12) is intentionally NOT tracked here:
-    # its wall is ~35 s of ANALYZER time (10 unrolled EM CTEs), constant
-    # in data size — a compile benchmark, not a data-path one.
+    "query_linkage_em_weights",     # EM-trained FS weights (r12; tracked
+    # since r13 — the ~18 s analyzer wall of the 10 unrolled CTEs is gone:
+    # the fit runs driver-side over the collected <=16-row pattern table,
+    # so this now times the DATA half, the blocked-pair pattern collapse)
 ]
 
 

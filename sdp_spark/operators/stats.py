@@ -3382,7 +3382,11 @@ def _em_step(prev: str) -> str:
             f"CAST(SUM({_em_dec8(f'(1 - w) * cnt * g{i}')}) AS DOUBLE)"
             f" AS svg{i}"
         )
-    sel = [_em_snap12("sw / nn") + " AS p"]
+    # p gets the same Winkler clamp as m/u (ADVICE r12 #2): on a
+    # degenerate pattern table p can snap to exactly 0 or 1, after which
+    # sw (or sv) = 0 and the next M-step divides by it — NaN would then
+    # propagate silently through the remaining unrolled iterations
+    sel = [_em_clamp(_em_snap12("sw / nn")) + " AS p"]
     for i in range(1, 5):
         sel.append(_em_clamp(_em_snap12(f"swg{i} / sw")) + f" AS m{i}")
         sel.append(_em_clamp(_em_snap12(f"svg{i} / sv")) + f" AS u{i}")
@@ -3423,18 +3427,12 @@ def _linkage_em_pat_sql() -> str:
     """
 
 
-def _linkage_em_iter_sql(pat_rel: str) -> str:
-    """Metadata-scale half: the unrolled EM chain over a pattern relation
-    (`pat_rel` = a CTE name or a temp view of the checkpointed pattern
-    table — Spark inlines a WITH-CTE per reference, so feeding the chain
-    the raw pairs CTE would recompute the blocked join once per
-    iteration; measured 221.7 s -> 13.5 s at 10x with the split)."""
-    iters = ",\n    ".join(
-        f"it{k} AS ({_em_step(f'it{k - 1}')})".replace(
-            "FROM pat ", f"FROM {pat_rel} "
-        )
-        for k in range(1, _RL_EM_ITERS + 1)
-    )
+def _em_final_select(it_rel: str) -> str:
+    """The weight-emitting final SELECT over a fitted parameter relation
+    (one row: p, m1..4, u1..4) — shared verbatim by the DuckDB oracle
+    (over its it10 CTE) and the Spark key (over a literal one-row CTE
+    holding the driver-fitted parameters), so the ln()/micro-nat tail is
+    the identical expression chain on both engines."""
     m_case = "CASE f.i " + " ".join(
         f"WHEN {i} THEN it.m{i}" for i in range(1, 5)
     ) + " END"
@@ -3452,22 +3450,157 @@ def _linkage_em_iter_sql(pat_rel: str) -> str:
         f"({i}, '{f}')" for i, f in enumerate(_RL_EM_FIELDS, 1)
     )
     return f"""
-    WITH it0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
-                   CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
-                   CAST(0.9 AS DOUBLE) AS m3, CAST(0.9 AS DOUBLE) AS m4,
-                   CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
-                   CAST(0.1 AS DOUBLE) AS u3, CAST(0.1 AS DOUBLE) AS u4),
-    {iters}
     SELECT f.field,
            {m_case} AS m,
            {u_case} AS u,
            {micronat(f"({m_case}) / ({u_case})")} AS w_agree,
            {micronat(f"(1 - ({m_case})) / (1 - ({u_case}))")} AS w_disagree,
            it.p AS match_prevalence
-    FROM it{_RL_EM_ITERS} it
+    FROM {it_rel} it
     CROSS JOIN (SELECT * FROM (VALUES {vals}) AS t(i, field)) f
     ORDER BY f.field
     """
+
+
+def _linkage_em_pat_fast_sql() -> str:
+    """The Spark-side pattern pass, inclusion-exclusion shape (r13): the
+    DISTINCT text above shuffles EVERY candidate pair (31.4M narrow rows
+    at the dup-dense 10x) just to unify the two blocking passes' finds.
+    But each record carries exactly ONE blk and one name-prefix, so each
+    pass emits a given pair AT MOST ONCE, and per-pattern counts obey
+    |A ∪ B| = |A| + |B| - |A ∩ B| — with the overlap A∩B computable as a
+    third equi-join on BOTH keys at once. Each branch then collapses to
+    <= 16 pattern rows via groupBy with MAP-SIDE partial aggregation: no
+    pair-grain exchange exists anywhere in the plan (the exchanges carry
+    <= 16 rows per task). Counts are provably equal to the DISTINCT
+    text's — the oracle keeps that text, the hash match proves the
+    algebra, and the pytest diffs the two shapes directly."""
+    agr = ", ".join(
+        f"CAST(CASE WHEN a_{f} = b_{f} THEN 1 ELSE 0 END AS INT) AS g{i}"
+        for i, f in enumerate(_RL_EM_FIELDS, 1)
+    )
+    grp = "g1, g2, g3, g4"
+    return f"""
+    WITH {_RL_BLOCK_CTES},
+    p1 AS (
+      SELECT {grp}, COUNT(*) AS c FROM (
+        SELECT {agr} FROM a1 JOIN b1 ON a1.blk = b1.blk
+      ) t GROUP BY {grp}
+    ),
+    p2 AS (
+      SELECT {grp}, COUNT(*) AS c FROM (
+        SELECT {agr} FROM a JOIN b
+          ON substr(upper(a.a_name), 1, 17) = substr(upper(b.b_name), 1, 17)
+      ) t GROUP BY {grp}
+    ),
+    p12 AS (
+      SELECT {grp}, COUNT(*) AS c FROM (
+        SELECT {agr} FROM a1 JOIN b1
+          ON a1.blk = b1.blk
+         AND substr(upper(a1.a_name), 1, 17) = substr(upper(b1.b_name), 1, 17)
+      ) t GROUP BY {grp}
+    )
+    SELECT {grp}, CAST(SUM(c) AS DOUBLE) AS cnt FROM (
+      SELECT {grp}, c FROM p1
+      UNION ALL SELECT {grp}, c FROM p2
+      UNION ALL SELECT {grp}, -c FROM p12
+    ) u GROUP BY {grp}
+    """
+
+
+def _linkage_em_iter_sql(pat_rel: str) -> str:
+    """The unrolled EM chain over a pattern relation — the ORACLE side
+    (DuckDB materializes the multi-referenced CTE and its analyzer is
+    untroubled by 10 nested aggregate CTEs). The Spark side no longer
+    executes this text: it fits driver-side over the collected <= 16
+    pattern rows (_em_fit_driver) and runs only _em_final_select."""
+    iters = ",\n    ".join(
+        f"it{k} AS ({_em_step(f'it{k - 1}')})".replace(
+            "FROM pat ", f"FROM {pat_rel} "
+        )
+        for k in range(1, _RL_EM_ITERS + 1)
+    )
+    return f"""
+    WITH it0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
+                   CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+                   CAST(0.9 AS DOUBLE) AS m3, CAST(0.9 AS DOUBLE) AS m4,
+                   CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+                   CAST(0.1 AS DOUBLE) AS u3, CAST(0.1 AS DOUBLE) AS u4),
+    {iters}
+    {_em_final_select(f"it{_RL_EM_ITERS}")}
+    """
+
+
+def _em_fit_driver(rows) -> dict[str, float]:
+    """The 10-iteration EM fit over the collected agreement-pattern rows,
+    mirroring _em_step's SQL arithmetic BIT-FOR-BIT (VERDICT r12
+    next-round #4: the unrolled 10-CTE chain cost ~18 s of
+    data-independent Catalyst analysis per invocation; the pattern table
+    is <= 2^4 rows — collected-bounded driver state, the k-means-fit
+    doctrine — so the fit belongs on the driver):
+
+    - per-pattern E-step terms snap to the 1e-8 grid via
+      floor(x*1e8 + 0.5) held as exact Python ints (== the SQL's
+      DECIMAL(30,8) terms), summed exactly (ints are order-free, ==
+      DECIMAL SUM), then divided by 10**8 with Python int/int true
+      division (correctly rounded, == CAST(DECIMAL AS DOUBLE));
+    - every scalar snaps to the 1e-12 grid exactly as the SQL does
+      (floor returns a < 2**53 int, / 10**12 is one IEEE division);
+    - products and quotients evaluate in the SQL's left-associated
+      order, so each double matches the engine-evaluated chain;
+    - p, m_i, u_i all take the Winkler 1e-6 clamp (ADVICE r12 #2).
+
+    Python floats ARE IEEE doubles, so matching the expression order
+    makes this the same computation the oracle runs — pinned by the
+    hash oracle and by the pytest that diffs the fit against the pure
+    SQL chain directly."""
+    import math
+
+    pats = [
+        (
+            float(r["cnt"]),
+            (int(r["g1"]), int(r["g2"]), int(r["g3"]), int(r["g4"])),
+        )
+        for r in rows
+    ]
+
+    def snap12(x: float) -> float:
+        return math.floor(x * 1000000000000 + 0.5) / 1000000000000
+
+    def dec8(x: float) -> int:
+        return math.floor(x * 100000000 + 0.5)
+
+    def clamp(x: float) -> float:
+        return max(0.000001, min(0.999999, x))
+
+    p, m, u = 0.1, [0.9] * 4, [0.1] * 4
+    for _ in range(_RL_EM_ITERS):
+        sw = sv = nn = 0
+        swg, svg = [0] * 4, [0] * 4
+        for cnt, gs in pats:
+            pm = pu = None
+            for i in range(4):
+                fm = m[i] if gs[i] == 1 else 1 - m[i]
+                fu = u[i] if gs[i] == 1 else 1 - u[i]
+                pm = fm if pm is None else pm * fm
+                pu = fu if pu is None else pu * fu
+            num = p * pm
+            w = snap12(num / (num + (1 - p) * pu))
+            sw += dec8(w * cnt)
+            sv += dec8((1 - w) * cnt)
+            nn += dec8(cnt)
+            for i in range(4):
+                swg[i] += dec8(w * cnt * gs[i])
+                svg[i] += dec8((1 - w) * cnt * gs[i])
+        sw_d, sv_d, nn_d = sw / 10**8, sv / 10**8, nn / 10**8
+        p = clamp(snap12(sw_d / nn_d))
+        m = [clamp(snap12(swg[i] / 10**8 / sw_d)) for i in range(4)]
+        u = [clamp(snap12(svg[i] / 10**8 / sv_d)) for i in range(4)]
+    out = {"p": p}
+    for i in range(4):
+        out[f"m{i + 1}"] = m[i]
+        out[f"u{i + 1}"] = u[i]
+    return out
 
 
 def _linkage_em_oracle() -> str:
@@ -3515,25 +3648,27 @@ def query_linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdp_spark.sources.fixtures import load_tables
 
     load_tables(spark, sf_dir)
-    # Split execution: materialize the <=16-row pattern table first
-    # (localCheckpoint — bounded state, the k-means-fit doctrine), then
-    # run the EM chain over the checkpoint. Spark inlines a WITH-CTE per
-    # reference, so a single statement would recompute the blocked pair
-    # join once per iteration (measured 221.7 s -> 13.5 s at 10x).
-    # DuckDB replays the identical arithmetic as one text (the oracle).
-    pat = spark.sql(_linkage_em_pat_sql()).localCheckpoint(eager=True)
-    view = f"rl_em_pat_{abs(hash(sf_dir)) % 10**8}"
-    pat.createOrReplaceTempView(view)
-    # ten chained CTEs of nested aggregates exceed the analyzer's default
-    # fixed-point budget (Max iterations (100) reached for batch
-    # Resolution) — raise it for this one statement, then restore (the
-    # SQL-scripting conf discipline)
-    prior = spark.conf.get("spark.sql.analyzer.maxIterations", "100")
-    spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
-    try:
-        return spark.sql(_linkage_em_iter_sql(view))
-    finally:
-        spark.conf.set("spark.sql.analyzer.maxIterations", prior)
+    # Split execution (r13 shape, VERDICT r12 next-round #4): the
+    # data-scale half (blocked pairs -> <= 16 pattern counts) runs in
+    # Spark and is COLLECTED — bounded driver state, the k-means-fit
+    # doctrine — then the 10 EM iterations run driver-side in
+    # _em_fit_driver (bit-mirroring the oracle's SQL arithmetic), and
+    # ONE metadata-scale statement emits the weights from the fitted
+    # parameters as literals. The r12 shape ran the chain as 10 unrolled
+    # nested-aggregate CTEs, which cost ~18 s of DATA-INDEPENDENT
+    # Catalyst analysis per invocation (and needed a raised
+    # analyzer.maxIterations); the fit itself is arithmetic over 16
+    # rows, so the analyzer wall bought nothing. DuckDB replays the
+    # identical arithmetic as one SQL text (the oracle, unchanged).
+    pat_rows = spark.sql(_linkage_em_pat_fast_sql()).collect()
+    fit = _em_fit_driver(pat_rows)
+    lit = ", ".join(
+        f"CAST({fit[c]!r} AS DOUBLE) AS {c}"
+        for c in ("p", "m1", "m2", "m3", "m4", "u1", "u2", "u3", "u4")
+    )
+    return spark.sql(
+        f"WITH itN AS (SELECT {lit})\n{_em_final_select('itN')}"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -97,3 +97,82 @@ def test_ann_index_persist_key_output(spark, sf_dir):
         for r in REG["llm_ann_index_persist"].fn(spark, sf_dir).collect()
     }
     assert got == again
+
+
+# ---------------------------------------------------------------------------
+# Driver-side EM fit ≡ the SQL chain (VERDICT r12 next-round #4)
+# ---------------------------------------------------------------------------
+
+
+def test_em_fit_driver_matches_sql_chain():
+    """_em_fit_driver must reproduce the unrolled SQL EM chain
+    BIT-FOR-BIT on arbitrary pattern tables — run DuckDB over the pure
+    _linkage_em_iter_sql text (the oracle's metadata half) and the
+    Python fit over the same rows; every parameter-dependent output
+    column must be exactly equal. Includes a degenerate all-agree table
+    (where the r12 chain produced p -> boundary; the shared clamp keeps
+    both engines finite and equal, ADVICE r12 #2)."""
+    import duckdb
+
+    from sdp_spark.operators.stats import (
+        _em_final_select,
+        _em_fit_driver,
+        _linkage_em_iter_sql,
+    )
+
+    cases = [
+        # (name, rows of (g1, g2, g3, g4, cnt))
+        ("mixed", [
+            (1, 1, 1, 1, 40.0), (1, 1, 0, 1, 25.0), (0, 0, 0, 0, 9000.0),
+            (1, 0, 0, 0, 310.0), (0, 1, 0, 0, 220.0), (0, 0, 1, 0, 4600.0),
+            (1, 1, 0, 0, 18.0), (0, 0, 0, 1, 130.0),
+        ]),
+        ("degenerate_all_agree", [(1, 1, 1, 1, 50.0)]),
+        ("two_patterns", [(1, 1, 1, 1, 5.0), (0, 0, 0, 0, 5.0)]),
+    ]
+    for name, pats in cases:
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE pat (g1 INT, g2 INT, g3 INT, g4 INT, cnt DOUBLE)"
+        )
+        con.executemany("INSERT INTO pat VALUES (?, ?, ?, ?, ?)", pats)
+        sql_rows = con.execute(_linkage_em_iter_sql("pat")).fetchall()
+        fit = _em_fit_driver(
+            [dict(zip(("g1", "g2", "g3", "g4", "cnt"), p)) for p in pats]
+        )
+        lit = ", ".join(
+            f"CAST({fit[c]!r} AS DOUBLE) AS {c}"
+            for c in ("p", "m1", "m2", "m3", "m4", "u1", "u2", "u3", "u4")
+        )
+        py_rows = con.execute(
+            f"WITH itN AS (SELECT {lit})\n{_em_final_select('itN')}"
+        ).fetchall()
+        assert py_rows == sql_rows, (name, py_rows, sql_rows)
+        # finite everywhere, even on the degenerate table
+        assert all(
+            all(v == v and abs(v) != float("inf") for v in r[1:])
+            for r in py_rows
+        ), name
+
+
+def test_em_pattern_fast_equals_distinct(spark, sf_dir):
+    """The inclusion-exclusion pattern pass (no pair-grain shuffle) must
+    produce EXACTLY the DISTINCT text's pattern counts — |A| + |B| -
+    |A ∩ B| = |A ∪ B| holds because each record carries one blk and one
+    name-prefix, so neither pass can emit a pair twice. The oracle keeps
+    the DISTINCT text; this pins the algebra the hash match rides on."""
+    from sdp_spark.operators.stats import (
+        _linkage_em_pat_fast_sql,
+        _linkage_em_pat_sql,
+    )
+    from sdp_spark.sources.fixtures import load_tables
+
+    load_tables(spark, sf_dir)
+    slow = {
+        tuple(r[:4]): r[4] for r in spark.sql(_linkage_em_pat_sql()).collect()
+    }
+    fast = {
+        tuple(r[:4]): r[4]
+        for r in spark.sql(_linkage_em_pat_fast_sql()).collect()
+    }
+    assert fast == slow and len(fast) > 0
