@@ -726,14 +726,20 @@ def ears_family_scored(daily: DataFrame) -> DataFrame:
       C2 misses. Scored on days whose own C2 is applicable; missing
       carryover terms contribute 0.
 
-    All variants alert above the family threshold (2.0σ — the repo keeps
-    C2's existing threshold uniform across the family rather than CDC's
-    per-variant 3/3/2 convention, so firing-profile differences in the
-    concordance panel reflect the STATISTICS, not mixed thresholds; the
-    planted-spike pytest distinguishes the three profiles at this
-    uniform threshold). Scores round at 4dp (dround) BEFORE the C3
-    carryover sum so the cumulative statistic composes engine-identical
-    doubles — the same last-ulp discipline as ears_c2_scored.
+    TWO alert columns (r13, VERDICT r12 next-round #6):
+    - `alert`: the uniform family threshold (2.0σ — C2's existing
+      threshold applied to all three variants, so firing-profile
+      differences in the concordance panel reflect the STATISTICS, not
+      mixed thresholds);
+    - `alert_cdc`: CDC's published per-variant convention — 3σ for C1
+      and C2, 2σ for C3 (Hutwagner et al. 2003) — the column a
+      surveillance shop migrating its dashboards actually reads. The
+      planted-spike pytest pins where the two conventions diverge: any
+      C1/C2 score in (2, 3] fires `alert` but not `alert_cdc`; C3 fires
+      both identically.
+    Scores round at 4dp (dround) BEFORE the C3 carryover sum so the
+    cumulative statistic composes engine-identical doubles — the same
+    last-ulp discipline as ears_c2_scored.
 
     Plan: one (type, day) count collapse, then both 7-row frames and the
     3-row carryover frame ride ONE window partitioning (no extra
@@ -783,6 +789,9 @@ def ears_family_scored(daily: DataFrame) -> DataFrame:
         "n",
         "stack(3, 'c1', c1, 'c2', c2, 'c3', c3) AS (variant, score)",
     ).filter(F.col("score").isNotNull())
+    cdc_thr = F.when(F.col("variant") == "c3", F.lit(2.0)).otherwise(
+        F.lit(3.0)
+    )
     return out.select(
         "variant",
         "event_type",
@@ -790,6 +799,7 @@ def ears_family_scored(daily: DataFrame) -> DataFrame:
         "n",
         "score",
         (F.col("score") > _EARS_Z).alias("alert"),
+        (F.col("score") > cdc_thr).alias("alert_cdc"),
     )
 
 
@@ -828,7 +838,9 @@ EARS_FAMILY_SQL = f"""
       FROM c12
     )
     SELECT variant, event_type, day_s, n, score,
-           score > {_EARS_Z} AS alert
+           score > {_EARS_Z} AS alert,
+           score > (CASE WHEN variant = 'c3' THEN 2.0 ELSE 3.0 END)
+             AS alert_cdc
     FROM (
       SELECT 'c1' AS variant, event_type,
              strftime(day, '%Y-%m-%d') AS day_s, n, c1 AS score

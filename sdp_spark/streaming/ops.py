@@ -1294,7 +1294,7 @@ from sdp_spark.operators.analytics import EARS_FAMILY_SQL  # noqa: E402
 @register(
     "stream_ears_family_alerts",
     oracle=f"""
-    SELECT variant, event_type, day_s, n, score
+    SELECT variant, event_type, day_s, n, score, alert_cdc
     FROM ({EARS_FAMILY_SQL}) fam
     WHERE score > {_EARS_Z_SHARED}
     ORDER BY variant, event_type, day_s
@@ -1325,7 +1325,9 @@ def stream_ears_family_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ears_family_scored(snap)
         .filter(F.col("score") > _EARS_Z)
-        .select("variant", "event_type", "day_s", "n", "score")
+        .select(
+            "variant", "event_type", "day_s", "n", "score", "alert_cdc"
+        )
         .orderBy("variant", "event_type", "day_s")
     )
 

@@ -176,3 +176,61 @@ def test_em_pattern_fast_equals_distinct(spark, sf_dir):
         for r in spark.sql(_linkage_em_pat_fast_sql()).collect()
     }
     assert fast == slow and len(fast) > 0
+
+
+# ---------------------------------------------------------------------------
+# EARS per-variant CDC thresholds (VERDICT r12 next-round #6)
+# ---------------------------------------------------------------------------
+
+
+def test_ears_cdc_convention_diverges_where_expected(spark, tmp_path):
+    """alert (uniform 2.0σ) vs alert_cdc (CDC's 3/3/2): the conventions
+    must diverge EXACTLY on C1/C2 rows scoring in (2, 3] — a moderate
+    planted bump sized to land there fires the uniform alert but not
+    the CDC one — and agree everywhere on C3 (both thresholds 2.0σ),
+    plus on any row scoring above 3σ (a big spike fires both)."""
+    import datetime as dt
+
+    from sdp_spark.plans.registry import load_all
+
+    sf = str(tmp_path / "ears_cdc")
+    rows, ev = [], 0
+    # jittered baseline sd ~2 around 20; day 13 bumps +5 (z in (2,3]),
+    # day 17 spikes +40 (z >> 3)
+    counts = [18, 22, 18, 22, 18, 22, 18, 22, 18, 22, 18, 22, 25, 20,
+              18, 22, 60, 20]
+    for t, n in enumerate(counts):
+        d = dt.date(2024, 1, 1) + dt.timedelta(days=t)
+        for i in range(n):
+            rows.append(
+                (ev, dt.datetime(d.year, d.month, d.day, 9, i % 60, i % 60),
+                 1, "resp", 1.0, "{}")
+            )
+            ev += 1
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    out = load_all()["query_outbreak_ears_family"].fn(spark, sf).collect()
+    assert len(out) > 0
+    diverged = [r for r in out if r["alert"] != r["alert_cdc"]]
+    # divergence exists, and ONLY on c1/c2 rows in (2, 3]
+    assert diverged, "planted bump produced no (2,3] scores"
+    for r in diverged:
+        assert r["variant"] in ("c1", "c2"), r
+        assert 2.0 < r["score"] <= 3.0, r
+        assert r["alert"] and not r["alert_cdc"], r
+    # c3 agrees everywhere (same 2.0 threshold in both conventions)
+    assert all(
+        r["alert"] == r["alert_cdc"] for r in out if r["variant"] == "c3"
+    )
+    # the big spike fires BOTH on some c1/c2 row
+    assert any(
+        r["alert"] and r["alert_cdc"] and r["variant"] in ("c1", "c2")
+        for r in out
+    )
