@@ -3459,3 +3459,71 @@ def llm_ann_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     entries = spark.read.parquet(os.path.join(path, "entries")).select("node")
     return _nsw_beam_search(spark, sf_dir, edges, entries)
+
+
+@register("llm_ann_index_update", oracle=None, section=_SEC)
+def llm_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental UPDATE of the persisted index — the daily-batch write
+    path of the build-once/serve-many lifecycle (ann_index_build is the
+    bootstrap, llm_ann_search_persisted the serve path, THIS the
+    every-batch maintenance that `llm_ann_insert_incremental` certifies
+    in-plan): a deterministic arrival batch (every 5th standing vector
+    re-ingested under a fresh vec_id past max_id — the re-crawl/clone
+    shape a daily ingest actually sees) is assigned against the
+    PERSISTED centroids (read from parquet — the versioned quantizer is
+    never refit), candidate-joins ONLY the indexed members of its
+    3 nearest cells (posting lists from the persisted assignments
+    table), and its exact-rescored top-8 edges + cell assignments are
+    written back as DELTA tables beside the base index
+    (mode=overwrite — re-running a batch replaces its delta, the
+    idempotent-redelivery discipline of the streaming sinks; the search
+    path unions base + delta reverses at read, so appending only the
+    arrival->indexed direction keeps connectivity).
+
+    Per-arrival cost is O(NASSIGN * cell size) — flat as the corpus
+    grows with K ~ sqrt(N) — and NOTHING here rescans or refits the
+    standing index: pytest poisons every build/fit entry point after
+    the bootstrap and this key must still run. Output: the arrivals'
+    edge lists (vec_id, neighbor_id, cos_sim, rnk). rows-only oracle;
+    pytest pins determinism, the zero-refit property, the delta-table
+    counts, and that each cloned arrival's top-1 neighbor is its source
+    vector at cos 1.0."""
+    import os
+
+    path = ann_index_build(spark, sf_dir)
+    emb = _emb_normed(spark, sf_dir)
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    unit = F.transform("dvec", lambda x: x / F.col("norm"))
+    arrivals = emb.filter(F.col("vec_id") % 5 == 3).select(
+        (F.col("vec_id") + F.lit(int(max_id) + 1)).alias("vec_id"),
+        unit.alias("dvec"),
+    )
+    cents = [
+        r["centroid"]
+        for r in spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cell")
+        .collect()
+    ]
+    assigned = _km_assign(
+        arrivals, cents, probe_n=min(_KNNG_IVF_NASSIGN, len(cents))
+    )
+    arr_cells = assigned.select(
+        "vec_id", "dvec", F.explode("cells").alias("cell")
+    )
+    indexed = (
+        spark.read.parquet(os.path.join(path, "assignments"))
+        .select("vec_id", F.explode("cells").alias("cell"))
+        .join(
+            emb.select("vec_id", unit.alias("dvec")),
+            "vec_id",
+        )
+        .select("vec_id", "dvec", "cell")
+    )
+    edges = _cell_topk_edges(arr_cells, indexed, _NSW_K).localCheckpoint(
+        eager=True
+    )
+    assigned.select("vec_id", "cells").write.mode("overwrite").parquet(
+        os.path.join(path, "assignments_delta")
+    )
+    edges.write.mode("overwrite").parquet(os.path.join(path, "edges_delta"))
+    return edges.orderBy("vec_id", "rnk")

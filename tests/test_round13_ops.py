@@ -358,3 +358,56 @@ def test_file_sink_crash_recovery_commit_protocol(spark, sf_dir, tmp_path):
     ).fetchone()[0]
     assert naive > want.count(), (naive, want.count())
     assert n_disk > len(committed)
+
+
+def test_ann_index_update_lifecycle(spark, sf_dir, monkeypatch):
+    """The daily-batch write path over the persisted index: (a) each
+    cloned arrival's top-1 neighbor is its SOURCE vector at cos 1.0
+    (the batch is every-5th standing vector re-ingested under a fresh
+    id); (b) the update is deterministic and idempotent (rerun replaces
+    the delta, outputs equal); (c) ZERO refit/rebuild — with the index
+    persisted, poisoning every build/fit entry point must not stop the
+    update (it reads the versioned quantizer from parquet); (d) the
+    delta tables land with counts matching the returned edges."""
+    import json as jsonmod
+
+    from sdp_spark.operators import llm as L
+    from sdp_spark.plans.registry import load_all
+
+    REG = load_all()
+    path = L.ann_index_build(spark, sf_dir)
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        n_indexed = jsonmod.load(f)["tables"]["assignments"]
+
+    out1 = REG["llm_ann_index_update"].fn(spark, sf_dir).collect()
+    assert out1
+
+    def poisoned(*a, **k):
+        raise AssertionError("index update invoked a build/fit path")
+
+    monkeypatch.setattr(L, "_spherical_cells", poisoned)
+    monkeypatch.setattr(L, "_knng_assigned", poisoned)
+    monkeypatch.setattr(L, "_ivf_knn_edges", poisoned)
+    out2 = REG["llm_ann_index_update"].fn(spark, sf_dir).collect()
+    monkeypatch.undo()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+
+    by_src = {}
+    for r in out1:
+        by_src.setdefault(r["vec_id"], []).append(r)
+    offset = n_indexed  # vec_ids are 0..n-1, so max_id + 1 == n_indexed
+    for src, edges in by_src.items():
+        top = min(edges, key=lambda r: r["rnk"])
+        assert top["cos_sim"] == 1.0, (src, top)
+        # the source vector (or another exact duplicate of it) wins
+        assert top["neighbor_id"] < offset
+    # every arrival id lies past the standing corpus, every neighbor
+    # inside it (arrivals never link to each other — the batch attaches
+    # to the INDEX, matching llm_ann_insert_incremental's discipline)
+    assert all(r["vec_id"] >= offset for r in out1)
+    assert all(r["neighbor_id"] < offset for r in out1)
+
+    got_edges = spark.read.parquet(os.path.join(path, "edges_delta"))
+    assert got_edges.count() == len(out1)
+    got_asg = spark.read.parquet(os.path.join(path, "assignments_delta"))
+    assert got_asg.count() == len(by_src)
