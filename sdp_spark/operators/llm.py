@@ -2748,10 +2748,13 @@ def llm_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NSW_K = 8      # out-degree of the neighbor graph
 _NSW_BEAM = 16   # beam width per query
-_NSW_ROUNDS = 6  # expansion rounds: with K ~ sqrt(N) per-cell entries the
+_NSW_ROUNDS = 4  # expansion rounds: with K ~ sqrt(N) per-cell entries the
 # beam starts inside the target's region, so rounds cover ~log(N/K) hops
-# plus slack (recall flat from 4 rounds up on every fixture incl. 10x;
-# 10 rounds measured 2.3x the wall for identical recall)
+# plus slack. r13, over the NNDescent-REFINED graph: recall@5 is 1.0 at
+# THREE rounds on every fixture (sf0.001/0.01/0.1 and the 90%-dup 10x);
+# 4 keeps one round of slack and cuts the per-query job chain by a third
+# vs the r12 setting of 6 (each round is a blocking checkpoint + 3 joins,
+# the dominant cost of the corpus-size-independent search wall)
 _KNNG_IVF_NASSIGN = 3  # cells each vector lands in (boundary replication)
 _KNNG_REFINE_ROUNDS = 2   # NNDescent rounds over the cell-built edges
 _KNNG_REFINE_DEGREE = 16  # intermediate out-degree during build+refine
