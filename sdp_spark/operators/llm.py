@@ -2836,6 +2836,8 @@ def _knng_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rides these the way the text-dedup chain rides _cached_clusters.
 _VEC_GROUPS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _VEC_DUP_DENSE: dict[tuple[str, str], bool] = {}
+# Refined k-NN edge lists per (app, sf, k_out) — see _ivf_knn_edges.
+_KNN_EDGES_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
 
 def _vec_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2897,6 +2899,9 @@ def _ivf_knn_edges(spark: SparkSession, sf_dir: str, k_out: int = _NSW_K):
     `_kmeans_fit`; ties in assignment break to the lowest centroid
     index; cosine is the shared 4 dp fold; ranking tiebreaks on
     neighbor_id. Returns (vec_id, neighbor_id, cos_sim, rnk)."""
+    key = (spark.sparkContext.applicationId, sf_dir, k_out)
+    if key in _KNN_EDGES_CACHE:
+        return _KNN_EDGES_CACHE[key]
     k_inner = max(k_out, _KNNG_REFINE_DEGREE)
     if _vec_dup_dense(spark, sf_dir):
         # refinement runs INSIDE the collapse, at DIRECTION grain (the
@@ -2915,7 +2920,14 @@ def _ivf_knn_edges(spark: SparkSession, sf_dir: str, k_out: int = _NSW_K):
         refined = _nndescent_refine(
             spark, sf_dir, _cell_topk_edges(both, both, k_inner), k_inner
         )
-    return refined.filter(F.col("rnk") <= k_out)
+    # memoized per (app, sf, k): the graph is consumed by llm_knn_graph_ivf,
+    # the NSW search, the recall eval AND the index persist in one session —
+    # one checkpointed build serves all (bounded: k_out*N narrow rows;
+    # released by sdp_spark.unpersist_all)
+    _KNN_EDGES_CACHE[key] = (
+        refined.filter(F.col("rnk") <= k_out).localCheckpoint(eager=True)
+    )
+    return _KNN_EDGES_CACHE[key]
 
 
 def _nndescent_refine(
