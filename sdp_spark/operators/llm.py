@@ -3514,11 +3514,17 @@ def llm_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-arrival cost is O(NASSIGN * cell size) — flat as the corpus
     grows with K ~ sqrt(N) — and NOTHING here rescans or refits the
     standing index: pytest poisons every build/fit entry point after
-    the bootstrap and this key must still run. Output: the arrivals'
-    edge lists (vec_id, neighbor_id, cos_sim, rnk). rows-only oracle;
-    pytest pins determinism, the zero-refit property, the delta-table
-    counts, and that each cloned arrival's top-1 neighbor is its source
-    vector at cos 1.0."""
+    the bootstrap and this key must still run. On duplicate-dense
+    corpora (the crawl-daily shape) the attach runs at DIRECTION grain
+    — arrivals collapse by exact vector, score against the index's
+    direction table, and member edges expand arithmetically (the
+    _collapsed_edges doctrine; without it the clone-stuffed posting
+    lists make the candidate join output-bound — measured 250.7 s at
+    the 90%-dup 100x vs seconds collapsed). Output: the arrivals' edge
+    lists (vec_id, neighbor_id, cos_sim, rnk). rows-only oracle; pytest
+    pins determinism, the zero-refit property, the delta-table counts,
+    forced-collapse == plain on the dup-free fixture, and that each
+    cloned arrival's top-1 neighbor is its source vector at cos 1.0."""
     import os
 
     path = ann_index_build(spark, sf_dir)
@@ -3527,6 +3533,7 @@ def llm_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = F.transform("dvec", lambda x: x / F.col("norm"))
     arrivals = emb.filter(F.col("vec_id") % 5 == 3).select(
         (F.col("vec_id") + F.lit(int(max_id) + 1)).alias("vec_id"),
+        F.col("dvec").alias("rvec"),
         unit.alias("dvec"),
     )
     cents = [
@@ -3535,26 +3542,145 @@ def llm_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cell")
         .collect()
     ]
-    assigned = _km_assign(
-        arrivals, cents, probe_n=min(_KNNG_IVF_NASSIGN, len(cents))
-    )
-    arr_cells = assigned.select(
-        "vec_id", "dvec", F.explode("cells").alias("cell")
-    )
-    indexed = (
-        spark.read.parquet(os.path.join(path, "assignments"))
-        .select("vec_id", F.explode("cells").alias("cell"))
-        .join(
-            emb.select("vec_id", unit.alias("dvec")),
-            "vec_id",
+    if _vec_dup_dense(spark, sf_dir):
+        edges, assigned = _ann_update_collapsed(
+            spark, sf_dir, path, arrivals, cents, _NSW_K
         )
-        .select("vec_id", "dvec", "cell")
-    )
-    edges = _cell_topk_edges(arr_cells, indexed, _NSW_K).localCheckpoint(
-        eager=True
-    )
+    else:
+        assigned = _km_assign(
+            arrivals.select("vec_id", "dvec"),
+            cents,
+            probe_n=min(_KNNG_IVF_NASSIGN, len(cents)),
+        )
+        arr_cells = assigned.select(
+            "vec_id", "dvec", F.explode("cells").alias("cell")
+        )
+        indexed = (
+            spark.read.parquet(os.path.join(path, "assignments"))
+            .select("vec_id", F.explode("cells").alias("cell"))
+            .join(
+                emb.select("vec_id", unit.alias("dvec")),
+                "vec_id",
+            )
+            .select("vec_id", "dvec", "cell")
+        )
+        edges = _cell_topk_edges(arr_cells, indexed, _NSW_K)
+    edges = edges.localCheckpoint(eager=True)
     assigned.select("vec_id", "cells").write.mode("overwrite").parquet(
         os.path.join(path, "assignments_delta")
     )
     edges.write.mode("overwrite").parquet(os.path.join(path, "edges_delta"))
     return edges.orderBy("vec_id", "rnk")
+
+
+def _ann_update_collapsed(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    arrivals: DataFrame,
+    cents: list,
+    k_out: int,
+):
+    """Direction-grain attach of an arrival batch to the persisted index
+    (the dup-dense branch of llm_ann_index_update — _collapsed_edges'
+    doctrine with the dst side read FROM the persisted tables, no
+    refit): arrivals group by exact raw vector and map onto the index's
+    direction table (gid = each group's min standing vec_id) via one
+    raw-vector equi-join; ONE representative per arrival direction
+    assigns (persisted centroids) and scores against the index's
+    DIRECTION-grain posting lists (the gid's own persisted assignment
+    row represents its clones — identical vectors assign identically);
+    member edges reconstruct exactly: clone-mates of a matched
+    direction at cos 1.0 (only each gid's k_out+1 smallest member ids
+    can surface), plus each direction's top-k_out neighbor directions
+    expanded to THEIR k_out+1 smallest members. Candidates are
+    O(directions * cell direction-count), not O(arrivals * clone-
+    stuffed cell size). Arrival-only directions (no standing clone) get
+    no mates and score like singletons. Returns (member-grain edges,
+    per-arrival cell assignments)."""
+    import os
+
+    emb = _emb_normed(spark, sf_dir)
+    groups = _vec_groups(spark, sf_dir)
+    dirs = (
+        emb.join(groups, "vec_id")
+        .filter(F.col("vec_id") == F.col("gid"))
+        .select("gid", F.col("dvec").alias("rvec"))
+    )
+    # map each arrival to its direction: standing gid when the raw
+    # vector exists in the index, else the arrival group's min vec_id
+    amap = arrivals.join(F.broadcast(dirs), "rvec", "left")
+    wg = Window.partitionBy("rvec")
+    amap = amap.withColumn(
+        "agid", F.coalesce(F.col("gid"), F.min("vec_id").over(wg))
+    )
+    reps = (
+        amap.withColumn(
+            "rn", F.row_number().over(wg.orderBy("vec_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("agid", "dvec")
+    )
+    rep_assigned = _km_assign(
+        reps.withColumnRenamed("agid", "vec_id"),
+        cents,
+        probe_n=min(_KNNG_IVF_NASSIGN, len(cents)),
+    )
+    # every arrival inherits its rep's cells (identical vectors assign
+    # identically) — this is also the delta-assignments output
+    assigned = amap.select("vec_id", "agid").join(
+        rep_assigned.select(F.col("vec_id").alias("agid"), "cells"),
+        "agid",
+    ).select("vec_id", "cells", "agid")
+    # index side at DIRECTION grain: the gid's own persisted row
+    unit = F.transform("dvec", lambda x: x / F.col("norm"))
+    dir_cells = (
+        spark.read.parquet(os.path.join(path, "assignments"))
+        .join(groups, "vec_id")
+        .filter(F.col("vec_id") == F.col("gid"))
+        .join(emb.select("vec_id", unit.alias("uv")), "vec_id")
+        .select(
+            F.col("gid").alias("vec_id"),
+            F.col("uv").alias("dvec"),
+            F.explode("cells").alias("cell"),
+        )
+    )
+    rep_cells = rep_assigned.select(
+        "vec_id", "dvec", F.explode("cells").alias("cell")
+    )
+    rep_edges = _cell_topk_edges(rep_cells, dir_cells, k_out)
+    # per indexed direction: only the k_out+1 smallest member ids can
+    # ever appear in a top-k_out under the (cos desc, id asc) order
+    wm = Window.partitionBy("gid").orderBy("vec_id")
+    dst_top = (
+        groups.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= k_out + 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "gid")
+    )
+    mates = (
+        amap.select("vec_id", "agid")
+        .join(dst_top.withColumnRenamed("gid", "agid"), "agid")
+        .select("vec_id", "neighbor_id", F.lit(1.0).alias("cos_sim"))
+    )
+    cross = (
+        amap.select("vec_id", "agid")
+        .join(
+            rep_edges.select(
+                F.col("vec_id").alias("agid"),
+                F.col("neighbor_id").alias("ngid"),
+                "cos_sim",
+            ),
+            "agid",
+        )
+        .join(dst_top.withColumnRenamed("gid", "ngid"), "ngid")
+        .select("vec_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    edges = (
+        mates.unionByName(cross)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k_out)
+    )
+    return edges, assigned

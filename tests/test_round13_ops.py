@@ -411,3 +411,30 @@ def test_ann_index_update_lifecycle(spark, sf_dir, monkeypatch):
     assert got_edges.count() == len(out1)
     got_asg = spark.read.parquet(os.path.join(path, "assignments_delta"))
     assert got_asg.count() == len(by_src)
+
+    # the dup-dense branch (direction-grain attach) must be
+    # output-invisible where it's optional: force it on the dup-free
+    # fixture and the member-grain edges must equal the plain branch's
+    from pyspark.sql import functions as F
+
+    emb = L._emb_normed(spark, sf_dir)
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    unit = F.transform("dvec", lambda x: x / F.col("norm"))
+    arrivals = emb.filter(F.col("vec_id") % 5 == 3).select(
+        (F.col("vec_id") + F.lit(int(max_id) + 1)).alias("vec_id"),
+        F.col("dvec").alias("rvec"),
+        unit.alias("dvec"),
+    )
+    cents = [
+        r["centroid"]
+        for r in spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cell")
+        .collect()
+    ]
+    forced_edges, _ = L._ann_update_collapsed(
+        spark, sf_dir, path, arrivals, cents, L._NSW_K
+    )
+    forced = [
+        tuple(r) for r in forced_edges.orderBy("vec_id", "rnk").collect()
+    ]
+    assert forced == [tuple(r) for r in out1]
