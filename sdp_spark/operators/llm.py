@@ -3278,6 +3278,15 @@ def _nsw_beam_search(
     parquet-read index state — search ≡ in-plan search is structural,
     not copy-paste. Semantics and determinism: see llm_sim_search_nsw."""
     emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")
+    return _nsw_beam_search_frames(spark, emb, edges, entries)
+
+
+def _nsw_beam_search_frames(
+    spark: SparkSession, emb: DataFrame, edges: DataFrame, entries: DataFrame
+) -> DataFrame:
+    """The beam-search core over an explicit (vec_id, dvec, norm) corpus
+    frame — lets delta-search run the same plan over a corpus augmented
+    with an arrival batch."""
     queries = emb.filter(F.col("vec_id") <= 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("dvec").alias("qv"),
@@ -3684,3 +3693,71 @@ def _ann_update_collapsed(
         .filter(F.col("rnk") <= k_out)
     )
     return edges, assigned
+
+
+@register("llm_ann_search_delta", oracle=None, section=_SEC)
+def llm_ann_search_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve over base index + today's delta — the question a platform
+    answers between nightly rebuilds: 'is this morning's ingest already
+    searchable?' Reads the persisted BASE edge list and the
+    llm_ann_index_update DELTA (running the update first if absent),
+    unions them undirected (the delta stores only arrival->indexed
+    edges; the reverse direction is generated at read, exactly how the
+    base search undirects its own edges), extends the entry seeds with
+    the arrival directions' representatives, and runs the SAME
+    _nsw_beam_search plan every other serve path runs. Still zero
+    build/fit work — both inputs are parquet state. Output shape =
+    llm_sim_search_nsw (query_id, neighbor_id, cos_sim); because the
+    standing queries (vec_id <= 10) have exact clones in the arrival
+    batch when their id % 5 == 3, the search MUST surface those
+    arrivals at cos 1.0 — pytest pins that plus determinism and the
+    zero-build property. rows-only oracle."""
+    import os
+
+    path = _ann_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "edges_delta")):
+        llm_ann_index_update(spark, sf_dir)
+    base = spark.read.parquet(os.path.join(path, "edges")).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    delta = spark.read.parquet(os.path.join(path, "edges_delta")).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    knn = base.unionByName(delta)
+    edges = (
+        knn.unionByName(
+            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    entries = spark.read.parquet(os.path.join(path, "entries")).select(
+        "node"
+    )
+    return _nsw_beam_search_over(
+        spark, sf_dir, edges, entries, include_arrivals=True
+    )
+
+
+def _nsw_beam_search_over(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame,
+    entries: DataFrame,
+    include_arrivals: bool = False,
+) -> DataFrame:
+    """_nsw_beam_search generalized to a corpus AUGMENTED with the
+    synthesized arrival batch (vec_id + max_id + 1, same vectors) so
+    delta-search results can score and return arrival nodes. With
+    include_arrivals=False this is exactly _nsw_beam_search."""
+    if not include_arrivals:
+        return _nsw_beam_search(spark, sf_dir, edges, entries)
+    emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    arrivals = emb.filter(F.col("vec_id") % 5 == 3).select(
+        (F.col("vec_id") + F.lit(int(max_id) + 1)).alias("vec_id"),
+        "dvec",
+        "norm",
+    )
+    aug = emb.unionByName(arrivals).localCheckpoint(eager=True)
+    return _nsw_beam_search_frames(spark, aug, edges, entries)

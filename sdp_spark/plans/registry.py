@@ -133,7 +133,7 @@ _SWEEP_PRIORITY = (
     # other key oldest-latest-verdict-first (alphabetical within a
     # round). Regenerate at round start: python tools/gen_sweep_queue.py
     # --- BEGIN GENERATED QUEUE (tools/gen_sweep_queue.py) ---
-    "llm_ann_index_persist", "llm_ann_index_update",
+    "llm_ann_index_persist", "llm_ann_index_update", "llm_ann_search_delta",
     "llm_ann_search_persisted", "llm_ann_recall_eval", "llm_knn_graph_ivf",
     "llm_sim_search_nsw", "query_linkage_em_weights",
     "query_outbreak_ears_family", "stream_ears_family_alerts",

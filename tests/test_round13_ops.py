@@ -438,3 +438,41 @@ def test_ann_index_update_lifecycle(spark, sf_dir, monkeypatch):
         tuple(r) for r in forced_edges.orderBy("vec_id", "rnk").collect()
     ]
     assert forced == [tuple(r) for r in out1]
+
+
+def test_ann_search_delta_surfaces_arrivals(spark, sf_dir, monkeypatch):
+    """Serve over base+delta: (a) queries whose id % 5 == 3 have an exact
+    clone in the arrival batch — the delta search MUST surface that
+    arrival at cos 1.0 (it is only reachable through delta edges);
+    (b) still zero build/fit work (poison the build entry points);
+    (c) deterministic across invocations."""
+    from sdp_spark.operators import llm as L
+    from sdp_spark.plans.registry import load_all
+
+    REG = load_all()
+    out1 = REG["llm_ann_search_delta"].fn(spark, sf_dir).collect()
+    emb = L._emb_normed(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    qids = {r["query_id"] for r in out1}
+    assert qids
+    for q in qids:
+        if q % 5 == 3:
+            hit = [
+                r
+                for r in out1
+                if r["query_id"] == q and r["neighbor_id"] == q + max_id + 1
+            ]
+            assert hit and hit[0]["cos_sim"] == 1.0, q
+    assert any(r["neighbor_id"] > max_id for r in out1)
+
+    def poisoned(*a, **k):
+        raise AssertionError("delta search invoked a build/fit path")
+
+    monkeypatch.setattr(L, "_spherical_cells", poisoned)
+    monkeypatch.setattr(L, "_knng_assigned", poisoned)
+    monkeypatch.setattr(L, "_ivf_knn_edges", poisoned)
+    out2 = REG["llm_ann_search_delta"].fn(spark, sf_dir).collect()
+    monkeypatch.undo()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
