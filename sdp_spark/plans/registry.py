@@ -134,8 +134,8 @@ _SWEEP_PRIORITY = (
     # round). Regenerate at round start: python tools/gen_sweep_queue.py
     # --- BEGIN GENERATED QUEUE (tools/gen_sweep_queue.py) ---
     "llm_ann_index_persist", "llm_ann_index_update", "llm_ann_search_delta",
-    "llm_ann_search_persisted", "llm_ann_recall_eval", "llm_knn_graph_ivf",
-    "llm_sim_search_nsw", "query_linkage_em_weights",
+    "llm_ann_search_persisted", "stream_ann_ingest", "llm_ann_recall_eval",
+    "llm_knn_graph_ivf", "llm_sim_search_nsw", "query_linkage_em_weights",
     "query_outbreak_ears_family", "stream_ears_family_alerts",
     "catalog_analyze_stats", "catalog_ddl", "catalog_show_describe",
     "catalog_views", "filter_collation_accent", "filter_fulltext",

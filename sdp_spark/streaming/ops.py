@@ -2308,3 +2308,135 @@ def stream_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id", "master_key")
     )
+
+
+@register("stream_ann_ingest", oracle=None, section=_SEC)
+def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE vector ingest — the FOURTEENTH batch+stream pair, the
+    streaming twin of `llm_ann_index_update`: arrival embeddings land as
+    files, a checkpointed availableNow query processes them in genuine
+    micro-batches (maxFilesPerTrigger=1 over a 2-file landing dir), and
+    each batch attaches to the PERSISTED index via the SAME direction-
+    or member-grain machinery the batch key certifies — assign against
+    the persisted centroids (no refit), candidate-join the persisted
+    posting lists, exact-rescore top-8. Per-batch results write
+    parquet partitioned by _batch_id with DYNAMIC partition overwrite
+    (a redelivered batch REPLACES its partition — the idempotent-
+    redelivery discipline the JDBC crash proof certifies for that
+    sink family).
+
+    stream == batch is EXACT here, not just windows-aligned: an
+    arrival's edge list depends only on (its vector, the standing
+    index) — arrivals never link to each other in the attach
+    discipline — so processing in any batch split yields bit-identical
+    per-arrival edges; the pytest diffs this key against
+    llm_ann_index_update row-for-row. rows-only oracle (graph attach is
+    not replayable SQL)."""
+    from sdp_spark.operators.llm import (
+        _KNNG_IVF_NASSIGN,
+        _NSW_K,
+        _ann_update_collapsed,
+        _cell_topk_edges,
+        _emb_normed,
+        _km_assign,
+        _vec_dup_dense,
+        ann_index_build,
+    )
+
+    path = ann_index_build(spark, sf_dir)
+    emb = _emb_normed(spark, sf_dir)
+    max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    unit = F.transform("dvec", lambda x: x / F.col("norm"))
+    arrivals = emb.filter(F.col("vec_id") % 5 == 3).select(
+        (F.col("vec_id") + F.lit(max_id + 1)).alias("vec_id"),
+        F.col("dvec").alias("rvec"),
+        unit.alias("dvec"),
+    )
+    # landing dir: the day's arrivals as 2 chronological files (by id
+    # range), built once per (sf, index-version) — the 'vectors keep
+    # arriving' shape a live embedding pipeline emits
+    from sdp_spark.operators.llm import _ANN_INDEX_VERSION
+
+    landing = cache_dir(sf_dir, f"ann_arrivals_{_ANN_INDEX_VERSION}")
+    marker = os.path.join(landing, "_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(landing, ignore_errors=True)
+        mid = arrivals.approxQuantile("vec_id", [0.5], 0.0)[0]
+        arrivals.filter(F.col("vec_id") < mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, "f0"))
+        arrivals.filter(F.col("vec_id") >= mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, "f1"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("rvec", T.ArrayType(T.DoubleType())),
+            T.StructField("dvec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    out_dir = cache_dir(sf_dir, f"ann_ingest_out_{_ANN_INDEX_VERSION}")
+    chk = os.path.join(out_dir, "_chk")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cents = [
+        r["centroid"]
+        for r in spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cell")
+        .collect()
+    ]
+    dup_dense = _vec_dup_dense(spark, sf_dir)
+
+    def attach_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if dup_dense:
+            edges, _ = _ann_update_collapsed(
+                spark, sf_dir, path, batch_df, cents, _NSW_K
+            )
+        else:
+            assigned = _km_assign(
+                batch_df.select("vec_id", "dvec"),
+                cents,
+                probe_n=min(_KNNG_IVF_NASSIGN, len(cents)),
+            )
+            arr_cells = assigned.select(
+                "vec_id", "dvec", F.explode("cells").alias("cell")
+            )
+            indexed = (
+                spark.read.parquet(os.path.join(path, "assignments"))
+                .select("vec_id", F.explode("cells").alias("cell"))
+                .join(emb.select("vec_id", unit.alias("dvec")), "vec_id")
+                .select("vec_id", "dvec", "cell")
+            )
+            edges = _cell_topk_edges(arr_cells, indexed, _NSW_K)
+        # per-WRITE dynamic mode, not a session conf: foreachBatch frames
+        # belong to the stream's CLONED session, so a conf set on the
+        # outer session does not reach this write (observed: batch 1's
+        # static overwrite deleted batch 0's partition)
+        (
+            edges.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(os.path.join(out_dir, "edges"))
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(attach_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(os.path.join(out_dir, "edges"))
+    return back.select("vec_id", "neighbor_id", "cos_sim", "rnk").orderBy(
+        "vec_id", "rnk"
+    )

@@ -476,3 +476,38 @@ def test_ann_search_delta_surfaces_arrivals(spark, sf_dir, monkeypatch):
     out2 = REG["llm_ann_search_delta"].fn(spark, sf_dir).collect()
     monkeypatch.undo()
     assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+
+
+def test_stream_ann_ingest_equals_batch_update(spark, sf_dir):
+    """The FOURTEENTH batch+stream pair: micro-batched vector ingest over
+    the persisted index must equal the one-shot batch attach ROW FOR ROW
+    (an arrival's edges depend only on its vector and the standing
+    index, so any batch split is output-invisible), must have processed
+    the arrivals across MULTIPLE micro-batches (a single batch would not
+    exercise the per-batch idempotent partition write), and must be
+    rerun-stable."""
+    from sdp_spark.plans.registry import load_all
+    from sdp_spark.sources.fixtures import cache_dir
+
+    REG = load_all()
+    stream = [
+        tuple(r) for r in REG["stream_ann_ingest"].fn(spark, sf_dir).collect()
+    ]
+    batch = [
+        tuple(r)
+        for r in REG["llm_ann_index_update"].fn(spark, sf_dir).collect()
+    ]
+    assert stream == batch and len(stream) > 0
+    from sdp_spark.operators.llm import _ANN_INDEX_VERSION
+
+    out = cache_dir(sf_dir, f"ann_ingest_out_{_ANN_INDEX_VERSION}")
+    parts = [
+        p
+        for p in os.listdir(os.path.join(out, "edges"))
+        if p.startswith("_batch_id=")
+    ]
+    assert len(parts) >= 2, parts  # genuinely multi-batch
+    again = [
+        tuple(r) for r in REG["stream_ann_ingest"].fn(spark, sf_dir).collect()
+    ]
+    assert again == stream
