@@ -205,7 +205,9 @@ def test_importance_sampling_keeps_weight_one_docs(spark, sf_dir):
 def test_ann_recall_eval_bounds(spark, sf_dir):
     """Recall@5 in [0,1] per query; IVF macro >= 0.6, LSH macro >= 0.8
     (the LSH multi-probe bound the r3 test pinned, now surfaced by the
-    operator), PQ macro >= 0.75 (ADC top-100 pool + exact rescore); all
+    operator), PQ macro >= 0.9 (r13: the rerank pool scales with the
+    corpus — 20%, floor 100 — per the IVF-PQ doctrine; measured 0.927 at
+    sf0.1, exact at fixture scales the floor covers); all
     three methods present with one macro row each (query_id -1, distinct
     from every real vec_id), and the macro equals the mean of the
     per-query rows."""
@@ -220,7 +222,7 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
         assert abs(macro[m] - sum(per_q) / len(per_q)) < 1e-3
     assert macro["lsh"] >= 0.8
     assert macro["ivf"] >= 0.6
-    assert macro["pq"] >= 0.75
+    assert macro["pq"] >= 0.9
     # the composed index (trained spherical-k-means cells + 2-way
     # boundary replication + nprobe 5) must beat IVF-flat while reading
     # 32x-compressed candidates; 0.9 is the measured sf0.001 floor
