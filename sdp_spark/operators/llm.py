@@ -945,7 +945,11 @@ def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     return planes
 
 
-_LSH_TABLES = 4  # OR-amplification: candidate if ANY table's bucket matches
+_LSH_TABLES = 6  # OR-amplification: candidate if ANY table's bucket matches
+# (r13: 4 -> 6. The recall ladder at sf0.1 is 4:0.836 / 6:0.964 /
+# 8:0.982 — candidates scale linearly with tables, so 6 is the knee of
+# recall-per-candidate; the oracle SQL regenerates from this constant,
+# so Spark and DuckDB move in lockstep and the key stays hash-green.)
 _LSH_PLANES = 4  # per-table sign bits -> 16 buckets per table
 
 

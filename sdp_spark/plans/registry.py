@@ -110,6 +110,10 @@ _SWEEP_REPROOFS = frozenset({
     # 100) per the IVF-PQ doctrine — recall@5 0.709 -> 0.927 at sf0.1;
     # the pooled candidates (and thus rows) changed.
     "llm_sim_search_pq",
+    # r13: LSH OR-amplification widened 4 -> 6 tables (recall@5 0.836
+    # -> 0.964 at sf0.1) — buckets, candidates and the oracle's
+    # generated hyperplane text all changed in lockstep.
+    "llm_sim_search_lsh",
     # r13: the EARS family (batch + stream twin) gained the per-variant
     # CDC-convention alert_cdc column (3/3/2 thresholds, VERDICT r12
     # next-round #6) — the output schema widened.
@@ -139,43 +143,44 @@ _SWEEP_PRIORITY = (
     # --- BEGIN GENERATED QUEUE (tools/gen_sweep_queue.py) ---
     "llm_ann_index_persist", "llm_ann_index_update", "llm_ann_search_delta",
     "llm_ann_search_persisted", "stream_ann_ingest", "llm_ann_recall_eval",
-    "llm_knn_graph_ivf", "llm_sim_search_nsw", "llm_sim_search_pq",
-    "query_linkage_em_weights", "query_outbreak_ears_family",
-    "stream_ears_family_alerts", "catalog_analyze_stats", "catalog_ddl",
-    "catalog_show_describe", "catalog_views", "filter_collation_accent",
-    "filter_fulltext", "filter_fulltext_bool", "fn_fuzzy", "fn_time_year",
-    "join_hinted", "llm_dedup_embed", "llm_dedup_near_resolve",
-    "llm_dedup_ngram_jaccard", "llm_langid", "llm_pipeline_e2e",
-    "llm_pipeline_train_corpus", "llm_pipeline_train_corpus_nd",
-    "llm_sim_search_ivf", "llm_token_count_bpe", "mm_frame_sample",
-    "project_cast_lenient", "project_enum_check", "project_set_check",
-    "sample_systematic", "scan_schema_evolution", "sink_jdbc",
-    "sink_stream_foreachBatch", "sink_stream_jdbc", "source_stream_files",
-    "stream_dedup", "stream_ingest", "stream_join_dim", "stream_session",
-    "stream_sliding", "stream_stateful", "stream_stream_join",
-    "stream_tumbling", "agg_approx_percentile", "agg_filtered", "agg_funnel",
-    "agg_mode", "agg_sketch_rollup", "catalog_ctas", "dml_merge_scd2",
-    "fn_encode", "fn_json_struct", "fn_spatial", "join_asof_tolerance",
-    "join_bucketed", "join_range_bucketed", "join_spatial_grid",
-    "llm_corpus_stats", "llm_cross_split_dedup", "llm_decontaminate",
-    "llm_dedup_prefix", "llm_dedup_softnorm", "llm_doc_len_histogram",
-    "llm_domain_mix", "llm_ngram_counts", "llm_pack_sequences",
-    "llm_pii_scrub", "llm_quality_gopher", "llm_sample_temperature",
-    "mm_decode_pipeline", "query_late_orders", "query_returned_items",
-    "query_shipping_priority", "scan_binary_files", "scan_jdbc", "scan_text",
-    "sink_autoincrement", "sink_compact", "sink_insert_ignore", "sink_jsonl",
-    "sink_outfile_csv", "sink_replace", "sink_stream_upsert",
-    "stream_late_metrics", "win_gap_islands", "win_sessionize", "win_zscore",
-    "agg_approx_topk", "agg_ohlc_resample", "agg_percentile_disc",
-    "dialect_mysql_query", "dialect_user_var_rownum", "dml_truncate_partition",
-    "fn_convert_tz", "fn_trig", "fulltext_bm25", "join_dpp",
-    "join_runtime_bloom", "join_scd2_pointintime", "limit_found_rows",
-    "llm_bpe_apply", "llm_bpe_pair_counts", "llm_chunk_windows",
-    "llm_cluster_kmeans", "llm_dedup_incremental", "llm_dedup_substring",
-    "llm_dedup_url_docs", "llm_embed_normalize", "llm_embed_pca",
-    "llm_embed_quantize", "llm_hybrid_search_rrf", "llm_inverted_index",
-    "llm_mix_epochs", "llm_perplexity_proxy", "llm_sample_stratified",
-    "llm_semdedup", "llm_shard_export", "llm_url_normalize", "llm_vocab_oov",
+    "llm_knn_graph_ivf", "llm_sim_search_lsh", "llm_sim_search_nsw",
+    "llm_sim_search_pq", "query_linkage_em_weights",
+    "query_outbreak_ears_family", "stream_ears_family_alerts",
+    "catalog_analyze_stats", "catalog_ddl", "catalog_show_describe",
+    "catalog_views", "filter_collation_accent", "filter_fulltext",
+    "filter_fulltext_bool", "fn_fuzzy", "fn_time_year", "join_hinted",
+    "llm_dedup_embed", "llm_dedup_near_resolve", "llm_dedup_ngram_jaccard",
+    "llm_langid", "llm_pipeline_e2e", "llm_pipeline_train_corpus",
+    "llm_pipeline_train_corpus_nd", "llm_sim_search_ivf",
+    "llm_token_count_bpe", "mm_frame_sample", "project_cast_lenient",
+    "project_enum_check", "project_set_check", "sample_systematic",
+    "scan_schema_evolution", "sink_jdbc", "sink_stream_foreachBatch",
+    "sink_stream_jdbc", "source_stream_files", "stream_dedup", "stream_ingest",
+    "stream_join_dim", "stream_session", "stream_sliding", "stream_stateful",
+    "stream_stream_join", "stream_tumbling", "agg_approx_percentile",
+    "agg_filtered", "agg_funnel", "agg_mode", "agg_sketch_rollup",
+    "catalog_ctas", "dml_merge_scd2", "fn_encode", "fn_json_struct",
+    "fn_spatial", "join_asof_tolerance", "join_bucketed",
+    "join_range_bucketed", "join_spatial_grid", "llm_corpus_stats",
+    "llm_cross_split_dedup", "llm_decontaminate", "llm_dedup_prefix",
+    "llm_dedup_softnorm", "llm_doc_len_histogram", "llm_domain_mix",
+    "llm_ngram_counts", "llm_pack_sequences", "llm_pii_scrub",
+    "llm_quality_gopher", "llm_sample_temperature", "mm_decode_pipeline",
+    "query_late_orders", "query_returned_items", "query_shipping_priority",
+    "scan_binary_files", "scan_jdbc", "scan_text", "sink_autoincrement",
+    "sink_compact", "sink_insert_ignore", "sink_jsonl", "sink_outfile_csv",
+    "sink_replace", "sink_stream_upsert", "stream_late_metrics",
+    "win_gap_islands", "win_sessionize", "win_zscore", "agg_approx_topk",
+    "agg_ohlc_resample", "agg_percentile_disc", "dialect_mysql_query",
+    "dialect_user_var_rownum", "dml_truncate_partition", "fn_convert_tz",
+    "fn_trig", "fulltext_bm25", "join_dpp", "join_runtime_bloom",
+    "join_scd2_pointintime", "limit_found_rows", "llm_bpe_apply",
+    "llm_bpe_pair_counts", "llm_chunk_windows", "llm_cluster_kmeans",
+    "llm_dedup_incremental", "llm_dedup_substring", "llm_dedup_url_docs",
+    "llm_embed_normalize", "llm_embed_pca", "llm_embed_quantize",
+    "llm_hybrid_search_rrf", "llm_inverted_index", "llm_mix_epochs",
+    "llm_perplexity_proxy", "llm_sample_stratified", "llm_semdedup",
+    "llm_shard_export", "llm_url_normalize", "llm_vocab_oov",
     "query_cust_order_counts", "query_disjunctive_parts",
     "query_dormant_customers", "query_large_volume_cust",
     "query_local_supplier_volume", "query_promo_effect", "query_top_supplier",
@@ -240,12 +245,12 @@ _SWEEP_PRIORITY = (
     "llm_boilerplate_ngrams", "llm_cdc_chunk", "llm_curriculum_order",
     "llm_dedup_embed_lsh", "llm_dedup_simhash", "llm_fingerprint",
     "llm_hard_negatives", "llm_keyword_rake", "llm_quality_score",
-    "llm_rouge_overlap", "llm_sim_search_lsh", "llm_span_corruption",
-    "mm_patch_grid", "query_outbreak_ewma", "query_outbreak_serfling",
-    "query_spatial_hotspot", "sample_balanced_class", "stream_ewma_alerts",
-    "stream_rt_alerts", "stream_serfling_alerts", "stream_session_wm",
-    "stream_sliding_wm", "stream_stateful_timeout", "stream_stream_join_outer",
-    "ts_holt_linear", "ts_mann_kendall", "ts_theil_sen", "win_event_sequence",
+    "llm_rouge_overlap", "llm_span_corruption", "mm_patch_grid",
+    "query_outbreak_ewma", "query_outbreak_serfling", "query_spatial_hotspot",
+    "sample_balanced_class", "stream_ewma_alerts", "stream_rt_alerts",
+    "stream_serfling_alerts", "stream_session_wm", "stream_sliding_wm",
+    "stream_stateful_timeout", "stream_stream_join_outer", "ts_holt_linear",
+    "ts_mann_kendall", "ts_theil_sen", "win_event_sequence",
     "agg_approx_distinct", "agg_bool_bit", "agg_count_distinct", "agg_cube",
     "agg_direct_standardization", "agg_global", "agg_group_concat",
     "agg_groupby", "agg_having", "agg_percentile", "agg_pivot", "agg_rollup",

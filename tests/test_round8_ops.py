@@ -203,9 +203,10 @@ def test_importance_sampling_keeps_weight_one_docs(spark, sf_dir):
 
 
 def test_ann_recall_eval_bounds(spark, sf_dir):
-    """Recall@5 in [0,1] per query; IVF macro >= 0.6, LSH macro >= 0.8
-    (the LSH multi-probe bound the r3 test pinned, now surfaced by the
-    operator), PQ macro >= 0.9 (r13: the rerank pool scales with the
+    """Recall@5 in [0,1] per query; IVF macro >= 0.6, LSH macro >= 0.95
+    (r13: 6 OR-amplification tables — the knee of the measured
+    recall-per-candidate ladder 4:0.836 / 6:0.964 / 8:0.982 at sf0.1),
+    PQ macro >= 0.9 (r13: the rerank pool scales with the
     corpus — 20%, floor 100 — per the IVF-PQ doctrine; measured 0.927 at
     sf0.1, exact at fixture scales the floor covers); all
     three methods present with one macro row each (query_id -1, distinct
@@ -220,7 +221,7 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
     for m in methods:
         per_q = [r["recall_at_5"] for r in rows if r["method"] == m and r["query_id"] >= 0]
         assert abs(macro[m] - sum(per_q) / len(per_q)) < 1e-3
-    assert macro["lsh"] >= 0.8
+    assert macro["lsh"] >= 0.95
     assert macro["ivf"] >= 0.6
     assert macro["pq"] >= 0.9
     # the composed index (trained spherical-k-means cells + 2-way
