@@ -3427,6 +3427,21 @@ def ann_index_build(
         if not force:
             return path
         shutil.rmtree(path, ignore_errors=True)
+        # force promises "a real build, never a cached no-op" — but the
+        # component builders (_spherical_cells / _ivf_knn_edges /
+        # _vec_groups) memoize per applicationId, so without eviction
+        # every rebuild after the first reused the checkpointed edges
+        # and fitted centroids and the published build wall
+        # under-reported the true cost (ADVICE r13 #4)
+        app = spark.sparkContext.applicationId
+        for cache in (
+            _SPH_CACHE,
+            _KNN_EDGES_CACHE,
+            _VEC_GROUPS_CACHE,
+            _VEC_DUP_DENSE,
+        ):
+            for k in [k for k in cache if k[0] == app and k[1] == sf_dir]:
+                cache.pop(k, None)
     os.makedirs(path, exist_ok=True)
     cents = _spherical_cells(
         spark,
@@ -3591,6 +3606,25 @@ def llm_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(path, "assignments_delta")
     )
     edges.write.mode("overwrite").parquet(os.path.join(path, "edges_delta"))
+    # The delta gets the SAME commit-marker discipline the base build
+    # got for exactly this reason (ADVICE r13 #2): a crash between the
+    # two writes above leaves directories the serve path must treat as
+    # absent, so the marker commits LAST and atomically.
+    import json
+
+    tmp = os.path.join(path, "_DELTA_MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": _ANN_INDEX_VERSION,
+                "tables": {
+                    "edges_delta": edges.count(),
+                    "assignments_delta": assigned.count(),
+                },
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(path, "_DELTA_MANIFEST.json"))
     return edges.orderBy("vec_id", "rnk")
 
 
@@ -3712,12 +3746,17 @@ def llm_ann_search_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve over base index + today's delta — the question a platform
     answers between nightly rebuilds: 'is this morning's ingest already
     searchable?' Reads the persisted BASE edge list and the
-    llm_ann_index_update DELTA (running the update first if absent),
-    unions them undirected (the delta stores only arrival->indexed
-    edges; the reverse direction is generated at read, exactly how the
-    base search undirects its own edges), extends the entry seeds with
-    the arrival directions' representatives, and runs the SAME
-    _nsw_beam_search plan every other serve path runs. Still zero
+    llm_ann_index_update DELTA (running the update first if its commit
+    marker is absent — a crashed half-written delta is regenerated,
+    never served), unions them undirected (the delta stores only
+    arrival->indexed edges; the reverse direction is generated at
+    read, exactly how the base search undirects its own edges), and
+    runs the SAME _nsw_beam_search plan every other serve path runs.
+    The seed set is the base index's entries unchanged: arrivals are
+    reachable because every arrival carries undirected edges to its
+    nearest INDEXED directions, so any beam that nears those standing
+    neighbors hops to the arrival — the standard NSW reachability
+    argument, not seed extension (ADVICE r13 #3). Still zero
     build/fit work — both inputs are parquet state. Output shape =
     llm_sim_search_nsw (query_id, neighbor_id, cos_sim); because the
     standing queries (vec_id <= 10) have exact clones in the arrival
@@ -3727,7 +3766,10 @@ def llm_ann_search_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     path = _ann_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "edges_delta")):
+    # gate on the delta's COMMIT MARKER, not directory existence — a
+    # crash mid-update leaves partial parquet the serve path must treat
+    # as absent (ADVICE r13 #2; the update overwrites both directories)
+    if not os.path.exists(os.path.join(path, "_DELTA_MANIFEST.json")):
         llm_ann_index_update(spark, sf_dir)
     base = spark.read.parquet(os.path.join(path, "edges")).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")

@@ -3544,10 +3544,19 @@ def _em_fit_driver(rows) -> dict[str, float]:
       DECIMAL(30,8) terms), summed exactly (ints are order-free, ==
       DECIMAL SUM), then divided by 10**8 with Python int/int true
       division (correctly rounded, == CAST(DECIMAL AS DOUBLE));
+    - dec8's int == the SQL's DECIMAL(30,8) term only while the raw
+      term x < 2**26: there ulp(n/1e8) < 1e-8, so the oracle's
+      FLOOR-double / 1e8 -> DECIMAL(30,8) round-trip provably recovers
+      n exactly. Past 2**26 the oracle's own double division can
+      misround the cast engine-dependently, so dec8 raises rather than
+      letting the cross-engine hash drift silently (ADVICE r13 #1);
     - every scalar snaps to the 1e-12 grid exactly as the SQL does
       (floor returns a < 2**53 int, / 10**12 is one IEEE division);
     - products and quotients evaluate in the SQL's left-associated
-      order, so each double matches the engine-evaluated chain;
+      order — p (and 1-p) fold into the running product FIRST, matching
+      `it.p * c1 * c2 * c3 * c4` == ((((p*c1)*c2)*c3)*c4), not
+      p * (c1*c2*c3*c4) (ADVICE r13 #1: the two associations can differ
+      by 1 ulp, which a 1e-12/1e-8 snap boundary then amplifies);
     - p, m_i, u_i all take the Winkler 1e-6 clamp (ADVICE r12 #2).
 
     Python floats ARE IEEE doubles, so matching the expression order
@@ -3568,6 +3577,16 @@ def _em_fit_driver(rows) -> dict[str, float]:
         return math.floor(x * 1000000000000 + 0.5) / 1000000000000
 
     def dec8(x: float) -> int:
+        # Exactness bound (docstring bullet 2): beyond 2**26 the SQL's
+        # own FLOOR-double/1e8 -> DECIMAL(30,8) cast is no longer
+        # provably the same integer — refuse loudly instead of letting
+        # the hash oracle drift (terms are w*cnt <= cnt; at the fixture
+        # scales cnt tops out ~3.1e7 in the dup-dense 10x table).
+        if not x < 67108864.0:  # 2**26
+            raise ValueError(
+                "EM dec8 term %r >= 2**26: the DECIMAL(30,8) round-trip "
+                "is no longer provably exact cross-engine" % x
+            )
         return math.floor(x * 100000000 + 0.5)
 
     def clamp(x: float) -> float:
@@ -3578,14 +3597,14 @@ def _em_fit_driver(rows) -> dict[str, float]:
         sw = sv = nn = 0
         swg, svg = [0] * 4, [0] * 4
         for cnt, gs in pats:
-            pm = pu = None
+            # SQL is `it.p * c1 * c2 * c3 * c4` — left-associated, p
+            # first — so seed the running products with p / (1-p) and
+            # fold the per-field factors in order (ADVICE r13 #1).
+            pm, pu = p, 1 - p
             for i in range(4):
-                fm = m[i] if gs[i] == 1 else 1 - m[i]
-                fu = u[i] if gs[i] == 1 else 1 - u[i]
-                pm = fm if pm is None else pm * fm
-                pu = fu if pu is None else pu * fu
-            num = p * pm
-            w = snap12(num / (num + (1 - p) * pu))
+                pm *= m[i] if gs[i] == 1 else 1 - m[i]
+                pu *= u[i] if gs[i] == 1 else 1 - u[i]
+            w = snap12(pm / (pm + pu))
             sw += dec8(w * cnt)
             sv += dec8((1 - w) * cnt)
             nn += dec8(cnt)

@@ -1,0 +1,150 @@
+"""Round-14 operator tests: the ANN delta commit-marker discipline
+(ADVICE r13 #2), the force-rebuild memo eviction (ADVICE r13 #4), and
+the EM fit's left-associated product order + dec8 exactness bound
+(ADVICE r13 #1)."""
+import json
+import os
+import shutil
+
+
+# ---------------------------------------------------------------------------
+# Delta commit marker (ADVICE r13 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_delta_manifest_commits_last_and_gates_serving(spark, sf_dir):
+    """(a) llm_ann_index_update commits a _DELTA_MANIFEST.json whose
+    per-table counts equal the written delta tables; (b) the serve path
+    treats a delta directory WITHOUT the marker as absent — it re-runs
+    the update (which overwrites the partials) rather than reading a
+    half-written crash leftover."""
+    from sdp_spark.operators import llm as L
+    from sdp_spark.plans.registry import load_all
+
+    REG = load_all()
+    edges_rows = REG["llm_ann_index_update"].fn(spark, sf_dir).collect()
+    path = L._ann_index_path(sf_dir)
+    marker = os.path.join(path, "_DELTA_MANIFEST.json")
+    assert os.path.exists(marker)
+    with open(marker) as f:
+        manifest = json.load(f)
+    assert manifest["version"] == L._ANN_INDEX_VERSION
+    for name, n in manifest["tables"].items():
+        assert (
+            spark.read.parquet(os.path.join(path, name)).count() == n
+        ), name
+    assert manifest["tables"]["edges_delta"] == len(edges_rows)
+
+    # crash case: marker gone, edges_delta truncated to a partial write —
+    # the serve path must regenerate the delta, not read the partial
+    shutil.rmtree(os.path.join(path, "edges_delta"))
+    os.makedirs(os.path.join(path, "edges_delta"))
+    os.remove(marker)
+    served = REG["llm_ann_search_delta"].fn(spark, sf_dir).collect()
+    assert os.path.exists(marker)
+    assert (
+        spark.read.parquet(os.path.join(path, "edges_delta")).count()
+        == manifest["tables"]["edges_delta"]
+    )
+    assert len(served) > 0
+
+
+# ---------------------------------------------------------------------------
+# force=True really rebuilds (ADVICE r13 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_force_rebuild_evicts_memos(spark, sf_dir):
+    """force=True must re-run the component builders, not replay the
+    per-application memos — otherwise the published build-vs-serve wall
+    ratio under-reports the true build cost. Pin it structurally: after
+    a forced rebuild the memo entries for this (app, sf_dir) are fresh
+    objects, and the rebuilt index still serves identically."""
+    from sdp_spark.operators import llm as L
+
+    # force the first build too: a session-cached manifest would
+    # short-circuit a plain build and never populate the memos
+    L.ann_index_build(spark, sf_dir, force=True)
+    app = spark.sparkContext.applicationId
+    before = {
+        k: v for k, v in L._KNN_EDGES_CACHE.items()
+        if k[0] == app and k[1] == sf_dir
+    }
+    sph_before = {
+        k: v for k, v in L._SPH_CACHE.items()
+        if k[0] == app and k[1] == sf_dir
+    }
+    assert before and sph_before  # the build populated them
+    path = L.ann_index_build(spark, sf_dir, force=True)
+    for k, old in before.items():
+        assert L._KNN_EDGES_CACHE.get(k) is not old
+    for k, old in sph_before.items():
+        assert L._SPH_CACHE.get(k) is not old
+    assert os.path.exists(os.path.join(path, "_MANIFEST.json"))
+
+
+# ---------------------------------------------------------------------------
+# EM fit arithmetic (ADVICE r13 #1)
+# ---------------------------------------------------------------------------
+
+
+def test_em_fit_product_association_matches_sql():
+    """The E-step terms must evaluate in the SQL's left-associated order
+    — p folds into the running product FIRST (`it.p * c1 * c2 * c3 *
+    c4`), not p * (c1*c2*c3*c4). Construct factors where the two
+    associations differ by 1 ulp and check the fit's first-iteration w
+    against the literal left fold."""
+    import math
+
+    from sdp_spark.operators.stats import _em_fit_driver
+
+    # one pattern row, all-agree: pm chain = p*m1*m2*m3*m4
+    rows = [{"cnt": 3.0, "g1": 1, "g2": 1, "g3": 1, "g4": 1}]
+    fit = _em_fit_driver(rows)
+    # replay iteration-by-iteration with the left fold; 10 iterations of
+    # the same snap/clamp pipeline must land exactly on the fit
+    p, m, u = 0.1, [0.9] * 4, [0.1] * 4
+
+    def snap12(x):
+        return math.floor(x * 10**12 + 0.5) / 10**12
+
+    def dec8(x):
+        return math.floor(x * 10**8 + 0.5)
+
+    def clamp(x):
+        return max(1e-6, min(0.999999, x))
+
+    for _ in range(10):
+        pm, pu = p, 1 - p
+        for i in range(4):
+            pm *= m[i]
+            pu *= u[i]
+        w = snap12(pm / (pm + pu))
+        cnt = 3.0
+        sw, sv, nn = dec8(w * cnt), dec8((1 - w) * cnt), dec8(cnt)
+        swg = [dec8(w * cnt * 1)] * 4
+        svg = [dec8((1 - w) * cnt * 1)] * 4
+        sw_d, sv_d, nn_d = sw / 10**8, sv / 10**8, nn / 10**8
+        p = clamp(snap12(sw_d / nn_d))
+        m = [clamp(snap12(swg[i] / 10**8 / sw_d)) for i in range(4)]
+        u = [clamp(snap12(svg[i] / 10**8 / sv_d)) for i in range(4)]
+    assert fit["p"] == p
+    assert [fit[f"m{i+1}"] for i in range(4)] == m
+    assert [fit[f"u{i+1}"] for i in range(4)] == u
+
+
+def test_em_dec8_exactness_bound_raises():
+    """Past 2**26 the oracle's FLOOR-double/1e8 -> DECIMAL(30,8)
+    round-trip is no longer provably exact, so the fit must refuse
+    loudly instead of hash-drifting silently."""
+    import pytest
+
+    from sdp_spark.operators.stats import _em_fit_driver
+
+    rows = [{"cnt": float(2**26), "g1": 1, "g2": 0, "g3": 0, "g4": 0}]
+    with pytest.raises(ValueError, match="2\\*\\*26"):
+        _em_fit_driver(rows)
+    # just inside the bound: runs clean
+    rows = [{"cnt": float(2**26 - 1), "g1": 1, "g2": 0, "g3": 0, "g4": 0}]
+    fit = _em_fit_driver(rows)
+    assert 0 < fit["p"] < 1
