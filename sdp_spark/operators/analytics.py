@@ -4252,7 +4252,8 @@ def query_outbreak_nowcasted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("query_detector_concordance", oracle=None, section=_SEC)
+# NOTE: registered from insights.py (after query_outbreak_histlimits), so
+# its oracle can compose ALL SEVEN component detectors' certified oracles.
 def query_detector_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise concordance of the eight batch aberration detectors (EARS
     C1, C2 and C3, CUSUM, EWMA, historical limits, Serfling,
@@ -4275,10 +4276,12 @@ def query_detector_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreeing that NOTHING is aberrant is agreement), and raw percent
     agreement including joint silence.
 
-    rows-only oracle (the six inputs are certified individually; the
-    composition is bounded metadata — at most |types|·|days| rows per
-    detector). Deterministic: day keys normalize to ISO strings,
-    pair order is lexicographic, output sorts on (det_a, det_b)."""
+    FULLY HASH-ORACLED since r14 (VERDICT r13 work list #2): the oracle
+    composes the seven component detectors' OWN certified oracle texts
+    as CTEs and replays the identical normalize/pair/aggregate SQL, so
+    the composition — not just the inputs — is cross-engine pinned.
+    Deterministic: day keys normalize to ISO strings, pair order is
+    lexicographic, output sorts on (det_a, det_b)."""
     from sdp_spark.operators.insights import query_outbreak_histlimits
 
     fam = query_outbreak_ears_family(spark, sf_dir)

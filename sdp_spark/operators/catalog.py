@@ -211,13 +211,46 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("catalog_show_describe", oracle=None, section=_SEC)
+_SHOW_DESCRIBE_PLAN_MARKERS = (
+    # the physical-plan properties the EXPLAIN half certifies: a partial
+    # (map-side) aggregate, a hash-partitioned shuffle on the group key,
+    # and a parquet scan — losing any of these is a real plan regression
+    "Exchange hashpartitioning",
+    "HashAggregate",
+    "parquet",
+)
+
+
+@register(
+    "catalog_show_describe",
+    oracle="""
+    SELECT stmt, line FROM (VALUES
+      ('show_tables', 'nation'),
+      ('describe', 'n_nationkey int'),
+      ('describe', 'n_name string'),
+      ('describe', 'n_regionkey int'),
+      ('explain', 'Exchange hashpartitioning'),
+      ('explain', 'HashAggregate'),
+      ('explain', 'parquet')
+    ) t(stmt, line) ORDER BY stmt, line
+    """,
+    section=_SEC,
+)
 def catalog_show_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Introspection statements (MySQL SHOW TABLES / DESCRIBE / EXPLAIN
     surface): SHOW TABLES over the namespace, DESCRIBE of a catalog table,
     and EXPLAIN of a query against it, unioned as (stmt, line) rows.
-    rows-only oracle — plan text and table listings are engine-specific by
-    nature; pytest pins the structural invariants."""
+
+    FULLY HASH-ORACLED since r14 (VERDICT r13 work list #2: the rows-only
+    check let the output drift 20 -> 16 rows unnoticed between r3 and r13
+    as OTHER keys' tables came and went in the shared namespace). The
+    statements still run for real — the hash pins their PORTABLE
+    projection: SHOW TABLES must surface the owned table (emitted under
+    its logical name; sibling tables are out of contract), DESCRIBE must
+    return exactly the created schema, and the EXPLAIN text must contain
+    the _SHOW_DESCRIBE_PLAN_MARKERS plan properties (partial aggregate,
+    hash-partitioned exchange, parquet scan) — so a plan-shape regression
+    or schema drift now breaks the hash instead of hiding."""
     db = ensure_sampledb(spark, sf_dir)
     name = f"nation_{_safe_tag(sf_dir)}"
     tbl = f"{db}.{name}"
@@ -229,17 +262,29 @@ def catalog_show_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.format("parquet")
             .saveAsTable(tbl)
         )
-    show = spark.sql(f"SHOW TABLES IN {db}").select(
-        F.lit("show_tables").alias("stmt"), F.col("tableName").alias("line")
+    show = (
+        spark.sql(f"SHOW TABLES IN {db}")
+        .filter(F.col("tableName") == name)
+        .select(
+            F.lit("show_tables").alias("stmt"), F.lit("nation").alias("line")
+        )
     )
-    desc = spark.sql(f"DESCRIBE TABLE {tbl}").select(
-        F.lit("describe").alias("stmt"),
-        F.concat_ws(" ", "col_name", "data_type").alias("line"),
+    desc = (
+        spark.sql(f"DESCRIBE TABLE {tbl}")
+        .filter(~F.col("col_name").startswith("#") & (F.col("col_name") != ""))
+        .select(
+            F.lit("describe").alias("stmt"),
+            F.concat_ws(" ", "col_name", "data_type").alias("line"),
+        )
     )
-    expl = spark.sql(
+    plan_text = spark.sql(
         f"EXPLAIN SELECT n_regionkey, COUNT(*) FROM {tbl} GROUP BY n_regionkey"
-    ).select(F.lit("explain").alias("stmt"), F.col("plan").alias("line"))
-    return show.unionAll(desc).unionAll(expl)
+    ).collect()[0]["plan"]
+    expl = spark.createDataFrame(
+        [("explain", m) for m in _SHOW_DESCRIBE_PLAN_MARKERS if m in plan_text],
+        "stmt string, line string",
+    )
+    return show.unionAll(desc).unionAll(expl).orderBy("stmt", "line")
 
 
 @register(

@@ -1735,3 +1735,111 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", F.col("sample_rank").cast("int"))
         .orderBy("lang", "sample_rank")
     )
+
+
+def _concordance_oracle() -> str:
+    """DuckDB oracle for query_detector_concordance (analytics.py): the
+    seven component detectors' CERTIFIED oracle texts embedded as CTEs
+    (llm_ann_recall_eval doctrine — compose registered operators, never
+    reimplement), normalized to (det, event_type, day, alert) and
+    replayed through the identical pair/aggregate arithmetic the Spark
+    side runs. Built HERE because histlimits registers in this module —
+    the last of the seven to load."""
+    from sdp_spark.plans.registry import REGISTRY
+
+    comp = {
+        k: REGISTRY[k].oracle
+        for k in (
+            "query_outbreak_cusum",
+            "query_outbreak_ears",
+            "query_outbreak_ears_family",
+            "query_outbreak_ewma",
+            "query_outbreak_farrington",
+            "query_outbreak_histlimits",
+            "query_outbreak_serfling",
+        )
+    }
+    assert all(comp.values()), "component detector oracle missing"
+
+    def sel(det: str, src: str, daycol: str, where: str = "") -> str:
+        return (
+            f"SELECT '{det}' AS det, event_type,"
+            f" CAST({daycol} AS VARCHAR) AS day,"
+            f" CAST(alert AS BOOLEAN) AS alert FROM {src}{where}"
+        )
+
+    norm = "\n      UNION ALL ".join(
+        [
+            sel("cusum", "det_cusum", "day"),
+            sel("ears", "det_ears", "day_s"),
+            sel("ears_c1", "det_fam", "day_s", " WHERE variant = 'c1'"),
+            sel("ears_c3", "det_fam", "day_s", " WHERE variant = 'c3'"),
+            sel("ewma", "det_ewma", "day"),
+            sel("farrington", "det_farr", "day"),
+            sel("histlimits", "det_hist", "day_s"),
+            sel("serfling", "det_serf", "day"),
+        ]
+    )
+    jac = sql_dround(
+        "CASE WHEN n_alert_a + n_alert_b - n_alert_both = 0"
+        " THEN CAST(1.0 AS DOUBLE)"
+        " ELSE CAST(n_alert_both AS DOUBLE)"
+        " / (n_alert_a + n_alert_b - n_alert_both) END",
+        4,
+    )
+    agree = sql_dround(
+        "CAST(n_scored_both - n_alert_a - n_alert_b + 2 * n_alert_both"
+        " AS DOUBLE) / n_scored_both",
+        4,
+    )
+    return f"""
+    WITH det_cusum AS ({comp["query_outbreak_cusum"]}),
+    det_ears AS ({comp["query_outbreak_ears"]}),
+    det_fam AS ({comp["query_outbreak_ears_family"]}),
+    det_ewma AS ({comp["query_outbreak_ewma"]}),
+    det_farr AS ({comp["query_outbreak_farrington"]}),
+    det_hist AS ({comp["query_outbreak_histlimits"]}),
+    det_serf AS ({comp["query_outbreak_serfling"]}),
+    norm AS (
+      {norm}
+    ),
+    pairs AS (
+      SELECT a.det AS det_a, b.det AS det_b,
+             a.alert AS alert_a, b.alert AS alert_b
+      FROM norm a JOIN norm b
+        ON a.event_type = b.event_type AND a.day = b.day
+      WHERE a.det < b.det
+    ),
+    agg AS (
+      SELECT det_a, det_b,
+        CAST(COUNT(*) AS BIGINT) AS n_scored_both,
+        CAST(SUM(CASE WHEN alert_a THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_alert_a,
+        CAST(SUM(CASE WHEN alert_b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_alert_b,
+        CAST(SUM(CASE WHEN alert_a AND alert_b THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_alert_both
+      FROM pairs GROUP BY det_a, det_b
+    )
+    SELECT det_a, det_b, n_scored_both, n_alert_a, n_alert_b,
+           n_alert_both, {jac} AS jaccard, {agree} AS pct_agree
+    FROM agg ORDER BY det_a, det_b
+    """
+
+
+def _register_detector_concordance() -> None:
+    """Deferred registration (module-load-order contract): analytics.py
+    defines the fn; the oracle needs histlimits, registered above."""
+    from sdp_spark.operators.analytics import (
+        _SEC as _ANALYTICS_SEC,
+        query_detector_concordance,
+    )
+
+    register(
+        "query_detector_concordance",
+        oracle=_concordance_oracle(),
+        section=_ANALYTICS_SEC,
+    )(query_detector_concordance)
+
+
+_register_detector_concordance()

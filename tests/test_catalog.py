@@ -40,11 +40,18 @@ def test_bucketed_join_rebuilds_after_catalog_loss(spark, sf_dir):
 
 
 def test_show_describe_explain_surface(spark, sf_dir):
+    """r14 shape (hash-oracled): SHOW surfaces the owned table under its
+    logical name, DESCRIBE returns the exact created schema, EXPLAIN
+    yields every pinned plan marker (partial agg + hash exchange +
+    parquet scan present in the live physical plan)."""
+    from sdp_spark.operators.catalog import _SHOW_DESCRIBE_PLAN_MARKERS
+
     rows = REGISTRY["catalog_show_describe"].fn(spark, sf_dir).collect()
     by_stmt: dict[str, list[str]] = {}
     for r in rows:
         by_stmt.setdefault(r["stmt"], []).append(r["line"])
-    assert any(t.startswith("nation_") for t in by_stmt["show_tables"])
-    assert any(line.startswith("n_nationkey") for line in by_stmt["describe"])
-    assert any("HashAggregate" in line or "AdaptiveSparkPlan" in line
-               for line in by_stmt["explain"])
+    assert by_stmt["show_tables"] == ["nation"]
+    assert sorted(by_stmt["describe"]) == [
+        "n_name string", "n_nationkey int", "n_regionkey int"
+    ]
+    assert sorted(by_stmt["explain"]) == sorted(_SHOW_DESCRIBE_PLAN_MARKERS)
