@@ -3410,8 +3410,11 @@ def _nsw_beam_search_frames(
 # ---------------------------------------------------------------------------
 
 # Bump when the on-disk index layout or the build algorithm changes (r13a:
-# NNDescent-refined edges) — a stale-format index must never be read.
-_ANN_INDEX_VERSION = "r13a"
+# NNDescent-refined edges; r14a: pre-merged undirected edge tables — the
+# serve paths' per-search union+distinct+checkpoint over the directed list
+# moved to build/update time, where it runs once per index version instead
+# of once per search).
+_ANN_INDEX_VERSION = "r14a"
 
 
 def _ann_index_path(sf_dir: str) -> str:
@@ -3498,8 +3501,26 @@ def ann_index_build(
         .partitionBy("bucket")
         .parquet(os.path.join(path, "edges"))
     )
+    # Pre-merged UNDIRECTED edge list (r14): the serve paths consume the
+    # graph undirected, and every search used to pay the union + distinct
+    # + eager checkpoint to derive it — a per-SEARCH cost for a
+    # per-INDEX-VERSION artifact. Build-once/serve-many applies to the
+    # derived form too: dedup here, serve with a bare scan.
+    knn = edges.select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    (
+        knn.unionByName(
+            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .withColumn("bucket", F.pmod(F.col("src"), F.lit(16)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "edges_undirected"))
+    )
     entries.write.mode("overwrite").parquet(os.path.join(path, "entries"))
-    for name in ("assignments", "edges", "entries"):
+    for name in ("assignments", "edges", "edges_undirected", "entries"):
         counts[name] = spark.read.parquet(os.path.join(path, name)).count()
     tmp = manifest + ".tmp"
     with open(tmp, "w") as f:
@@ -3545,14 +3566,13 @@ def llm_ann_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     path = ann_index_build(spark, sf_dir)
-    knn = spark.read.parquet(os.path.join(path, "edges")).select(
-        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
+    # the persisted index already stores the graph undirected and deduped
+    # (r14): serving is a bare scan — no union, no distinct shuffle. The
+    # eager checkpoint stays: the beam loop consumes the frame once per
+    # round, and pinning it beats six parquet re-reads.
     edges = (
-        knn.unionByName(
-            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
+        spark.read.parquet(os.path.join(path, "edges_undirected"))
+        .select("src", "dst")
         .localCheckpoint(eager=True)
     )
     entries = spark.read.parquet(os.path.join(path, "entries")).select("node")
@@ -3574,9 +3594,12 @@ def llm_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     table), and its exact-rescored top-8 edges + cell assignments are
     written back as DELTA tables beside the base index
     (mode=overwrite — re-running a batch replaces its delta, the
-    idempotent-redelivery discipline of the streaming sinks; the search
-    path unions base + delta reverses at read, so appending only the
-    arrival->indexed direction keeps connectivity).
+    idempotent-redelivery discipline of the streaming sinks; an
+    undirected pre-merged twin `edges_delta_undirected` is written
+    alongside (r14) so the delta serve path is a bare scan-union with
+    no per-search distinct — storing only the arrival->indexed
+    direction in `edges_delta` still keeps connectivity, the reverse
+    direction materializes in the undirected twin).
 
     Per-arrival cost is O(NASSIGN * cell size) — flat as the corpus
     grows with K ~ sqrt(N) — and NOTHING here rescans or refits the
@@ -3637,6 +3660,22 @@ def llm_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(path, "assignments_delta")
     )
     edges.write.mode("overwrite").parquet(os.path.join(path, "edges_delta"))
+    # pre-merged undirected twin (r14, same doctrine as the base index's
+    # edges_undirected): the delta serve path unions base + delta scans
+    # with NO serve-time distinct — every delta edge joins an arrival
+    # (> max_id) to an indexed id, so the two undirected sets are
+    # disjoint by construction and dedup is needed only WITHIN the delta
+    dk = edges.select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    (
+        dk.unionByName(
+            dk.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "edges_delta_undirected"))
+    )
     # The delta gets the SAME commit-marker discipline the base build
     # got for exactly this reason (ADVICE r13 #2): a crash between the
     # two writes above leaves directories the serve path must treat as
@@ -3650,6 +3689,9 @@ def llm_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "version": _ANN_INDEX_VERSION,
                 "tables": {
                     "edges_delta": edges.count(),
+                    "edges_delta_undirected": spark.read.parquet(
+                        os.path.join(path, "edges_delta_undirected")
+                    ).count(),
                     "assignments_delta": assigned.count(),
                 },
             },
@@ -3802,18 +3844,17 @@ def llm_ann_search_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as absent (ADVICE r13 #2; the update overwrites both directories)
     if not os.path.exists(os.path.join(path, "_DELTA_MANIFEST.json")):
         llm_ann_index_update(spark, sf_dir)
-    base = spark.read.parquet(os.path.join(path, "edges")).select(
-        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
-    delta = spark.read.parquet(os.path.join(path, "edges_delta")).select(
-        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
-    knn = base.unionByName(delta)
+    # both sides are stored undirected + deduped (r14) and are disjoint
+    # by construction (delta edges always touch an arrival id > max_id):
+    # the serve-time union needs NO distinct shuffle — scan, union, pin
     edges = (
-        knn.unionByName(
-            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        spark.read.parquet(os.path.join(path, "edges_undirected"))
+        .select("src", "dst")
+        .unionByName(
+            spark.read.parquet(
+                os.path.join(path, "edges_delta_undirected")
+            ).select("src", "dst")
         )
-        .distinct()
         .localCheckpoint(eager=True)
     )
     entries = spark.read.parquet(os.path.join(path, "entries")).select(

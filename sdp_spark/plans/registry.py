@@ -112,6 +112,10 @@ _SWEEP_REPROOFS = frozenset({
     # ivf rows both re-valued (oracle regenerated in lockstep).
     "llm_sim_search_ivf",
     "llm_ann_recall_eval",
+    # r14: the persisted index gained the pre-merged edges_undirected
+    # table — the manifest (and thus this key's component rows) widened
+    # 4 -> 5; the serve paths' OUTPUT is unchanged (pytest-pinned equal).
+    "llm_ann_index_persist",
 })
 
 # The newest CORRECTNESS round on disk when the queue below was generated
@@ -129,45 +133,45 @@ _SWEEP_PRIORITY = (
     # other key oldest-latest-verdict-first (alphabetical within a
     # round). Regenerate at round start: python tools/gen_sweep_queue.py
     # --- BEGIN GENERATED QUEUE (tools/gen_sweep_queue.py) ---
-    "llm_ann_recall_eval", "llm_sim_search_ivf", "query_linkage_em_weights",
-    "catalog_show_describe", "query_detector_concordance",
-    "agg_approx_percentile", "agg_filtered", "agg_funnel", "agg_mode",
-    "agg_sketch_rollup", "catalog_ctas", "dml_merge_scd2", "fn_encode",
-    "fn_json_struct", "fn_spatial", "join_asof_tolerance", "join_bucketed",
-    "join_range_bucketed", "join_spatial_grid", "llm_corpus_stats",
-    "llm_cross_split_dedup", "llm_decontaminate", "llm_dedup_prefix",
-    "llm_dedup_softnorm", "llm_doc_len_histogram", "llm_domain_mix",
-    "llm_ngram_counts", "llm_pack_sequences", "llm_pii_scrub",
-    "llm_quality_gopher", "llm_sample_temperature", "mm_decode_pipeline",
-    "query_late_orders", "query_returned_items", "query_shipping_priority",
-    "scan_binary_files", "scan_jdbc", "scan_text", "sink_autoincrement",
-    "sink_compact", "sink_insert_ignore", "sink_jsonl", "sink_outfile_csv",
-    "sink_replace", "sink_stream_upsert", "stream_late_metrics",
-    "win_gap_islands", "win_sessionize", "win_zscore", "agg_approx_topk",
-    "agg_ohlc_resample", "agg_percentile_disc", "dialect_mysql_query",
-    "dialect_user_var_rownum", "dml_truncate_partition", "fn_convert_tz",
-    "fn_trig", "fulltext_bm25", "join_dpp", "join_runtime_bloom",
-    "join_scd2_pointintime", "limit_found_rows", "llm_bpe_apply",
-    "llm_bpe_pair_counts", "llm_chunk_windows", "llm_cluster_kmeans",
-    "llm_dedup_incremental", "llm_dedup_substring", "llm_dedup_url_docs",
-    "llm_embed_normalize", "llm_embed_pca", "llm_embed_quantize",
-    "llm_hybrid_search_rrf", "llm_inverted_index", "llm_mix_epochs",
-    "llm_perplexity_proxy", "llm_sample_stratified", "llm_semdedup",
-    "llm_shard_export", "llm_url_normalize", "llm_vocab_oov",
-    "query_cust_order_counts", "query_disjunctive_parts",
-    "query_dormant_customers", "query_large_volume_cust",
-    "query_local_supplier_volume", "query_promo_effect", "query_top_supplier",
-    "query_volume_shipping", "scan_csv_malformed", "scan_multiformat_union",
-    "sink_odku", "sink_sized_files", "sink_zorder", "stream_ohlc",
-    "stream_topk_windowed", "subq_not_in_null", "ts_gap_fill",
-    "agg_regression", "catalog_cross_db", "catalog_sql_script",
-    "catalog_sql_udf", "cte_recursive", "dialect_prepared_stmt",
-    "dq_referential_check", "filter_row_constructor", "fn_aes_roundtrip",
-    "fn_inet", "fn_mysql_string2", "fn_regex_advanced", "fn_try_arith",
-    "fn_variant_json", "fn_week_modes", "graph_degree", "join_existence",
-    "join_fuzzy_blocked", "join_null_safe", "llm_blocklist_filter",
-    "llm_corpus_lineage", "llm_pipeline_multimodal", "mm_modality_stats",
-    "query_dominant_suppliers", "query_forecast_revenue",
+    "llm_ann_index_persist", "llm_ann_recall_eval", "llm_sim_search_ivf",
+    "query_linkage_em_weights", "catalog_show_describe",
+    "query_detector_concordance", "agg_approx_percentile", "agg_filtered",
+    "agg_funnel", "agg_mode", "agg_sketch_rollup", "catalog_ctas",
+    "dml_merge_scd2", "fn_encode", "fn_json_struct", "fn_spatial",
+    "join_asof_tolerance", "join_bucketed", "join_range_bucketed",
+    "join_spatial_grid", "llm_corpus_stats", "llm_cross_split_dedup",
+    "llm_decontaminate", "llm_dedup_prefix", "llm_dedup_softnorm",
+    "llm_doc_len_histogram", "llm_domain_mix", "llm_ngram_counts",
+    "llm_pack_sequences", "llm_pii_scrub", "llm_quality_gopher",
+    "llm_sample_temperature", "mm_decode_pipeline", "query_late_orders",
+    "query_returned_items", "query_shipping_priority", "scan_binary_files",
+    "scan_jdbc", "scan_text", "sink_autoincrement", "sink_compact",
+    "sink_insert_ignore", "sink_jsonl", "sink_outfile_csv", "sink_replace",
+    "sink_stream_upsert", "stream_late_metrics", "win_gap_islands",
+    "win_sessionize", "win_zscore", "agg_approx_topk", "agg_ohlc_resample",
+    "agg_percentile_disc", "dialect_mysql_query", "dialect_user_var_rownum",
+    "dml_truncate_partition", "fn_convert_tz", "fn_trig", "fulltext_bm25",
+    "join_dpp", "join_runtime_bloom", "join_scd2_pointintime",
+    "limit_found_rows", "llm_bpe_apply", "llm_bpe_pair_counts",
+    "llm_chunk_windows", "llm_cluster_kmeans", "llm_dedup_incremental",
+    "llm_dedup_substring", "llm_dedup_url_docs", "llm_embed_normalize",
+    "llm_embed_pca", "llm_embed_quantize", "llm_hybrid_search_rrf",
+    "llm_inverted_index", "llm_mix_epochs", "llm_perplexity_proxy",
+    "llm_sample_stratified", "llm_semdedup", "llm_shard_export",
+    "llm_url_normalize", "llm_vocab_oov", "query_cust_order_counts",
+    "query_disjunctive_parts", "query_dormant_customers",
+    "query_large_volume_cust", "query_local_supplier_volume",
+    "query_promo_effect", "query_top_supplier", "query_volume_shipping",
+    "scan_csv_malformed", "scan_multiformat_union", "sink_odku",
+    "sink_sized_files", "sink_zorder", "stream_ohlc", "stream_topk_windowed",
+    "subq_not_in_null", "ts_gap_fill", "agg_regression", "catalog_cross_db",
+    "catalog_sql_script", "catalog_sql_udf", "cte_recursive",
+    "dialect_prepared_stmt", "dq_referential_check", "filter_row_constructor",
+    "fn_aes_roundtrip", "fn_inet", "fn_mysql_string2", "fn_regex_advanced",
+    "fn_try_arith", "fn_variant_json", "fn_week_modes", "graph_degree",
+    "join_existence", "join_fuzzy_blocked", "join_null_safe",
+    "llm_blocklist_filter", "llm_corpus_lineage", "llm_pipeline_multimodal",
+    "mm_modality_stats", "query_dominant_suppliers", "query_forecast_revenue",
     "query_important_stock", "query_market_share", "query_min_cost_supplier",
     "query_outbreak_ears", "query_parts_supplier_cnt", "query_product_profit",
     "query_shipmode_priority", "query_small_qty_orders",
@@ -262,10 +266,10 @@ _SWEEP_PRIORITY = (
     "win_sliding_rows", "win_topk_group", "catalog_analyze_stats",
     "catalog_ddl", "catalog_views", "filter_collation_accent",
     "filter_fulltext", "filter_fulltext_bool", "fn_fuzzy", "fn_time_year",
-    "join_hinted", "llm_ann_index_persist", "llm_ann_index_update",
-    "llm_ann_search_delta", "llm_ann_search_persisted", "llm_dedup_embed",
-    "llm_dedup_near_resolve", "llm_dedup_ngram_jaccard", "llm_knn_graph_ivf",
-    "llm_langid", "llm_pipeline_e2e", "llm_pipeline_train_corpus",
+    "join_hinted", "llm_ann_index_update", "llm_ann_search_delta",
+    "llm_ann_search_persisted", "llm_dedup_embed", "llm_dedup_near_resolve",
+    "llm_dedup_ngram_jaccard", "llm_knn_graph_ivf", "llm_langid",
+    "llm_pipeline_e2e", "llm_pipeline_train_corpus",
     "llm_pipeline_train_corpus_nd", "llm_sim_search_lsh", "llm_sim_search_nsw",
     "llm_sim_search_pq", "llm_token_count_bpe", "mm_frame_sample",
     "project_cast_lenient", "project_enum_check", "project_set_check",

@@ -90,7 +90,9 @@ def test_ann_index_persist_key_output(spark, sf_dir):
     REG = load_all()
     rows = REG["llm_ann_index_persist"].fn(spark, sf_dir).collect()
     got = {r["component"]: r["n_rows"] for r in rows}
-    assert set(got) == {"centroids", "assignments", "edges", "entries"}
+    assert set(got) == {
+        "centroids", "assignments", "edges", "edges_undirected", "entries"
+    }
     assert all(n > 0 for n in got.values())
     again = {
         r["component"]: r["n_rows"]
