@@ -3325,16 +3325,25 @@ def _nsw_beam_search(
 
 
 def _nsw_beam_search_frames(
-    spark: SparkSession, emb: DataFrame, edges: DataFrame, entries: DataFrame
+    spark: SparkSession,
+    emb: DataFrame,
+    edges: DataFrame,
+    entries: DataFrame,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """The beam-search core over an explicit (vec_id, dvec, norm) corpus
     frame — lets delta-search run the same plan over a corpus augmented
-    with an arrival batch."""
-    queries = emb.filter(F.col("vec_id") <= 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("dvec").alias("qv"),
-        F.col("norm").alias("qn"),
-    )
+    with an arrival batch. `queries` (query_id, qv, qn) overrides the
+    default standing query set (vec_id <= 10); every frame in the loop
+    is keyed by query_id, so a 1000-query batch runs THE SAME number of
+    Spark jobs as one query — the per-query independence
+    llm_ann_search_batch certifies."""
+    if queries is None:
+        queries = emb.filter(F.col("vec_id") <= 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("dvec").alias("qv"),
+            F.col("norm").alias("qn"),
+        )
     # ONE ENTRY PER CELL (lowest member vec_id), not a single global
     # entry: graph navigability is what a single entry rides, and a
     # duplicate-dense corpus destroys it — every clone's top-k edges
@@ -3863,6 +3872,49 @@ def llm_ann_search_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nsw_beam_search_over(
         spark, sf_dir, edges, entries, include_arrivals=True
     )
+
+
+@register("llm_ann_search_batch", oracle=None, section=_SEC)
+def llm_ann_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH serve from the persisted index — the offline half of a
+    vector platform's traffic (VERDICT r13 work list #5): recommendation
+    backfills, dataset-vs-dataset decontamination, nightly re-ranks all
+    arrive as query SETS, not single lookups. The query batch here is
+    every 7th corpus vector plus the standing queries (~N/7 + 11 — ~286
+    at sf0.1, ~28.6k at the 100x fixture), and the WHOLE batch runs
+    through ONE _nsw_beam_search_frames plan: every frame in the beam
+    loop is keyed by query_id, so the batch costs the same 6-round job
+    count as a single query — per-query work rides the executor
+    parallelism, not the driver's plan count. This is the throughput
+    argument for graph-ANN-on-Spark: serve QPS scales with cluster
+    width because queries are ROWS, not jobs.
+
+    Per-query independence is structural (no frame mixes query_ids
+    outside its own partition key), so the batch's answers for the
+    standing queries EQUAL llm_ann_search_persisted's single-serve
+    answers row-for-row — pytest pins that plus determinism. Zero
+    build/fit work: reads the same persisted parquet state the
+    single-serve path reads. rows-only oracle (graph traversal is not
+    replayable SQL). Output: (query_id, neighbor_id, cos_sim), exact
+    top-5 per batch query."""
+    import os
+
+    path = ann_index_build(spark, sf_dir)
+    edges = (
+        spark.read.parquet(os.path.join(path, "edges_undirected"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    entries = spark.read.parquet(os.path.join(path, "entries")).select("node")
+    emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")
+    batch = emb.filter(
+        (F.col("vec_id") <= 10) | (F.col("vec_id") % 7 == 1)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dvec").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    return _nsw_beam_search_frames(spark, emb, edges, entries, queries=batch)
 
 
 def _nsw_beam_search_over(

@@ -148,3 +148,38 @@ def test_em_dec8_exactness_bound_raises():
     rows = [{"cnt": float(2**26 - 1), "g1": 1, "g2": 0, "g3": 0, "g4": 0}]
     fit = _em_fit_driver(rows)
     assert 0 < fit["p"] < 1
+
+
+# ---------------------------------------------------------------------------
+# Batch ANN serve (VERDICT r13 work list #5)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_batch_serve_equals_single_serve_on_standing_queries(
+    spark, sf_dir
+):
+    """Per-query independence is structural: the batch's rows for the
+    standing queries (vec_id <= 10) must equal llm_ann_search_persisted
+    row-for-row; every batch query gets exactly 5 deterministic
+    neighbors; the batch is the promised query set (every 7th vector
+    plus the standing queries)."""
+    from sdp_spark.plans.registry import load_all
+    from sdp_spark.sources.fixtures import table
+
+    REG = load_all()
+    batch = REG["llm_ann_search_batch"].fn(spark, sf_dir).collect()
+    single = REG["llm_ann_search_persisted"].fn(spark, sf_dir).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["cos_sim"])
+    standing = [key(r) for r in batch if r["query_id"] <= 10]
+    assert standing == [key(r) for r in single]
+
+    n_vec = table(spark, sf_dir, "embeddings").count()
+    want_q = {i for i in range(n_vec) if i <= 10 or i % 7 == 1}
+    got_q = {r["query_id"] for r in batch}
+    assert got_q == want_q
+    per_q = {}
+    for r in batch:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 5 for v in per_q.values())
+    again = [key(r) for r in REG["llm_ann_search_batch"].fn(spark, sf_dir).collect()]
+    assert again == [key(r) for r in batch]
