@@ -135,6 +135,7 @@ EXTRA = [
     "llm_ann_search_delta",         # serve over base index + delta (r13)
     "stream_ann_ingest",            # live vector ingest, 14th stream pair (r13)
     "llm_ann_search_batch",         # ~N/7-query batch, ONE beam plan (r14)
+    "stream_cdc_apply",             # binlog replay, 15th stream pair (r14)
     "query_linkage_em_weights",     # EM-trained FS weights (r12; tracked
     # since r13 — the ~18 s analyzer wall of the 10 unrolled CTEs is gone:
     # the fit runs driver-side over the collected <=16-row pattern table,

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from sdp_spark.functions.num import DEC, dround
+from sdp_spark.functions.num import DEC, dround, dsum, sql_dsum
 from sdp_spark.plans.registry import register
 from sdp_spark.sources.fixtures import cache_dir, table
 
@@ -1618,3 +1618,117 @@ def changelog_replay(base: DataFrame, changelog: DataFrame) -> DataFrame:
         F.coalesce("u_status", F.col("o_orderstatus")).alias("o_orderstatus"),
     )
     return updated.unionByName(ins)
+
+
+# ---------------------------------------------------------------------------
+# CDC replication apply (r14, VERDICT r13 work list #6) — the MySQL-binlog
+# consumption pattern the reference platform's replication story implies:
+# a log of (lsn, op, key, values) rows replayed into final table state.
+# The log is SYNTHESIZED deterministically from orders so both engines can
+# derive it: every order INSERTs at lsn 3k; keys % 5 == 0 then UPDATE at
+# 3k+1 (status 'U', price +10.0); keys % 7 == 0 then DELETE at 3k+2 —
+# deletes beat updates on % 35 keys exactly as binlog order dictates.
+# Apply semantics: per key the max-lsn op wins; 'D' removes the key.
+# ---------------------------------------------------------------------------
+
+_CDC_LOG_SQL = """
+      SELECT o_orderkey * 3 AS lsn, 'I' AS op,
+             o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey * 3 + 1, 'U', o_orderkey, 'U', o_totalprice + 10.0
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey * 3 + 2, 'D', o_orderkey,
+             CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+_CDC_ORACLE = f"""
+    WITH cdc AS ({_CDC_LOG_SQL}),
+    last AS (
+      SELECT o_orderkey, op, o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY lsn DESC)
+               AS rn
+      FROM cdc
+    ),
+    final AS (
+      SELECT o_orderstatus, o_totalprice FROM last
+      WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice")} AS sum_price
+    FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lsn, op, o_orderkey, o_orderstatus, o_totalprice) — the synthetic
+    replication log, one DataFrame expression shared by the batch apply,
+    the streaming landing-dir builder, and (as SQL text) the oracle."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ins = o.select(
+        (F.col("o_orderkey") * 3).alias("lsn"),
+        F.lit("I").alias("op"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        (F.col("o_orderkey") * 3 + 1).alias("lsn"),
+        F.lit("U").alias("op"),
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") * 3 + 2).alias("lsn"),
+        F.lit("D").alias("op"),
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    return ins.unionByName(upd).unionByName(dels)
+
+
+def cdc_last_state(log: DataFrame) -> DataFrame:
+    """Replay a (chronologically complete) log slice to final row state:
+    max-lsn op per key wins, deletes drop the key. Shared verbatim by
+    the batch apply and the streaming foreachBatch merge, so
+    stream == batch is structural."""
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("lsn").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("op") != "D")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "lsn")
+    )
+
+
+def cdc_final_agg(state: DataFrame) -> DataFrame:
+    """(o_orderstatus, n_orders, sum_price) over an applied table state —
+    the bounded certification projection both keys return."""
+    return (
+        state.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register("dml_cdc_apply", oracle=_CDC_ORACLE, section=_SEC)
+def dml_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH replication-log apply — replay the full CDC log into final
+    table state in one query: window max-lsn per key (ONE shuffle on the
+    replication key), drop deletes, aggregate the surviving rows. The
+    semantics MySQL row-based replication applies serially, expressed as
+    a data-parallel plan: at 100 TB the log shuffles once on o_orderkey
+    and every key's ops settle independently — no serial replay thread.
+    `stream_cdc_apply` is the streaming twin (same cdc_last_state core
+    per micro-batch + copy-on-write merge); this key certifies the
+    apply arithmetic against the full-log SQL oracle."""
+    return cdc_final_agg(cdc_last_state(cdc_log(spark, sf_dir)))

@@ -2440,3 +2440,136 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("vec_id", "neighbor_id", "cos_sim", "rnk").orderBy(
         "vec_id", "rnk"
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC replication stream (r14) — the 15th batch+stream pair
+# ---------------------------------------------------------------------------
+
+_CDC_LANDING: dict[str, str] = {}
+
+
+def _cdc_landing_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the synthetic replication log (scans.cdc_log) into 4
+    CHRONOLOGICAL parquet slices by lsn quartile — binlog segments in
+    commit order, mtime-ordered so the file source replays them the way
+    a replica reads its relay log. Built once per sf (atomic tmp+rename,
+    the landing-dir discipline)."""
+    from pyspark.sql import Window
+
+    from sdp_spark.operators.scans import cdc_log
+
+    if sf_dir not in _CDC_LANDING:
+        out = cache_dir(sf_dir, "cdc_landing1")
+        if not os.path.isdir(out):
+            tmp = f"{out}.tmp.{os.getpid()}"
+            log = cdc_log(spark, sf_dir)
+            sliced = log.withColumn(
+                "slice", F.ntile(4).over(Window.orderBy("lsn"))
+            )
+            base = 1_600_000_000
+            os.makedirs(tmp, exist_ok=True)
+            for i in range(4):
+                stage = os.path.join(tmp, f"_stage_{i}")
+                (
+                    sliced.filter(F.col("slice") == i + 1)
+                    .drop("slice")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(stage)
+                )
+                part = next(
+                    p for p in os.listdir(stage)
+                    if p.endswith(".parquet") and not p.startswith((".", "_"))
+                )
+                dst = os.path.join(tmp, f"binlog_{i:03d}.parquet")
+                os.replace(os.path.join(stage, part), dst)
+                shutil.rmtree(stage, ignore_errors=True)
+                os.utime(dst, (base + i, base + i))
+            try:
+                os.rename(tmp, out)
+            except OSError:  # lost the build race
+                shutil.rmtree(tmp, ignore_errors=True)
+        _CDC_LANDING[sf_dir] = out
+    return _CDC_LANDING[sf_dir]
+
+
+@register(
+    "stream_cdc_apply",
+    oracle=None,  # set below — shares the batch twin's oracle text
+    section=_SEC,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING replication apply — the 15th batch+stream pair
+    (VERDICT r13 work list #6): consume the binlog landing dir as a file
+    stream (maxFilesPerTrigger=2 over 4 lsn-ordered segments → a genuine
+    2-micro-batch run) and APPLY each micro-batch onto the accumulated
+    table state via foreachBatch copy-on-write (the sink_stream_upsert
+    versioned-dir discipline: write v(batch%2) while reading
+    v(prev%2), never overwriting what is being read). Per batch: the
+    SAME cdc_last_state core the batch twin runs settles the batch's
+    ops per key (chronological segments guarantee every key's later ops
+    arrive in later batches), then keys touched in this batch REPLACE
+    their prior-state rows (left_anti + union) and deletes drop out.
+    Final state aggregates through the shared cdc_final_agg, so
+    stream == batch == oracle end-to-end. At 100 TB the versioned
+    rewrite becomes a lakehouse MERGE keyed on the replication key —
+    the plan shape (per-batch key-settle + keyed anti-join) is already
+    that MERGE's."""
+    from sdp_spark.operators.scans import cdc_final_agg, cdc_last_state
+
+    landing = _cdc_landing_dir(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(landing)
+    )
+    base = tempfile.mkdtemp(prefix="sdp_stream_cdc_")
+    state = {"last": -1}
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        settled = cdc_last_state(df)
+        batch_keys = df.select("o_orderkey").distinct()
+        prev = state["last"]
+        new_state = settled
+        if prev >= 0:
+            prior = df.sparkSession.read.parquet(f"{base}/v{prev % 2}")
+            kept = prior.join(batch_keys, "o_orderkey", "left_anti")
+            new_state = kept.unionByName(settled)
+        new_state.write.mode("overwrite").parquet(f"{base}/v{batch_id % 2}")
+        state["last"] = batch_id
+
+    q = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(f"{base}/v{state['last'] % 2}")
+    return cdc_final_agg(final)
+
+
+def _patch_cdc_oracle() -> None:
+    """stream_cdc_apply registered before its oracle text could be read
+    from scans (import-order): bind the SHARED batch oracle now — the
+    pair certifies against literally the same SQL."""
+    from dataclasses import replace
+
+    from sdp_spark.operators.scans import _CDC_ORACLE
+    from sdp_spark.plans.registry import REGISTRY
+
+    spec = REGISTRY["stream_cdc_apply"]
+    if spec.oracle is None:
+        REGISTRY["stream_cdc_apply"] = replace(spec, oracle=_CDC_ORACLE)
+
+
+_patch_cdc_oracle()

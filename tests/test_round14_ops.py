@@ -6,6 +6,8 @@ import json
 import os
 import shutil
 
+from pyspark.sql import functions as F
+
 
 # ---------------------------------------------------------------------------
 # Delta commit marker (ADVICE r13 #2)
@@ -183,3 +185,51 @@ def test_ann_batch_serve_equals_single_serve_on_standing_queries(
     assert all(len(v) == 5 for v in per_q.values())
     again = [key(r) for r in REG["llm_ann_search_batch"].fn(spark, sf_dir).collect()]
     assert again == [key(r) for r in batch]
+
+
+# ---------------------------------------------------------------------------
+# CDC replication pair (VERDICT r13 work list #6)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_stream_equals_batch_and_apply_semantics(spark, sf_dir):
+    """The 15th pair: stream apply == batch apply row-for-row; the
+    landing dir is 4 chronological binlog segments (maxFilesPerTrigger=2
+    → a real 2-micro-batch run); apply semantics visible in the output —
+    updated keys surface under status 'U', deleted keys are gone."""
+    from sdp_spark.plans.registry import load_all
+    from sdp_spark.sources.fixtures import table
+    from sdp_spark.streaming.ops import _cdc_landing_dir
+
+    REG = load_all()
+    key = lambda r: (r["o_orderstatus"], r["n_orders"], r["sum_price"])
+    batch = [key(r) for r in REG["dml_cdc_apply"].fn(spark, sf_dir).collect()]
+    stream = [
+        key(r) for r in REG["stream_cdc_apply"].fn(spark, sf_dir).collect()
+    ]
+    assert stream == batch and len(batch) > 0
+
+    landing = _cdc_landing_dir(spark, sf_dir)
+    segs = sorted(
+        p for p in os.listdir(landing) if p.endswith(".parquet")
+    )
+    assert len(segs) == 4
+    # chronological: each segment's max lsn < the next segment's min
+    prev_max = -1
+    for s in segs:
+        lsns = [
+            r["lsn"]
+            for r in spark.read.parquet(os.path.join(landing, s)).collect()
+        ]
+        assert min(lsns) > prev_max
+        prev_max = max(lsns)
+
+    by_status = {s: (n, p) for s, n, p in batch}
+    orders = table(spark, sf_dir, "orders")
+    n_upd_live = orders.filter(
+        (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0)
+    ).count()
+    n_del = orders.filter(F.col("o_orderkey") % 7 == 0).count()
+    n_all = orders.count()
+    assert by_status["U"][0] == n_upd_live
+    assert sum(n for n, _ in by_status.values()) == n_all - n_del
