@@ -297,6 +297,31 @@ def main() -> None:
             "regressions_gt_1_5x": regressions,
             "regressions_n_total": regressions_n_total,
         }
+    # batch-serve economics (VERDICT r13 next-round #5): normalize the
+    # batch key's wall to sec/1k-queries so rounds compare per-query cost
+    # independent of the sf-scaled batch size. File-only like the extras.
+    ann_batch: dict[str, float] = {}
+    if "llm_ann_search_batch" in extra:
+        try:
+            from pyspark.sql import functions as F  # noqa: PLC0415
+
+            from sdp_spark.sources.fixtures import table as _tbl
+
+            n_q = (
+                _tbl(spark, sf_dir, "embeddings")
+                .filter((F.col("vec_id") <= 10) | (F.col("vec_id") % 7 == 1))
+                .count()
+            )
+            ann_batch = {
+                "n_queries": n_q,
+                "sec": extra["llm_ann_search_batch"],
+                "sec_per_1k_queries": round(
+                    extra["llm_ann_search_batch"] * 1000.0 / n_q, 3
+                ),
+            }
+        except Exception as e:  # noqa: BLE001 - bench must still print
+            ann_batch = {"error": str(e)[:200]}
+
     # full artifact (extras + everything printed) goes to a file the next
     # round's regression gate and SCALING.md can read without line limits
     detail_path = os.path.join(
@@ -305,7 +330,12 @@ def main() -> None:
     try:
         with open(detail_path, "w") as f:
             json.dump(
-                {**out, "extra_queries": extra, "ann_recall_at_5": ann_recall},
+                {
+                    **out,
+                    "extra_queries": extra,
+                    "ann_recall_at_5": ann_recall,
+                    "ann_batch_serve": ann_batch,
+                },
                 f,
                 indent=1,
             )

@@ -3516,12 +3516,9 @@ def _nsw_beam_search_frames(
     bw = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("node")
     )
-    for _ in range(_NSW_ROUNDS):
-        nbrs = frontier.join(edges, frontier.node == edges.src).select(
-            "query_id", F.col("dst").alias("node")
-        )
-        cand = frontier.unionByName(nbrs).distinct()
-        scored = (
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (
             cand.join(cframe, "node")
             .join(F.broadcast(queries), "query_id")
             .select(
@@ -3532,13 +3529,36 @@ def _nsw_beam_search_frames(
                 ),
             )
         )
-        round_frames.append(scored)
-        frontier = (
+
+    def top_beam(scored: DataFrame) -> DataFrame:
+        return (
             scored.withColumn("rn", F.row_number().over(bw))
             .filter(F.col("rn") <= _NSW_BEAM)
             .select("query_id", "node")
             .localCheckpoint(eager=True)
         )
+
+    # Round 0 (r14): SCORE the per-cell entries and prune to the beam
+    # BEFORE any edge expansion. The old shape expanded all K ~ sqrt(N)
+    # entries in round 1 — per query K*degree candidate rows, ~75% of the
+    # whole search's row volume, and the term that made the 28.6k-query
+    # batch serve spill at the dup-dense 100x (K=256 capped there:
+    # 28.6k x 256 x 16 ≈ 117M round-1 rows). Every entry is still
+    # SCORED (the visited union keeps them, so clique-escape coverage
+    # is intact); only the expansion starts from the best BEAM entries —
+    # which is what beam search means. Recall@5 re-measured at 1.0 for
+    # nsw at every sf after the change.
+    scored0 = score(frontier)
+    round_frames.append(scored0)
+    frontier = top_beam(scored0)
+    for _ in range(_NSW_ROUNDS):
+        nbrs = frontier.join(edges, frontier.node == edges.src).select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = frontier.unionByName(nbrs).distinct()
+        scored = score(cand)
+        round_frames.append(scored)
+        frontier = top_beam(scored)
     visited = round_frames[0]
     for fr in round_frames[1:]:
         visited = visited.unionByName(fr)

@@ -116,6 +116,13 @@ _SWEEP_REPROOFS = frozenset({
     # table — the manifest (and thus this key's component rows) widened
     # 4 -> 5; the serve paths' OUTPUT is unchanged (pytest-pinned equal).
     "llm_ann_index_persist",
+    # r14: the beam search scores entries BEFORE expanding (round-0
+    # prune) — output provably unchanged at the fixture sfs (recall@5
+    # stayed 1.0, so top-5 == exact top-5 == prior rows), but the
+    # execution path is new; re-certify (the EM-fit precedent).
+    "llm_sim_search_nsw",
+    "llm_ann_search_persisted",
+    "llm_ann_search_delta",
 })
 
 # The newest CORRECTNESS round on disk when the queue below was generated
@@ -135,7 +142,8 @@ _SWEEP_PRIORITY = (
     # --- BEGIN GENERATED QUEUE (tools/gen_sweep_queue.py) ---
     "dml_cdc_apply", "llm_ann_search_batch", "llm_ann_search_filtered",
     "stream_cdc_apply", "llm_ann_index_persist", "llm_ann_recall_eval",
-    "llm_sim_search_ivf", "query_linkage_em_weights", "catalog_show_describe",
+    "llm_ann_search_delta", "llm_ann_search_persisted", "llm_sim_search_ivf",
+    "llm_sim_search_nsw", "query_linkage_em_weights", "catalog_show_describe",
     "query_detector_concordance", "agg_approx_percentile", "agg_filtered",
     "agg_funnel", "agg_mode", "agg_sketch_rollup", "catalog_ctas",
     "dml_merge_scd2", "fn_encode", "fn_json_struct", "fn_spatial",
@@ -267,19 +275,17 @@ _SWEEP_PRIORITY = (
     "win_sliding_rows", "win_topk_group", "catalog_analyze_stats",
     "catalog_ddl", "catalog_views", "filter_collation_accent",
     "filter_fulltext", "filter_fulltext_bool", "fn_fuzzy", "fn_time_year",
-    "join_hinted", "llm_ann_index_update", "llm_ann_search_delta",
-    "llm_ann_search_persisted", "llm_dedup_embed", "llm_dedup_near_resolve",
-    "llm_dedup_ngram_jaccard", "llm_knn_graph_ivf", "llm_langid",
-    "llm_pipeline_e2e", "llm_pipeline_train_corpus",
-    "llm_pipeline_train_corpus_nd", "llm_sim_search_lsh", "llm_sim_search_nsw",
-    "llm_sim_search_pq", "llm_token_count_bpe", "mm_frame_sample",
-    "project_cast_lenient", "project_enum_check", "project_set_check",
-    "query_outbreak_ears_family", "sample_systematic", "scan_schema_evolution",
-    "sink_jdbc", "sink_stream_foreachBatch", "sink_stream_jdbc",
-    "source_stream_files", "stream_ann_ingest", "stream_dedup",
-    "stream_ears_family_alerts", "stream_ingest", "stream_join_dim",
-    "stream_session", "stream_sliding", "stream_stateful",
-    "stream_stream_join", "stream_tumbling",
+    "join_hinted", "llm_ann_index_update", "llm_dedup_embed",
+    "llm_dedup_near_resolve", "llm_dedup_ngram_jaccard", "llm_knn_graph_ivf",
+    "llm_langid", "llm_pipeline_e2e", "llm_pipeline_train_corpus",
+    "llm_pipeline_train_corpus_nd", "llm_sim_search_lsh", "llm_sim_search_pq",
+    "llm_token_count_bpe", "mm_frame_sample", "project_cast_lenient",
+    "project_enum_check", "project_set_check", "query_outbreak_ears_family",
+    "sample_systematic", "scan_schema_evolution", "sink_jdbc",
+    "sink_stream_foreachBatch", "sink_stream_jdbc", "source_stream_files",
+    "stream_ann_ingest", "stream_dedup", "stream_ears_family_alerts",
+    "stream_ingest", "stream_join_dim", "stream_session", "stream_sliding",
+    "stream_stateful", "stream_stream_join", "stream_tumbling",
     # --- END GENERATED QUEUE ---
 )
 

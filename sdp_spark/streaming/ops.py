@@ -2516,9 +2516,23 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite becomes a lakehouse MERGE keyed on the replication key —
     the plan shape (per-batch key-settle + keyed anti-join) is already
     that MERGE's."""
-    from sdp_spark.operators.scans import cdc_final_agg, cdc_last_state
+    from sdp_spark.operators.scans import cdc_final_agg
 
     landing = _cdc_landing_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sdp_stream_cdc_")
+    q = (
+        _cdc_source(spark, landing)
+        .writeStream.foreachBatch(_cdc_apply_batch_fn(base))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(f"{base}/v{_cdc_last_committed(base) % 2}")
+    return cdc_final_agg(final)
+
+
+def _cdc_source(spark: SparkSession, landing: str) -> DataFrame:
+    """The binlog file stream: explicit schema, 2 segments per trigger."""
     schema = T.StructType(
         [
             T.StructField("lsn", T.LongType()),
@@ -2528,34 +2542,53 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("o_totalprice", T.DoubleType()),
         ]
     )
-    sdf = (
+    return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2")
         .parquet(landing)
     )
-    base = tempfile.mkdtemp(prefix="sdp_stream_cdc_")
-    state = {"last": -1}
+
+
+def _cdc_apply_batch_fn(base: str):
+    """The foreachBatch CDC-apply closure over a versioned state dir —
+    CRASH-SAFE BY DERIVATION, not by mutable driver state: batch N
+    always reads v((N-1)%2) and writes v(N%2), so a batch REDELIVERED
+    after a crash (written to its version dir but never committed to
+    the stream checkpoint) re-reads the intact PRIOR version and simply
+    overwrites its own partial — the copy-on-write twin of the JDBC
+    sink's DELETE-by-batch_id idempotency (r12 recovery proof). A
+    `_LAST` marker commits each batch's version id atomically AFTER the
+    parquet write (the manifest discipline) so the final read never
+    trusts an uncommitted directory."""
+    import json as _json
+
+    from sdp_spark.operators.scans import cdc_last_state
 
     def apply_batch(df: DataFrame, batch_id: int) -> None:
         settled = cdc_last_state(df)
-        batch_keys = df.select("o_orderkey").distinct()
-        prev = state["last"]
         new_state = settled
-        if prev >= 0:
-            prior = df.sparkSession.read.parquet(f"{base}/v{prev % 2}")
-            kept = prior.join(batch_keys, "o_orderkey", "left_anti")
+        if batch_id > 0:
+            prior = df.sparkSession.read.parquet(
+                f"{base}/v{(batch_id - 1) % 2}"
+            )
+            kept = prior.join(
+                df.select("o_orderkey").distinct(), "o_orderkey", "left_anti"
+            )
             new_state = kept.unionByName(settled)
         new_state.write.mode("overwrite").parquet(f"{base}/v{batch_id % 2}")
-        state["last"] = batch_id
+        tmp = os.path.join(base, "_LAST.tmp")
+        with open(tmp, "w") as f:
+            _json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, os.path.join(base, "_LAST"))
 
-    q = (
-        sdf.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    final = spark.read.parquet(f"{base}/v{state['last'] % 2}")
-    return cdc_final_agg(final)
+    return apply_batch
+
+
+def _cdc_last_committed(base: str) -> int:
+    import json as _json
+
+    with open(os.path.join(base, "_LAST")) as f:
+        return int(_json.load(f)["batch_id"])
 
 
 def _patch_cdc_oracle() -> None:
