@@ -3539,17 +3539,18 @@ def _em_fit_driver(rows) -> dict[str, float]:
     is <= 2^4 rows — collected-bounded driver state, the k-means-fit
     doctrine — so the fit belongs on the driver):
 
-    - per-pattern E-step terms snap to the 1e-8 grid via
-      floor(x*1e8 + 0.5) held as exact Python ints (== the SQL's
-      DECIMAL(30,8) terms), summed exactly (ints are order-free, ==
-      DECIMAL SUM), then divided by 10**8 with Python int/int true
-      division (correctly rounded, == CAST(DECIMAL AS DOUBLE));
-    - dec8's int == the SQL's DECIMAL(30,8) term only while the raw
-      term x < 2**26: there ulp(n/1e8) < 1e-8, so the oracle's
-      FLOOR-double / 1e8 -> DECIMAL(30,8) round-trip provably recovers
-      n exactly. Past 2**26 the oracle's own double division can
-      misround the cast engine-dependently, so dec8 raises rather than
-      letting the cross-engine hash drift silently (ADVICE r13 #1);
+    - per-pattern E-step terms replay the SQL's FLOOR-double / 1e8 ->
+      DECIMAL(30,8) pipeline VERBATIM (dec8): floor as a double (exact
+      at any magnitude — a double's floor is always representable),
+      one IEEE division by 1e8, then DuckDB's double->DECIMAL cast,
+      which is round-HALF-EVEN of the double product c*1e8 (verified
+      against the live engine over 40k adversarial magnitudes spanning
+      2^26..2^34, where ADVICE r13 #1 showed the naive exact-int
+      shortcut can misround — below 2^26 the two provably coincide);
+      the resulting grid ints sum exactly (order-free == DECIMAL SUM);
+    - CAST(SUM(DECIMAL) AS DOUBLE) is int->double THEN /1e8 — NOT the
+      correctly-rounded rational (float(s)/1e8 matched DuckDB 300/300
+      on >2^53 sums where true division diverges 70/300);
     - every scalar snaps to the 1e-12 grid exactly as the SQL does
       (floor returns a < 2**53 int, / 10**12 is one IEEE division);
     - products and quotients evaluate in the SQL's left-associated
@@ -3577,17 +3578,18 @@ def _em_fit_driver(rows) -> dict[str, float]:
         return math.floor(x * 1000000000000 + 0.5) / 1000000000000
 
     def dec8(x: float) -> int:
-        # Exactness bound (docstring bullet 2): beyond 2**26 the SQL's
-        # own FLOOR-double/1e8 -> DECIMAL(30,8) cast is no longer
-        # provably the same integer — refuse loudly instead of letting
-        # the hash oracle drift (terms are w*cnt <= cnt; at the fixture
-        # scales cnt tops out ~3.1e7 in the dup-dense 10x table).
-        if not x < 67108864.0:  # 2**26
-            raise ValueError(
-                "EM dec8 term %r >= 2**26: the DECIMAL(30,8) round-trip "
-                "is no longer provably exact cross-engine" % x
-            )
-        return math.floor(x * 100000000 + 0.5)
+        # The SQL term CAST(FLOOR(x*1e8 + 0.5)/1e8 AS DECIMAL(30,8)),
+        # op-for-op (docstring bullet 2; pinned against the live DuckDB
+        # by test_em_dec8_emulates_duckdb_cast): float(floor) is always
+        # exact (a double's floor is representable), /1e8 is one IEEE
+        # division, and the decimal cast is round-half-even of the
+        # double product — Python round() IS half-even. Below 2**26
+        # this provably equals the plain floor int (ulp < grid step);
+        # above it (dup-dense 100x pattern counts reach 1.1e9) the
+        # emulation is what keeps the fit == the oracle, where the
+        # old exact-int shortcut misrounded ~0.6% of terms.
+        c = float(math.floor(x * 100000000 + 0.5)) / 1e8
+        return round(c * 1e8)
 
     def clamp(x: float) -> float:
         return max(0.000001, min(0.999999, x))
@@ -3611,10 +3613,13 @@ def _em_fit_driver(rows) -> dict[str, float]:
             for i in range(4):
                 swg[i] += dec8(w * cnt * gs[i])
                 svg[i] += dec8((1 - w) * cnt * gs[i])
-        sw_d, sv_d, nn_d = sw / 10**8, sv / 10**8, nn / 10**8
+        # CAST(SUM AS DOUBLE) == float(int) THEN /1e8 (docstring bullet
+        # 3) — int/int true division is correctly rounded and diverges
+        # from the engine above 2**53
+        sw_d, sv_d, nn_d = float(sw) / 1e8, float(sv) / 1e8, float(nn) / 1e8
         p = clamp(snap12(sw_d / nn_d))
-        m = [clamp(snap12(swg[i] / 10**8 / sw_d)) for i in range(4)]
-        u = [clamp(snap12(svg[i] / 10**8 / sv_d)) for i in range(4)]
+        m = [clamp(snap12(float(swg[i]) / 1e8 / sw_d)) for i in range(4)]
+        u = [clamp(snap12(float(svg[i]) / 1e8 / sv_d)) for i in range(4)]
     out = {"p": p}
     for i in range(4):
         out[f"m{i + 1}"] = m[i]

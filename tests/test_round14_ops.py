@@ -135,21 +135,84 @@ def test_em_fit_product_association_matches_sql():
     assert [fit[f"u{i+1}"] for i in range(4)] == u
 
 
-def test_em_dec8_exactness_bound_raises():
-    """Past 2**26 the oracle's FLOOR-double/1e8 -> DECIMAL(30,8)
-    round-trip is no longer provably exact, so the fit must refuse
-    loudly instead of hash-drifting silently."""
-    import pytest
+def test_em_dec8_emulates_duckdb_cast():
+    """The fit's dec8 replays the oracle's FLOOR-double/1e8 ->
+    DECIMAL(30,8) pipeline op-for-op. Pin it against the LIVE engine
+    over adversarial magnitudes (2^26..2^34, where the old exact-int
+    shortcut misrounded ~0.6% of terms — ADVICE r13 #1's failure
+    class); a DuckDB upgrade that changes cast rounding turns this red
+    instead of silently hash-drifting."""
+    import math
+    import random
 
-    from sdp_spark.operators.stats import _em_fit_driver
+    import duckdb
+    from decimal import Decimal
 
-    rows = [{"cnt": float(2**26), "g1": 1, "g2": 0, "g3": 0, "g4": 0}]
-    with pytest.raises(ValueError, match="2\\*\\*26"):
-        _em_fit_driver(rows)
-    # just inside the bound: runs clean
-    rows = [{"cnt": float(2**26 - 1), "g1": 1, "g2": 0, "g3": 0, "g4": 0}]
-    fit = _em_fit_driver(rows)
-    assert 0 < fit["p"] < 1
+    random.seed(1234)
+    vals = [2 ** random.uniform(20, 34) * (1 + random.random())
+            for _ in range(1500)]
+    for _ in range(1500):
+        cnt = random.randint(2**26, 2**31)
+        w = math.floor(random.random() * 1e12 + 0.5) / 1e12
+        vals.append(w * cnt)
+    vals += [float(2**26), float(2**26) + 0.5, 1104896784.0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    duck = [
+        int(Decimal(str(r[0])) * 10**8)
+        for r in con.execute(
+            "SELECT CAST(FLOOR(x * 100000000 + 0.5) / 100000000"
+            " AS DECIMAL(30,8)) FROM t"
+        ).fetchall()
+    ]
+
+    def dec8(x):
+        c = float(math.floor(x * 100000000 + 0.5)) / 1e8
+        return round(c * 1e8)
+
+    assert [dec8(v) for v in vals] == duck
+
+
+def test_em_fit_matches_sql_chain_at_100x_magnitudes():
+    """The driver fit must equal the unrolled SQL EM chain run by
+    DuckDB on a pattern table with counts PAST 2**26 (the dup-dense
+    100x fixture reaches 1.1e9) — the regime where the engine's own
+    double-rounding departs from exact rational arithmetic and only
+    the op-for-op emulation keeps the cross-engine hash."""
+    import duckdb
+
+    from sdp_spark.operators.stats import (
+        _em_final_select,
+        _em_fit_driver,
+        _linkage_em_iter_sql,
+    )
+
+    pats = [
+        (1, 1, 0, 0, 1104896784.0),
+        (1, 0, 1, 0, 310764911.0),
+        (0, 1, 0, 1, 67108865.0),
+        (0, 0, 0, 0, 99999999.0),
+        (1, 1, 1, 1, 12345.0),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pat (g1 INT, g2 INT, g3 INT, g4 INT, cnt DOUBLE)"
+    )
+    con.executemany("INSERT INTO pat VALUES (?, ?, ?, ?, ?)", pats)
+    sql_rows = con.execute(_linkage_em_iter_sql("pat")).fetchall()
+    fit = _em_fit_driver(
+        [dict(zip(("g1", "g2", "g3", "g4", "cnt"), p)) for p in pats]
+    )
+    lit = ", ".join(
+        f"CAST({fit[c]!r} AS DOUBLE) AS {c}"
+        for c in ("p", "m1", "m2", "m3", "m4", "u1", "u2", "u3", "u4")
+    )
+    py_rows = con.execute(
+        f"WITH itN AS (SELECT {lit})\n{_em_final_select('itN')}"
+    ).fetchall()
+    assert py_rows == sql_rows, (py_rows, sql_rows)
 
 
 # ---------------------------------------------------------------------------
