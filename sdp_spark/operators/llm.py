@@ -2932,13 +2932,15 @@ def llm_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NSW_K = 8      # out-degree of the neighbor graph
 _NSW_BEAM = 16   # beam width per query
-_NSW_ROUNDS = 4  # expansion rounds: with K ~ sqrt(N) per-cell entries the
-# beam starts inside the target's region, so rounds cover ~log(N/K) hops
-# plus slack. r13, over the NNDescent-REFINED graph: recall@5 is 1.0 at
-# THREE rounds on every fixture (sf0.001/0.01/0.1 and the 90%-dup 10x);
-# 4 keeps one round of slack and cuts the per-query job chain by a third
-# vs the r12 setting of 6 (each round is a blocking checkpoint + 3 joins,
-# the dominant cost of the corpus-size-independent search wall)
+_NSW_ROUNDS = 3  # EXPANSION rounds after the r14 round-0 entry prune
+# (score all K ~ sqrt(N) per-cell entries, keep the beam, THEN expand):
+# the pruned start sits 1-2 hops from the true top-5 on the NNDescent-
+# refined graph, so the measured recall@5 ladder is 1.0 at TWO rounds
+# on every fixture (sf0.001/0.01/0.1, the 90%-dup 10x AND the 90%-dup
+# 100x); 3 keeps one round of slack above the knee. Each round is a
+# blocking checkpoint + 3 joins — the dominant cost of the corpus-size-
+# independent serve wall — so round-0 + 3 expansions matches the r13
+# job count (4 rounds) while covering more graph per job.
 _KNNG_IVF_NASSIGN = 3  # cells each vector lands in (boundary replication)
 _KNNG_REFINE_ROUNDS = 2   # NNDescent rounds over the cell-built edges
 _KNNG_REFINE_DEGREE = 16  # intermediate out-degree during build+refine
