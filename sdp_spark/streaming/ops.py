@@ -2455,17 +2455,34 @@ def _cdc_landing_dir(spark: SparkSession, sf_dir: str) -> str:
     commit order, mtime-ordered so the file source replays them the way
     a replica reads its relay log. Built once per sf (atomic tmp+rename,
     the landing-dir discipline)."""
-    from pyspark.sql import Window
-
     from sdp_spark.operators.scans import cdc_log
 
     if sf_dir not in _CDC_LANDING:
-        out = cache_dir(sf_dir, "cdc_landing1")
+        out = cache_dir(sf_dir, "cdc_landing2")
         if not os.path.isdir(out):
             tmp = f"{out}.tmp.{os.getpid()}"
             log = cdc_log(spark, sf_dir)
+            # RANGE-slice on o_orderkey (lsn = 3k+{0,1,2} is monotone in
+            # it, so key ranges ARE lsn ranges): parallel map-side
+            # bucketing from a 1-row min/max agg — the first cut used
+            # ntile over a global single-partition sort, the one
+            # anti-scale pattern in the chain (20.6M rows through one
+            # task at the 100x fixture)
+            mn, mx = log.agg(
+                F.min("o_orderkey"), F.max("o_orderkey")
+            ).first()
+            span = int(mx) - int(mn) + 1
             sliced = log.withColumn(
-                "slice", F.ntile(4).over(Window.orderBy("lsn"))
+                "slice",
+                F.least(
+                    F.lit(4),
+                    F.floor(
+                        (F.col("o_orderkey") - F.lit(int(mn)))
+                        * 4
+                        / F.lit(span)
+                    ).cast("int")
+                    + 1,
+                ),
             )
             base = 1_600_000_000
             os.makedirs(tmp, exist_ok=True)
