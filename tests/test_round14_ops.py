@@ -1,7 +1,11 @@
 """Round-14 operator tests: the ANN delta commit-marker discipline
-(ADVICE r13 #2), the force-rebuild memo eviction (ADVICE r13 #4), and
-the EM fit's left-associated product order + dec8 exactness bound
-(ADVICE r13 #1)."""
+(ADVICE r13 #2), the force-rebuild memo eviction (ADVICE r13 #4), the
+EM fit's left-associated product order + DuckDB-exact dec8 emulation
+(ADVICE r13 #1, including the >2^26 regime the 100x fixture reaches),
+batch ANN serve (batch == single-serve structural equality), filtered
+ANN (predicate held through the index), and the CDC replication pair
+(stream == batch, chronological binlog segments, kill-point crash
+recovery)."""
 import json
 import os
 import shutil
