@@ -404,3 +404,43 @@ def test_cdc_stream_crash_recovery_copy_on_write(spark, sf_dir):
     got = [key(r) for r in cdc_final_agg(final).collect()]
     want = [key(r) for r in REG["dml_cdc_apply"].fn(spark, sf_dir).collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape pins (the runtime-join-key discipline from the verify notes)
+# ---------------------------------------------------------------------------
+
+
+def test_filtered_ann_predicate_is_join_key(spark, sf_dir):
+    """The label predicate must join as part of the hash-join KEY, not
+    demote to a residual filter after a coarse cell-only pairing (the
+    runtime-column join-key trap): the executed plan's posting-list
+    join must hash on BOTH cell and label."""
+    from sdp_spark.plans.registry import load_all
+
+    REG = load_all()
+    df = REG["llm_ann_search_filtered"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_lines = [
+        ln for ln in plan.split("\n") if "HashJoin [cell#" in ln
+    ]
+    assert join_lines, plan
+    assert all(", label#" in ln for ln in join_lines), join_lines
+
+
+def test_cdc_batch_apply_single_key_shuffle(spark, sf_dir):
+    """The batch replication apply's only data-scale exchange is ONE
+    hashpartitioning on the replication key, and the per-key max-LSN
+    settle runs as a map-side WindowGroupLimit (Partial) before it —
+    the 'no serial replay thread' claim, structurally."""
+    from sdp_spark.plans.registry import load_all
+
+    REG = load_all()
+    df = REG["dml_cdc_apply"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    key_ex = [
+        ln for ln in plan.split("\n")
+        if "Exchange hashpartitioning(o_orderkey#" in ln
+    ]
+    assert len(key_ex) == 1, plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
