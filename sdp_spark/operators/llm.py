@@ -4046,7 +4046,7 @@ def llm_ann_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 7th corpus vector plus the standing queries (~N/7 + 11 — ~286
     at sf0.1, ~28.6k at the 100x fixture), and the WHOLE batch runs
     through ONE _nsw_beam_search_frames plan: every frame in the beam
-    loop is keyed by query_id, so the batch costs the same 6-round job
+    loop is keyed by query_id, so the batch costs the same fixed per-round job
     count as a single query — per-query work rides the executor
     parallelism, not the driver's plan count. This is the throughput
     argument for graph-ANN-on-Spark: serve QPS scales with cluster
