@@ -3,9 +3,11 @@
 EM fit's left-associated product order + DuckDB-exact dec8 emulation
 (ADVICE r13 #1, including the >2^26 regime the 100x fixture reaches),
 batch ANN serve (batch == single-serve structural equality), filtered
-ANN (predicate held through the index), and the CDC replication pair
+ANN (predicate held through the index), the CDC replication pair
 (stream == batch, chronological binlog segments, kill-point crash
-recovery)."""
+recovery), multi-statement transactions (atomic create-if-absent
+commit, snapshot isolation, rollback, two-writer conflict race,
+vacuum) and the GRANT-shaped privilege catalog."""
 import json
 import os
 import shutil
@@ -444,3 +446,184 @@ def test_cdc_batch_apply_single_key_shuffle(spark, sf_dir):
     ]
     assert len(key_ex) == 1, plan
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Multi-statement transactions (VERDICT r13 "missing" #3)
+# ---------------------------------------------------------------------------
+
+
+def test_txn_atomic_commit_snapshot_isolation_and_crash(spark, sf_dir, tmp_path):
+    """The versioned-snapshot transaction machinery: (a) a reader between
+    staging and commit sees the PRE-transaction state (snapshot
+    isolation); (b) a crash after staging but before the commit-file link
+    leaves readers on the old version, a re-run recovers, and vacuum
+    collects the orphaned attempt; (c) commit flips all statements at
+    once."""
+    from sdp_spark.operators import scans as S
+
+    root = str(tmp_path / "txn")
+    os.makedirs(root)
+    seed = spark.range(1, 101).select(
+        F.col("id").alias("o_orderkey"),
+        F.when(F.col("id") % 2 == 0, "F").otherwise("O").alias("o_orderstatus"),
+        (F.col("id") * 100.0).alias("o_totalprice"),
+    )
+    S.txn_commit(root, 1, S.txn_stage(seed, root, 1), 1)
+    before = S.txn_read(spark, root).count()
+    assert before == 100
+
+    # stage TXN A but CRASH before commit (the kill-point): no commit
+    # file names the attempt, the reader is unaffected
+    state = S.txn_read(spark, root)
+    for stmt in S._TXN_STATEMENTS:
+        state = stmt(state)
+    crashed_dir = S.txn_stage(state, root, 2)
+    assert S.txn_current_version(root) == 1
+    assert S.txn_read(spark, root).count() == before
+
+    # recovery: re-run the whole transaction (fresh private attempt dir)
+    # and commit — all three statements become visible at once; vacuum
+    # sweeps the crashed attempt and ONLY it
+    v = S.txn_apply(spark, root)
+    assert v == 2
+    removed = S.txn_vacuum(root)
+    assert removed == [os.path.basename(crashed_dir)]
+    after = S.txn_read(spark, root)
+    # statement 2 inserted keys past the offset, statement 3's delete ran
+    assert after.filter(F.col("o_orderkey") > S._TXN_INS_OFFSET).count() > 0
+    assert (
+        after.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 20000)
+        ).count()
+        == 0
+    )
+
+
+def test_txn_rollback_invisible_and_statement_order(spark, sf_dir, tmp_path):
+    """(a) ROLLBACK leaves no trace: staged version deleted, manifest
+    unmoved, reader output byte-identical. (b) In-transaction visibility:
+    statement 2's inserted price must equal HALF of statement 1's
+    DISCOUNTED price — folding the statements in the wrong order is a
+    value error, not just a structural one."""
+    from sdp_spark.functions.num import dround
+    from sdp_spark.operators import scans as S
+
+    root = str(tmp_path / "txn")
+    os.makedirs(root)
+    # key 22: status 'F', price 2200.0 -> stmt1 discounts to 2156.0,
+    # stmt2 inserts key 22+OFFSET at dround(2156*0.5) = 1078.0
+    seed = spark.createDataFrame(
+        [(22, "F", 2200.0), (33, "O", 3300.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    S.txn_commit(root, 1, S.txn_stage(seed, root, 1), 1)
+    S.txn_apply(spark, root)
+    rows = {
+        r.o_orderkey: r
+        for r in S.txn_read(spark, root).collect()
+    }
+    ins = rows[22 + S._TXN_INS_OFFSET]
+    assert ins.o_totalprice == 1078.0  # half of the DISCOUNTED 2156.0
+    assert ins.o_orderstatus == "T"
+    committed = sorted((r.o_orderkey, r.o_totalprice) for r in rows.values())
+
+    # TXN B staged then rolled back: nothing changes
+    doomed = S.txn_read(spark, root).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    staged = S.txn_stage(doomed, root, 3)
+    S.txn_rollback(root, staged)
+    assert S.txn_current_version(root) == 2
+    assert not os.path.exists(staged)
+    again = sorted(
+        (r.o_orderkey, r.o_totalprice)
+        for r in S.txn_read(spark, root).collect()
+    )
+    assert again == committed
+    _ = dround  # imported for parity with operator arithmetic docs
+
+
+def test_dml_txn_multi_registered_key(spark, sf_dir):
+    """The registered key end-to-end: bounded aggregate, rollback left
+    nothing for vacuum, commit log at v2, and the committed state
+    excludes TXN B."""
+    from sdp_spark.operators import scans as S
+    from sdp_spark.plans.registry import load_all
+    from sdp_spark.sources.fixtures import cache_dir
+
+    out = load_all()["dml_txn_multi"].fn(spark, sf_dir)
+    rows = {r.o_orderstatus: r for r in out.collect()}
+    assert "T" in rows  # statement 2's inserts survive
+    root = cache_dir(sf_dir, "txn_orders")
+    assert S.txn_current_version(root) == 2
+    assert S.txn_vacuum(root) == []
+    with open(os.path.join(root, "_commit_v2.json")) as f:
+        assert json.load(f)["n_statements"] == 3
+
+
+def test_txn_conflict_exactly_one_winner_and_retry(spark, sf_dir, tmp_path):
+    """Optimistic concurrency: two writers race the same base version —
+    the create-if-absent commit admits exactly ONE; the loser raises
+    TxnConflict having published nothing, and its txn_apply retry
+    re-derives on the winner's snapshot (serializable, no lost update)."""
+    import pytest
+
+    from sdp_spark.operators import scans as S
+
+    root = str(tmp_path / "txn")
+    os.makedirs(root)
+    seed = spark.createDataFrame(
+        [(1, "O", 100.0)], "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    S.txn_commit(root, 1, S.txn_stage(seed, root, 1), 1)
+
+    # both writers compute against v1 and stage private attempts at v2
+    add_a = lambda df: df.withColumn("o_totalprice", F.col("o_totalprice") + 10.0)  # noqa: E731
+    add_b = lambda df: df.withColumn("o_totalprice", F.col("o_totalprice") * 2.0)  # noqa: E731
+    staged_a = S.txn_stage(add_a(S.txn_read(spark, root)), root, 2)
+    staged_b = S.txn_stage(add_b(S.txn_read(spark, root)), root, 2)
+    S.txn_commit(root, 2, staged_a, 1)  # writer A wins v2
+    with pytest.raises(S.TxnConflict):
+        S.txn_commit(root, 2, staged_b, 1)  # writer B loses, publishes nothing
+    assert S.txn_read(spark, root).first().o_totalprice == 110.0
+
+    # B's retry path: full txn_apply re-derives on A's snapshot -> v3,
+    # observing A's +10 (no lost update): (100+10)*2, not 100*2
+    S.txn_rollback(root, staged_b)
+    v = S.txn_apply(spark, root, statements=(add_b,))
+    assert v == 3
+    assert S.txn_read(spark, root).first().o_totalprice == 220.0
+    # vacuum: every surviving data dir is referenced by a commit file
+    assert S.txn_vacuum(root) == []
+
+
+# ---------------------------------------------------------------------------
+# Privilege catalog (VERDICT r13 "missing" #2)
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_privileges_expansion_and_enforcement(spark, sf_dir):
+    """Effective-grant algebra: schema grants expand over every catalog
+    table, table grants attach directly, revokes override. The decision
+    point agrees with the materialized view row-for-row."""
+    from sdp_spark.operators import catalog as C
+    from sdp_spark.plans.registry import load_all
+
+    out = load_all()["catalog_privileges"].fn(spark, sf_dir).collect()
+    # 10 schema grants x 10 tables + 3 table grants - 1 revoke
+    assert len(out) == 10 * len(C._INFOSCHEMA_TABLES) + 3 - 1
+    materialized = {(r.grantee, r.table_name, r.privilege_type) for r in out}
+    assert materialized == C.effective_privileges()
+    # revoke beat the schema grant
+    assert ("app_user", "lineitem", "DELETE") not in materialized
+    assert ("app_user", "orders", "DELETE") in materialized
+    # enforcement face
+    assert C.check_privilege("readonly", "SELECT", "documents")
+    assert not C.check_privilege("readonly", "DELETE", "documents")
+    assert not C.check_privilege("nobody", "SELECT", "orders")
+    # n_table_columns reflects the live schema
+    ncols = {r.table_name: r.n_table_columns for r in out}
+    from sdp_spark.sources.fixtures import table as tbl
+
+    assert ncols["nation"] == len(tbl(spark, sf_dir, "nation").schema.fields)
