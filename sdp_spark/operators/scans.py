@@ -2031,3 +2031,203 @@ def dml_txn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time travel + change data feed over the transaction commit log — the two
+# read faces a versioned-snapshot table gets for free: committed versions
+# are immutable and their commit files persist (txn_vacuum only removes
+# UNreferenced attempt dirs), so `AS OF` is just "resolve commit file N
+# instead of max", and the change feed between two versions is a key-wise
+# diff of their snapshots. Both keys build one shared 2-version history
+# (seed -> TXN A), memoized per session.
+# ---------------------------------------------------------------------------
+
+
+def txn_read_at(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """SELECT ... AS OF <version>: resolve that version's commit file and
+    scan exactly its data dir. Retention: every committed version stays
+    readable until an (operator-driven) expire removes its commit file —
+    at 100 TB this is the storage/history trade every lakehouse table
+    tunes; vacuum never breaks time travel because it only collects dirs
+    NO commit file references."""
+    if not os.path.exists(_txn_commit_file(root, version)):
+        raise RuntimeError(f"txn_read_at: version {version} not committed in {root}")
+    return spark.read.parquet(
+        os.path.join(root, _txn_manifest(root, version)["path"])
+    )
+
+
+_TXN_HISTORY_READY: set[str] = set()
+
+
+def _txn_history_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session) the shared 2-version history table:
+    v1 = the orders seed, v2 = TXN A's three statements. Both time-travel
+    keys read from it; a leftover root from a prior process is reused
+    only if both commit files are present (content is deterministic)."""
+    import shutil
+
+    root = cache_dir(sf_dir, "txn_history")
+    tag = f"{spark.sparkContext.applicationId}:{root}"
+    if tag in _TXN_HISTORY_READY:
+        return root
+    complete = all(
+        os.path.exists(_txn_commit_file(root, v)) for v in (1, 2)
+    )
+    if not complete:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        seed = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            dround(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        txn_commit(root, 1, txn_stage(seed, root, 1), 1)
+        txn_apply(spark, root)
+    _TXN_HISTORY_READY.add(tag)
+    return root
+
+
+# The oracle-side seed + statement chain, shared by both read faces
+# (identical text to dml_txn_multi's chain — one history, three lenses).
+_TXN_CHAIN_SQL = f"""
+    v1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             FLOOR(o_totalprice * 100 + 0.5) / 100 AS o_totalprice
+      FROM orders
+    ),
+    s1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F'
+                  THEN FLOOR(o_totalprice * 0.98 * 100 + 0.5) / 100
+                  ELSE o_totalprice END AS o_totalprice
+      FROM v1
+    ),
+    s2 AS (
+      SELECT * FROM s1
+      UNION ALL
+      SELECT o_orderkey + {_TXN_INS_OFFSET}, 'T',
+             FLOOR(o_totalprice * 0.5 * 100 + 0.5) / 100
+      FROM s1 WHERE o_orderkey % 11 = 0
+    ),
+    s3 AS (
+      SELECT * FROM s2
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 20000)
+    )
+"""
+
+
+@register(
+    "dml_txn_time_travel",
+    oracle=f"""
+    WITH {_TXN_CHAIN_SQL}
+    SELECT CAST(1 AS INTEGER) AS version, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum("o_totalprice")} AS sum_price
+    FROM v1 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), o_orderstatus,
+           CAST(COUNT(*) AS BIGINT), {sql_dsum("o_totalprice")}
+    FROM s3 GROUP BY o_orderstatus
+    ORDER BY version, o_orderstatus
+    """,
+    section=_SEC,
+)
+def dml_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT ... AS OF <version> (time travel) over the transaction
+    commit log: the same table is read at v1 (pre-transaction) AND v2
+    (post-transaction) in one plan, certifying that committed history is
+    immutable and reproducible — the audit/debug/ML-reproducibility read
+    face MySQL serves with point-in-time binlog recovery and a lakehouse
+    serves from retained snapshots.
+
+    Plan: two parquet scans (one per version dir) -> two partial aggs ->
+    union; versions never join, so the shuffle carries only group states.
+    At 100 TB old versions share unchanged data files in a real format
+    (copy-on-write rewrites only touched partitions); history cost is
+    bounded by churn, not by version count x table size."""
+    root = _txn_history_root(spark, sf_dir)
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum("o_totalprice").alias("sum_price"),
+        ).select(
+            F.lit(version).alias("version"),
+            "o_orderstatus",
+            "n_rows",
+            "sum_price",
+        )
+
+    return (
+        agg(txn_read_at(spark, root, 1), 1)
+        .unionByName(agg(txn_read_at(spark, root, 2), 2))
+        .orderBy("version", "o_orderstatus")
+    )
+
+
+@register(
+    "dml_txn_changes",
+    oracle=f"""
+    WITH {_TXN_CHAIN_SQL},
+    ch AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'INSERT'
+                  WHEN b.o_orderkey IS NULL THEN 'DELETE'
+                  ELSE 'UPDATE' END AS op,
+             a.o_orderstatus AS old_status, b.o_orderstatus AS new_status,
+             a.o_totalprice AS old_price, b.o_totalprice AS new_price
+      FROM v1 a FULL OUTER JOIN s3 b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT * FROM ch
+    WHERE op <> 'UPDATE' OR old_price <> new_price
+       OR old_status <> new_status
+    ORDER BY o_orderkey
+    """,
+    section=_SEC,
+)
+def dml_txn_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED between two committed versions (table_changes /
+    CDC-from-snapshots): key-wise diff of v1 and v2 emitting
+    (op, key, before-image, after-image) rows — INSERTs have no before,
+    DELETEs no after, UPDATEs both with at least one changed column
+    (identical rows are NOT changes and are filtered). The derived twin
+    of `dml_changelog_trigger`'s write-side audit log: same shape, but
+    computed from immutable history after the fact, so a consumer that
+    missed the live feed can always reconstruct it.
+
+    Plan: ONE shuffle join on the table key between the two version
+    scans, then a row-local op classifier — the diff is embarrassingly
+    key-parallel. At 100 TB a real format stores the per-commit row
+    deltas instead (this plan is the bootstrap/backfill path, and its
+    cost is the join, bounded by the two snapshots' co-partitioned
+    scan); the changed-row filter prunes the unchanged majority before
+    anything reaches the sink."""
+    root = _txn_history_root(spark, sf_dir)
+    a = txn_read_at(spark, root, 1).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderstatus").alias("old_status"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    b = txn_read_at(spark, root, 2).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderstatus").alias("new_status"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    ch = a.join(b, a.a_key == b.b_key, "full_outer").select(
+        F.coalesce("a_key", "b_key").alias("o_orderkey"),
+        F.when(F.col("a_key").isNull(), "INSERT")
+        .when(F.col("b_key").isNull(), "DELETE")
+        .otherwise("UPDATE")
+        .alias("op"),
+        "old_status",
+        "new_status",
+        "old_price",
+        "new_price",
+    )
+    return ch.filter(
+        (F.col("op") != "UPDATE")
+        | (F.col("old_price") != F.col("new_price"))
+        | (F.col("old_status") != F.col("new_status"))
+    ).orderBy("o_orderkey")

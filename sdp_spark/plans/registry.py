@@ -140,11 +140,11 @@ _SWEEP_PRIORITY = (
     # other key oldest-latest-verdict-first (alphabetical within a
     # round). Regenerate at round start: python tools/gen_sweep_queue.py
     # --- BEGIN GENERATED QUEUE (tools/gen_sweep_queue.py) ---
-    "catalog_privileges", "dml_cdc_apply", "dml_txn_multi",
-    "llm_ann_search_batch", "llm_ann_search_filtered", "stream_cdc_apply",
-    "llm_ann_index_persist", "llm_ann_recall_eval", "llm_ann_search_delta",
-    "llm_ann_search_persisted", "llm_sim_search_ivf", "llm_sim_search_nsw",
-    "query_linkage_em_weights", "catalog_show_describe",
+    "catalog_privileges", "dml_cdc_apply", "dml_txn_changes", "dml_txn_multi",
+    "dml_txn_time_travel", "llm_ann_search_batch", "llm_ann_search_filtered",
+    "stream_cdc_apply", "llm_ann_index_persist", "llm_ann_recall_eval",
+    "llm_ann_search_delta", "llm_ann_search_persisted", "llm_sim_search_ivf",
+    "llm_sim_search_nsw", "query_linkage_em_weights", "catalog_show_describe",
     "query_detector_concordance", "agg_approx_percentile", "agg_filtered",
     "agg_funnel", "agg_mode", "agg_sketch_rollup", "catalog_ctas",
     "dml_merge_scd2", "fn_encode", "fn_json_struct", "fn_spatial",

@@ -627,3 +627,51 @@ def test_catalog_privileges_expansion_and_enforcement(spark, sf_dir):
     from sdp_spark.sources.fixtures import table as tbl
 
     assert ncols["nation"] == len(tbl(spark, sf_dir, "nation").schema.fields)
+
+
+def test_txn_time_travel_immutable_and_vacuum_safe(spark, sf_dir):
+    """AS OF reads: v1 stays byte-stable after v2 commits, vacuum never
+    collects a committed version's data, and reading an uncommitted
+    version raises."""
+    import pytest
+
+    from sdp_spark.operators import scans as S
+
+    root = S._txn_history_root(spark, sf_dir)
+    v1_before = S.txn_read_at(spark, root, 1).count()
+    assert S.txn_current_version(root) == 2
+    assert S.txn_vacuum(root) == []  # both versions are referenced
+    assert S.txn_read_at(spark, root, 1).count() == v1_before
+    assert S.txn_read(spark, root).count() == S.txn_read_at(spark, root, 2).count()
+    with pytest.raises(RuntimeError, match="not committed"):
+        S.txn_read_at(spark, root, 99)
+
+
+def test_txn_changes_replay_reconstructs_v2(spark, sf_dir):
+    """The change feed is COMPLETE and MINIMAL: applying it to v1
+    (delete DELETEd keys, overwrite UPDATEd keys with after-images,
+    append INSERTs) reproduces v2 row-for-row, and no emitted UPDATE has
+    an unchanged (status, price) pair."""
+    from sdp_spark.operators import scans as S
+    from sdp_spark.plans.registry import load_all
+
+    ch = load_all()["dml_txn_changes"].fn(spark, sf_dir).cache()
+    assert ch.filter(
+        (F.col("op") == "UPDATE")
+        & (F.col("old_price") == F.col("new_price"))
+        & (F.col("old_status") == F.col("new_status"))
+    ).count() == 0
+
+    root = S._txn_history_root(spark, sf_dir)
+    v1 = S.txn_read_at(spark, root, 1)
+    gone = ch.filter(F.col("op").isin("DELETE", "UPDATE")).select("o_orderkey")
+    after = ch.filter(F.col("op").isin("INSERT", "UPDATE")).select(
+        "o_orderkey",
+        F.col("new_status").alias("o_orderstatus"),
+        F.col("new_price").alias("o_totalprice"),
+    )
+    replayed = v1.join(gone, "o_orderkey", "left_anti").unionByName(after)
+    v2 = S.txn_read_at(spark, root, 2)
+    assert replayed.count() == v2.count()
+    assert replayed.exceptAll(v2).count() == 0
+    ch.unpersist()
