@@ -1863,6 +1863,28 @@ def txn_vacuum(root: str) -> list[str]:
     return removed
 
 
+def txn_expire(root: str, keep_last: int = 1) -> list[int]:
+    """Retention: drop the commit files of all but the newest
+    `keep_last` versions, then vacuum their (now unreferenced) data.
+    Time travel to an expired version raises from then on; the current
+    version can never expire (keep_last >= 1 enforced). The
+    storage/history dial every lakehouse table exposes — history cost
+    becomes bounded by churn within the retention window."""
+    import re
+
+    if keep_last < 1:
+        raise ValueError("txn_expire: keep_last must be >= 1")
+    cutoff = txn_current_version(root) - keep_last
+    expired = []
+    for name in os.listdir(root):
+        m = re.fullmatch(r"_commit_v(\d+)\.json", name)
+        if m and int(m.group(1)) <= cutoff:
+            os.remove(os.path.join(root, name))
+            expired.append(int(m.group(1)))
+    txn_vacuum(root)
+    return sorted(expired)
+
+
 def txn_read(spark: SparkSession, root: str) -> DataFrame:
     """Reader entry point: resolve the highest commit file, scan exactly
     the data dir its manifest names."""

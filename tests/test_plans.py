@@ -686,3 +686,44 @@ def test_holt_is_arrow_grouped_map(spark, sf_dir):
     plan = _plan(spark, REGISTRY["ts_holt_linear"].fn(spark, sf_dir), "simple")
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_txn_changes_single_keyed_join_no_bnlj(spark, sf_dir):
+    """The change feed diffs two snapshots with ONE join keyed on the
+    table key — never a nested-loop/cartesian pairing — and the
+    changed-row filter stays a plain Filter above it (row-local, no
+    second exchange beyond the join's own key partitioning)."""
+    plan = _plan(spark, REGISTRY["dml_txn_changes"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    join_line = next(
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+    )
+    assert "a_key" in join_line and "b_key" in join_line, join_line
+
+
+def test_txn_time_travel_versions_never_join(spark, sf_dir):
+    """AS OF v1 + AS OF v2 union their partial aggs — no join between
+    versions, and each side is a map-side partial agg before the single
+    group-key exchange."""
+    plan = _plan(
+        spark, REGISTRY["dml_txn_time_travel"].fn(spark, sf_dir), "simple"
+    )
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
+    assert "Union" in plan
+    assert plan.count("partial_count") >= 2  # one partial agg per version
+
+
+def test_catalog_privileges_broadcast_only(spark, sf_dir):
+    """The privilege catalog is dictionary-scale: every join rides a
+    broadcast (no shuffle joins, no cartesian beyond the deliberate
+    10x10 grant expansion which itself must be a broadcast NLJ, not a
+    shuffle)."""
+    plan = _plan(spark, REGISTRY["catalog_privileges"].fn(spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -675,3 +675,32 @@ def test_txn_changes_replay_reconstructs_v2(spark, sf_dir):
     assert replayed.count() == v2.count()
     assert replayed.exceptAll(v2).count() == 0
     ch.unpersist()
+
+
+def test_txn_expire_retention(spark, sf_dir, tmp_path):
+    """Expire drops exactly the pre-window versions (commit file AND
+    data), keeps the window readable, and can never expire the current
+    version."""
+    import pytest
+
+    from sdp_spark.operators import scans as S
+
+    root = str(tmp_path / "txn")
+    os.makedirs(root)
+    df = spark.createDataFrame(
+        [(1, "O", 10.0)], "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    for v in (1, 2, 3):
+        S.txn_commit(root, v, S.txn_stage(df, root, v), 1)
+    assert S.txn_expire(root, keep_last=2) == [1]
+    with pytest.raises(RuntimeError, match="not committed"):
+        S.txn_read_at(spark, root, 1)
+    assert S.txn_read_at(spark, root, 2).count() == 1
+    assert S.txn_read(spark, root).count() == 1
+    # only the retained versions' data dirs survive
+    import re
+
+    dirs = [n for n in os.listdir(root) if re.fullmatch(r"v\d+-[0-9a-f]+", n)]
+    assert len(dirs) == 2
+    with pytest.raises(ValueError):
+        S.txn_expire(root, keep_last=0)
