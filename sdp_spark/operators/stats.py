@@ -2937,12 +2937,46 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
     sim = _mix_cols(sim).select(
         "j", "t", (F.col("h") % F.col("c_all")).alias("h")
     )
-    simcell = (
-        sim.join(
-            F.broadcast(cum),
-            (F.col("h") >= F.col("cum_hi") - F.col("ns"))
-            & (F.col("h") < F.col("cum_hi")),
+    # Bucketed interval probe (r14 optimization, guide §3.1/§3.3): the cell
+    # intervals [cum_hi - ns, cum_hi) have no equi conjunct against h, so the
+    # raw join plans as a BroadcastNestedLoopJoin — every one of the R x C
+    # sim rows evaluates EVERY interval (~|cells| compares per row; ~9.6e9
+    # predicate evaluations at sf0.1). Expanding each interval over
+    # fixed-width h-buckets turns it into a BroadcastHashJoin on the bucket
+    # id with the interval bounds as residual: ~2 candidate intervals per
+    # probe regardless of |cells|. Bucket width bw = ceil(c_all / n_cells)
+    # keeps the expanded table at <= 2 x n_cells rows (still
+    # metadata-bounded, derived from the marginals — nothing tuned to local
+    # mode). Bucket coverage [lo DIV bw, (hi-1) DIV bw] is exact, so the
+    # matched (row, interval) pairs — and the output — are IDENTICAL.
+    bw = cum.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.max("cum_hi") / F.count("*")).cast("bigint"),
+        ).alias("bw")
+    )
+    cumb = (
+        cum.crossJoin(F.broadcast(bw))
+        .select(
+            "cx",
+            "cy",
+            (F.col("cum_hi") - F.col("ns")).alias("lo"),
+            "cum_hi",
+            F.explode(
+                F.expr(
+                    "sequence((cum_hi - ns) DIV bw, (cum_hi - 1) DIV bw)"
+                )
+            ).alias("bucket"),
         )
+    )
+    simcell = (
+        sim.crossJoin(F.broadcast(bw))
+        .select("j", "t", "h", F.expr("h DIV bw").alias("bucket"))
+        .join(
+            F.broadcast(cumb),
+            ["bucket"],
+        )
+        .filter((F.col("h") >= F.col("lo")) & (F.col("h") < F.col("cum_hi")))
         .groupBy("j", "cx", "cy", "t")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
@@ -4052,13 +4086,6 @@ _DB_THR = (
     "GREATEST(CAST(5 AS BIGINT),"
     " CAST(CEIL(2.0 * total_pts / n_cells) AS BIGINT))"
 )
-# Min-label rounds SAFETY cap only — the monotone-mass probe is the
-# real exit and must reach the fixpoint (the oracle's recursive CTE
-# runs to full closure, so an unconverged Spark side would split a
-# high-diameter component and hash-mismatch). The grid has 1,728 cells,
-# so component diameter — and therefore rounds — is bounded by 1,727;
-# exhausting the cap is a bug, not a result, and raises.
-_DB_ROUNDS = 2048
 
 
 def _dbscan_oracle() -> str:
@@ -4122,14 +4149,15 @@ def query_spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic.
 
     Plan: ONE data-scale pass (points -> 5-deg cells, partial-agg
-    count); everything after runs on the dense-cell metadata frame —
-    the 8-neighbor adjacency is an offsets-explode equi-join (the
-    kulldorff window idiom, never a cartesian), and min-label rounds
-    iterate with the graph_connected_components monotone-mass probe
-    (labels only decrease, so one tiny agg detects the fixpoint; the
-    oracle replays the closure as a recursive CTE). At 100 TB the cell
-    rollup absorbs the data; the component loop cost is bounded by the
-    dense-cell graph's diameter, independent of row count."""
+    count); everything after runs on the dense-cell metadata frame,
+    which the fixed 72x24 grid bounds at 1,728 rows at ANY data scale —
+    so the component closure is driver-side union-find over the
+    collected cells (the bounded-driver-state discipline of the k-means
+    codebooks / EM pattern fit; the oracle replays the same closure as
+    a recursive CTE), joined back as one broadcast. At 100 TB the cell
+    rollup absorbs the data; everything downstream is O(grid) metadata
+    with zero iterative jobs (r14: was a distributed min-label loop —
+    ~20 tiny-frame jobs, 9.9 s quiet at sf0.1)."""
     c = table(spark, sf_dir, "customer")
     lat = (
         ((F.col("c_custkey") + 17) * F.lit(KNUTH)) % F.lit(KNUTH_MOD) % 1200
@@ -4163,53 +4191,47 @@ def query_spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-            if (dx, dy) != (0, 0)]
-    nbr = dense.select(
-        F.col("cid").alias("src"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        (F.col("cx") + dx).alias("nx"),
-                        (F.col("cy") + dy).alias("ny"),
-                    )
-                    for dx, dy in offs
-                ]
-            )
-        ).alias("o"),
-    ).select("src", F.col("o.nx").alias("cx"), F.col("o.ny").alias("cy"))
-    e = nbr.join(dense.select("cx", "cy", F.col("cid").alias("dst")),
-                 ["cx", "cy"]).select("src", "dst")
-    e = e.localCheckpoint(eager=True)
-    comp = dense.select(F.col("cid").alias("node")).withColumn(
-        "comp", F.col("node")
-    ).localCheckpoint(eager=True)
-    mass = comp.agg(F.sum("comp")).collect()[0][0]
-    converged = False
-    for _ in range(_DB_ROUNDS):
-        prop = e.join(comp, e.src == comp.node).select(
-            F.col("dst").alias("node"), "comp"
-        )
-        comp = (
-            comp.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        new_mass = comp.agg(F.sum("comp")).collect()[0][0]
-        if new_mass == mass:
-            converged = True
-            break
-        mass = new_mass
-    if not converged:
-        raise RuntimeError(
-            "query_spatial_dbscan: min-label propagation exhausted "
-            f"{_DB_ROUNDS} rounds without a fixpoint — impossible for "
-            "the 1,728-cell grid; investigate"
-        )
+    # r14 optimization (guide §1.2 "the distributed algorithm" + §5 bounded
+    # driver state): the dense-cell frame is CONSTANT-bounded by the fixed
+    # 72x24 grid (<= 1,728 cells at ANY data scale — the data-scale pass is
+    # the cell rollup above, already done). The previous distributed
+    # min-label loop paid (join + union + groupBy + eager checkpoint +
+    # collect) x diameter rounds — ~20 jobs of 32-partition exchanges over
+    # <100 rows (measured 9.9 s quiet at sf0.1). Union-find over the
+    # collected cells computes the IDENTICAL min-label closure in
+    # microseconds on the driver (same bounded-metadata discipline as the
+    # k-means codebooks and the EM pattern fit); the component map joins
+    # back as one broadcast. Labels: each node's component label is the
+    # MINIMUM cid reachable — exactly the old fixpoint and the oracle's
+    # recursive-CTE closure.
+    cells_local = dense.select("cx", "cy", "cid").collect()
+    by_xy = {(r["cx"], r["cy"]): r["cid"] for r in cells_local}
+    parent: dict[int, int] = {cid: cid for cid in by_xy.values()}
+
+    def _find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (x, y), cid in by_xy.items():
+        # 4 of the 8 Chebyshev neighbours suffice — adjacency is symmetric
+        for dx, dy in ((1, -1), (1, 0), (1, 1), (0, 1)):
+            ncid = by_xy.get((x + dx, y + dy))
+            if ncid is not None:
+                ra, rb = _find(cid), _find(ncid)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    lab: dict[int, int] = {}
+    for cid in by_xy.values():
+        r = _find(cid)
+        lab[r] = min(lab.get(r, cid), cid)
+    comp = spark.createDataFrame(
+        [(cid, lab[_find(cid)]) for cid in sorted(by_xy.values())],
+        "node bigint, comp bigint",
+    )
     return (
-        comp.join(dense, comp.node == dense.cid)
+        F.broadcast(comp).join(dense, comp.node == dense.cid)
         .groupBy(F.col("comp").alias("cluster_id"))
         .agg(
             F.count("*").cast("bigint").alias("n_cells"),
