@@ -26,7 +26,7 @@ from sdp_spark.functions.num import (
     sql_dsum,
 )
 from sdp_spark.plans.registry import register
-from sdp_spark.sources.fixtures import table
+from sdp_spark.sources.fixtures import table, wide_table
 
 _SEC = "2.4 aggregation"
 
@@ -54,8 +54,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is also the ``entry()`` smoke query. The shipdate predicate pushes
     to parquet row groups; 6 output groups mean the final shuffle is bytes.
+
+    r14: reads through ``wide_table`` — the fixture file is ONE row group,
+    so the scan is a single split and the six DECIMAL(30,8) partial sums
+    (the double→decimal cast is ~5x the cost of everything else, measured)
+    ran serialized on one core. The guard's narrow repartition buys
+    full-width partial aggregation (2.36 → 1.49 s best-of-3 at sf0.1); on a
+    real multi-split scan it is a no-op by construction, so the 100 TB plan
+    shape (scan → map-side partial agg → 6-group exchange) is unchanged.
     """
-    l = table(spark, sf_dir, "lineitem")
+    l = wide_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

@@ -79,6 +79,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     broken by event_id in every consumer.
     """
     _pin_session_confs(spark)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -90,8 +94,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
         elif isinstance(ts_t, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = df
+    return df
+
+
+# (applicationId, abs sf_dir, name) -> analyzed scan DataFrame. A bare
+# `spark.read.parquet` costs ~0.1 s per call on this box (file listing +
+# footer/schema read, all driver-side), and `load_tables` paid it 10x plus
+# 10 temp-view re-registrations on EVERY `_sql`-based operator invocation
+# (~1.4 s/rep measured — more than most queries themselves; guide §1.2
+# "don't compute things you throw away", applied to the driver). Logical
+# plans are immutable, so handing every caller the same DataFrame changes
+# nothing about results; the fixture dirs are static inputs. This memoizes
+# PLAN OBJECTS only — no data, no results, nothing persisted across runs.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+# applicationId -> abs sf_dir whose views are currently registered; the
+# re-registration is skipped only when the SAME dir is already live, so a
+# session that alternates sf dirs (tests do) stays correct.
+_VIEWS_REGISTERED: dict[str, str] = {}
 
 
 # (applicationId, sf_dir, name) -> scan partition count, memoized so the
@@ -122,12 +145,19 @@ def wide_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load all fixture tables and register them as temp views."""
-    out: dict[str, DataFrame] = {}
-    for name in TABLES:
-        df = table(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
-        out[name] = df
+    """Load all fixture tables and register them as temp views.
+
+    View registration is skipped when this session already has THIS sf_dir's
+    views live (see `_VIEWS_REGISTERED`) — registration is driver-side
+    catalog mutation, identical each time, and it dominated the per-rep cost
+    of every `spark.sql`-based operator."""
+    out: dict[str, DataFrame] = {name: table(spark, sf_dir, name) for name in TABLES}
+    app = spark.sparkContext.applicationId
+    norm = os.path.abspath(sf_dir)
+    if _VIEWS_REGISTERED.get(app) != norm:
+        for name, df in out.items():
+            df.createOrReplaceTempView(name)
+        _VIEWS_REGISTERED[app] = norm
     return out
 
 
