@@ -22,7 +22,16 @@ def test_flagship_pushdown_and_single_shuffle(spark, sf_dir):
     # column pruning: only the 7 needed columns reach the scan
     assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
     simple = _plan(spark, REGISTRY["agg_groupby"].fn(spark, sf_dir), "simple")
-    assert simple.count("Exchange") == 1, "flagship should shuffle exactly once"
+    # r14: a round-robin exchange below the partial aggregate fans the
+    # single-row-group fixture scan out to every core (the input-skew
+    # parallelism guard, OPTIMIZATION_r14.md #4); the DATA shuffle — by
+    # the 6 grouping keys — must still happen exactly once.
+    assert simple.count("Exchange hashpartitioning") == 1, (
+        "flagship should hash-shuffle exactly once (the 6-group aggregate)"
+    )
+    assert simple.count("Exchange") <= 2, (
+        "flagship allows at most the parallelism guard + the aggregate exchange"
+    )
 
 
 def test_partition_pruning_visible(spark, sf_dir):
