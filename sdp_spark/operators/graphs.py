@@ -727,6 +727,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         rhs = F.broadcast(labels) if use_bcast else labels
         labels = (
             edges.join(rhs, edges.src == labels.node)
+            # one exchange per round, not two: hash(dst) satisfies BOTH
+            # the (dst,label) aggregation's clustering (subset rule) and
+            # the per-dst ranking window — without it the plan exchanged
+            # on (dst,label) for the groupBy and AGAIN on dst for the
+            # window (guide §2.4)
+            .repartition("dst")
             .groupBy("dst", "label")
             .agg(F.count("*").alias("cnt"))
             .withColumn(

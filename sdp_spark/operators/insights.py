@@ -742,7 +742,12 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degrees broadcast (|suppliers| rows) so the rescore is map-side."""
     from sdp_spark.operators.graphs import _trade_edges
 
-    edges = _trade_edges(spark, sf_dir)
+    # one lazy checkpoint: the lineitem⋈orders⋈distinct edge build is
+    # referenced THREE times below (both sides of the shared-neighbor
+    # self-join + the degree frame) — uncheckpointed, the data-scale
+    # pass ran three times per invocation (guide §1.2; the
+    # _week_edges_packed pattern)
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = edges.groupBy("supp").agg(F.count("*").cast("bigint").alias("degree"))
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")

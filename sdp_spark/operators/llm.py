@@ -3002,25 +3002,40 @@ def _knng_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit vectors against unit centroids: Euclidean argmin == cosine
     argmax there (|x-c|^2 = 2 - 2 x.c), so _km_assign's two physical
     paths (literal codegen / broadcast matmul) serve the spherical
-    quantizer unchanged. K ~ sqrt(N), floor 8 / cap 256."""
+    quantizer unchanged. K ~ sqrt(N), floor 8 / cap 256.
+
+    Memoized per (app, sf_dir) as an eager localCheckpoint (r14,
+    guide §1.2): the assignment is an ArrowEvalPython subtree (broadcast
+    matmul in a pandas UDF), and every UNCACHED reference re-paid the
+    Python-boundary evaluation — twice per _cell_topk_edges call (src
+    AND dst of the per-cell self-join), again in _nsw_entries, again in
+    the index persist. Bounded state: N x (dvec + NASSIGN ints) narrow
+    rows, same discipline as _VEC_GROUPS_CACHE; evicted by
+    ann_index_build(force=True) alongside the other component memos."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _KNNG_ASSIGNED_CACHE:
+        return _KNNG_ASSIGNED_CACHE[key]
     emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")
     n = emb.count()
     k_cells = max(8, min(256, int(n ** 0.5)))
     cents = _spherical_cells(spark, sf_dir, k_cells)
     unit = F.transform("dvec", lambda x: x / F.col("norm"))
-    return _km_assign(
+    _KNNG_ASSIGNED_CACHE[key] = _km_assign(
         emb.select("vec_id", unit.alias("dvec")),
         cents,
         # the fit clamps k to its sample (ADVICE r12 #1), so a tiny
         # corpus can return fewer than NASSIGN centroids
         probe_n=min(_KNNG_IVF_NASSIGN, len(cents)),
-    )
+    ).localCheckpoint(eager=True)
+    return _KNNG_ASSIGNED_CACHE[key]
 
 
 # Exact-duplicate VECTOR groups, memoized per (app, sf_dir): (vec_id, gid)
 # with gid = the group's global-min vec_id. The ANN build's collapse gate
 # rides these the way the text-dedup chain rides _cached_clusters.
 _VEC_GROUPS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Cell-assigned corpus per (app, sf_dir) — see _knng_assigned.
+_KNNG_ASSIGNED_CACHE: dict[tuple[str, str], DataFrame] = {}
 _VEC_DUP_DENSE: dict[tuple[str, str], bool] = {}
 # Refined k-NN edge lists per (app, sf, k_out) — see _ivf_knn_edges.
 _KNN_EDGES_CACHE: dict[tuple[str, str, int], DataFrame] = {}
@@ -3645,6 +3660,7 @@ def ann_index_build(
             _KNN_EDGES_CACHE,
             _VEC_GROUPS_CACHE,
             _VEC_DUP_DENSE,
+            _KNNG_ASSIGNED_CACHE,
         ):
             for k in [k for k in cache if k[0] == app and k[1] == sf_dir]:
                 cache.pop(k, None)
