@@ -646,6 +646,47 @@ EARS_SCORED_SQL = f"""
 """
 
 
+# THE shared data-scale pass of every batch aberration detector: the
+# per-(event_type, day) count of raw events. Ten registry keys built it
+# independently (EARS, EARS family, CUSUM, EWMA, Serfling, Farrington,
+# excess burden, epidemic onset, Holt, historical limits) — in the
+# detector-concordance panel that meant EIGHT redundant event scans +
+# groupBys inside one job. Memoized per (app, sf_dir) as a LAZY
+# localCheckpoint (guide §1.2): |types × days| rows, bounded by calendar
+# not data volume; released by sdp_spark.unpersist_all.
+_EVENTS_DAILY_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day DATE, n BIGINT) daily rollup of events."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EVENTS_DAILY_CACHE:
+        e = table(spark, sf_dir, "events")
+        _EVENTS_DAILY_CACHE[key] = (
+            e.groupBy(
+                "event_type",
+                F.col("ts").cast("timestamp").cast("date").alias("day"),
+            )
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=False)
+        )
+    return _EVENTS_DAILY_CACHE[key]
+
+
+def events_daily_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, d TIMESTAMP, c DOUBLE) view of the same rollup — the
+    frame shape the SPC detectors (CUSUM/EWMA/Serfling/Farrington and
+    their rollup capstones) consume. day→timestamp is midnight in the
+    UTC-pinned session, exactly date_trunc('day', ts); the bigint count
+    casts to double losslessly — bit-identical to the per-key rollups
+    it replaces (oracle-swept at sf0.01 and sf0.1)."""
+    return events_daily(spark, sf_dir).select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("d"),
+        F.col("n").cast("double").alias("c"),
+    )
+
+
 def ears_c2_scored(daily: DataFrame) -> DataFrame:
     """EARS C2 scoring over a (event_type, day, n) daily-count frame:
     7-day baseline lagged 2 days, rounded z-score, applicability filter
@@ -695,13 +736,7 @@ def query_outbreak_ears(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is O(frame), and the heavy lifting (daily counts) shuffles
     grouped states, not events. The same plan incrementalizes: the
     streaming twin is `stream_tumbling` + this frame over its sink."""
-    e = table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(
-            "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
-        )
-        .agg(F.count("*").alias("n"))
-    )
+    daily = events_daily(spark, sf_dir)
     return (
         ears_c2_scored(daily)
         .withColumn("alert", F.col("c2_score") > _EARS_Z)
@@ -877,13 +912,7 @@ def query_outbreak_ears_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning — `.explain` shows one Exchange feeding one Window
     chain; the 3-way variant union is a zero-shuffle relabel. At 100 TB
     the daily-count collapse is the only event-scale stage."""
-    e = table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(
-            "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
-        )
-        .agg(F.count("*").alias("n"))
-    )
+    daily = events_daily(spark, sf_dir)
     return ears_family_scored(daily).orderBy("variant", "event_type", "day_s")
 
 
@@ -1872,10 +1901,7 @@ def query_outbreak_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |types × days|. Scoring runs through `cusum_scored`, the SAME core
     the streaming twin (`stream_cusum_alerts`) calls — the stream==batch
     guarantee is structural, as with EARS."""
-    e = table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.count("*").cast("double").alias("c"))
+    daily = events_daily_dc(spark, sf_dir)
     return cusum_scored(daily)
 
 
@@ -2063,10 +2089,7 @@ def query_outbreak_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types × days| metadata. Scoring runs through `ewma_scored`, the
     SAME core the streaming twin (`stream_ewma_alerts`) calls — the
     stream==batch guarantee is structural, as with EARS and CUSUM."""
-    e = table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.count("*").cast("double").alias("c"))
+    daily = events_daily_dc(spark, sf_dir)
     return ewma_scored(daily)
 
 
@@ -3082,10 +3105,7 @@ def query_outbreak_serfling(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Scoring runs through `serfling_scored`, the SAME core the
     streaming twin calls — stream==batch is structural, as with the
     other five detector pairs."""
-    e = table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.count("*").cast("double").alias("c"))
+    daily = events_daily_dc(spark, sf_dir)
     return serfling_scored(daily)
 
 
@@ -3159,10 +3179,7 @@ def ts_excess_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the daily rollup is the only event-scale pass (shared shape
     with every detector); burden is one further metadata-scale rollup
     to |types| rows."""
-    e = table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.count("*").cast("double").alias("c"))
+    daily = events_daily_dc(spark, sf_dir)
     return excess_burden_rollup(serfling_scored(daily))
 
 
@@ -3250,10 +3267,7 @@ def ts_epidemic_onset(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: rides the certified `serfling_scored` core (the daily rollup
     is the only event-scale pass); the run logic is one LEAD window +
     two metadata-scale aggregates over |types x days| rows."""
-    e = table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.count("*").cast("double").alias("c"))
+    daily = events_daily_dc(spark, sf_dir)
     return epidemic_onset_rollup(serfling_scored(daily))
 
 
@@ -3477,11 +3491,7 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    e = table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
-        .agg(F.count("*").cast("double").alias("c"))
-    )
+    daily = events_daily_dc(spark, sf_dir)
 
     n_h = _HOLT_H
     alpha, one_m_a = float(_HOLT_ALPHA), float(_HOLT_1MA)
@@ -3897,10 +3907,7 @@ def query_outbreak_farrington(spark: SparkSession, sf_dir: str) -> DataFrame:
     side broadcast. Scoring runs through `farrington_scored`, the SAME
     core the streaming twin calls — stream == batch is structural, as
     with the other six detector pairs."""
-    e = table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.count("*").cast("double").alias("c"))
+    daily = events_daily_dc(spark, sf_dir)
     return farrington_scored(daily)
 
 

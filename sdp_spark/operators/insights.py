@@ -60,10 +60,12 @@ _DAILY_SQL = """
 
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events")
-    return e.groupBy(
-        "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
-    ).agg(F.count("*").cast("bigint").alias("n"))
+    # the shared memoized rollup (analytics.events_daily); count("*") is
+    # already BIGINT, so the frame is identical to the local groupBy this
+    # replaced
+    from sdp_spark.operators.analytics import events_daily
+
+    return events_daily(spark, sf_dir)
 
 
 _HL_Z = 2.0
