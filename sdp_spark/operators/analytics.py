@@ -658,8 +658,16 @@ _EVENTS_DAILY_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(event_type, day DATE, n BIGINT) daily rollup of events."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    """(event_type, day DATE, n BIGINT) daily rollup of events. The key
+    carries the events file's fingerprint so a rewrite of the same path
+    (tests plant outbreaks in place) retires the checkpointed rollup."""
+    from sdp_spark.sources.fixtures import table_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "events"),
+    )
     if key not in _EVENTS_DAILY_CACHE:
         e = table(spark, sf_dir, "events")
         _EVENTS_DAILY_CACHE[key] = (

@@ -3011,8 +3011,16 @@ def _knng_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND dst of the per-cell self-join), again in _nsw_entries, again in
     the index persist. Bounded state: N x (dvec + NASSIGN ints) narrow
     rows, same discipline as _VEC_GROUPS_CACHE; evicted by
-    ann_index_build(force=True) alongside the other component memos."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    ann_index_build(force=True) alongside the other component memos. The
+    key carries the embeddings file's fingerprint so an in-place rewrite
+    of the same path retires the checkpointed assignment."""
+    from sdp_spark.sources.fixtures import table_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "embeddings"),
+    )
     if key in _KNNG_ASSIGNED_CACHE:
         return _KNNG_ASSIGNED_CACHE[key]
     emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")

@@ -65,6 +65,22 @@ def _pin_session_confs(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
+def table_fingerprint(sf_dir: str, name: str) -> tuple[int, int]:
+    """(mtime_ns, size) of the table's parquet path — the staleness stamp
+    every per-(app, sf_dir) memo must carry in its key. A Spark overwrite
+    deletes and recreates the directory (or file), so the mtime moves on
+    ANY rewrite; a memo keyed without it would keep serving the old file
+    list after a test (or a caller) rewrites a table in place — the exact
+    FAILED_READ_FILE.FILE_NOT_EXIST this round's first full-suite run hit.
+    One os.stat per call: microseconds, vs the ~0.1 s footer read it
+    guards."""
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
@@ -79,7 +95,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     broken by event_id in every consumer.
     """
     _pin_session_confs(spark)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+        table_fingerprint(sf_dir, name),
+    )
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -100,26 +121,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# (applicationId, abs sf_dir, name) -> analyzed scan DataFrame. A bare
-# `spark.read.parquet` costs ~0.1 s per call on this box (file listing +
-# footer/schema read, all driver-side), and `load_tables` paid it 10x plus
-# 10 temp-view re-registrations on EVERY `_sql`-based operator invocation
-# (~1.4 s/rep measured — more than most queries themselves; guide §1.2
-# "don't compute things you throw away", applied to the driver). Logical
-# plans are immutable, so handing every caller the same DataFrame changes
-# nothing about results; the fixture dirs are static inputs. This memoizes
-# PLAN OBJECTS only — no data, no results, nothing persisted across runs.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# (applicationId, abs sf_dir, name, fingerprint) -> analyzed scan
+# DataFrame. A bare `spark.read.parquet` costs ~0.1 s per call on this box
+# (file listing + footer/schema read, all driver-side), and `load_tables`
+# paid it 10x plus 10 temp-view re-registrations on EVERY `_sql`-based
+# operator invocation (~1.4 s/rep measured — more than most queries
+# themselves; guide §1.2 "don't compute things you throw away", applied to
+# the driver). Logical plans are immutable, so handing every caller the
+# same DataFrame changes nothing about results; the fingerprint in the key
+# (see table_fingerprint) retires an entry the moment the underlying file
+# is rewritten. This memoizes PLAN OBJECTS only — no data, no results,
+# nothing persisted across runs.
+_TABLE_CACHE: dict[tuple[str, str, str, tuple[int, int]], DataFrame] = {}
 
-# applicationId -> abs sf_dir whose views are currently registered; the
-# re-registration is skipped only when the SAME dir is already live, so a
-# session that alternates sf dirs (tests do) stays correct.
-_VIEWS_REGISTERED: dict[str, str] = {}
+# applicationId -> (abs sf_dir, fingerprints) whose views are currently
+# registered; re-registration is skipped only when the SAME dir with the
+# SAME file fingerprints is already live, so a session that alternates sf
+# dirs or rewrites a table in place (tests do both) stays correct.
+_VIEWS_REGISTERED: dict[str, tuple[str, tuple]] = {}
 
 
-# (applicationId, sf_dir, name) -> scan partition count, memoized so the
-# wide_table parallelism probe lists files once per session, not per call.
-_SCAN_PARTS: dict[tuple[str, str, str], int] = {}
+# (applicationId, sf_dir, name, fingerprint) -> scan partition count,
+# memoized so the wide_table parallelism probe lists files once per
+# session (per file version), not per call.
+_SCAN_PARTS: dict[tuple[str, str, str, tuple[int, int]], int] = {}
 
 
 def wide_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -135,7 +160,12 @@ def wide_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the condition is false and this is `table()` verbatim: no extra
     exchange, pushdown/pruning untouched."""
     df = table(spark, sf_dir, name)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        name,
+        table_fingerprint(sf_dir, name),
+    )
     if key not in _SCAN_PARTS:
         _SCAN_PARTS[key] = df.rdd.getNumPartitions()
     target = spark.sparkContext.defaultParallelism
@@ -154,10 +184,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {name: table(spark, sf_dir, name) for name in TABLES}
     app = spark.sparkContext.applicationId
     norm = os.path.abspath(sf_dir)
-    if _VIEWS_REGISTERED.get(app) != norm:
+    stamp = (norm, tuple(table_fingerprint(sf_dir, name) for name in TABLES))
+    if _VIEWS_REGISTERED.get(app) != stamp:
         for name, df in out.items():
             df.createOrReplaceTempView(name)
-        _VIEWS_REGISTERED[app] = norm
+        _VIEWS_REGISTERED[app] = stamp
     return out
 
 
