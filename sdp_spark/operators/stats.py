@@ -619,9 +619,16 @@ def llm_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra. The bigram generation itself is the zero-join array
     expression shared with insights.llm_pmi_collocations."""
     db = _bigrams(spark, sf_dir).distinct()
-    first_seen = db.groupBy("w1", "w2").agg(F.min("doc_id").alias("first_doc"))
+    # first-occurrence attribution as a min-window over the (w1, w2)
+    # partition instead of groupBy + self-join (r14 optimization, guide
+    # §2.4 and the repo's df-lookup idiom): MIN(doc_id) OVER (PARTITION BY
+    # w1, w2) == the joined first_seen lookup exactly, and it drops one
+    # exchange plus the sort-merge self-join (the db subtree also stops
+    # being referenced twice). The bigram stream shuffles ONCE by (w1, w2)
+    # instead of once for the groupBy and again for the join probe.
+    first_doc = F.min("doc_id").over(Window.partitionBy("w1", "w2"))
     return (
-        db.join(first_seen, ["w1", "w2"])
+        db.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
@@ -2444,11 +2451,18 @@ def query_spatial_scan_kulldorff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j", (F.lit(1) + F.col("h") % F.col("n")).alias("pos")
     )
     simc = sim.groupBy("j", "pos").agg(F.count("*").cast("bigint").alias("cnt"))
+    # broadcast the replicate-count lookup and the window-join build side
+    # (r14 optimization, guide §3.1): both frames are METADATA-bounded by
+    # construction — <= |cells| x (R+1) rows where cells <= 192 (fixed 15°
+    # grid) and R is a constant — so the hash relations are a few MB at ANY
+    # data scale. Without the hints both of these checkpointed (size-opaque)
+    # frames planned as sort-merge joins: two exchanges + sorts per join on
+    # frames that never grow with the data.
     pcells = (
         cells.select(F.lit(0).cast("bigint").alias("j"), "cx", "cy", "cnt")
         .unionByName(
             vals.crossJoin(F.broadcast(reps))
-            .join(simc, ["j", "pos"], "left")
+            .join(F.broadcast(simc), ["j", "pos"], "left")
             .select(
                 "j", "cx", "cy", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt")
             )
@@ -2463,7 +2477,7 @@ def query_spatial_scan_kulldorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = (
         a.crossJoin(F.broadcast(offs))
         .join(
-            pcells,
+            F.broadcast(pcells),
             (F.col("j") == F.col("aj"))
             & (F.col("cx") == F.col("acx") + F.col("dx"))
             & (F.col("cy") == F.col("acy") + F.col("dy")),
@@ -2969,7 +2983,20 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
             ).alias("bucket"),
         )
     )
-    simcell = (
+    # Day-grain collapse BEFORE the window join (r14 optimization, guide
+    # §2.3 "aggregate before you shuffle" / §2.4): downstream only ever
+    # consumes SUM(n) and the three trailing-window conditional sums — the
+    # per-day resolution of (j, cell, t) is thrown away by `wins`. Folding
+    # the window conditionals into the simulate's FIRST aggregation
+    # collapses the replicate frame from |cells| x R x days rows to
+    # |cells| x R (30x at sf0.1), so the neighbor-offset join probes a
+    # metadata-bounded frame: cells are resolution-bounded (<=192) and R
+    # is fixed, so pc is <=192 x (R+1) rows at ANY data scale — small
+    # enough to broadcast BY CONSTRUCTION, which removes both sort-merge
+    # exchanges the old per-day join paid. All sums are exact BIGINTs, so
+    # regrouping is associative and the output is bit-identical (sweep-
+    # proved vs the unchanged per-day oracle at sf0.01 and sf0.1).
+    simagg = (
         sim.crossJoin(F.broadcast(bw))
         .select("j", "t", "h", F.expr("h DIV bw").alias("bucket"))
         .join(
@@ -2977,12 +3004,41 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
             ["bucket"],
         )
         .filter((F.col("h") >= F.col("lo")) & (F.col("h") < F.col("cum_hi")))
-        .groupBy("j", "cx", "cy", "t")
-        .agg(F.count("*").cast("bigint").alias("n"))
+        .groupBy("j", "cx", "cy")
+        .agg(
+            F.count("*").cast("bigint").alias("n_all"),
+            *[
+                F.sum(
+                    F.when(F.col("t") >= _ST_END_T + 1 - ln, 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"nw{ln}")
+                for ln in _ST_WINS
+            ],
+        )
     )
-    pc = cellday.select(
-        F.lit(0).cast("bigint").alias("j"), "cx", "cy", "t", "n"
-    ).unionByName(simcell)
+    obsagg = (
+        cellday.groupBy("cx", "cy")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_all"),
+            *[
+                F.sum(
+                    F.when(F.col("t") >= _ST_END_T + 1 - ln, F.col("n")).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"nw{ln}")
+                for ln in _ST_WINS
+            ],
+        )
+        .select(
+            F.lit(0).cast("bigint").alias("j"),
+            "cx",
+            "cy",
+            "n_all",
+            *[f"nw{ln}" for ln in _ST_WINS],
+        )
+    )
+    pc = obsagg.unionByName(simagg.select(obsagg.columns))
 
     offs = spark.createDataFrame(_ST_OFFS, "dx int, dy int, ch int")
     reps_all = spark.range(0, _ST_REPS + 1).select(
@@ -2997,20 +3053,16 @@ def spacetime_scored(cellday: DataFrame) -> DataFrame:
     wins = (
         a.crossJoin(F.broadcast(offs))
         .join(
-            pc,
+            F.broadcast(pc),
             (F.col("j") == F.col("aj"))
             & (F.col("cx") == F.col("acx") + F.col("dx"))
             & (F.col("cy") == F.col("acy") + F.col("dy")),
         )
         .groupBy("aj", "acx", "acy", "ch")
         .agg(
-            F.sum("n").cast("bigint").alias("n_all"),
+            F.sum("n_all").cast("bigint").alias("n_all"),
             *[
-                F.sum(
-                    F.when(F.col("t") >= _ST_END_T + 1 - ln, F.col("n")).otherwise(0)
-                )
-                .cast("bigint")
-                .alias(f"nw{ln}")
+                F.sum(f"nw{ln}").cast("bigint").alias(f"nw{ln}")
                 for ln in _ST_WINS
             ],
         )
