@@ -637,9 +637,14 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # lazy checkpoints + the count-as-materializer (r14, the CC probe-fold
+    # idiom): an EAGER checkpoint ran one job and the convergence count ran
+    # a second over the cached partitions — per round. Lazy + count folds
+    # them into ONE job per round; the count doubles as the materializer,
+    # so lineage depth stays pinned exactly as before.
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n_edges = edges.count()
     converged = False
     for _ in range(_KCORE_ROUNDS):
@@ -648,7 +653,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(keep, "src", "semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_now = edges.count()
         if n_now == n_edges:

@@ -1230,6 +1230,16 @@ def _rouge_pairs(d: DataFrame) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "source", "tok")
         .agg(F.count("*").cast("bigint").alias("c"))
+        # the plan references toks THREE times (a-side, b-side, lens), and
+        # before r14 each reference re-scanned + re-exploded + re-aggregated
+        # the corpus — 4 tokenizations per run counting the second lens copy
+        # (plans/r14/llm_rouge_overlap_before.txt: 4 Scan+Generate+Exchange
+        # chains, 22 Exchange nodes). One lazy localCheckpoint makes the
+        # corpus-scale pass run once (after: 0 parquet scans / 0 Generates /
+        # 14 Exchanges); the b-side join strategy is then decided from the
+        # checkpoint's MEASURED size — broadcast while it fits, sort-merge
+        # past the threshold — instead of a scan-cardinality estimate.
+        .localCheckpoint(eager=False)
     )
     lens = toks.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("len"))
     a = toks.select(
