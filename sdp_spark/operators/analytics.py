@@ -2543,8 +2543,28 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-100 is TakeOrderedAndProject — no global sort. Min-support on the
     GROUP BY output prunes before the lift join."""
     li = table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    item_n = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_i"))
+    # r14 (guide §1.2, §2.4): baskets feeds FOUR consumers (both pair-join
+    # sides, the item totals, the order count) and used to re-scan +
+    # re-distinct lineitem for each — the dedup exchange, the only
+    # data-scale shuffle here, ran 4x. One explicit repartition on
+    # l_orderkey satisfies the (l_orderkey, l_partkey) dedup by the
+    # subset rule AND pre-clusters the pair self-join's key, so after the
+    # lazy checkpoint the self-join is exchange-free on both sides and
+    # lineitem is scanned exactly once.
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # item_n is consumed twice (the part_a and part_b lift lookups) — one
+    # lazy checkpoint of the |parts|-bounded totals keeps the basket pass
+    # behind it single-run too
+    item_n = (
+        baskets.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_i"))
+        .localCheckpoint(eager=False)
+    )
     a = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
     b = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
     pair_n = (

@@ -753,6 +753,15 @@ def _semdedup_frame(spark: SparkSession, sf_dir: str, k: int | None = None) -> D
     probed = _km_assign(emb, cents, probe2=True).select(
         "vec_id", "dvec", F.col("cluster").alias("c1"), F.col("cluster2").alias("c2")
     )
+    # the plan references probed twice — the exploded block side and the
+    # final (vec_id, cluster) projection — and before r14 each reference
+    # re-ran the whole assignment subtree (plans/r14/llm_semdedup_full_
+    # before.txt: the distance chain + its input scan evaluated twice; on
+    # the large-K path that is the broadcast Arrow matmul twice). One lazy
+    # localCheckpoint bounds it to a single evaluation; the frame is
+    # N x (dvec + 3 ids) — the same class as the ANN chain's _knng_assigned
+    # checkpoint (OPTIMIZATION_r14.md §5).
+    probed = probed.localCheckpoint(eager=False)
     blocks = probed.select(
         "vec_id", "dvec", F.explode(F.array("c1", "c2")).alias("block")
     )
@@ -2651,10 +2660,17 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_tokens(spark, sf_dir, wide=True)
     sh = _shingles(d, 3)
     df_w = Window.partitionBy("shingle")
+    # r14 (guide §1.2): capped feeds THREE consumers (both postings-join
+    # sides and the per-doc sizes) and used to re-run the whole
+    # tokenize -> shingle -> df-window pass for each. One lazy
+    # localCheckpoint runs the data-scale pass once; the df-window already
+    # hash-partitioned the postings by shingle, and the checkpoint
+    # preserves that clustering for the self-join.
     capped = (
         sh.withColumn("df", F.count("*").over(df_w))
         .filter(F.col("df") <= _CONTAIN_DF_CAP)
         .select("doc_id", "shingle")
+        .localCheckpoint(eager=False)
     )
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -231,7 +231,14 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative bin counts) with the same downstream algebra; fixture
     scale certifies the exact path."""
     e = table(spark, sf_dir, "events")
-    types = e.select(F.col("event_type").alias("t")).distinct()
+    # r14 (guide §1.2): types feeds both pair sides, and each reference
+    # used to re-scan + re-distinct the full events table. One lazy
+    # localCheckpoint (|types| rows) runs that pass once.
+    types = (
+        e.select(F.col("event_type").alias("t"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     ta = types.select(F.col("t").alias("ta"))
     tb = types.select(F.col("t").alias("tb"))
     pairs = ta.join(tb, F.col("ta") < F.col("tb"))
@@ -2011,10 +2018,16 @@ def llm_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("word").isin(*_RAKE_STOP), 1).otherwise(0).alias("stop"),
     )
     w_doc = Window.partitionBy("doc_id").orderBy("idx")
+    # r14 (guide §1.2): pw feeds THREE consumers (phrase lengths, word
+    # stats, the scored join) and used to re-run the tokenize -> posexplode
+    # -> stopword-window pass for each. One lazy localCheckpoint runs the
+    # data-scale pass once; the doc_id window partitioning it preserves
+    # satisfies the (doc_id, phrase_id) rollups by the subset rule.
     pw = (
         marked.withColumn("phrase_id", F.sum("stop").over(w_doc))
         .filter(F.col("stop") == 0)
         .select("doc_id", "phrase_id", "word", "idx")
+        .localCheckpoint(eager=False)
     )
     plen = pw.groupBy("doc_id", "phrase_id").agg(
         F.count("*").cast("bigint").alias("plen")
