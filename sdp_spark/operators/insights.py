@@ -1597,8 +1597,21 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("word")
     )
-    uni = toks.groupBy("word").agg(F.count("*").cast("bigint").alias("c"))
-    bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    # r14 (guide §1.2): uni feeds THREE consumers (both scoring lookups and
+    # the unigram total) and bgc TWO (the scored pairs and the bigram
+    # total); each reference used to re-tokenize the corpus. Two lazy
+    # localCheckpoints on the vocabulary-sized count tables run each
+    # corpus-scale explode exactly once.
+    uni = (
+        toks.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bgc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     tot = uni.agg(F.sum("c").alias("n1")).crossJoin(
         bgc.agg(F.sum("c12").alias("n2"))
     )

@@ -3923,6 +3923,12 @@ def llm_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", "is_train", F.explode("toks").alias("token")
     )
+    # r14 (guide §1.2): tok feeds FIVE consumers (token-class counts, class
+    # token totals, vocabulary size, the test-token grid, the scoring join)
+    # and used to re-run the tokenize+explode pass for each. One lazy
+    # localCheckpoint runs the corpus-scale pass once; rows are narrow
+    # (3 ids + token).
+    tok = tok.localCheckpoint(eager=False)
     train_tok = tok.filter(F.col("is_train") == 1)
     cls = (
         docs.filter(F.col("is_train") == 1)
