@@ -2475,6 +2475,10 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gh"),
     )
+    # r14 (guide §1.2): grams feeds BOTH the boilerplate-set build and the
+    # tag-back join — one lazy localCheckpoint runs the 8-gram digest
+    # explode (two xxhash64 per gram) once instead of twice.
+    grams = grams.localCheckpoint(eager=False)
     boiler = (
         grams.groupBy("source", "gh")
         .agg(F.countDistinct("doc_id").alias("df"))

@@ -1681,7 +1681,10 @@ def llm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc scoring joins doc bigrams against it on the bigram key —
     one corpus-scale shuffle, combiner-reduced counting before it, and
     the w1-marginal is a window over the model table, not the corpus."""
-    bg = _bigrams(spark, sf_dir)
+    # r14 (guide §1.2): the bigram stream feeds BOTH the model build and
+    # the per-doc scoring join — one lazy localCheckpoint runs the
+    # tokenize+explode pass once instead of twice.
+    bg = _bigrams(spark, sf_dir).localCheckpoint(eager=False)
     bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
     cond = bgc.withColumn(
         "c1f", F.sum("c12").over(Window.partitionBy("w1"))
