@@ -499,10 +499,16 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Funnel windows (stage k within N minutes of stage k-1) are the same
     plan with a range predicate on the join."""
     e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # r14 (guide §1.2): v and c each feed TWO consumers (the next stage's
+    # join and their own stage count), and every reference used to re-run
+    # the filtered events scan + per-user agg behind it — ~6 event scans
+    # for a 3-stage funnel. Lazy checkpoints on the |users|-sized stage
+    # frames cut that to one scan per stage.
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -510,6 +516,7 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")

@@ -2350,7 +2350,12 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     card costs one pass over doc METADATA (text touched only for the
     64-byte prefix)."""
     d = table(spark, sf_dir, "documents")
-    nd = d.agg(F.count("*").cast("double").alias("nd"))
+    # r14 (guide §1.2): the 1-row total broadcasts into THREE fraction
+    # blocks and each reference used to re-run the full count scan — one
+    # lazy localCheckpoint computes it once.
+    nd = d.agg(F.count("*").cast("double").alias("nd")).localCheckpoint(
+        eager=False
+    )
     vol = d.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.sum("n_chars").cast("double").alias("total_chars"),

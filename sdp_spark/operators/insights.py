@@ -1008,7 +1008,10 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial everywhere, single final row."""
     from sdp_spark.operators.graphs import _trade_edges
 
-    edges = _trade_edges(spark, sf_dir)
+    # r14 (guide §1.2): edges feeds THREE consumers (both degree aggs and
+    # the moment pass) and each used to re-run the lineitem⋈orders join +
+    # distinct. One lazy localCheckpoint runs the edge build once.
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     sdeg = edges.groupBy("supp").agg(F.count("*").alias("sd"))
     cdeg = edges.groupBy("cust").agg(F.count("*").alias("cd"))
     m = (
