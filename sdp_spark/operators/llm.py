@@ -71,6 +71,30 @@ def _emb_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _EMB_CACHE[key]
 
 
+# Row count of the embeddings frame, memoized beside _EMB_CACHE. A count is
+# a property of the DATA (valid across cache eviction/rebuild), so it is not
+# registered in unpersist_all; it exists so occupancy/geometry decisions
+# (serve-side coalesce below, the sqrt-N IVF cell count) pay ONE cheap job
+# per session instead of one per invocation.
+_EMB_N: dict[tuple[str, str], int] = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_N:
+        _EMB_N[key] = _emb_normed(spark, sf_dir).count()
+    return _EMB_N[key]
+
+
+# Minimum candidate rows per task for broadcast-probe SERVE keys (each row
+# is O(|queries|·dim) fold work). Below this, task scheduling dominates the
+# work — the r14-driver-flagged llm_sim_search +20% was exactly the 2k-row
+# candidate scan split 32 ways (~60 rows/task; measured back-to-back in one
+# session: 32 parts 0.35-0.55 s, 4 parts 0.31 s). Any N ≥ 512·cores keeps
+# full core width, so this is occupancy-adaptive, not a local[32] constant.
+_SERVE_MIN_ROWS = 512
+
+
 # Memoized cached DataFrames keyed by (spark app, sf_dir): repeated operator
 # invocations in one session reuse ONE cached lineage instead of stacking a
 # fresh cache per call (storage-memory leak otherwise).
@@ -915,7 +939,20 @@ def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"), F.col("dvec").alias("qv"), F.col("norm").alias("qn")
         )
     )
-    c = emb.select(
+    # The session cache carries wide_table's defaultParallelism partitioning
+    # (right for the O(N²) fold consumers like llm_knn_graph); this serve key
+    # probes only |queries|·N pairs, so at small N the wide cache scan is
+    # mostly task-scheduling overhead. Coalesce (narrow — merges cached
+    # blocks, no shuffle) to ≥_SERVE_MIN_ROWS candidates per task; a no-op
+    # at any N ≥ _SERVE_MIN_ROWS·cores.
+    n_parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            _emb_count(spark, sf_dir) // _SERVE_MIN_ROWS,
+        ),
+    )
+    c = emb.coalesce(n_parts).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("dvec").alias("cv"),
@@ -3676,7 +3713,7 @@ def ann_index_build(
     cents = _spherical_cells(
         spark,
         sf_dir,
-        max(8, min(256, int(_emb_normed(spark, sf_dir).count() ** 0.5))),
+        max(8, min(256, int(_emb_count(spark, sf_dir) ** 0.5))),
     )
     centroids = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)],
