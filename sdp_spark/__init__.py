@@ -37,6 +37,7 @@ def unpersist_all() -> int:
         ("sdp_spark.operators.llm", "_RESOLVE_CACHE"),
         ("sdp_spark.operators.llm", "_VEC_GROUPS_CACHE"),
         ("sdp_spark.operators.llm", "_KNN_EDGES_CACHE"),
+        ("sdp_spark.operators.llm", "_NSW_UND_CACHE"),
         ("sdp_spark.operators.llm", "_KNNG_ASSIGNED_CACHE"),
         ("sdp_spark.operators.analytics", "_EVENTS_DAILY_CACHE"),
         ("sdp_spark.operators.corpus", "_GRAMS_CACHE"),
