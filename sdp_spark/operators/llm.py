@@ -674,6 +674,12 @@ def _propagate_loop(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # Convergence probe folded into the round's single action (r15, the
+    # graphs.py CC idiom): labels only ever DECREASE, so Σ(labels) is
+    # strictly decreasing until the fixpoint — the lazy checkpoint is
+    # materialized by the probe agg, ONE job per round where the eager
+    # checkpoint + changed-count pair ran two.
+    mass = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(_MAX_CC_ITERS):
         nbr = (
             edges.join(labels, F.col("dst") == F.col("node"))
@@ -682,22 +688,21 @@ def _propagate_loop(pairs: DataFrame) -> DataFrame:
             .withColumnRenamed("src", "node")
         )
         merged = (
-            labels.withColumnRenamed("label", "old_label")
-            .join(nbr, "node", "left")
+            labels.join(nbr, "node", "left")
             .select(
                 "node",
-                "old_label",
                 F.least(
-                    F.col("old_label"),
-                    F.coalesce(F.col("nbr_label"), F.col("old_label")),
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = merged.filter(F.col("label") != F.col("old_label")).count()
-        labels = merged.select("node", "label")
-        if changed == 0:
+        new_mass = merged.agg(F.sum("label")).collect()[0][0]
+        labels = merged
+        if new_mass == mass:
             return labels
+        mass = new_mass
     raise RuntimeError(
         f"near-dup label propagation did not converge in {_MAX_CC_ITERS} rounds"
     )
