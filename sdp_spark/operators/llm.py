@@ -1520,8 +1520,16 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-5 terms per source (20 sources = the corpus)."""
     tok = _docs_tokens(spark, sf_dir).select("source", F.explode("toks").alias("token"))
     tf = tok.groupBy("source", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("source").alias("df"))
-    scored = tf.join(df, "token").withColumn(
+    # df as a count-window over the tf frame (r15; the repo's certified
+    # df-lookup shape): tf has exactly one row per occurring (source,
+    # token), so COUNT(*) OVER (PARTITION BY token) == the old
+    # countDistinct(source) groupBy — same BIGINT, and the corpus is
+    # tokenized+exploded ONCE instead of twice (the old plan re-scanned
+    # documents for the df side and paid a broadcast barrier; guide
+    # §1.2/§2.4).
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    ).withColumn(
         "tfidf", F.round(F.col("tf") * F.log(F.lit(20.0) / F.col("df")), 6)
     )
     w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("token"))
