@@ -3220,11 +3220,71 @@ def _nndescent_refine(
         "vec_id",
         F.transform("dvec", lambda x: x / F.col("norm")).alias("uv"),
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # Pair scoring via mapInArrow over the ID pairs (r15, guide §4.2/§8
+    # "shuffle keys, not payloads"): the old shape attached both unit
+    # vectors by two joins and ran the interpreted zip_with fold per pair
+    # (~2M pairs/round = the whole refine's CPU). Now only the 16-byte id
+    # pairs cross the Arrow boundary; each task loads the unit-vector
+    # matrix ONCE from a per-invocation executor-written side file
+    # (nothing persists across invocations), gathers rows by searchsorted
+    # id, and accumulates the dot PER DIMENSION (acc += A[:,i]·B[:,i]
+    # from 0.0) — the identical IEEE left-fold order over the identical
+    # unit values (numpy x/norm == the JVM transform division), so the
+    # doubles are bit-identical. dround + the ranking window stay JVM.
+    import tempfile
+
+    side = tempfile.mkdtemp(prefix="sdp_refine_unit_")
+    unit.coalesce(1).write.mode("overwrite").parquet(side)
+
+    def _pair_dots(batches):
+        import glob as _glob
+        import os as _os
+
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        tbl = _pq.read_table(
+            sorted(_glob.glob(_os.path.join(side, "part-*.parquet")))
+        )
+        ids = tbl["vec_id"].to_numpy()
+        order = _np.argsort(ids)
+        sid = ids[order]
+        U = _np.asarray(
+            tbl["uv"].combine_chunks().flatten(), dtype=_np.float64
+        ).reshape(len(ids), -1)[order]
+        dim = U.shape[1]
+        out_schema = _pa.schema(
+            [
+                ("vec_id", _pa.int64()),
+                ("neighbor_id", _pa.int64()),
+                ("dot", _pa.float64()),
+            ]
+        )
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            va_ids = b.column("vec_id").to_numpy()
+            vb_ids = b.column("neighbor_id").to_numpy()
+            ia = _np.searchsorted(sid, va_ids)
+            ib = _np.searchsorted(sid, vb_ids)
+            # every pair id must be a unit-frame id (edges derive from the
+            # assigned corpus) — a miss would silently mis-gather
+            assert (sid[ia] == va_ids).all() and (sid[ib] == vb_ids).all()
+            A = U[ia]
+            B = U[ib]
+            acc = _np.zeros(len(va_ids))
+            for i in range(dim):
+                acc += A[:, i] * B[:, i]
+            yield _pa.record_batch(
+                [
+                    _pa.array(va_ids, _pa.int64()),
+                    _pa.array(vb_ids, _pa.int64()),
+                    _pa.array(acc, _pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -3252,17 +3312,9 @@ def _nndescent_refine(
             .repartition("vec_id")
             .distinct()
         )
-        scored = (
-            cand.join(unit.withColumnRenamed("uv", "va"), "vec_id")
-            .join(
-                unit.select(
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.col("uv").alias("vb"),
-                ),
-                "neighbor_id",
-            )
-            .select("vec_id", "neighbor_id", dround(dot, 4).alias("cos_sim"))
-        )
+        scored = cand.mapInArrow(
+            _pair_dots, "vec_id bigint, neighbor_id bigint, dot double"
+        ).select("vec_id", "neighbor_id", dround(F.col("dot"), 4).alias("cos_sim"))
         # checkpoint per round: the next round references this frame
         # three+ times (und twice, cand once, scored's join input) — an
         # unchecked lineage would re-run the whole prior round per
