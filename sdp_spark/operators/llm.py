@@ -3074,7 +3074,7 @@ def _knng_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _KNNG_ASSIGNED_CACHE:
         return _KNNG_ASSIGNED_CACHE[key]
     emb = _emb_normed(spark, sf_dir).select("vec_id", "dvec", "norm")
-    n = emb.count()
+    n = _emb_count(spark, sf_dir)
     k_cells = max(8, min(256, int(n ** 0.5)))
     cents = _spherical_cells(spark, sf_dir, k_cells)
     unit = F.transform("dvec", lambda x: x / F.col("norm"))
